@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full star-schema fact assembly at
+sf0.001. ``queries()`` — one entry per implemented operator from
+SURVEY.md §2 (and the training-data extensions). ``oracle_sql()`` —
+DuckDB-equivalent ANSI SQL per query; every aggregate/computed column
+is aliased identically on both sides, doubles are rounded identically
+on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +13,317 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from dw_etl_spark.operators.joins import fuzzy_top1_join
+from dw_etl_spark.plans.star_schema import (
+    EVENT_TYPES,
+    build_dim_date,
+    build_dim_indicator,
+    build_dim_order,
+    build_dim_part,
+    build_fact,
+)
+from dw_etl_spark.sources.files import read_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: FACT assembly (project→whitelist→bin→dim-join→Id)."""
+    return build_fact(spark, SF0001)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style aggregation over lineitem (A-series agg parity)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_fuzzy_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: top-1 levenshtein join of perturbed nation names onto the
+    canonical nation domain (dirty = name truncated by 2 chars)."""
+    nation = read_table(spark, sf_dir, "nation")
+    dirty = nation.select(
+        F.expr("substring(n_name, 1, length(n_name) - 2)").alias("dirty_name")
+    ).distinct()
+    return fuzzy_top1_join(
+        dirty, "dirty_name", nation, "n_name", mapped_name="matched"
+    ).select("dirty_name", "matched")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dim_date": build_dim_date,
+    "dim_order": build_dim_order,
+    "dim_part": build_dim_part,
+    "dim_indicator": build_dim_indicator,
+    "fact_lineitem": build_fact,
+    "pricing_summary": _q_pricing_summary,
+    "fuzzy_top1_join": _q_fuzzy_top1,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# --------------------------------------------------------------------------
+
+_DIM_DATE_SQL = """
+WITH dates AS (
+  SELECT DISTINCT CAST(year(l_shipdate) AS INTEGER) AS Year,
+                  CAST(quarter(l_shipdate) AS INTEGER) AS Quarter
+  FROM lineitem
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY Year, Quarter) AS BIGINT) AS Id,
+  Year,
+  Quarter,
+  CASE Quarter WHEN 1 THEN 'Winter' WHEN 2 THEN 'Spring'
+               WHEN 3 THEN 'Summer' WHEN 4 THEN 'Autumn' END AS QuarterName,
+  CAST((Year // 10) * 10 AS INTEGER) AS Decade
+FROM dates
+"""
+
+_DIM_ORDER_SQL = """
+SELECT o_orderkey AS Id,
+       o_orderstatus AS Status,
+       o_orderpriority AS Priority,
+       o_totalprice AS TotalPrice
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+_PRICE_CASE = """
+CASE WHEN p_retailprice >= 900 AND p_retailprice < 1100 THEN '900-1099'
+     WHEN p_retailprice >= 1100 AND p_retailprice < 1300 THEN '1100-1299'
+     WHEN p_retailprice >= 1300 AND p_retailprice < 1500 THEN '1300-1499'
+     WHEN p_retailprice >= 1500 AND p_retailprice < 1700 THEN '1500-1699'
+     WHEN p_retailprice >= 1700 AND p_retailprice < 1900 THEN '1700-1899'
+     WHEN p_retailprice >= 1900 AND p_retailprice < 2100 THEN '1900-2099'
+     ELSE NULL END
+"""
+
+_DIM_PART_SQL = f"""
+SELECT p_partkey AS Id,
+       p_name AS Name,
+       p_retailprice AS RetailPrice,
+       {_PRICE_CASE} AS PriceCategory
+FROM part
+"""
+
+
+def _dim_indicator_sql() -> str:
+    """Generated oracle for the pivot→seed→interpolate→Id→tercile chain.
+
+    Mirrors operators/pivot.py, interpolate.py, qcut.py exactly:
+    identical arithmetic, identical orderings, identical integer ntile
+    formula, doubles rounded to 6 at the end on both sides.
     """
-    return {}
+    cols = EVENT_TYPES
+    pivots = ",\n    ".join(
+        f"avg(value) FILTER (WHERE event_type = '{c}') AS {c}" for c in cols
+    )
+    seeds = ",\n    ".join(
+        f"CASE WHEN row_number() OVER w1 = 1 AND {c} IS NULL THEN 0.0 "
+        f"ELSE {c} END AS {c}"
+        for c in cols
+    )
+    neighbor_terms = []
+    for c in cols:
+        neighbor_terms.append(
+            f"last_value({c} IGNORE NULLS) OVER wb AS {c}_pv,\n    "
+            f"first_value({c} IGNORE NULLS) OVER wf AS {c}_nv,\n    "
+            f"last_value(CASE WHEN {c} IS NOT NULL THEN __pos END IGNORE NULLS)"
+            f" OVER wb AS {c}_pp,\n    "
+            f"first_value(CASE WHEN {c} IS NOT NULL THEN __pos END IGNORE NULLS)"
+            f" OVER wf AS {c}_np"
+        )
+    neighbors = ",\n    ".join(neighbor_terms)
+    interps = ",\n    ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN {c} "
+        f"WHEN {c}_pv IS NULL THEN NULL "
+        f"WHEN {c}_nv IS NULL THEN {c}_pv "
+        f"ELSE {c}_pv + ({c}_nv - {c}_pv) * (__pos - {c}_pp) / ({c}_np - {c}_pp) "
+        f"END AS {c}"
+        for c in cols
+    )
+    # exact ntile(3): integer arithmetic identical to operators/qcut.py
+    tiles = ",\n    ".join(
+        f"row_number() OVER (PARTITION BY Day ORDER BY {c} ASC NULLS LAST, Id)"
+        f" AS {c}_rn,\n    count({c}) OVER (PARTITION BY Day) AS {c}_cnt"
+        for c in cols
+    )
+    buckets = ",\n    ".join(
+        f"CASE WHEN {c} IS NULL THEN NULL ELSE "
+        f"CASE (CASE WHEN {c}_rn <= ({c}_cnt % 3) * ({c}_cnt // 3 + 1) "
+        f"THEN ({c}_rn - 1) // ({c}_cnt // 3 + 1) + 1 "
+        f"ELSE ({c}_cnt % 3) + ({c}_rn - ({c}_cnt % 3) * ({c}_cnt // 3 + 1) - 1)"
+        f" // greatest({c}_cnt // 3, 1) + 1 END) "
+        f"WHEN 1 THEN 'Low' WHEN 2 THEN 'Medium' WHEN 3 THEN 'High' END "
+        f"END AS {c}Bucket"
+        for c in cols
+    )
+    rounded = ", ".join(f"round({c}, 6) AS {c}" for c in cols)
+    bucket_names = ", ".join(f"{c}Bucket" for c in cols)
+    return f"""
+WITH wide AS (
+  SELECT CAST(user_id AS BIGINT) AS UserId,
+         CAST(day(ts) AS INTEGER) AS Day,
+    {pivots}
+  FROM events
+  GROUP BY 1, 2
+),
+seeded AS (
+  SELECT UserId, Day,
+    {seeds}
+  FROM wide
+  WINDOW w1 AS (PARTITION BY UserId ORDER BY Day)
+),
+pos AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY UserId ORDER BY Day) AS DOUBLE)
+         AS __pos
+  FROM seeded
+),
+nbr AS (
+  SELECT *,
+    {neighbors}
+  FROM pos
+  WINDOW
+    wb AS (PARTITION BY UserId ORDER BY Day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY UserId ORDER BY Day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+interp AS (
+  SELECT UserId, Day,
+    {interps}
+  FROM nbr
+),
+with_id AS (
+  SELECT CAST(row_number() OVER (ORDER BY UserId, Day) AS BIGINT) AS Id, *
+  FROM interp
+),
+ranked AS (
+  SELECT *,
+    {tiles}
+  FROM with_id
+)
+SELECT Id, UserId, Day, {rounded}, {bucket_names}
+FROM (
+  SELECT Id, UserId, Day, {', '.join(cols)},
+    {buckets}
+  FROM ranked
+)
+"""
+
+
+_FACT_SQL = """
+WITH dates AS (
+  SELECT DISTINCT CAST(year(l_shipdate) AS INTEGER) AS Year,
+                  CAST(quarter(l_shipdate) AS INTEGER) AS Quarter
+  FROM lineitem
+),
+dim_date AS (
+  SELECT CAST(row_number() OVER (ORDER BY Year, Quarter) AS BIGINT) AS Id,
+         Year, Quarter
+  FROM dates
+),
+proj AS (
+  SELECT l_orderkey AS OrderId,
+         l_partkey AS PartId,
+         l_linenumber AS LineNumber,
+         l_quantity AS Quantity,
+         l_extendedprice AS ExtendedPrice,
+         CASE WHEN l_returnflag IN ('A', 'R') THEN l_returnflag
+              ELSE 'UNKNOWN' END AS ReturnFlag,
+         CASE WHEN l_quantity >= 0  AND l_quantity < 10 THEN '0-9'
+              WHEN l_quantity >= 10 AND l_quantity < 20 THEN '10-19'
+              WHEN l_quantity >= 20 AND l_quantity < 30 THEN '20-29'
+              WHEN l_quantity >= 30 AND l_quantity < 40 THEN '30-39'
+              WHEN l_quantity >= 40 AND l_quantity < 51 THEN '40-50'
+              ELSE NULL END AS QuantityGroup,
+         CAST(year(l_shipdate) AS INTEGER) AS ShipYear,
+         CAST(quarter(l_shipdate) AS INTEGER) AS ShipQuarter
+  FROM lineitem
+)
+SELECT CAST(row_number() OVER (ORDER BY OrderId, LineNumber) AS BIGINT) AS Id,
+       p.OrderId, p.PartId, p.LineNumber, p.Quantity, p.ExtendedPrice,
+       p.ReturnFlag, p.QuantityGroup, d.Id AS DateId
+FROM proj p
+LEFT JOIN dim_date d ON p.ShipYear = d.Year AND p.ShipQuarter = d.Quarter
+"""
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_FUZZY_SQL = """
+WITH dirty AS (
+  SELECT DISTINCT substr(n_name, 1, length(n_name) - 2) AS dirty_name
+  FROM nation
+),
+domain AS (SELECT DISTINCT n_name FROM nation),
+scored AS (
+  SELECT dirty_name, n_name,
+         CASE WHEN dirty_name = n_name THEN -1
+              ELSE levenshtein(dirty_name, n_name) END AS score
+  FROM dirty CROSS JOIN domain
+),
+best AS (
+  SELECT dirty_name, n_name,
+         row_number() OVER (PARTITION BY dirty_name
+                            ORDER BY score ASC, n_name ASC) AS rn
+  FROM scored
+)
+SELECT dirty_name, n_name AS matched FROM best WHERE rn = 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dim_date": _DIM_DATE_SQL,
+        "dim_order": _DIM_ORDER_SQL,
+        "dim_part": _DIM_PART_SQL,
+        "dim_indicator": _dim_indicator_sql(),
+        "fact_lineitem": _FACT_SQL,
+        "pricing_summary": _PRICING_SUMMARY_SQL,
+        "fuzzy_top1_join": _FUZZY_SQL,
+    }

@@ -1,0 +1,105 @@
+"""Join operators (SURVEY.md §2.3).
+
+J1/J2  resolve_surrogate_key — left equi-join on a (composite) natural
+       key against a dimension, keeping only the dim's surrogate Id
+       (reference transform.py:31-37, 63-69).
+J3     fuzzy_top1_join — top-1 similarity join of free-text values onto
+       a canonical domain (reference transform.py:41-59, fuzzywuzzy
+       ``process.extractOne`` with memo cache + exact short-circuit).
+
+Scale design:
+- Dimensions are small → ``F.broadcast`` forces a broadcast hash join;
+  no shuffle of the fact side at any scale.
+- The fuzzy join never scores the fact table. It deduplicates the left
+  side first (``distinct()`` — this IS the reference's memo cache,
+  expressed relationally), cross-joins the small distinct×domain grid,
+  scores with built-in ``levenshtein`` (JVM codegen), takes top-1 per
+  left value with a window, then broadcast-joins the tiny mapping back.
+  Cost: |distinct_left| × |domain| scored pairs — independent of fact
+  row count, the property that makes it viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resolve_surrogate_key(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: dict[str, str],
+    dim_id: str = "Id",
+    as_name: str | None = None,
+) -> DataFrame:
+    """Left-join ``fact`` to ``dim`` on ``{fact_col: dim_col}``; append only
+    the dim's ``dim_id`` (renamed to ``as_name``). Unmatched rows keep NULL.
+
+    Equivalent of the reference's rename-Id-then-left-merge idiom
+    (transform.py:31-37). The dim side is broadcast.
+    """
+    as_name = as_name or dim_id
+    dim_proj = dim.select(
+        *[F.col(c).alias(f"__k_{c}") for c in on.values()],
+        F.col(dim_id).alias(as_name),
+    )
+    cond = None
+    for fcol, dcol in on.items():
+        clause = fact[fcol].eqNullSafe(F.col(f"__k_{dcol}"))
+        cond = clause if cond is None else cond & clause
+    joined = fact.join(F.broadcast(dim_proj), cond, "left")
+    return joined.drop(*[f"__k_{c}" for c in on.values()])
+
+
+def fuzzy_top1_join(
+    left: DataFrame,
+    left_col: str,
+    domain: DataFrame,
+    domain_col: str,
+    mapped_name: str = "matched",
+    score_expr: Callable[[Column, Column], Column] | None = None,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Map each ``left_col`` value to its best-scoring ``domain_col`` value.
+
+    Pipeline (all Catalyst-visible, no Python UDF):
+      1. ``distinct(left_col)`` — dedup before the expensive op (the
+         reference's memo cache, transform.py:43,50-57).
+      2. cross-join against broadcast ``distinct(domain_col)``.
+      3. score: default ``F.levenshtein`` (lower=better). Pass
+         ``score_expr(left, right) -> Column`` for a custom metric
+         (lower=better contract).
+      4. exact matches short-circuit with score -1 (reference :50-52).
+      5. top-1 per left value: ``row_number()`` ordered by
+         (score, domain value) — the domain tiebreak makes it
+         deterministic.
+      6. optional ``max_distance``: worse matches → NULL (the
+         reference's unmatchable→null, :53-57).
+      7. broadcast the mapping back onto ``left``.
+    """
+    score = score_expr or (lambda a, b: F.levenshtein(a, b))
+
+    lv = left.select(F.col(left_col).alias("__lv")).filter(F.col("__lv").isNotNull()).distinct()
+    dv = domain.select(F.col(domain_col).alias("__dv")).filter(F.col("__dv").isNotNull()).distinct()
+
+    scored = lv.crossJoin(F.broadcast(dv)).withColumn(
+        "__score",
+        F.when(F.col("__lv") == F.col("__dv"), F.lit(-1)).otherwise(
+            score(F.col("__lv"), F.col("__dv"))
+        ),
+    )
+    w = Window.partitionBy("__lv").orderBy(F.col("__score").asc(), F.col("__dv").asc())
+    best = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    if max_distance is not None:
+        best = best.withColumn(
+            "__dv",
+            F.when(F.col("__score") <= max_distance, F.col("__dv")),
+        )
+    mapping = best.select(
+        F.col("__lv"), F.col("__dv").alias(mapped_name)
+    )
+    return left.join(
+        F.broadcast(mapping), left[left_col] == mapping["__lv"], "left"
+    ).drop("__lv")

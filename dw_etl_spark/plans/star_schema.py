@@ -1,0 +1,181 @@
+"""The reference's star-schema ETL (SURVEY.md §3 EP1) as one lazy
+DataFrame lineage over the driver testdata, per the FIXTURES.md §6 role
+mapping:
+
+  members (fact source)   → lineitem (+ date parts from l_shipdate)
+  expeditions (dup'd dim) → orders   (dedup by key, keep-first)
+  peaks (binned dim)      → part     (fixed-edge price bins)
+  world_bank (long feed)  → events   (user_id=country, day=year axis,
+                                      event_type=indicator, value=value)
+
+Reference DAG (jobs.py:29-47): 5 extracts → 5 transforms → 6 loads with
+pickled intermediates per edge. Here the whole thing is one driver
+program of lazy lineage; data moves only at the shuffles the plan
+actually needs (the pivot's group-by, the window partitions, and
+nothing else — every dim join is a broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dw_etl_spark.functions.scalar import decade, domain_whitelist, map_lookup
+from dw_etl_spark.operators.bins import bin_numeric
+from dw_etl_spark.operators.dedup import dedup_keep_first
+from dw_etl_spark.operators.interpolate import interpolate_by_group, seed_group_head
+from dw_etl_spark.operators.joins import resolve_surrogate_key
+from dw_etl_spark.operators.keys import add_sequential_id
+from dw_etl_spark.operators.pivot import pivot_wide
+from dw_etl_spark.operators.qcut import ntile_buckets
+from dw_etl_spark.sources.files import read_table
+
+QUARTER_NAMES = {1: "Winter", 2: "Spring", 3: "Summer", 4: "Autumn"}
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+QTY_EDGES = [0, 10, 20, 30, 40, 51]
+QTY_LABELS = ["0-9", "10-19", "20-29", "30-39", "40-50"]
+PRICE_EDGES = [900, 1100, 1300, 1500, 1700, 1900, 2100]
+
+
+def build_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIM_Date(Id, Year, Quarter, QuarterName, Decade).
+
+    Reference create_dim_date (transform.py:364-394): project → dedup by
+    (Year, Season) → sequential Id → decade arithmetic → season map.
+    Derived from lineitem ship dates (the members-role date attributes).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    dates = li.select(
+        F.year("l_shipdate").alias("Year"),
+        F.quarter("l_shipdate").alias("Quarter"),
+    )
+    deduped = dedup_keep_first(dates, ["Year", "Quarter"])
+    with_id = add_sequential_id(deduped, order_by=["Year", "Quarter"])
+    return with_id.select(
+        "Id",
+        "Year",
+        "Quarter",
+        map_lookup("Quarter", QUARTER_NAMES).alias("QuarterName"),
+        decade("Year").alias("Decade"),
+    )
+
+
+def build_dim_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIM_Expedition role (transform.py:155-193): project/rename,
+    keep-first dedup by natural key, strict casts at the edges."""
+    orders = read_table(spark, sf_dir, "orders")
+    deduped = dedup_keep_first(orders, ["o_orderkey"], order_by=["o_orderdate", "o_orderkey"])
+    return deduped.select(
+        F.col("o_orderkey").alias("Id"),
+        F.col("o_orderstatus").alias("Status"),
+        F.col("o_orderpriority").alias("Priority"),
+        F.col("o_totalprice").alias("TotalPrice"),
+    )
+
+
+def build_dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIM_Peak role (transform.py:202-247): project/rename + fixed-edge
+    labeled bins (peak heights → 500m bins; here retail price → 200-unit
+    bins, same right-open/out-of-range→NULL semantics)."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("Id"),
+        F.col("p_name").alias("Name"),
+        F.col("p_retailprice").alias("RetailPrice"),
+        bin_numeric("p_retailprice", PRICE_EDGES).alias("PriceCategory"),
+    )
+
+
+def build_dim_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIM_CountryIndicator role (transform.py:256-356), full chain:
+    pivot long→wide (A4) → group-head null seed (A5/A6) → per-group
+    linear interpolation (A7) → sequential Id (F7) → per-'year' tercile
+    buckets (A8/W3).
+
+    events role: user_id = country, day-of-month = year axis,
+    event_type = indicator code, value = indicator value.
+    """
+    events = read_table(spark, sf_dir, "events")
+    long_form = events.select(
+        F.col("user_id").alias("UserId"),
+        F.dayofmonth("ts").alias("Day"),
+        F.col("event_type").alias("Indicator"),
+        F.col("value").alias("Value"),
+    )
+    wide = pivot_wide(
+        long_form,
+        index=["UserId", "Day"],
+        pivot_col="Indicator",
+        value_col="Value",
+        values=EVENT_TYPES,
+    )
+    seeded = seed_group_head(
+        wide, group_by=["UserId"], order_by=["Day"], cols=EVENT_TYPES
+    )
+    filled = interpolate_by_group(
+        seeded, group_by=["UserId"], order_by="Day", cols=EVENT_TYPES
+    )
+    with_id = add_sequential_id(filled, order_by=["UserId", "Day"])
+    bucketed = with_id
+    for ind in EVENT_TYPES:
+        bucketed = ntile_buckets(
+            bucketed,
+            group_by=["Day"],
+            value_col=ind,
+            n=3,
+            out_col=f"{ind}Bucket",
+            tiebreak=[F.col("Id")],
+        )
+    # round for cross-engine double stability (partial-agg order varies)
+    rounded = [F.round(F.col(c), 6).alias(c) for c in EVENT_TYPES]
+    return bucketed.select(
+        "Id",
+        "UserId",
+        "Day",
+        *rounded,
+        *[f"{c}Bucket" for c in EVENT_TYPES],
+    )
+
+
+def build_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACT_MemberExpedition role (transform.py:18-146): project/rename
+    (P1/P2) → domain whitelist w/ default (P3) → fixed-edge bins (F1) →
+    composite-key surrogate join to DIM_Date (J1) → sequential Id (F7).
+
+    All dim joins broadcast — the fact side never shuffles for a join.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    dim_date = build_dim_date(spark, sf_dir)
+
+    projected = li.select(
+        F.col("l_orderkey").alias("OrderId"),
+        F.col("l_partkey").alias("PartId"),
+        F.col("l_linenumber").alias("LineNumber"),
+        F.col("l_quantity").alias("Quantity"),
+        F.col("l_extendedprice").alias("ExtendedPrice"),
+        domain_whitelist("l_returnflag", ["A", "R"], "UNKNOWN").alias("ReturnFlag"),
+        bin_numeric("l_quantity", QTY_EDGES, QTY_LABELS).alias("QuantityGroup"),
+        F.year("l_shipdate").alias("ShipYear"),
+        F.quarter("l_shipdate").alias("ShipQuarter"),
+    )
+    with_date = resolve_surrogate_key(
+        projected,
+        dim_date,
+        on={"ShipYear": "Year", "ShipQuarter": "Quarter"},
+        as_name="DateId",
+    )
+    return add_sequential_id(
+        with_date.drop("ShipYear", "ShipQuarter"),
+        order_by=["OrderId", "LineNumber"],
+    )
+
+
+def build_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All four dims + the fact, as lazy DataFrames (no actions)."""
+    return {
+        "DIM_Date": build_dim_date(spark, sf_dir),
+        "DIM_Order": build_dim_order(spark, sf_dir),
+        "DIM_Part": build_dim_part(spark, sf_dir),
+        "DIM_Indicator": build_dim_indicator(spark, sf_dir),
+        "FACT_LineItem": build_fact(spark, sf_dir),
+    }

@@ -1,0 +1,16 @@
+from dw_etl_spark.sources.files import (
+    read_csv,
+    read_parquet,
+    read_table,
+    validate_required_columns,
+)
+from dw_etl_spark.sources.rest import PaginatedJsonSource, rest_to_dataframe
+
+__all__ = [
+    "read_csv",
+    "read_parquet",
+    "read_table",
+    "validate_required_columns",
+    "PaginatedJsonSource",
+    "rest_to_dataframe",
+]

@@ -1,0 +1,113 @@
+"""File sources: CSV / Parquet scans with schema validation.
+
+Capability parity (SURVEY.md §2.1):
+  S1  CSV scan with fail-on-absent/empty      (reference resources.py:192-201)
+  S2  required-column schema validation        (reference extract.py:28-29,112-114)
+  S5  CSV sink                                 (reference raw_analysis/main.py:27-38)
+
+Spark-first notes:
+- Scans are lazy; Catalyst pushes filters/column pruning into the reader.
+  Parquet is the scale path (columnar, predicate pushdown, partition
+  pruning); CSV kept for parity with the reference's inputs.
+- ``mode=FAILFAST`` gives the reference's fail-on-malformed semantics at
+  read time rather than silently nulling.
+- The empty-input guard is an action (``isEmpty``) — cheap (reads one
+  partition) but still a job; it is opt-in via ``require_nonempty``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class SchemaValidationError(ValueError):
+    """Raised when a source is missing required columns or is empty."""
+
+
+def validate_required_columns(df: DataFrame, required: list[str]) -> DataFrame:
+    """Fail fast if any required column is missing (reference extract.py:112-114).
+
+    Driver-side check on the analyzed schema — no job is triggered.
+    """
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise SchemaValidationError(f"missing required columns: {missing}")
+    return df
+
+
+def _require_nonempty(df: DataFrame, source: str) -> DataFrame:
+    if df.isEmpty():
+        raise SchemaValidationError(f"source {source!r} is empty")
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    required_columns: list[str] | None = None,
+    require_nonempty: bool = False,
+    **options: str,
+) -> DataFrame:
+    """CSV scan (S1+S2). FAILFAST when a schema is declared (strict parse)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema).option("mode", "FAILFAST")
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.csv(path)
+    if required_columns:
+        validate_required_columns(df, required_columns)
+    if require_nonempty:
+        _require_nonempty(df, path)
+    return df
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    required_columns: list[str] | None = None,
+    require_nonempty: bool = False,
+) -> DataFrame:
+    """Parquet scan — the scale path (columnar + pushdown + pruning)."""
+    df = spark.read.parquet(path)
+    if required_columns:
+        validate_required_columns(df, required_columns)
+    if require_nonempty:
+        _require_nonempty(df, path)
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table: ``{sf_dir}/{name}.parquet``.
+
+    The ``events`` table carries nanosecond parquet timestamps, which
+    Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); read
+    them as longs (``nanosAsLong``) and rebuild a proper timestamp via
+    integer division (``div`` — a double round-trip would lose precision
+    at 1e18 nanos).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink (S5): quoted, UTF-8 (reference raw_analysis/main.py:27-38).
+
+    ``single_file`` coalesces to 1 partition — only for small outputs;
+    at scale leave sharded (the reference's single-file write is a
+    single-process artifact, not a semantic requirement).
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").option(
+        "quoteAll", "true"
+    ).csv(path)

@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from dw_etl_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="dw_etl_spark_tests", master="local[4]", shuffle_partitions=4)
+    yield spark
+    spark.stop()
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with the driver's table views pre-registered."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver compare: sort columns by name, round floats,
+    stringify, sort rows — order-insensitive value comparison."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    out = df.astype(str)
+    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return out
+
+
+def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str):
+    """Row-count + column-set + order-insensitive value equality."""
+    got = spark_df.toPandas()
+    want = con.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"column mismatch: spark={sorted(got.columns)} oracle={sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    g, w = _normalize(got), _normalize(want)
+    if not g.equals(w):
+        diff_mask = (g != w).any(axis=1)
+        sample = pd.concat(
+            [g[diff_mask].head(5).add_suffix("_spark"),
+             w[diff_mask].head(5).add_suffix("_oracle")],
+            axis=1,
+        )
+        raise AssertionError(f"value mismatch ({int(diff_mask.sum())} rows):\n{sample}")
+
+
+def approx_rows(rows, expected, tol=1e-9):
+    assert len(rows) == len(expected)
+    for r, e in zip(rows, expected):
+        for a, b in zip(r, e):
+            if isinstance(b, float):
+                assert a is not None and math.isclose(a, b, rel_tol=tol, abs_tol=tol), (a, b)
+            else:
+                assert a == b, (a, b)

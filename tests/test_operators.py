@@ -1,0 +1,252 @@
+"""Unit tests for the operator library (SURVEY.md §2 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dw_etl_spark.functions.scalar import (
+    clean_whitespace,
+    decade,
+    domain_whitelist,
+    map_lookup,
+    strict_cast,
+)
+from dw_etl_spark.operators.bins import bin_numeric
+from dw_etl_spark.operators.dedup import dedup_keep_first
+from dw_etl_spark.operators.interpolate import interpolate_by_group, seed_group_head
+from dw_etl_spark.operators.joins import fuzzy_top1_join, resolve_surrogate_key
+from dw_etl_spark.operators.keys import add_sequential_id, add_unique_id
+from dw_etl_spark.operators.pivot import pivot_wide
+from dw_etl_spark.operators.qcut import _exact_ntile, ntile_buckets, qcut_by_group
+from dw_etl_spark.sources.files import SchemaValidationError, validate_required_columns
+
+
+# ---------------------------------------------------------------- scalar fns
+
+def test_decade(spark):
+    df = spark.createDataFrame([(1995,), (2000,), (1909,)], ["y"])
+    got = [r[0] for r in df.select(decade("y")).collect()]
+    assert got == [1990, 2000, 1900]
+
+
+def test_map_lookup_null_on_miss(spark):
+    df = spark.createDataFrame([(1,), (4,), (9,)], ["s"])
+    got = [r[0] for r in df.select(map_lookup("s", {1: "Winter", 4: "Autumn"})).collect()]
+    assert got == ["Winter", "Autumn", None]
+
+
+def test_domain_whitelist(spark):
+    df = spark.createDataFrame([("M",), ("F",), ("X",), (None,)], ["g"])
+    got = [r[0] for r in df.select(domain_whitelist("g", ["M", "F"], "UNKNOWN")).collect()]
+    assert got == ["M", "F", "UNKNOWN", "UNKNOWN"]
+
+
+def test_clean_whitespace(spark):
+    df = spark.createDataFrame([("a\r\nb   c\n",)], ["s"])
+    assert df.select(clean_whitespace("s")).first()[0] == "a b c"
+
+
+def test_strict_cast_ok_and_raises(spark):
+    ok = spark.createDataFrame([("1",), ("2",), (None,)], ["x"])
+    got = [r[0] for r in strict_cast(ok, "x", "long").select("x").collect()]
+    assert got == [1, 2, None]
+
+    bad = spark.createDataFrame([("1",), ("oops",)], ["x"])
+    with pytest.raises(Exception, match="strict_cast"):
+        strict_cast(bad, "x", "long").collect()
+
+
+# ---------------------------------------------------------------- bins
+
+def test_bin_numeric_right_open_and_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(0,), (17,), (18,), (29,), (100,), (None,)], ["age"]
+    )
+    col = bin_numeric("age", [0, 18, 30, 101], ["0-17", "18-29", "30-100"])
+    got = [r[0] for r in df.select(col).collect()]
+    assert got == ["0-17", "0-17", "18-29", "18-29", "30-100", None]
+    # out of range -> null
+    df2 = spark.createDataFrame([(-1,), (101,)], ["age"])
+    assert [r[0] for r in df2.select(col).collect()] == [None, None]
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 2, "second"), ("a", 1, "first"), ("b", 1, "only")],
+        ["k", "ord", "v"],
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in dedup_keep_first(df, ["k"], order_by=["ord"]).collect()
+    }
+    assert got == {("a", "first"), ("b", "only")}
+
+
+# ---------------------------------------------------------------- keys
+
+def test_add_sequential_id_contiguous(spark):
+    df = spark.createDataFrame([(c,) for c in "dcba"], ["v"])
+    got = add_sequential_id(df, order_by=["v"]).collect()
+    assert [(r["Id"], r["v"]) for r in sorted(got, key=lambda r: r["Id"])] == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    ]
+
+
+def test_add_unique_id_matches_sequential(spark):
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 7 % 1000).drop("id")
+    seq = {(r["Id"], r["v"]) for r in add_sequential_id(df, ["v"]).collect()}
+    uniq = {(r["Id"], r["v"]) for r in add_unique_id(df, ["v"]).collect()}
+    assert seq == uniq
+
+
+# ---------------------------------------------------------------- joins
+
+def test_resolve_surrogate_key_left_and_null(spark):
+    fact = spark.createDataFrame([(1995, 1), (1995, 2), (1800, 1)], ["y", "q"])
+    dim = spark.createDataFrame([(10, 1995, 1), (11, 1995, 2)], ["Id", "Year", "Quarter"])
+    got = resolve_surrogate_key(
+        fact, dim, on={"y": "Year", "q": "Quarter"}, as_name="DateId"
+    )
+    rows = {(r["y"], r["q"], r["DateId"]) for r in got.collect()}
+    assert rows == {(1995, 1, 10), (1995, 2, 11), (1800, 1, None)}
+
+
+def test_fuzzy_top1_exact_short_circuit_and_closest(spark):
+    left = spark.createDataFrame([("INDIA",), ("INDA",), ("ZZZZZZ",)], ["name"])
+    domain = spark.createDataFrame([("INDIA",), ("CHINA",), ("CANADA",)], ["country"])
+    got = {
+        (r["name"], r["matched"])
+        for r in fuzzy_top1_join(left, "name", domain, "country").collect()
+    }
+    assert got == {("INDIA", "INDIA"), ("INDA", "INDIA"), ("ZZZZZZ", "CANADA")}
+
+
+def test_fuzzy_top1_max_distance_null(spark):
+    left = spark.createDataFrame([("QQQQQQQQ",)], ["name"])
+    domain = spark.createDataFrame([("INDIA",)], ["country"])
+    got = fuzzy_top1_join(
+        left, "name", domain, "country", max_distance=2
+    ).first()
+    assert got["matched"] is None
+
+
+# ---------------------------------------------------------------- pivot
+
+def test_pivot_wide_mean(spark):
+    df = spark.createDataFrame(
+        [("u1", "a", 1.0), ("u1", "a", 3.0), ("u1", "b", 5.0), ("u2", "b", 7.0)],
+        ["k", "ind", "v"],
+    )
+    got = pivot_wide(df, ["k"], "ind", "v", ["a", "b"]).collect()
+    as_map = {r["k"]: (r["a"], r["b"]) for r in got}
+    assert as_map == {"u1": (2.0, 5.0), "u2": (None, 7.0)}
+
+
+# ---------------------------------------------------------------- interpolate
+
+def test_seed_and_interpolate_matches_pandas(spark):
+    import pandas as pd
+
+    data = [
+        ("g1", 1, None), ("g1", 2, 10.0), ("g1", 3, None), ("g1", 4, None),
+        ("g1", 5, 40.0), ("g1", 6, None),
+        ("g2", 1, None), ("g2", 2, None), ("g2", 3, 6.0),
+    ]
+    df = spark.createDataFrame(data, ["g", "t", "v"])
+    seeded = seed_group_head(df, ["g"], ["t"], ["v"])
+    got = interpolate_by_group(seeded, ["g"], "t", ["v"])
+    got_map = {(r["g"], r["t"]): r["v"] for r in got.collect()}
+
+    pdf = pd.DataFrame(data, columns=["g", "t", "v"]).sort_values(["g", "t"])
+    head = pdf.groupby("g").head(1).index
+    pdf.loc[head, "v"] = pdf.loc[head, "v"].fillna(0.0)
+    pdf["v"] = pdf.groupby("g")["v"].transform(lambda s: s.interpolate())
+    want_map = {
+        (r.g, r.t): (None if pd.isna(r.v) else r.v) for r in pdf.itertuples()
+    }
+    assert got_map == want_map
+
+
+# ---------------------------------------------------------------- qcut
+
+def test_exact_ntile_formula_matches_spark_ntile(spark):
+    for cnt in [1, 2, 3, 4, 5, 6, 7, 10, 11]:
+        df = spark.range(1, cnt + 1).withColumn("g", F.lit(1))
+        w = Window.partitionBy("g").orderBy("id")
+        native = df.withColumn("t", F.ntile(3).over(w))
+        formula = df.withColumn(
+            "t2",
+            _exact_ntile(
+                F.row_number().over(w), F.count("id").over(Window.partitionBy("g")), 3
+            ).cast("int"),
+        )
+        n = {r["id"]: r["t"] for r in native.collect()}
+        f_ = {r["id"]: r["t2"] for r in formula.collect()}
+        assert n == f_, f"cnt={cnt}: {n} vs {f_}"
+
+
+def test_ntile_buckets_nulls_stay_null(spark):
+    df = spark.createDataFrame(
+        [(2024, 1, 1.0), (2024, 2, 2.0), (2024, 3, 3.0), (2024, 4, None)],
+        ["year", "id", "v"],
+    )
+    got = ntile_buckets(df, ["year"], "v", tiebreak=[F.col("id")])
+    m = {r["id"]: r["vBucket"] for r in got.collect()}
+    assert m == {1: "Low", 2: "Medium", 3: "High", 4: None}
+
+
+def test_qcut_by_group_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b", "c"], 50),
+            "id": np.arange(150),
+            "v": rng.normal(size=150).round(3),
+        }
+    )
+    pdf.loc[pdf.index % 10 == 0, "v"] = np.nan
+    # group c: constant values -> qcut edge-collapse path
+    pdf.loc[pdf.g == "c", "v"] = 1.0
+
+    rows = [
+        (str(g), int(i), None if pd.isna(v) else float(v))
+        for g, i, v in zip(pdf.g, pdf.id, pdf.v)
+    ]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    got = qcut_by_group(df, ["g"], "v", out_col="b")
+    got_m = {(r["g"], r["id"]): r["b"] for r in got.collect()}
+
+    def pandas_bucket(s):
+        binned, edges = pd.qcut(s, 3, retbins=True, duplicates="drop", labels=None)
+        n_bins = len(edges) - 1
+        if n_bins <= 0:
+            return pd.Series([None] * len(s), index=s.index, dtype=object)
+        lbs = (
+            ["Low", "Medium", "High"][:n_bins]
+            if n_bins >= 3
+            else (["Low", "High"] if n_bins == 2 else ["Low"])
+        )
+        return binned.cat.rename_categories(lbs).astype(object).where(s.notna(), None)
+
+    want = pdf.groupby("g", group_keys=False)["v"].apply(pandas_bucket)
+    want_m = {
+        (pdf.loc[i, "g"], pdf.loc[i, "id"]): (None if v is None else str(v))
+        for i, v in want.items()
+    }
+    assert got_m == want_m
+
+
+# ---------------------------------------------------------------- sources
+
+def test_validate_required_columns(spark):
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    validate_required_columns(df, ["a", "b"])
+    with pytest.raises(SchemaValidationError, match="missing"):
+        validate_required_columns(df, ["a", "zzz"])

@@ -1,0 +1,48 @@
+"""Local replica of the driver's correctness gate: every ``queries()``
+entry vs its ``oracle_sql()`` DuckDB twin at sf0.001 (fast smoke; the
+driver runs sf0.01 — run with SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01
+for the full check)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE, assert_matches_oracle, duckdb_conn
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", SF_SMOKE)
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb_conn(SF_DIR)
+    yield con
+    con.close()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_every_query_has_oracle():
+    missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
+    # non-SQL-expressible ops may be absent; keep the list explicit
+    allowed_missing: set[str] = set()
+    assert missing <= allowed_missing, f"queries missing oracles: {missing}"
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, oracle, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    df = q(spark, SF_DIR)
+    if sql is None:
+        assert df.count() >= 0  # rows-only check
+        return
+    assert_matches_oracle(df, oracle, sql)
