@@ -15,7 +15,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
+from dw_etl_spark import oracles
+from dw_etl_spark.functions.scalar import clean_whitespace
+from dw_etl_spark.functions.text import fingerprint, lang_id, quality_score, token_count
 from dw_etl_spark.operators.joins import fuzzy_top1_join
+from dw_etl_spark.operators.multimodal import media_stats, pack_documents_as_media
+from dw_etl_spark.operators.profile import (
+    iqr_outlier_count,
+    profile_columns,
+    top_k_values,
+)
+from dw_etl_spark.operators.similarity import cosine_topk, lsh_topk
+from dw_etl_spark.operators.text_dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from dw_etl_spark.plans.star_schema import (
     EVENT_TYPES,
     build_dim_date,
@@ -74,6 +92,151 @@ def _q_fuzzy_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("dirty_name", "matched")
 
 
+# ---- profiler (A9-A11, O2) ------------------------------------------------
+
+def _q_profile_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_columns(
+        read_table(spark, sf_dir, "part"), ["p_partkey", "p_name", "p_retailprice"]
+    )
+
+
+def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_k_values(read_table(spark, sf_dir, "customer"), "c_mktsegment", k=3)
+
+
+def _q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return iqr_outlier_count(read_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+def _q_dup_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct("l_returnflag", "l_linestatus", "l_quantity")
+        ).alias("n_dup")
+    )
+
+
+# ---- window functions (W-series + lead/lag/running) -----------------------
+
+def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum("l_extendedprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_revenue"),
+        F.lag("l_extendedprice").over(w).alias("prev_price"),
+        F.lead("l_extendedprice").over(w).alias("next_price"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+# ---- set ops --------------------------------------------------------------
+
+def _q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        "value", "event_type", "event_id", "user_id"
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---- text analysis (F8 + training-data extensions) ------------------------
+
+def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        clean_whitespace("text").alias("cleaned"),
+        token_count("text").alias("n_tokens"),
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").cast("double").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+# ---- dedup family ---------------------------------------------------------
+
+def _docs_with_copies(spark, sf_dir: str, perturb: str | None) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    text = (
+        F.concat(F.col("text"), F.lit(perturb)) if perturb else F.col("text")
+    )
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), text.alias("text")
+    )
+    return docs.unionByName(copies)
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_copies(spark, sf_dir, None)
+    return exact_dedup(corpus, "text", "doc_id").select("doc_id")
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_copies(spark, sf_dir, " qq")
+    return minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=2, num_hashes=32, bands=8, min_jaccard=0.5
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_copies(spark, sf_dir, " qq")
+    return ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=2, min_jaccard=0.5, shingle="word"
+    ).filter(F.col("id_a") < 50)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_copies(spark, sf_dir, " qq")
+    return simhash_pairs(corpus, "text", "doc_id", n=3, max_hamming=3)
+
+
+# ---- similarity search ----------------------------------------------------
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, n_planes=8)
+
+
+# ---- multimodal plumbing --------------------------------------------------
+
+def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return media_stats(pack_documents_as_media(docs)).select(
+        "kind",
+        "n_items",
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("min_bytes").cast("long").alias("min_bytes"),
+        F.col("max_bytes").cast("long").alias("max_bytes"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dim_date": build_dim_date,
     "dim_order": build_dim_order,
@@ -82,6 +245,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fact_lineitem": build_fact,
     "pricing_summary": _q_pricing_summary,
     "fuzzy_top1_join": _q_fuzzy_top1,
+    "profile_columns": _q_profile_part,
+    "topk_values": _q_topk_mktsegment,
+    "iqr_outliers": _q_iqr_outliers,
+    "dup_row_count": _q_dup_row_count,
+    "window_running": _q_window_running,
+    "union_by_name": _q_union_by_name,
+    "text_features": _q_text_features,
+    "exact_dedup": _q_exact_dedup,
+    "minhash_lsh_pairs": _q_minhash_lsh,
+    "ngram_jaccard_pairs": _q_ngram_jaccard,
+    "simhash_pairs": _q_simhash,
+    "cosine_topk": _q_cosine_topk,
+    "lsh_topk": _q_lsh_topk,
+    "media_stats": _q_media_stats,
 }
 
 
@@ -317,6 +494,99 @@ SELECT dirty_name, n_name AS matched FROM best WHERE rn = 1
 """
 
 
+def _profile_part_sql() -> str:
+    def block(col: str, is_str: bool, typ: str) -> str:
+        lens = (
+            f"CAST(min(length({col})) AS INTEGER) AS min_length, "
+            f"CAST(round(avg(length({col})), 2) AS DOUBLE) AS avg_length, "
+            f"CAST(max(length({col})) AS INTEGER) AS max_length"
+            if is_str
+            else (
+                "CAST(NULL AS INTEGER) AS min_length, "
+                "CAST(NULL AS DOUBLE) AS avg_length, "
+                "CAST(NULL AS INTEGER) AS max_length"
+            )
+        )
+        return f"""
+  SELECT '{col}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (WHERE {col} IS NULL) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+         CAST(min({col}) AS VARCHAR) AS min_value,
+         CAST(max({col}) AS VARCHAR) AS max_value,
+         {lens}
+  FROM part"""
+
+    blocks = [
+        block("p_partkey", False, "BIGINT"),
+        block("p_name", True, "VARCHAR"),
+        block("p_retailprice", False, "DOUBLE"),
+    ]
+    inner = " UNION ALL ".join(blocks)
+    return (
+        f"SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value, "
+        f"min_length, avg_length, max_length FROM ({inner})"
+    )
+
+
+_TOPK_SQL = """
+SELECT c_mktsegment AS value, count(*) AS cnt
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY cnt DESC, value ASC
+LIMIT 3
+"""
+
+_IQR_SQL = """
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem
+)
+SELECT CAST(sum(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1)
+                       OR l_extendedprice > q3 + 1.5 * (q3 - q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lineitem, q
+"""
+
+_DUP_COUNT_SQL = """
+SELECT CAST(count(*) AS BIGINT)
+     - CAST(count(DISTINCT (l_returnflag, l_linestatus, l_quantity)) AS BIGINT)
+     AS n_dup
+FROM lineitem
+"""
+
+_WINDOW_RUNNING_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_revenue,
+       lag(l_extendedprice) OVER w AS prev_price,
+       lead(l_extendedprice) OVER w AS next_price,
+       CAST(row_number() OVER w AS INTEGER) AS rn
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+"""
+
+_UNION_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY event_type
+"""
+
+_MEDIA_STATS_SQL = """
+SELECT 'image' AS kind,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dim_date": _DIM_DATE_SQL,
@@ -326,4 +596,18 @@ def oracle_sql() -> dict[str, str]:
         "fact_lineitem": _FACT_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "fuzzy_top1_join": _FUZZY_SQL,
+        "profile_columns": _profile_part_sql(),
+        "topk_values": _TOPK_SQL,
+        "iqr_outliers": _IQR_SQL,
+        "dup_row_count": _DUP_COUNT_SQL,
+        "window_running": _WINDOW_RUNNING_SQL,
+        "union_by_name": _UNION_SQL,
+        "text_features": oracles.text_features_sql(),
+        "exact_dedup": oracles.exact_dedup_sql(),
+        "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
+        "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),
+        "simhash_pairs": oracles.simhash_pairs_sql(),
+        "cosine_topk": oracles.cosine_topk_sql(),
+        "lsh_topk": oracles.lsh_topk_sql(),
+        "media_stats": _MEDIA_STATS_SQL,
     }

@@ -1,0 +1,206 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Beyond the reference's capability bar (SURVEY.md 'training-data
+pipeline' extensions): tokenization, language-ID heuristic, quality
+scoring, document fingerprinting, shingling, portable hashing.
+
+All pure `pyspark.sql.functions` expressions — JVM-side, codegen'd,
+no UDFs — and each has an exactly-equivalent ANSI/DuckDB formulation
+(used by the oracle gate), so results are engine-independent and
+deterministic.
+
+Scale notes: everything here is a narrow map — no shuffle, no state.
+The md5-based ``stable_hash64`` costs one digest per call; prefer it
+where cross-run/engine stability matters (dedup keys, minhash), and
+``F.xxhash64`` where raw speed matters and stability only within
+Spark is needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Modulus for the affine MinHash family — 2^31-1 (Mersenne prime).
+#: Base hashes are 28-bit, coefficients < 2^31, so a*h+b < 2^59:
+#: no 64-bit overflow in Spark OR DuckDB (which raises on overflow).
+MINHASH_P = 2147483647
+
+# Small built-in stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "que", "est", "pour"],
+}
+
+
+def stable_hash64(col: Column | str) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5, as BIGINT.
+
+    Identical in any engine with md5 (DuckDB:
+    ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``). Positive range,
+    no overflow.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def stable_hash28(col: Column | str) -> Column:
+    """Portable 28-bit hash: first 7 hex chars of md5, as BIGINT.
+
+    Small on purpose — the base hash for the affine MinHash family
+    (see ``minhash_coeffs``), where products must stay under 2^63 in
+    engines with checked overflow. DuckDB:
+    ``CAST('0x' || substr(md5(s),1,7) AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine hash family
+    ``h_j(x) = (a_j * x + b_j) mod MINHASH_P``.
+
+    Derived from md5 so any engine (or the DuckDB oracle builder)
+    reproduces them without an RNG. One md5 per *shingle* total — the
+    per-hash-function cost is two integer ops, so k=32..128 hash
+    functions are nearly free (vs. k digests per shingle).
+    """
+    out = []
+    for j in range(num_hashes):
+        a = int(hashlib.md5(f"a{j}".encode()).hexdigest()[:7], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:7], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BPE-ish subword estimate ≈ tokens·4/3
+    is left to callers; this is the exact whitespace count)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-gram (shingle) set of the text.
+
+    Text shorter than n → empty array (guarded: Spark's
+    ``sequence(1, 0)`` would count *down*, not return empty).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.length(c) - (n - 1))
+    return F.when(
+        F.length(c) < n, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n))))
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Distinct word n-gram (shingle) set: n consecutive whitespace
+    tokens joined by a single space. Fewer than n tokens → empty array.
+
+    The shingle unit for near-dup detection at corpus scale: unrelated
+    documents drawn from a shared vocabulary still have near-zero
+    *word-bigram* Jaccard, so LSH banding keyed on these separates
+    cleanly — char n-grams of vocabulary-sharing corpora do not
+    (measured: one char-4-gram band bucket held 41% of a 10k corpus).
+    """
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), cnt - (n - 1))
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        )
+    )
+
+
+def _stopword_hits(toks: Column, sw: list[str]) -> Column:
+    # NB: a plain single-arg lambda — adding bound default args (sw=sw)
+    # changes the visible arity and PySpark then passes (element, index).
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """N-gram/stopword language-ID heuristic: hit count of each
+    language's stopword list over the token multiset; argmax wins,
+    ties broken by language code order; zero hits → 'unknown'."""
+    toks = tokens(col)
+    hits = {lang: _stopword_hits(toks, sw) for lang, sw in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.when(best <= 0, F.lit("unknown"))
+    for lang in sorted(STOPWORDS):  # deterministic tie order
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality in [0,1] from cheap surface statistics:
+    length band, mean token length band, alpha ratio, stopword presence.
+
+    Weights are arbitrary but fixed; the value is a *deterministic
+    feature*, not a learned score. All integer/4-decimal arithmetic →
+    engine-independent.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_toks = F.size(toks)
+    # alpha ratio with 4-decimal truncation for cross-engine stability
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4)
+    mean_tok_len = F.round(
+        (n_chars - (n_toks - 1)) / F.greatest(n_toks, F.lit(1)), 4
+    )
+    stop_hits = _stopword_hits(toks, STOPWORDS["en"])
+    score = (
+        F.when((n_chars >= 100) & (n_chars <= 10000), 0.25).otherwise(0.0)
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 0.25).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
+        + F.when(stop_hits > 0, 0.25).otherwise(0.0)
+    )
+    return F.round(score, 2)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: stable hash of whitespace-normalized,
+    lowercased text — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return stable_hash64(normalized)
+
+
+def simhash32(col: Column | str, n: int = 3) -> Column:
+    """32-bit SimHash over character n-gram shingles.
+
+    Per bit b: majority vote of shingle-hash bit b (+1/-1); bit set if
+    the vote is positive. Pure expression tree (no UDF): one hash per
+    shingle, then a 32-lane bit-count via transform/aggregate.
+    """
+    sh = char_ngrams(col, n)
+    hashes = F.transform(sh, lambda s: stable_hash64(s))
+
+    def bit_vote(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") * 2
+            - 1,
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(32):
+        out = out + F.when(bit_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out

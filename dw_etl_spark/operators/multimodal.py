@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training-data pipelines carry image/audio/video as ``binary`` columns
+with a metadata struct alongside. The Spark-side plumbing — schema,
+partition sizing, Arrow-batched UDF signatures, batch shapes — is real
+and tested; the actual codec work (image decode, resample, frame
+sampling) is stubbed: the decode libraries are not in this container,
+so ``decode_fn=None`` uses a deterministic fake and a real decoder can
+be injected unchanged.
+
+Scale notes:
+- Binary payloads dominate row size → cap ``maxPartitionBytes`` /
+  repartition so one Arrow batch of blobs fits executor memory
+  (``mapInPandas`` streams per-batch, never whole-partition).
+- Metadata lives in ordinary columns, NOT inside the blob, so filters
+  (e.g. ``width >= 64``) prune parquet row groups without touching
+  payload bytes (parquet column pruning skips the blob column
+  entirely).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def pack_documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Build a media table from the documents fixture: text bytes as an
+    opaque payload (stands in for encoded image bytes) + metadata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a codec: fixed-width feature vector
+    from byte statistics. Replace with a real decoder via ``decode_fn``."""
+    if not payload:
+        return [0.0] * dim
+    return [
+        round(payload[i % len(payload)] / 255.0, 6) for i in range(dim)
+    ]
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 8,
+    decode_fn: Callable[[bytes, int], list[float]] | None = None,
+    batch_size_hint: int | None = None,
+) -> DataFrame:
+    """Decode/feature-extract payloads via ``mapInPandas`` (Arrow
+    batches of blobs — the real plumbing a codec UDF needs).
+
+    ``decode_fn(payload_bytes, dim) -> list[float]`` is the injection
+    point for a real image/audio decoder; default is the deterministic
+    fake. A genuinely-unavailable codec should raise
+    ``NotImplementedError`` from its ``decode_fn`` — the plumbing
+    (schema, batching, partitioning) is identical either way.
+    """
+    import pandas as pd
+
+    fn = decode_fn or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": [fn(p, dim) for p in pdf["payload"]],
+                }
+            )
+
+    if batch_size_hint:
+        media = media.repartition(
+            max(int(media.count() / batch_size_hint), 1)
+        )
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-relational metadata pass (no payload decode): per kind,
+    count / total / min / max payload bytes + content digest sample.
+    Runs entirely on metadata columns → blob column never read when
+    the source is parquet with column pruning."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )

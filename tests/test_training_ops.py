@@ -1,0 +1,206 @@
+"""Unit tests for training-data pipeline operators (dedup, similarity,
+text features, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dw_etl_spark.functions.text import (
+    char_ngrams,
+    fingerprint,
+    lang_id,
+    quality_score,
+    simhash32,
+    stable_hash64,
+    token_count,
+)
+from dw_etl_spark.operators.multimodal import (
+    extract_features,
+    media_stats,
+    pack_documents_as_media,
+)
+from dw_etl_spark.operators.similarity import cosine_topk, lsh_topk
+from dw_etl_spark.operators.text_dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+# ------------------------------------------------------------- text features
+
+def test_token_count_and_blank(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("   ",)], ["text"])
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 0, 0]
+
+
+def test_char_ngrams_short_text_empty(spark):
+    df = spark.createDataFrame([("ab",), ("abcd",)], ["text"])
+    got = [r[0] for r in df.select(char_ngrams("text", 3)).collect()]
+    assert got[0] == []
+    assert got[1] == ["abc", "bcd"]
+
+
+def test_stable_hash64_matches_hashlib(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("hello",)], ["s"])
+    got = df.select(stable_hash64("s")).first()[0]
+    want = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    assert got == want
+
+
+def test_lang_id_picks_stopword_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is big",),
+            ("el gato que en la casa por los dias",),
+            ("zzz qqq www",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "unknown"
+
+
+def test_quality_score_range(spark):
+    good = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame([(good,), ("x",), ("!!! ??? ###",)], ["text"])
+    got = [r[0] for r in df.select(quality_score("text")).collect()]
+    assert got[0] == 1.0
+    assert all(0.0 <= g <= 1.0 for g in got)
+
+
+def test_fingerprint_whitespace_case_invariant(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("different",)], ["text"]
+    )
+    got = [r[0] for r in df.select(fingerprint("text")).collect()]
+    assert got[0] == got[1] != got[2]
+
+
+# ------------------------------------------------------------------- dedup
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (3, "the quick brown fox jumps over the lazy dog near the river banks"),
+            (4, "completely unrelated text about spark query engines and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    got = sorted(r["doc_id"] for r in exact_dedup(_docs(spark), "text", "doc_id").collect())
+    assert got == [1, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), "text", "doc_id", min_jaccard=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.9
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            _docs(spark), "text", "doc_id", min_jaccard=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_identical_and_near(spark):
+    df = _docs(spark)
+    sh = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash32("text").alias("sh")).collect()}
+    assert sh[1] == sh[2]  # identical text, identical simhash
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, "text", "doc_id", max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+
+
+# --------------------------------------------------------------- similarity
+
+def test_cosine_topk_exact_small(spark):
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = cosine_topk(df.filter(F.col("vec_id") == 1), df, k=2).collect()
+    ranked = [(r["neighbor_id"], r["cos_sim"]) for r in got]
+    assert ranked[0][0] == 2
+    assert ranked[1][0] == 3
+    assert math.isclose(ranked[0][1], 0.9 / math.hypot(0.9, 0.1), abs_tol=1e-5)
+
+
+def test_lsh_topk_subset_of_bucketmates(spark):
+    import random
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    approx = lsh_topk(
+        df.filter(F.col("vec_id") < 3), df, dim=8, k=3, n_planes=4
+    ).collect()
+    exact = cosine_topk(df.filter(F.col("vec_id") < 3), df, k=39).collect()
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    # every approx result is a genuine pair with the exact score
+    for r in approx:
+        assert math.isclose(
+            exact_scores[(r["query_id"], r["neighbor_id"])], r["cos_sim"], abs_tol=1e-9
+        )
+
+
+# --------------------------------------------------------------- multimodal
+
+def test_media_pack_and_stats(spark):
+    docs = spark.createDataFrame([(1, "abc"), (2, "defgh")], ["doc_id", "text"])
+    media = pack_documents_as_media(docs)
+    row = media_stats(media).first()
+    assert (row["kind"], row["n_items"], row["total_bytes"]) == ("image", 2, 8)
+    assert (row["min_bytes"], row["max_bytes"]) == (3, 5)
+
+
+def test_extract_features_plumbing_and_determinism(spark):
+    docs = spark.createDataFrame([(1, "abc"), (2, "")], ["doc_id", "text"])
+    media = pack_documents_as_media(docs)
+    rows = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert len(rows[1]["feature"]) == 4
+    assert rows[2]["feature"] == [0.0, 0.0, 0.0, 0.0]
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=4).collect()}
+    assert again == {k: r["feature"] for k, r in rows.items()}
+
+
+def test_extract_features_stub_injection_raises(spark):
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = pack_documents_as_media(docs)
+
+    def no_codec(payload, dim):
+        raise NotImplementedError("image codec not available in this container")
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(media, dim=4, decode_fn=no_codec).collect()
