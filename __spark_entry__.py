@@ -43,6 +43,7 @@ from dw_etl_spark.plans.star_schema import (
     build_fact,
 )
 from dw_etl_spark.sources.files import read_table
+from dw_etl_spark.streaming.windows import sessionize, windowed_event_counts
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -161,6 +162,36 @@ def _q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- event-time windows (streaming surface, batch twin) -------------------
+
+def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows; the same function runs on a
+    readStream with a watermark (tests/test_streaming.py)."""
+    return windowed_event_counts(read_table(spark, sf_dir, "events"), window="1 day")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (session_window); stream twin in streaming/."""
+    return sessionize(read_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: nested JSON field extraction from events.props."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 # ---- text analysis (F8 + training-data extensions) ------------------------
 
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +282,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_row_count": _q_dup_row_count,
     "window_running": _q_window_running,
     "union_by_name": _q_union_by_name,
+    "windowed_counts": _q_windowed_counts,
+    "sessionize": _q_sessionize,
+    "json_extract": _q_json_extract,
     "text_features": _q_text_features,
     "exact_dedup": _q_exact_dedup,
     "minhash_lsh_pairs": _q_minhash_lsh,
@@ -577,6 +611,49 @@ WHERE event_type IN ('click', 'view')
 GROUP BY event_type
 """
 
+_WINDOWED_COUNTS_SQL = """
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+# session_window semantics: session end = last event ts + gap
+_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sids AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sids
+GROUP BY user_id, sid
+"""
+
+_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
 _MEDIA_STATS_SQL = """
 SELECT 'image' AS kind,
        CAST(count(*) AS BIGINT) AS n_items,
@@ -602,6 +679,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_row_count": _DUP_COUNT_SQL,
         "window_running": _WINDOW_RUNNING_SQL,
         "union_by_name": _UNION_SQL,
+        "windowed_counts": _WINDOWED_COUNTS_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "json_extract": _JSON_EXTRACT_SQL,
         "text_features": oracles.text_features_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),

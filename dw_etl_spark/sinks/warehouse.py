@@ -1,0 +1,294 @@
+"""Warehouse sinks: star-schema loading with key management.
+
+Capability parity (SURVEY.md §2.1):
+  S7   bulk-insert sink             (reference resources.py:58-78, chunked INSERT)
+  S8   table-exists probe           (reference resources.py:80-87)
+  S9   drop table                   (reference resources.py:89-99)
+  S10  set primary key              (reference resources.py:101-119, load.py:21-33)
+  S11  add/drop foreign key         (reference resources.py:121-153, load.py:82-95)
+  S12  alter column type            (reference resources.py:167-180)
+  S13  schema introspection         (reference resources.py:155-165)
+
+Two backends behind one interface:
+
+- ``ParquetWarehouse`` — the lake-native scale path. A data lake has no
+  enforced PK/FK DDL, so constraints become *validated invariants*:
+  PK = non-null + unique (one distinct-count job), FK = no orphans
+  (one left-anti probe). The write is a parquet overwrite — the moral
+  equivalent of the reference's drop-then-recreate load. This is the
+  backend the tests and bench exercise.
+
+- ``JdbcWarehouse`` — the reference-shaped path for a real RDBMS:
+  ``df.write.jdbc`` (executor-parallel batched INSERTs — the scalable
+  version of the reference's chunksize=50 driver-side loop) plus
+  driver-side DDL for PK/FK/type retrofit. DDL statements are generated
+  by pure functions (unit-testable without a server) and executed over
+  a JVM DriverManager connection when a URL is configured.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ConstraintViolation(ValueError):
+    """A declared PK/FK invariant does not hold for the data."""
+
+
+@dataclass
+class ForeignKey:
+    columns: list[str]
+    ref_table: str
+    ref_columns: list[str]
+
+    @property
+    def name(self) -> str:
+        return f"FK_{'_'.join(self.columns)}__{self.ref_table}"
+
+
+@dataclass
+class TableSpec:
+    """Declared warehouse shape of one table (mirror of the reference's
+    DDL in sql/create_schema.sql + the ALTER retrofits in load.py)."""
+
+    name: str
+    primary_key: list[str] = field(default_factory=list)
+    foreign_keys: list[ForeignKey] = field(default_factory=list)
+    column_types: dict[str, str] = field(default_factory=dict)  # col -> spark type
+
+
+# ----------------------------------------------------------------- validation
+
+def check_primary_key(df: DataFrame, pk: list[str]) -> None:
+    """PK invariant: all key columns non-null and combination unique.
+
+    One aggregation job (count + distinct-count + null-count together).
+    """
+    if not pk:
+        return
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(*[F.col(c) for c in pk]).alias("n_distinct"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in pk],
+    ).first()
+    for c in pk:
+        if row[f"nulls_{c}"]:
+            raise ConstraintViolation(f"PK column {c} has {row[f'nulls_{c}']} nulls")
+    if row["n"] != row["n_distinct"]:
+        raise ConstraintViolation(
+            f"PK {pk} not unique: {row['n']} rows, {row['n_distinct']} distinct"
+        )
+
+
+def check_foreign_key(child: DataFrame, fk: ForeignKey, parent: DataFrame) -> None:
+    """FK invariant: every non-null child key exists in the parent.
+
+    A left-anti join — broadcast when the parent is dim-sized, so the
+    fact side never shuffles.
+    """
+    cond = None
+    for c, rc in zip(fk.columns, fk.ref_columns):
+        clause = child[c] == parent[rc]
+        cond = clause if cond is None else cond & clause
+    non_null = child
+    for c in fk.columns:
+        non_null = non_null.filter(F.col(c).isNotNull())
+    orphans = non_null.join(F.broadcast(parent), cond, "left_anti").count()
+    if orphans:
+        raise ConstraintViolation(
+            f"FK {fk.name}: {orphans} child rows have no parent in {fk.ref_table}"
+        )
+
+
+# ------------------------------------------------------------------- backends
+
+class ParquetWarehouse:
+    """Lake-native warehouse: parquet tables + validated constraints."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base = Path(base_path)
+
+    def _path(self, name: str) -> str:
+        return str(self.base / name)
+
+    def table_exists(self, name: str) -> bool:  # S8
+        return Path(self._path(name)).exists()
+
+    def drop_table(self, name: str) -> None:  # S9
+        import shutil
+
+        p = Path(self._path(name))
+        if p.exists():
+            shutil.rmtree(p)
+
+    def read_table(self, name: str) -> DataFrame:  # S6-ish
+        return self.spark.read.parquet(self._path(name))
+
+    def introspect(self, name: str) -> DataFrame:  # S13
+        fields = self.read_table(name).schema.fields
+        return self.spark.createDataFrame(
+            [(name, f.name, f.dataType.simpleString(), f.nullable) for f in fields],
+            ["table_name", "column_name", "data_type", "is_nullable"],
+        )
+
+    def write_table(
+        self,
+        df: DataFrame,
+        spec: TableSpec,
+        parents: dict[str, DataFrame] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Drop-and-recreate load (S7+S9 parity): cast declared types,
+        validate PK/FK invariants, overwrite parquet.
+
+        ``partition_by`` maps to hive-style directory partitioning —
+        the scale lever the reference's flat tables lack (partition
+        pruning on the read side).
+        """
+        for c, t in spec.column_types.items():  # S12: cast before write
+            df = df.withColumn(c, F.col(c).cast(t))
+        check_primary_key(df, spec.primary_key)
+        for fk in spec.foreign_keys:
+            if parents and fk.ref_table in parents:
+                check_foreign_key(df, fk, parents[fk.ref_table])
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(spec.name))
+
+
+# Spark dtype → SQL DDL type (reference load.py:21-33 get_id_datatype).
+_SQL_TYPES: dict[str, str] = {
+    "bigint": "BIGINT",
+    "int": "INT",
+    "smallint": "SMALLINT",
+    "double": "FLOAT",
+    "float": "REAL",
+    "string": "NVARCHAR(255)",
+    "boolean": "BIT",
+    "date": "DATE",
+    "timestamp": "DATETIME2",
+}
+
+
+def sql_type_for(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    return _SQL_TYPES.get(dt.simpleString(), "NVARCHAR(MAX)")
+
+
+# DDL generators — pure functions, unit-testable without a server.
+
+def ddl_drop_table(name: str) -> str:  # S9
+    return f"DROP TABLE IF EXISTS {name}"
+
+def ddl_set_primary_key(name: str, pk: list[str], pk_types: dict[str, str]) -> list[str]:  # S10
+    stmts = [
+        f"ALTER TABLE {name} ALTER COLUMN {c} {pk_types[c]} NOT NULL" for c in pk
+    ]
+    cols = ", ".join(pk)
+    stmts.append(f"ALTER TABLE {name} ADD CONSTRAINT PK_{name} PRIMARY KEY ({cols})")
+    return stmts
+
+def ddl_add_foreign_key(name: str, fk: ForeignKey) -> str:  # S11
+    return (
+        f"ALTER TABLE {name} ADD CONSTRAINT {fk.name} FOREIGN KEY "
+        f"({', '.join(fk.columns)}) REFERENCES {fk.ref_table} "
+        f"({', '.join(fk.ref_columns)})"
+    )
+
+def ddl_drop_foreign_key(name: str, fk_name: str) -> str:  # S11 (guarded drop)
+    return (
+        f"IF EXISTS (SELECT 1 FROM sys.foreign_keys WHERE name = '{fk_name}') "
+        f"ALTER TABLE {name} DROP CONSTRAINT {fk_name}"
+    )
+
+def ddl_alter_column_type(name: str, column: str, sql_type: str) -> str:  # S12
+    return f"ALTER TABLE {name} ALTER COLUMN {column} {sql_type}"
+
+
+class JdbcWarehouse:
+    """RDBMS warehouse: parallel batched-INSERT writes + driver DDL.
+
+    ``df.write.jdbc`` with ``batchsize`` is the distributed version of
+    the reference's chunked multi-row INSERT (resources.py:66-73) —
+    every executor writes its partitions concurrently.
+    """
+
+    def __init__(self, spark: SparkSession, url: str, properties: dict[str, str],
+                 batchsize: int = 10_000):
+        self.spark = spark
+        self.url = url
+        self.properties = properties
+        self.batchsize = batchsize
+
+    def execute(self, statement: str) -> None:
+        """Run one DDL statement over a JVM DriverManager connection."""
+        jvm = self.spark.sparkContext._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            conn.createStatement().execute(statement)
+        finally:
+            conn.close()
+
+    def table_exists(self, name: str) -> bool:  # S8
+        probe = (
+            "(SELECT COUNT(*) AS n FROM INFORMATION_SCHEMA.TABLES "
+            f"WHERE TABLE_NAME = '{name}') q"
+        )
+        row = self.spark.read.jdbc(self.url, probe, properties=self.properties).first()
+        return bool(row and row["n"])
+
+    def introspect(self, name: str) -> DataFrame:  # S13
+        q = (
+            "(SELECT TABLE_NAME, COLUMN_NAME, DATA_TYPE, IS_NULLABLE "
+            f"FROM INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = '{name}') q"
+        )
+        return self.spark.read.jdbc(self.url, q, properties=self.properties)
+
+    def write_table(self, df: DataFrame, spec: TableSpec, **_ignored) -> None:
+        for c, t in spec.column_types.items():
+            df = df.withColumn(c, F.col(c).cast(t))
+        self.execute(ddl_drop_table(spec.name))  # S9: drop-then-write
+        props = dict(self.properties, batchsize=str(self.batchsize))
+        df.write.jdbc(self.url, spec.name, mode="append", properties=props)  # S7
+        if spec.primary_key:  # S10 retrofit
+            pk_types = {
+                c: sql_type_for(df.schema[c].dataType) for c in spec.primary_key
+            }
+            for stmt in ddl_set_primary_key(spec.name, spec.primary_key, pk_types):
+                self.execute(stmt)
+        for fk in spec.foreign_keys:  # S11/S12 retrofit
+            fk_type = sql_type_for(df.schema[fk.columns[0]].dataType)
+            self.execute(ddl_alter_column_type(spec.name, fk.columns[0], fk_type))
+            self.execute(ddl_add_foreign_key(spec.name, fk))
+
+
+# ---------------------------------------------------------------- orchestration
+
+def load_star_schema(
+    warehouse,
+    tables: dict[str, DataFrame],
+    specs: dict[str, TableSpec],
+    fact_name: str,
+) -> None:
+    """Reference load stage (jobs.py:41-47, load.py:82-168): dims first,
+    fact last so FK targets exist; with JDBC, FKs dropped up front.
+    """
+    if isinstance(warehouse, JdbcWarehouse):
+        for spec in specs.values():
+            for fk in spec.foreign_keys:
+                warehouse.execute(ddl_drop_foreign_key(spec.name, fk.name))
+    dims = {n: df for n, df in tables.items() if n != fact_name}
+    for name, df in dims.items():
+        warehouse.write_table(df, specs[name])
+    warehouse.write_table(tables[fact_name], specs[fact_name], parents=dims)

@@ -1,0 +1,15 @@
+from dw_etl_spark.streaming.stateful import first_seen_dedup
+from dw_etl_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "first_seen_dedup",
+    "read_events_stream",
+    "run_stream_to_memory",
+    "sessionize",
+    "windowed_event_counts",
+]

@@ -1,0 +1,136 @@
+"""Structured Streaming surface: event-time windowed aggregation and
+gap sessionization over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §2.8 — no streaming anywhere),
+so this module is a capability *extension*: the same transforms exposed
+over both batch DataFrames and streams, the Spark-first way.
+
+Design rules:
+- Every streaming transform is written against a plain ``DataFrame``
+  so the *identical function* runs in batch (oracle-checkable vs
+  DuckDB) and in a ``readStream`` pipeline (watermark + incremental
+  state). Tests run both and compare.
+- Event time, not processing time: aggregations key on ``F.window(ts)``
+  and late data is bounded with ``withWatermark`` — state is evictable,
+  so a 100 TB/day stream holds hours of state, not days.
+- Sessionization uses ``F.session_window`` (built-in gap sessions,
+  JVM-side state store) rather than a custom stateful UDF; a custom
+  ``applyInPandasWithState`` variant exists in ``stateful.py`` for the
+  "operator Spark lacks" pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the driver's events table as stored (ns timestamps → long).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/files.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the same ns→µs
+    timestamp rebuild as the batch reader (sources/files.py:read_table).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        # file streams need a directory; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation:
+    (window_start, window_end, event_type, n, total_value).
+
+    Batch and streaming share this exact plan; pass ``watermark`` only
+    on a stream (bounds state: late rows beyond it are dropped).
+    One shuffle on (window, event_type) with map-side partial
+    aggregation — the canonical scalable shape.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions per user via the built-in ``session_window``:
+    (user_id, session_start, session_end, n_events, total_value).
+
+    A session extends while consecutive events arrive within ``gap``.
+    Streaming state is per (user, open session) and merges on arrival;
+    with a watermark, closed sessions emit and evict — bounded state at
+    any corpus rate.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion with
+    ``trigger(availableNow)`` into an in-memory sink; returns the
+    result table. Test/debug utility — production streams use a real
+    sink + checkpoint dir.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

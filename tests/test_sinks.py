@@ -1,0 +1,108 @@
+"""Warehouse sink tests: parquet backend end-to-end (write, constraint
+validation, exists/drop/introspect) and JDBC DDL generation."""
+
+from __future__ import annotations
+
+import pytest
+
+from dw_etl_spark.plans.star_schema import build_star_schema
+from dw_etl_spark.sinks.warehouse import (
+    ConstraintViolation,
+    ForeignKey,
+    ParquetWarehouse,
+    TableSpec,
+    check_foreign_key,
+    check_primary_key,
+    ddl_add_foreign_key,
+    ddl_drop_foreign_key,
+    ddl_drop_table,
+    ddl_set_primary_key,
+    load_star_schema,
+    sql_type_for,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_check_primary_key_passes_and_fails(spark):
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    check_primary_key(ok, ["id"])
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], ["id", "v"])
+    with pytest.raises(ConstraintViolation, match="not unique"):
+        check_primary_key(dup, ["id"])
+
+    nul = spark.createDataFrame([(None, "a"), (2, "b")], ["id", "v"])
+    with pytest.raises(ConstraintViolation, match="nulls"):
+        check_primary_key(nul, ["id"])
+
+
+def test_check_foreign_key_orphans(spark):
+    parent = spark.createDataFrame([(1,), (2,)], ["Id"])
+    ok_child = spark.createDataFrame([(1, 1), (2, 2), (3, None)], ["row", "DimId"])
+    check_foreign_key(ok_child, ForeignKey(["DimId"], "dim", ["Id"]), parent)
+
+    bad_child = spark.createDataFrame([(1, 99)], ["row", "DimId"])
+    with pytest.raises(ConstraintViolation, match="no parent"):
+        check_foreign_key(bad_child, ForeignKey(["DimId"], "dim", ["Id"]), parent)
+
+
+def test_parquet_warehouse_roundtrip(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["Id", "Name"])
+    spec = TableSpec("DIM_Test", primary_key=["Id"], column_types={"Id": "bigint"})
+    assert not wh.table_exists("DIM_Test")
+    wh.write_table(df, spec)
+    assert wh.table_exists("DIM_Test")
+    back = wh.read_table("DIM_Test")
+    assert sorted((r["Id"], r["Name"]) for r in back.collect()) == [(1, "x"), (2, "y")]
+    meta = {r["column_name"]: r["data_type"] for r in wh.introspect("DIM_Test").collect()}
+    assert meta == {"Id": "bigint", "Name": "string"}
+    wh.drop_table("DIM_Test")
+    assert not wh.table_exists("DIM_Test")
+
+
+def test_load_star_schema_end_to_end(spark, tmp_path):
+    """The full reference load stage against the parquet backend: dims
+    then fact, FK validated against the loaded dims."""
+    star = build_star_schema(spark, SF_SMOKE)
+    specs = {
+        "DIM_Date": TableSpec("DIM_Date", primary_key=["Id"]),
+        "DIM_Order": TableSpec("DIM_Order", primary_key=["Id"]),
+        "DIM_Part": TableSpec("DIM_Part", primary_key=["Id"]),
+        "DIM_Indicator": TableSpec("DIM_Indicator", primary_key=["Id"]),
+        "FACT_LineItem": TableSpec(
+            "FACT_LineItem",
+            primary_key=["Id"],
+            foreign_keys=[ForeignKey(["DateId"], "DIM_Date", ["Id"])],
+        ),
+    }
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    load_star_schema(wh, star, specs, fact_name="FACT_LineItem")
+    for name in specs:
+        assert wh.table_exists(name)
+    assert wh.read_table("FACT_LineItem").count() == star["FACT_LineItem"].count()
+
+
+def test_jdbc_ddl_generation(spark):
+    assert ddl_drop_table("T") == "DROP TABLE IF EXISTS T"
+    stmts = ddl_set_primary_key("T", ["Id"], {"Id": "BIGINT"})
+    assert stmts == [
+        "ALTER TABLE T ALTER COLUMN Id BIGINT NOT NULL",
+        "ALTER TABLE T ADD CONSTRAINT PK_T PRIMARY KEY (Id)",
+    ]
+    fk = ForeignKey(["DateId"], "DIM_Date", ["Id"])
+    assert ddl_add_foreign_key("F", fk) == (
+        "ALTER TABLE F ADD CONSTRAINT FK_DateId__DIM_Date FOREIGN KEY "
+        "(DateId) REFERENCES DIM_Date (Id)"
+    )
+    assert "DROP CONSTRAINT FK_DateId__DIM_Date" in ddl_drop_foreign_key(
+        "F", fk.name
+    )
+
+
+def test_sql_type_mapping(spark):
+    from pyspark.sql import types as T
+
+    assert sql_type_for(T.LongType()) == "BIGINT"
+    assert sql_type_for(T.StringType()) == "NVARCHAR(255)"
+    assert sql_type_for(T.DecimalType(8, 2)) == "DECIMAL(8,2)"

@@ -1,0 +1,97 @@
+"""Structured Streaming tests: batch/stream plan equivalence and the
+custom stateful first-seen dedup operator.
+
+All streams read the real events parquet with trigger(availableNow)
+— bounded, deterministic, no wall-clock dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dw_etl_spark.sources.files import read_table
+from dw_etl_spark.streaming import (
+    first_seen_dedup,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize,
+    windowed_event_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _as_sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_windowed_counts_stream_equals_batch(spark):
+    batch = read_table(spark, SF_SMOKE, "events")
+    want = _as_sorted_rows(
+        windowed_event_counts(batch, window="1 day"),
+        ["window_start", "event_type", "n", "total_value"],
+    )
+    stream = read_events_stream(spark, SF_SMOKE)
+    got_df = run_stream_to_memory(
+        windowed_event_counts(stream, window="1 day", watermark="2 days"),
+        name="win_counts",
+    )
+    got = _as_sorted_rows(got_df, ["window_start", "event_type", "n", "total_value"])
+    assert got == want
+    assert len(got) > 0
+
+
+def test_sessionize_stream_equals_batch(spark):
+    batch = read_table(spark, SF_SMOKE, "events")
+    want = _as_sorted_rows(
+        sessionize(batch, gap="30 minutes"),
+        ["user_id", "session_start", "session_end", "n_events", "total_value"],
+    )
+    stream = read_events_stream(spark, SF_SMOKE)
+    got_df = run_stream_to_memory(
+        sessionize(stream, gap="30 minutes", watermark="2 days"),
+        name="sessions",
+    )
+    got = _as_sorted_rows(
+        got_df, ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_session_end_is_last_event_plus_gap(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+         (1, "2024-01-01 12:00:00")],
+        ["user_id", "ts_s"],
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), F.lit(1.0).alias("value"))
+    rows = sessionize(df, gap="30 minutes").orderBy("session_start").collect()
+    assert len(rows) == 2
+    assert rows[0]["n_events"] == 2
+    assert str(rows[0]["session_end"]) == "2024-01-01 10:40:00"
+    assert rows[1]["n_events"] == 1
+
+
+def test_first_seen_dedup_stream(spark):
+    stream = read_events_stream(spark, SF_SMOKE).select(
+        "event_type", "event_id", "value"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    got = run_stream_to_memory(
+        first_seen_dedup(stream, "event_type", out_schema),
+        name="first_seen",
+        output_mode="append",
+    ).collect()
+    types = [r["event_type"] for r in got]
+    assert len(types) == len(set(types))  # exactly one row per key
+    batch_types = {
+        r[0]
+        for r in read_table(spark, SF_SMOKE, "events").select("event_type").distinct().collect()
+    }
+    assert set(types) == batch_types
