@@ -27,7 +27,12 @@ from dw_etl_spark.operators.profile import (
     profile_columns,
     top_k_values,
 )
-from dw_etl_spark.operators.similarity import cosine_topk, lsh_topk
+from dw_etl_spark.operators.similarity import (
+    cosine_topk,
+    embedding_dup_pairs,
+    lsh_topk,
+)
+from dw_etl_spark.operators.temporal_joins import asof_join, range_join
 from dw_etl_spark.operators.text_dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -91,6 +96,96 @@ def _q_fuzzy_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_top1_join(
         dirty, "dirty_name", nation, "n_name", mapped_name="matched"
     ).select("dirty_name", "matched")
+
+
+# ---- multi-way joins (TPC-H Q3/Q5 shapes) ----------------------------------
+
+def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: 3-way join, filter both sides, agg, deterministic top-10.
+    Dims broadcast; the lineitem side never shuffles for the joins."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-way snowflake join; every dim side broadcast."""
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---- temporal joins ---------------------------------------------------------
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's latest click at-or-before
+    it (right side deduped per (user, ts) for determinism)."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("value")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], right_cols=["click_value"]
+    )
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranges = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 51.0, "high")],
+        ["low", "high", "qty_band"],
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        range_join(li, ranges, "l_quantity")
+        .groupBy("qty_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
 
 
 # ---- profiler (A9-A11, O2) ------------------------------------------------
@@ -255,6 +350,17 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, n_planes=8)
 
 
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs on corpus ∪ exact copies."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
+    )
+    return embedding_dup_pairs(
+        emb.unionByName(copies), dim=64, n_planes=8, min_cosine=0.99
+    )
+
+
 # ---- multimodal plumbing --------------------------------------------------
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,6 +381,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dim_indicator": build_dim_indicator,
     "fact_lineitem": build_fact,
     "pricing_summary": _q_pricing_summary,
+    "top_orders": _q_top_orders,
+    "region_revenue": _q_region_revenue,
+    "asof_join": _q_asof_join,
+    "range_join": _q_range_join,
     "fuzzy_top1_join": _q_fuzzy_top1,
     "profile_columns": _q_profile_part,
     "topk_values": _q_topk_mktsegment,
@@ -292,6 +402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": _q_simhash,
     "cosine_topk": _q_cosine_topk,
     "lsh_topk": _q_lsh_topk,
+    "embedding_dup_pairs": _q_embedding_dups,
     "media_stats": _q_media_stats,
 }
 
@@ -506,6 +617,60 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+_TOP_ORDERS_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+_REGION_REVENUE_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+_ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, round(value, 2) AS value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, round(max(value), 2) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS asof_ts, c.click_value AS asof_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+_RANGE_JOIN_SQL = """
+SELECT qty_band,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'high'))
+     AS r(low, high, qty_band)
+  ON l_quantity >= low AND l_quantity < high
+GROUP BY qty_band
+"""
+
 _FUZZY_SQL = """
 WITH dirty AS (
   SELECT DISTINCT substr(n_name, 1, length(n_name) - 2) AS dirty_name
@@ -672,6 +837,10 @@ def oracle_sql() -> dict[str, str]:
         "dim_indicator": _dim_indicator_sql(),
         "fact_lineitem": _FACT_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
+        "top_orders": _TOP_ORDERS_SQL,
+        "region_revenue": _REGION_REVENUE_SQL,
+        "asof_join": _ASOF_SQL,
+        "range_join": _RANGE_JOIN_SQL,
         "fuzzy_top1_join": _FUZZY_SQL,
         "profile_columns": _profile_part_sql(),
         "topk_values": _TOPK_SQL,
@@ -689,5 +858,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "cosine_topk": oracles.cosine_topk_sql(),
         "lsh_topk": oracles.lsh_topk_sql(),
+        "embedding_dup_pairs": oracles.embedding_dup_pairs_sql(),
         "media_stats": _MEDIA_STATS_SQL,
     }

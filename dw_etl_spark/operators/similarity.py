@@ -119,6 +119,44 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return out
 
 
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim).
+
+    The embedding member of the dedup family (text_dedup.py siblings):
+    bucket by random-hyperplane signature, self-join on the bucket,
+    verify cosine ≥ threshold. Near-identical vectors agree on every
+    hyperplane sign, so recall at dup-level thresholds is ~1 while the
+    self-join stays linear in corpus + bucket-collision count — never
+    all-pairs.
+    """
+    b = corpus.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

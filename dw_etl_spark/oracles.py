@@ -255,6 +255,26 @@ def lsh_bucket_sql(vec: str, dim: int = 64, n_planes: int = 8) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def embedding_dup_pairs_sql(n_planes: int = 8, min_cosine: float = 0.99) -> str:
+    cos = (
+        f"round({_dot64('a.embedding', 'b.embedding')} / "
+        f"({_norm64('a.embedding')} * {_norm64('b.embedding')}), 6)"
+    )
+    bucket = lsh_bucket_sql("embedding", 64, n_planes)
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+),
+bucketed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM corpus)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {min_cosine}
+"""
+
+
 def lsh_topk_sql(k: int = 5, query_max_id: int = 10, n_planes: int = 8) -> str:
     cos = f"round({_dot64('q.embedding', 'c.embedding')} / ({_norm64('q.embedding')} * {_norm64('c.embedding')}), 6)"
     bucket = lsh_bucket_sql("embedding", 64, n_planes)
