@@ -335,7 +335,9 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_copies(spark, sf_dir, " qq")
-    return simhash_pairs(corpus, "text", "doc_id", n=3, max_hamming=3)
+    return simhash_pairs(
+        corpus, "text", "doc_id", n=2, max_hamming=3, shingle="word"
+    )
 
 
 # ---- similarity search ----------------------------------------------------

@@ -107,14 +107,23 @@ def hyperplane(plane_idx: int, dim: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane signature: bit p = sign(vec · plane_p)."""
+    """Random-hyperplane signature: bit p = sign(vec · plane_p).
+
+    Each projection is a ``zip_with``+``aggregate`` left fold against a
+    literal plane array — the same d=0..dim-1 addition order as the
+    DuckDB oracle's ``list_sum(list_transform(...))`` (bit-identical
+    doubles), but ~n_planes·dim fewer expression nodes than an unrolled
+    sum (a 512-term tree fell out of efficient evaluation entirely).
+    """
+    dvec = _as_double(vec)
     out = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = hyperplane(p, dim)
-        proj = None
-        for d in range(dim):
-            term = F.element_at(vec, d + 1).cast("double") * F.lit(plane[d])
-            proj = term if proj is None else proj + term
+        plane = F.array(*[F.lit(w) for w in hyperplane(p, dim)])
+        proj = F.aggregate(
+            F.zip_with(dvec, plane, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         out = out + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
     return out
 

@@ -79,22 +79,47 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with n-gram Jaccard ≥ threshold.
 
-    Without ``candidates``: all-pairs via self-join on id_a < id_b —
-    O(n²), ONLY for small corpora / verification. With ``candidates``
-    (id_a, id_b from LSH banding): verifies just those pairs — the
-    scale path used by ``minhash_lsh_pairs``.
+    Without ``candidates`` (requires ``min_jaccard > 0``): an
+    inverted-index join — explode shingles, equi-join on the shingle,
+    count shared per pair, derive |union| from per-doc sizes. A pair
+    with jaccard ≥ t > 0 shares ≥ 1 shingle, so the output is identical
+    to all-pairs, but the plan is a Catalyst shuffle-hash equi-join
+    sized by shingle co-occurrence (Σ_s cnt(s)²), never a nested-loop
+    over |corpus|² with per-pair array intersections.
+
+    With ``candidates`` (id_a, id_b from LSH banding): verifies just
+    those pairs via array intersection — the path ``minhash_lsh_pairs``
+    uses, where the pair count is already ~|near-dup clusters|.
     """
     shingled = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n, shingle).alias("sh")
     )
     if candidates is None:
-        a = shingled.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})
-        b = shingled.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        pairs = candidates.join(
-            shingled.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
-        ).join(shingled.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        if min_jaccard <= 0:
+            raise ValueError(
+                "all-pairs mode requires min_jaccard > 0 "
+                "(zero-overlap pairs are never materialized)"
+            )
+        sized = shingled.select("id", F.explode("sh").alias("s"), F.size("sh").alias("sz"))
+        a = sized.withColumnsRenamed({"id": "id_a", "sz": "sz_a"})
+        b = sized.withColumnsRenamed({"id": "id_b", "sz": "sz_b"})
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+        jac = F.round(
+            F.col("__inter")
+            / F.greatest(F.col("sz_a") + F.col("sz_b") - F.col("__inter"), F.lit(1)),
+            6,
+        )
+        return inter.select(
+            "id_a", "id_b", jac.alias("jaccard")
+        ).filter(F.col("jaccard") >= min_jaccard)
+    pairs = candidates.join(
+        shingled.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
+    ).join(shingled.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     out = pairs.select(
         "id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
     )
@@ -198,7 +223,8 @@ def minhash_lsh_pairs(
 
 
 def simhash_values(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+    shingle: str = "char",
 ) -> DataFrame:
     """(id, sh): 32-bit SimHash per doc, relational shape.
 
@@ -213,7 +239,7 @@ def simhash_values(
     """
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(char_ngrams(F.col(text_col), n)).alias("s"),
+        F.explode_outer(_shingles(text_col, n, shingle)).alias("s"),
     )
     hashed = exploded.select("id", stable_hash64(F.col("s")).alias("h"))
     votes = hashed.groupBy("id").agg(
@@ -244,6 +270,7 @@ def simhash_pairs(
     id_col: str,
     n: int = 3,
     max_hamming: int = 3,
+    shingle: str = "char",
 ) -> DataFrame:
     """SimHash near-dup pairs: 32-bit simhash, banded into 4 bytes —
     any pair within hamming distance ≤ 3 shares at least one exact
@@ -251,7 +278,7 @@ def simhash_pairs(
 
     Returns (id_a < id_b, hamming).
     """
-    sh = simhash_values(df, text_col, id_col, n)
+    sh = simhash_values(df, text_col, id_col, n, shingle)
     banded = sh.select(
         "id",
         "sh",

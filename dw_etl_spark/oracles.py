@@ -176,8 +176,9 @@ WHERE {jac} >= {min_jaccard}
 """
 
 
-def simhash_pairs_sql(n: int = 3, max_hamming: int = 3, perturb: str = " qq") -> str:
-    sh = shingles("text", n)
+def simhash_pairs_sql(n: int = 2, max_hamming: int = 3, perturb: str = " qq",
+                      shingle: str = "word") -> str:
+    sh = word_shingles("text", n) if shingle == "word" else shingles("text", n)
     vote_terms = " + ".join(
         f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {b}) & 1)) - len(hs) > 0 "
         f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
