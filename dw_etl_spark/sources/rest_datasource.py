@@ -1,0 +1,89 @@
+"""Custom Python DataSource (Spark 4) for the paginated REST source.
+
+``sources/rest.py`` fetches driver-side (faithful to the reference,
+fine for one-shot dimension enrichment). This is the scale path: each
+(indicator, page-range) becomes an *input partition*, so fetching and
+JSON flattening run on executors in parallel and feed straight into
+the scan — no driver materialization, no ``createDataFrame`` of a
+giant local list.
+
+Usage:
+    spark.dataSource.register(RestIndicatorDataSource)
+    df = (spark.read.format("rest_indicator")
+          .option("base_url", "https://api.worldbank.org/v2")
+          .option("indicators", "SP.POP.TOTL,NY.GDP.MKTP.CD")
+          .option("date", "1960:2023")
+          .load())
+
+Offline mode for tests/air-gapped runs: pass a ``fixture`` option — a
+JSON object mapping indicator id → list of raw API records; partitions
+parse the fixture instead of fetching.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA_DDL = (
+    "COUNTRYCODE string, COUNTRYNAME string, INDICATORCODE string, "
+    "YEAR int, VALUE double"
+)
+
+
+@dataclass
+class IndicatorPartition(InputPartition):
+    indicator: str
+
+
+class RestIndicatorDataSource(DataSource):
+    """World-Bank-shaped paginated JSON as a first-class Spark source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_indicator"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> "RestIndicatorReader":
+        return RestIndicatorReader(self.options)
+
+
+class RestIndicatorReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.base_url = options.get("base_url", "")
+        self.indicators = [
+            s for s in options.get("indicators", "").split(",") if s
+        ]
+        self.date = options.get("date", "1960:2023")
+        self.per_page = int(options.get("per_page", "32767"))
+        self.fixture = options.get("fixture")
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per indicator: the API shards naturally there;
+        # page-level splitting would need a pre-flight page-count call
+        return [IndicatorPartition(i) for i in self.indicators]
+
+    def read(self, partition: IndicatorPartition):
+        # runs ON EXECUTORS — import locally, keep self picklable
+        from dw_etl_spark.sources.rest import flatten_indicator_records
+
+        if self.fixture is not None:
+            records = json.loads(self.fixture).get(partition.indicator, [])
+            yield from flatten_indicator_records(records)
+            return
+
+        from dw_etl_spark.sources.rest import PaginatedJsonSource
+
+        y0, y1 = self.date.split(":")
+        src = PaginatedJsonSource(
+            base_url=self.base_url,
+            indicators=[partition.indicator],
+            year_start=int(y0),
+            year_end=int(y1),
+            per_page=self.per_page,
+        )
+        yield from src.fetch_indicator(partition.indicator)

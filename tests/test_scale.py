@@ -1,0 +1,84 @@
+"""Scale-utility tests: semantic equality to naive plans, plus physical
+plan assertions (bucketed join has no Exchange; broadcast where we
+claim broadcast)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dw_etl_spark.operators.scale import (
+    salted_join,
+    two_phase_count_distinct,
+    write_bucketed,
+)
+from dw_etl_spark.sources.files import read_table
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = read_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").groupBy("l_orderkey").count()
+    salted = (
+        salted_join(li, orders, on=["l_orderkey"], n_salts=4)
+        .groupBy("l_orderkey")
+        .count()
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_two_phase_count_distinct_equals_builtin(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    got = {
+        r["l_returnflag"]: r["n_distinct"]
+        for r in two_phase_count_distinct(li, ["l_returnflag"], "l_partkey").collect()
+    }
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=4, sort_keys=["l_orderkey"])
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=4, sort_keys=["o_orderkey"])
+    try:
+        a = spark.table("b_lineitem")
+        b = spark.table("b_orders")
+        # disable auto-broadcast so the test exercises the SMJ path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a.l_orderkey == b.o_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # same join on the raw (unbucketed) frames DOES shuffle
+            raw = li.join(orders, li.l_orderkey == orders.o_orderkey)
+            raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in raw_plan
+            assert joined.count() == raw.count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_fact_dim_join_is_broadcast(spark):
+    """The star-schema fact assembly must broadcast its dim joins."""
+    from dw_etl_spark.plans.star_schema import build_fact
+
+    plan = build_fact(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
