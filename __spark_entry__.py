@@ -153,6 +153,33 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via rollup (beyond the reference's flat
+    groupBy — free Spark surface, exposed for engine completeness)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi / left-anti joins (existence predicates)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    semi = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("with_orders").alias("grp"), "n"
+    )
+    anti = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("without_orders").alias("grp"), "n"
+    )
+    return semi.unionByName(anti)
+
+
 # ---- temporal joins ---------------------------------------------------------
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,6 +414,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_revenue": _q_region_revenue,
     "asof_join": _q_asof_join,
     "range_join": _q_range_join,
+    "rollup_sales": _q_rollup_sales,
+    "semi_anti_join": _q_semi_anti,
     "fuzzy_top1_join": _q_fuzzy_top1,
     "profile_columns": _q_profile_part,
     "topk_values": _q_topk_mktsegment,
@@ -673,6 +702,22 @@ JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'high'))
 GROUP BY qty_band
 """
 
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+_SEMI_ANTI_SQL = """
+SELECT 'with_orders' AS grp, CAST(count(*) AS BIGINT) AS n
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'without_orders' AS grp, CAST(count(*) AS BIGINT) AS n
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
 _FUZZY_SQL = """
 WITH dirty AS (
   SELECT DISTINCT substr(n_name, 1, length(n_name) - 2) AS dirty_name
@@ -843,6 +888,8 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": _REGION_REVENUE_SQL,
         "asof_join": _ASOF_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "rollup_sales": _ROLLUP_SQL,
+        "semi_anti_join": _SEMI_ANTI_SQL,
         "fuzzy_top1_join": _FUZZY_SQL,
         "profile_columns": _profile_part_sql(),
         "topk_values": _TOPK_SQL,

@@ -14,6 +14,8 @@ import os
 import re
 import time
 
+from pyspark.sql import functions as F
+
 from dw_etl_spark.session import get_spark
 
 
@@ -25,6 +27,12 @@ def main() -> None:
     spark = get_spark(app_name="dw_etl_spark_bench")
 
     import __spark_entry__ as entrymod
+
+    # warm the JVM (scheduler, codegen, shuffle machinery) with a tiny
+    # unrelated job so the first timed query isn't charged for it
+    spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

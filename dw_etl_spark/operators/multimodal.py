@@ -105,6 +105,109 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic codec stand-in: truncate/cycle payload to w*h bytes
+    (a real implementation decodes, resamples, re-encodes)."""
+    target = width * height
+    if not payload:
+        return bytes(target)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize image payloads via ``mapInPandas`` — 1:1 row mapping with
+    payload rewrite and metadata update. ``resize_fn(payload, w, h) ->
+    bytes`` injects a real codec (raise ``NotImplementedError`` there if
+    genuinely absent); default is the deterministic fake."""
+    import pandas as pd
+
+    fn = resize_fn or _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [fn(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out,
+                    "n_bytes": [len(p) for p in out],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def _fake_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling: n equal chunks."""
+    if not payload:
+        return [b""] * n_frames
+    step = max(len(payload) // n_frames, 1)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    sample_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Sample frames from video payloads — a 1:N flat-map via
+    ``mapInPandas`` (each input row yields ``n_frames`` output rows).
+    The fan-out happens inside the Arrow batch, so downstream
+    partitioning sees frame-sized rows, not whole-video blobs."""
+    import pandas as pd
+
+    fn = sample_fn or _fake_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, fr in enumerate(fn(payload, n_frames)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "payload": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-relational metadata pass (no payload decode): per kind,
     count / total / min / max payload bytes + content digest sample.

@@ -195,6 +195,28 @@ def test_extract_features_plumbing_and_determinism(spark):
     assert again == {k: r["feature"] for k, r in rows.items()}
 
 
+def test_resize_images_rewrites_payload_and_meta(spark):
+    from dw_etl_spark.operators.multimodal import resize_images
+
+    docs = spark.createDataFrame([(1, "abcdef"), (2, "")], ["doc_id", "text"])
+    media = pack_documents_as_media(docs)
+    rows = {r["media_id"]: r for r in resize_images(media, 4, 2).collect()}
+    assert rows[1]["n_bytes"] == 8 and len(rows[1]["payload"]) == 8
+    assert rows[1]["payload"] == b"abcdefab"  # cycled to w*h
+    assert rows[2]["payload"] == bytes(8)     # empty → zero bytes
+    assert (rows[1]["width"], rows[1]["height"]) == (4, 2)
+
+
+def test_sample_frames_fan_out(spark):
+    from dw_etl_spark.operators.multimodal import sample_frames
+
+    docs = spark.createDataFrame([(1, "abcdefgh")], ["doc_id", "text"])
+    media = pack_documents_as_media(docs, kind="video")
+    rows = sample_frames(media, n_frames=4).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert b"".join(r["payload"] for r in rows) == b"abcdefgh"
+
+
 def test_extract_features_stub_injection_raises(spark):
     docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     media = pack_documents_as_media(docs)
