@@ -75,6 +75,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-style partitioned writes prune at the source: a filter on
+    the partition column reads only that directory."""
+    ev = read_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_parted")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the scan's partition filter must carry the predicate...
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == want
+
+
+def test_observe_counts_no_extra_job(spark):
+    from dw_etl_spark.functions.metrics import observe_counts
+
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, None)], ["id", "v"])
+    instrumented, obs = observe_counts(df, "m", null_cols=["v"])
+    instrumented.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"n_rows": 3, "n_null_v": 2}
+
+
 def test_fact_dim_join_is_broadcast(spark):
     """The star-schema fact assembly must broadcast its dim joins."""
     from dw_etl_spark.plans.star_schema import build_fact
