@@ -23,6 +23,7 @@ from dw_etl_spark.functions.text import fingerprint, lang_id, quality_score, tok
 from dw_etl_spark.operators.joins import fuzzy_top1_join
 from dw_etl_spark.operators.multimodal import media_stats, pack_documents_as_media
 from dw_etl_spark.operators.profile import (
+    describe_numeric,
     iqr_outlier_count,
     profile_columns,
     top_k_values,
@@ -227,6 +228,39 @@ def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_values(read_table(spark, sf_dir, "customer"), "c_mktsegment", k=3)
 
 
+_DESCRIBE_COLS = ["l_quantity", "l_extendedprice"]
+_DESCRIBE_PCTS = (0.01, 0.05, 0.5, 0.95, 0.99)
+
+
+def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 describe-percentiles profile (reference raw_analysis stats)."""
+    out = describe_numeric(
+        read_table(spark, sf_dir, "lineitem"), _DESCRIBE_COLS, _DESCRIBE_PCTS
+    )
+    return out.select("col_name", "metric", F.round("value", 6).alias("value"))
+
+
+def _describe_stats_sql() -> str:
+    blocks = []
+    for c in _DESCRIBE_COLS:
+        blocks += [
+            f"SELECT '{c}' AS col_name, 'count' AS metric, CAST(count({c}) AS DOUBLE) AS v FROM lineitem",
+            f"SELECT '{c}', 'mean', avg({c}) FROM lineitem",
+            f"SELECT '{c}', 'std', stddev_samp({c}) FROM lineitem",
+            f"SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM lineitem",
+            f"SELECT '{c}', 'max', CAST(max({c}) AS DOUBLE) FROM lineitem",
+        ]
+        for p in _DESCRIBE_PCTS:
+            blocks.append(
+                f"SELECT '{c}', 'p{int(p * 100):02d}', "
+                f"quantile_cont({c}, {p}) FROM lineitem"
+            )
+    inner = " UNION ALL ".join(blocks)
+    return (
+        f"SELECT col_name, metric, round(v, 6) AS value FROM ({inner})"
+    )
+
+
 def _q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iqr_outlier_count(read_table(spark, sf_dir, "lineitem"), "l_extendedprice")
 
@@ -418,6 +452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_join": _q_semi_anti,
     "fuzzy_top1_join": _q_fuzzy_top1,
     "profile_columns": _q_profile_part,
+    "describe_stats": _q_describe_stats,
     "topk_values": _q_topk_mktsegment,
     "iqr_outliers": _q_iqr_outliers,
     "dup_row_count": _q_dup_row_count,
@@ -892,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti_join": _SEMI_ANTI_SQL,
         "fuzzy_top1_join": _FUZZY_SQL,
         "profile_columns": _profile_part_sql(),
+        "describe_stats": _describe_stats_sql(),
         "topk_values": _TOPK_SQL,
         "iqr_outliers": _IQR_SQL,
         "dup_row_count": _DUP_COUNT_SQL,

@@ -53,6 +53,22 @@ def resolve_surrogate_key(
     return joined.drop(*[f"__k_{c}" for c in on.values()])
 
 
+def token_sort_levenshtein(a: Column, b: Column) -> Column:
+    """Word-order-insensitive edit distance: levenshtein over
+    lowercased, sorted, re-joined tokens — the built-in-only analog of
+    fuzzywuzzy's ``token_sort_ratio`` (reference transform.py:45-59
+    scores with fuzzywuzzy; plain levenshtein misses word-order noise
+    like 'Korea, South' vs 'South Korea'). Pass as ``score_expr`` to
+    ``fuzzy_top1_join``."""
+
+    def norm(c: Column) -> Column:
+        return F.concat_ws(
+            " ", F.array_sort(F.split(F.lower(F.trim(c)), r"\s+"))
+        )
+
+    return F.levenshtein(norm(a), norm(b))
+
+
 def fuzzy_top1_join(
     left: DataFrame,
     left_col: str,

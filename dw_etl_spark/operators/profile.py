@@ -84,6 +84,49 @@ def profile_columns(
     return row.select(F.expr(stack_expr))
 
 
+def describe_numeric(
+    df: DataFrame,
+    columns: list[str],
+    percentiles: list[float] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """A10: describe-style numeric profile with the reference's extended
+    percentiles (raw_analysis/main.py:75-82 uses [.01,.05,.95,.99]).
+
+    One aggregation pass for ALL columns: each column contributes one
+    ``percentile(col, array(...))`` plus count/mean/std/min/max; output
+    is long-form (col_name, metric, value). ``exact=False`` switches to
+    the sketch-based ``approx_percentile`` for the 100 TB path.
+    """
+    pct = "percentile" if exact else "approx_percentile"
+    plist = ", ".join(str(p) for p in percentiles)
+    exprs = []
+    for c in columns:
+        exprs += [
+            F.count(F.col(c)).cast("double").alias(f"{c}__count"),
+            F.avg(F.col(c)).alias(f"{c}__mean"),
+            F.stddev(F.col(c)).alias(f"{c}__std"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            F.expr(f"{pct}({c}, array({plist}))").alias(f"{c}__pcts"),
+        ]
+    row = df.agg(*exprs)
+    pieces = []
+    for c in columns:
+        for m in ["count", "mean", "std", "min", "max"]:
+            pieces.append(
+                f"named_struct('col_name', '{c}', 'metric', '{m}', "
+                f"'value', CAST(`{c}__{m}` AS DOUBLE))"
+            )
+        for i, p in enumerate(percentiles):
+            pieces.append(
+                f"named_struct('col_name', '{c}', 'metric', 'p{int(p * 100):02d}', "
+                f"'value', CAST(`{c}__pcts`[{i}] AS DOUBLE))"
+            )
+    inline = f"inline(array({', '.join(pieces)}))"
+    return row.select(F.expr(inline))
+
+
 def top_k_values(df: DataFrame, column: str, k: int = 10) -> DataFrame:
     """A10/O2: top-k value counts (reference raw_analysis/main.py:95-96).
 

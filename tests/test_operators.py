@@ -146,6 +146,49 @@ def test_pivot_wide_mean(spark):
     assert as_map == {"u1": (2.0, 5.0), "u2": (None, 7.0)}
 
 
+def test_token_sort_levenshtein_order_insensitive(spark):
+    from dw_etl_spark.operators.joins import token_sort_levenshtein
+
+    df = spark.createDataFrame(
+        [("South Korea", "Korea South"), ("South Korea", "North Korea")],
+        ["a", "b"],
+    )
+    got = [r[0] for r in df.select(token_sort_levenshtein(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == 0       # pure word-order difference
+    assert got[1] > 0        # genuinely different
+
+
+def test_fuzzy_join_with_token_sort_score(spark):
+    from dw_etl_spark.operators.joins import token_sort_levenshtein
+
+    left = spark.createDataFrame([("Korea South",), ("Grmany",)], ["name"])
+    domain = spark.createDataFrame([("South Korea",), ("Germany",), ("France",)], ["country"])
+    got = {
+        r["name"]: r["matched"]
+        for r in fuzzy_top1_join(
+            left, "name", domain, "country",
+            score_expr=token_sort_levenshtein,
+        ).collect()
+    }
+    assert got == {"Korea South": "South Korea", "Grmany": "Germany"}
+
+
+def test_describe_numeric_percentiles(spark):
+    from dw_etl_spark.operators.profile import describe_numeric
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["x"])
+    got = {
+        (r["col_name"], r["metric"]): r["value"]
+        for r in describe_numeric(df, ["x"], percentiles=(0.25, 0.5, 0.99)).collect()
+    }
+    assert got[("x", "count")] == 100.0
+    assert got[("x", "mean")] == 50.5
+    assert got[("x", "min")] == 1.0 and got[("x", "max")] == 100.0
+    assert got[("x", "p50")] == 50.5       # interpolated median
+    assert got[("x", "p25")] == 25.75
+    assert abs(got[("x", "p99")] - 99.01) < 1e-9
+
+
 # ---------------------------------------------------------------- interpolate
 
 def test_seed_and_interpolate_matches_pandas(spark):
