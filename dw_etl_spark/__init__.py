@@ -9,11 +9,19 @@ built-in operators genuinely cannot express the semantics.
 
 Layout:
   session    — SparkSession factory (AQE on, tuned for local + cluster)
-  sources    — csv/parquet/json readers w/ schema validation, REST, JDBC
-  operators  — composable DataFrame -> DataFrame relational operators
-  functions  — scalar column expressions (pure `pyspark.sql.functions`)
+  sources    — csv/parquet readers w/ schema validation, REST (+ custom
+               Spark 4 Python DataSource)
+  sinks      — warehouse writers: parquet (validated PK/FK invariants)
+               and JDBC (batched INSERT + DDL retrofit)
+  operators  — composable DataFrame -> DataFrame relational operators,
+               dedup/similarity/multimodal training-data ops, scale
+               utilities (salting, bucketing)
+  functions  — scalar/text column expressions + observe-based metrics
   plans      — end-to-end pipelines (star schema build)
-  streaming  — Structured Streaming variants over the events stream
+  streaming  — Structured Streaming: event-time windows, sessions,
+               stream-stream interval join, stateful dedup
+  sql        — temp-view registration: full Spark SQL over raw tables
+               and the star schema
 """
 
 __version__ = "0.1.0"

@@ -115,6 +115,40 @@ def sessionize(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-interval equi-join: pair rows with matching ``on`` where
+    ``right_time ∈ [left_time - lower, left_time + upper]``.
+
+    Works identically on batch frames and on two streams — as a
+    stream-stream join, Spark keeps each side buffered only for the
+    interval bound (both sides must carry watermarks), so state is
+    bounded by rate × interval, not by history.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in {on, right_time}
+    ]
+    r = right.select(
+        F.col(on).alias("__rk"),
+        F.col(right_time).alias("__rt"),
+        *[F.col(c) for c in right_cols],
+    )
+    cond = (
+        (F.col(on) == F.col("__rk"))
+        & (F.col("__rt") >= F.col(left_time) - F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (F.col("__rt") <= F.col(left_time) + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return left.join(r, cond, "inner").drop("__rk")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,

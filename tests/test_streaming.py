@@ -72,6 +72,47 @@ def test_session_end_is_last_event_plus_gap(spark):
     assert rows[1]["n_events"] == 1
 
 
+def test_interval_join_stream_equals_batch(spark):
+    from dw_etl_spark.streaming.windows import interval_join
+
+    batch = read_table(spark, SF_SMOKE, "events")
+    purchases = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    want = _as_sorted_rows(
+        interval_join(
+            purchases, clicks, on="user_id", left_time="p_ts",
+            right_time="c_ts", lower_seconds=3600, upper_seconds=0,
+        ),
+        ["p_id", "c_id"],
+    )
+    assert len(want) > 0
+
+    s = read_events_stream(spark, SF_SMOKE)
+    sp = (
+        s.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 days")
+    )
+    sc = (
+        s.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "2 days")
+    )
+    got_df = run_stream_to_memory(
+        interval_join(
+            sp, sc, on="user_id", left_time="p_ts",
+            right_time="c_ts", lower_seconds=3600, upper_seconds=0,
+        ),
+        name="interval_join",
+        output_mode="append",
+    )
+    assert _as_sorted_rows(got_df, ["p_id", "c_id"]) == want
+
+
 def test_first_seen_dedup_stream(spark):
     stream = read_events_stream(spark, SF_SMOKE).select(
         "event_type", "event_id", "value"
