@@ -261,6 +261,53 @@ def _describe_stats_sql() -> str:
     )
 
 
+def _q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sketch path: HLL distinct + approx percentiles — one
+    map-side-combinable pass, constant memory. No oracle on purpose:
+    sketch internals are engine-specific, so the driver records the
+    weaker rows-only check (documented in tests/test_oracle_parity.py).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("nd_partkey"),
+        F.approx_count_distinct("l_suppkey").alias("nd_suppkey"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+        ).alias("price_quartiles"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join coverage: per-nation customer/supplier counts
+    survive on both unmatched sides."""
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("nk") < 20)
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .filter(F.col("nk") >= 5)
+    )
+    return (
+        cust.withColumnsRenamed({"nk": "c_nk"})
+        .join(
+            supp.withColumnsRenamed({"nk": "s_nk"}),
+            F.col("c_nk") == F.col("s_nk"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+    )
+
+
 def _q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iqr_outlier_count(read_table(spark, sf_dir, "lineitem"), "l_extendedprice")
 
@@ -453,6 +500,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_top1_join": _q_fuzzy_top1,
     "profile_columns": _q_profile_part,
     "describe_stats": _q_describe_stats,
+    "approx_profile": _q_approx_profile,
+    "full_outer_join": _q_full_outer,
     "topk_values": _q_topk_mktsegment,
     "iqr_outliers": _q_iqr_outliers,
     "dup_row_count": _q_dup_row_count,
@@ -809,6 +858,19 @@ def _profile_part_sql() -> str:
     )
 
 
+_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+  FROM customer GROUP BY c_nationkey HAVING c_nationkey < 20
+),
+s AS (
+  SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+  FROM supplier GROUP BY s_nationkey HAVING s_nationkey >= 5
+)
+SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
 _TOPK_SQL = """
 SELECT c_mktsegment AS value, count(*) AS cnt
 FROM customer
@@ -928,6 +990,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_top1_join": _FUZZY_SQL,
         "profile_columns": _profile_part_sql(),
         "describe_stats": _describe_stats_sql(),
+        # approx_profile intentionally absent: sketch results are
+        # engine-specific (HLL/KLL internals) — rows-only check
+        "full_outer_join": _FULL_OUTER_SQL,
         "topk_values": _TOPK_SQL,
         "iqr_outliers": _IQR_SQL,
         "dup_row_count": _DUP_COUNT_SQL,

@@ -42,6 +42,35 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_all, 3)
 
+    # apples-to-apples with BASELINE.md's full-ETL wall clock: build the
+    # whole star schema and load it through the warehouse sink (writes +
+    # PK uniqueness + FK orphan validation), extract → warehouse on disk
+    import shutil
+    import tempfile
+
+    from dw_etl_spark.plans.star_schema import build_star_schema
+    from dw_etl_spark.sinks.warehouse import (
+        ForeignKey,
+        ParquetWarehouse,
+        TableSpec,
+        load_star_schema,
+    )
+
+    wh_dir = tempfile.mkdtemp(prefix="dw_bench_wh_")
+    t0 = time.perf_counter()
+    star = build_star_schema(spark, sf_dir)
+    specs = {
+        name: TableSpec(name, primary_key=["Id"]) for name in star
+    }
+    specs["FACT_LineItem"].foreign_keys = [
+        ForeignKey(["DateId"], "DIM_Date", ["Id"])
+    ]
+    load_star_schema(
+        ParquetWarehouse(spark, wh_dir), star, specs, fact_name="FACT_LineItem"
+    )
+    pipeline_sec = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(wh_dir, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -50,6 +79,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "pipeline_sec": pipeline_sec,
             }
         )
     )
