@@ -154,6 +154,19 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scalable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 at scale: contiguous deterministic ids via repartitionByRange +
+    per-partition offsets (operators/keys.py:add_unique_id) — proven
+    here to equal the single-partition global-window row_number oracle
+    exactly, with no single-partition shuffle."""
+    from dw_etl_spark.operators.keys import add_unique_id
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    return add_unique_id(li, order_by=["l_orderkey", "l_linenumber"])
+
+
 def _q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via rollup (beyond the reference's flat
     groupBy — free Spark surface, exposed for engine completeness)."""
@@ -495,6 +508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_revenue": _q_region_revenue,
     "asof_join": _q_asof_join,
     "range_join": _q_range_join,
+    "scalable_ids": _q_scalable_ids,
     "rollup_sales": _q_rollup_sales,
     "semi_anti_join": _q_semi_anti,
     "fuzzy_top1_join": _q_fuzzy_top1,
@@ -786,6 +800,12 @@ JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'high'))
 GROUP BY qty_band
 """
 
+_SCALABLE_IDS_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS Id,
+       l_orderkey, l_linenumber
+FROM lineitem
+"""
+
 _ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n,
@@ -985,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": _REGION_REVENUE_SQL,
         "asof_join": _ASOF_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "scalable_ids": _SCALABLE_IDS_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "semi_anti_join": _SEMI_ANTI_SQL,
         "fuzzy_top1_join": _FUZZY_SQL,

@@ -113,6 +113,33 @@ def test_interval_join_stream_equals_batch(spark):
     assert _as_sorted_rows(got_df, ["p_id", "c_id"]) == want
 
 
+def test_checkpointed_file_sink_recovery(spark, tmp_path):
+    """Production sink path: parquet file sink + checkpoint. A restart
+    with the same checkpoint must not duplicate output (exactly-once
+    within the sink's commit protocol)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            read_events_stream(spark, SF_SMOKE)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_events = read_table(spark, SF_SMOKE, "events").count()
+    assert spark.read.parquet(out).count() == n_events
+    # "restart": same checkpoint, no new source files → no new output
+    run_once()
+    assert spark.read.parquet(out).count() == n_events
+
+
 def test_first_seen_dedup_stream(spark):
     stream = read_events_stream(spark, SF_SMOKE).select(
         "event_type", "event_id", "value"
