@@ -17,6 +17,7 @@ from dw_etl_spark.operators.profile import (
 )
 from dw_etl_spark.operators.project import project_rename
 from dw_etl_spark.operators.qcut import ntile_buckets, qcut_by_group
+from dw_etl_spark.operators.scd import scd2_apply, scd2_current
 from dw_etl_spark.operators.scale import (
     salted_join,
     two_phase_count_distinct,
@@ -62,6 +63,8 @@ __all__ = [
     "resolve_surrogate_key",
     "salted_join",
     "sample_frames",
+    "scd2_apply",
+    "scd2_current",
     "simhash_pairs",
     "top_k_values",
     "two_phase_count_distinct",

@@ -1,0 +1,98 @@
+"""Slowly-changing-dimension maintenance (Type 2).
+
+The reference builds its country×year enrichment dimension from scratch
+every run (SURVEY.md §1.1 calls it "a slowly-changing enrichment
+dimension"; transform.py:256-356 recomputes it wholesale). A warehouse
+engine also needs the *incremental* form: apply a batch of updated
+attribute rows to a versioned dimension, closing superseded versions
+and opening new ones — SCD Type 2.
+
+Implementation is one full-outer-shaped pass, no row-at-a-time logic:
+
+  1. current versions ⟕ updates on the natural key (broadcast if the
+     update batch is dim-sized — it usually is).
+  2. A version is *superseded* when an update exists with different
+     attribute values → close it (valid_to = batch effective date).
+  3. New/changed keys open a new version (valid_from = effective date,
+     valid_to = NULL).
+  4. Unchanged and historical rows pass through untouched.
+
+One shuffle on the natural key at most; with a broadcast update batch,
+zero shuffles of the dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VALID_FROM = "valid_from"
+VALID_TO = "valid_to"
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: list[str],
+    attrs: list[str],
+    effective: str,
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Apply ``updates`` (natural key + attrs) to a versioned ``dim``
+    (key + attrs + valid_from/valid_to) as SCD Type 2.
+
+    ``effective`` is the batch effective date (ISO string). Returns the
+    new full dimension state: historical rows untouched, superseded
+    current rows closed at ``effective``, new versions opened.
+    """
+    eff = F.lit(effective).cast("date")
+    u = updates.select(
+        *[F.col(k).alias(f"__u_{k}") for k in key],
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+    )
+    if broadcast_updates:
+        u = F.broadcast(u)
+
+    cond = None
+    for k in key:
+        clause = dim[k].eqNullSafe(F.col(f"__u_{k}"))
+        cond = clause if cond is None else cond & clause
+
+    joined = dim.join(u, cond, "full_outer")
+
+    changed = None
+    for a in attrs:
+        diff = ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+        changed = diff if changed is None else changed | diff
+
+    is_current = F.col(VALID_TO).isNull()
+    has_update = F.col(f"__u_{key[0]}").isNotNull()
+    is_existing = F.col(key[0]).isNotNull() | F.col(VALID_FROM).isNotNull()
+
+    # existing rows: close current versions whose attrs changed
+    existing = joined.filter(is_existing).select(
+        *key,
+        *attrs,
+        VALID_FROM,
+        F.when(
+            is_current & has_update & changed, eff
+        ).otherwise(F.col(VALID_TO)).alias(VALID_TO),
+    )
+    # opened versions: brand-new keys, or changed attrs on current rows
+    opened = (
+        joined.filter(
+            has_update & (~is_existing | (is_current & changed))
+        )
+        .select(
+            *[F.col(f"__u_{k}").alias(k) for k in key],
+            *[F.col(f"__u_{a}").alias(a) for a in attrs],
+            eff.alias(VALID_FROM),
+            F.lit(None).cast("date").alias(VALID_TO),
+        )
+    )
+    return existing.unionByName(opened)
+
+
+def scd2_current(dim: DataFrame) -> DataFrame:
+    """The current version of every key (valid_to IS NULL)."""
+    return dim.filter(F.col(VALID_TO).isNull())
