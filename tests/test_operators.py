@@ -103,6 +103,28 @@ def test_add_unique_id_matches_sequential(spark):
     assert seq == uniq
 
 
+def test_add_unique_id_contiguous_and_monotone_with_ties(spark):
+    """Regression for AQE-induced offset corruption: many partitions,
+    heavily tied sort key. Ids must be exactly 1..n and the ordered key
+    sequence non-decreasing — the broken variant produced gaps,
+    duplicate ids, and inversions under AQE partition coalescing."""
+    n = 20_000
+    df = (
+        spark.range(0, n)
+        .withColumn("v", (F.col("id") * 37 % 50).cast("double"))  # 50 distinct → ties
+        .drop("id")
+        .repartition(16)
+    )
+    ids = add_unique_id(df, ["v"], num_partitions=16)
+    agg = ids.agg(
+        F.min("Id"), F.max("Id"), F.countDistinct("Id"), F.count(F.lit(1))
+    ).first()
+    assert tuple(agg) == (1, n, n, n)
+    rows = ids.orderBy("Id").select("v").collect()
+    seq = [r["v"] for r in rows]
+    assert all(a <= b for a, b in zip(seq, seq[1:]))
+
+
 # ---------------------------------------------------------------- joins
 
 def test_resolve_surrogate_key_left_and_null(spark):
