@@ -358,6 +358,37 @@ def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (RANGE BETWEEN 7 days): trailing revenue
+    per supplier — a frame type the reference has no analog for."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("trailing_7d_revenue"),
+    )
+
+
+def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/unnest surface: top-20 corpus token frequencies."""
+    from dw_etl_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
 # ---- set ops --------------------------------------------------------------
 
 def _q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,6 +551,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_outliers": _q_iqr_outliers,
     "dup_row_count": _q_dup_row_count,
     "window_running": _q_window_running,
+    "trailing_revenue": _q_trailing_revenue,
+    "token_freq": _q_token_freq,
     "union_by_name": _q_union_by_name,
     "windowed_counts": _q_windowed_counts,
     "sessionize": _q_sessionize,
@@ -933,6 +966,29 @@ WINDOW w AS (PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber)
 """
 
+_TRAILING_REVENUE_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate
+         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2)
+         AS trailing_7d_revenue
+FROM lineitem
+"""
+
+_TOKEN_FREQ_SQL = """
+WITH toks AS (
+  SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM toks
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+
 _UNION_SQL = """
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
 FROM events
@@ -1018,6 +1074,8 @@ def oracle_sql() -> dict[str, str]:
         "iqr_outliers": _IQR_SQL,
         "dup_row_count": _DUP_COUNT_SQL,
         "window_running": _WINDOW_RUNNING_SQL,
+        "trailing_revenue": _TRAILING_REVENUE_SQL,
+        "token_freq": _TOKEN_FREQ_SQL,
         "union_by_name": _UNION_SQL,
         "windowed_counts": _WINDOWED_COUNTS_SQL,
         "sessionize": _SESSIONIZE_SQL,
