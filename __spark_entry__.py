@@ -279,14 +279,17 @@ def _q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable pass, constant memory. No oracle on purpose:
     sketch internals are engine-specific, so the driver records the
     weaker rows-only check (documented in tests/test_oracle_parity.py).
+    Quartiles are emitted as scalar columns (not array<double>) so the
+    driver's row canonicalizer can sort/hash them.
     """
     li = read_table(spark, sf_dir, "lineitem")
+    q = F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("nd_partkey"),
         F.approx_count_distinct("l_suppkey").alias("nd_suppkey"),
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
-        ).alias("price_quartiles"),
+        q.getItem(0).alias("price_q25"),
+        q.getItem(1).alias("price_q50"),
+        q.getItem(2).alias("price_q75"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -758,7 +761,9 @@ proj AS (
          CAST(quarter(l_shipdate) AS INTEGER) AS ShipQuarter
   FROM lineitem
 )
-SELECT CAST(row_number() OVER (ORDER BY OrderId, LineNumber) AS BIGINT) AS Id,
+SELECT CAST(row_number() OVER (
+         ORDER BY OrderId, LineNumber, PartId, Quantity, ExtendedPrice
+       ) AS BIGINT) AS Id,
        p.OrderId, p.PartId, p.LineNumber, p.Quantity, p.ExtendedPrice,
        p.ReturnFlag, p.QuantityGroup, d.Id AS DateId
 FROM proj p

@@ -25,7 +25,7 @@ from dw_etl_spark.operators.bins import bin_numeric
 from dw_etl_spark.operators.dedup import dedup_keep_first
 from dw_etl_spark.operators.interpolate import interpolate_by_group, seed_group_head
 from dw_etl_spark.operators.joins import resolve_surrogate_key
-from dw_etl_spark.operators.keys import add_sequential_id
+from dw_etl_spark.operators.keys import add_sequential_id, add_unique_id
 from dw_etl_spark.operators.pivot import pivot_wide
 from dw_etl_spark.operators.qcut import ntile_buckets
 from dw_etl_spark.sources.files import read_table
@@ -143,6 +143,10 @@ def build_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite-key surrogate join to DIM_Date (J1) → sequential Id (F7).
 
     All dim joins broadcast — the fact side never shuffles for a join.
+    Fact Ids use the scalable ``add_unique_id`` path (repartitionByRange
+    + per-partition offsets) — the global-window ``add_sequential_id``
+    is reserved for dimension-sized inputs (PLANS.md §4): a fact table
+    must never sort on a single partition.
     """
     li = read_table(spark, sf_dir, "lineitem")
     dim_date = build_dim_date(spark, sf_dir)
@@ -164,9 +168,12 @@ def build_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         on={"ShipYear": "Year", "ShipQuarter": "Quarter"},
         as_name="DateId",
     )
-    return add_sequential_id(
+    # (OrderId, LineNumber) is NOT unique in the synthetic data; a total
+    # ordering makes the id↔row pairing deterministic (any engine, any
+    # partitioning) instead of relying on stable-sort tie order.
+    return add_unique_id(
         with_date.drop("ShipYear", "ShipQuarter"),
-        order_by=["OrderId", "LineNumber"],
+        order_by=["OrderId", "LineNumber", "PartId", "Quantity", "ExtendedPrice"],
     )
 
 

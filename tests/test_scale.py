@@ -106,3 +106,26 @@ def test_fact_dim_join_is_broadcast(spark):
     plan = build_fact(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fact_id_window_is_partitioned(spark):
+    """The fact's id assignment must never be a single-partition global
+    window (the canonical 100 TB scale-killer). WindowExec prints as
+    ``Window [exprs], [partition], [order]`` — an unpartitioned window
+    has only two bracket groups. The fact plan may still contain
+    unpartitioned windows for dimension-sized inputs (dim_date's 28-row
+    id) and add_unique_id's one-row-per-partition offsets sum, but the
+    window that orders the fact rows themselves (by OrderId) must carry
+    a partition spec.
+    """
+    from dw_etl_spark.plans.star_schema import build_fact
+
+    plan = build_fact(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert windows, "expected WindowExec nodes in the fact plan"
+    for ln in windows:
+        unpartitioned = ln.count("], [") < 2
+        if unpartitioned:
+            assert "OrderId" not in ln, (
+                "fact rows flow through a single-partition window:\n" + ln
+            )
