@@ -43,7 +43,19 @@ def salted_join(
     The join key becomes (key, salt): one hot key now spreads over
     n_salts reducers. Replication multiplies the other side — use for
     medium-sized right sides; a truly small side should just broadcast.
+
+    Only join types where the replicated side never emits unmatched
+    rows are semantics-preserving: inner/left/left_semi/left_anti.
+    right/full outer would emit each unmatched ``other`` row n_salts
+    times — rejected.
     """
+    safe = {"inner", "left", "left_outer", "leftouter",
+            "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched rows of the "
+            f"replicated side; use one of {sorted(safe)} or an unsalted join"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("__salt", salt.cast("int"))
     o = other.withColumn(
@@ -64,10 +76,14 @@ def two_phase_count_distinct(
     reducer; phase 1 here deduplicates (key, value) pairs — a shuffle
     whose key-space is the *pair*, so a hot key's values spread over
     many reducers — and phase 2 counts tiny deduped rows per key.
+
+    NULL handling matches ``countDistinct``: counting ``value_col``
+    (not ``count(1)``) skips the (key, NULL) dedup row, while still
+    emitting a 0 row for keys whose values are all NULL.
     """
     deduped = df.select(*group_keys, value_col).distinct()
     return deduped.groupBy(*group_keys).agg(
-        F.count(F.lit(1)).cast("long").alias(out_col)
+        F.count(value_col).cast("long").alias(out_col)
     )
 
 

@@ -23,7 +23,7 @@ zero shuffles of the dimension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 VALID_FROM = "valid_from"
@@ -43,13 +43,21 @@ def scd2_apply(
 
     ``effective`` is the batch effective date (ISO string). Returns the
     new full dimension state: historical rows untouched, superseded
-    current rows closed at ``effective``, new versions opened.
+    current rows closed at ``effective``, new versions opened. A key
+    whose versions are all closed (soft-deleted) is *revived*: exactly
+    one new version opens from the update.
+
+    ``updates`` must be unique per natural key — duplicate keys in one
+    batch have no well-defined version order. Deterministically
+    deduplicated here (keep-first by attr order) so retried batches
+    produce identical output; pre-dedup with a real tiebreaker if the
+    batch may carry genuine duplicates.
     """
     eff = F.lit(effective).cast("date")
     u = updates.select(
         *[F.col(k).alias(f"__u_{k}") for k in key],
         *[F.col(a).alias(f"__u_{a}") for a in attrs],
-    )
+    ).dropDuplicates([f"__u_{k}" for k in key])
     if broadcast_updates:
         u = F.broadcast(u)
 
@@ -65,9 +73,29 @@ def scd2_apply(
         diff = ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
         changed = diff if changed is None else changed | diff
 
-    is_current = F.col(VALID_TO).isNull()
+    is_current = F.col(VALID_TO).isNull() & F.col(VALID_FROM).isNotNull()
     has_update = F.col(f"__u_{key[0]}").isNotNull()
     is_existing = F.col(key[0]).isNotNull() | F.col(VALID_FROM).isNotNull()
+
+    # per-key flags: does the key have a current (open) version, and a
+    # deterministic pick of one row per key for the revive case. The
+    # window partitions on the same key the join shuffled on (or on the
+    # broadcast output) — no extra wide shuffle of the dimension.
+    w_key = Window.partitionBy(
+        *[F.coalesce(F.col(k), F.col(f"__u_{k}")) for k in key]
+    )
+    key_has_current = (
+        F.max(F.when(is_existing & is_current, F.lit(1)).otherwise(F.lit(0)))
+        .over(w_key)
+    )
+    pick_one = F.row_number().over(
+        w_key.orderBy(
+            F.col(VALID_TO).desc_nulls_last(), F.col(VALID_FROM).desc_nulls_last()
+        )
+    )
+    joined = joined.withColumn("__has_cur", key_has_current).withColumn(
+        "__pick", pick_one
+    )
 
     # existing rows: close current versions whose attrs changed
     existing = joined.filter(is_existing).select(
@@ -78,10 +106,17 @@ def scd2_apply(
             is_current & has_update & changed, eff
         ).otherwise(F.col(VALID_TO)).alias(VALID_TO),
     )
-    # opened versions: brand-new keys, or changed attrs on current rows
+    # opened versions: brand-new keys, changed attrs on a current row,
+    # or a revived key (update on a key with no current version — fire
+    # on exactly one of its joined rows)
     opened = (
         joined.filter(
-            has_update & (~is_existing | (is_current & changed))
+            has_update
+            & (
+                ~is_existing
+                | (is_current & changed)
+                | ((F.col("__has_cur") == 0) & (F.col("__pick") == 1))
+            )
         )
         .select(
             *[F.col(f"__u_{k}").alias(k) for k in key],

@@ -132,19 +132,24 @@ def interval_join(
     stream-stream join, Spark keeps each side buffered only for the
     interval bound (both sides must carry watermarks), so state is
     bounded by rate × interval, not by history.
+
+    The matched right timestamp is exposed as ``matched_{right_time}``
+    (internal join aliases never leak into the output schema).
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in {on, right_time}
     ]
+    matched_time = f"matched_{right_time}"
     r = right.select(
         F.col(on).alias("__rk"),
-        F.col(right_time).alias("__rt"),
+        F.col(right_time).alias(matched_time),
         *[F.col(c) for c in right_cols],
     )
+    rt = F.col(matched_time)
     cond = (
         (F.col(on) == F.col("__rk"))
-        & (F.col("__rt") >= F.col(left_time) - F.expr(f"INTERVAL {lower_seconds} SECONDS"))
-        & (F.col("__rt") <= F.col(left_time) + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+        & (rt >= F.col(left_time) - F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (rt <= F.col(left_time) + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
     )
     return left.join(r, cond, "inner").drop("__rk")
 

@@ -129,3 +129,33 @@ def test_fact_id_window_is_partitioned(spark):
             assert "OrderId" not in ln, (
                 "fact rows flow through a single-partition window:\n" + ln
             )
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest as _pytest
+
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+    orders = read_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "full_outer", "outer", "full"):
+        with _pytest.raises(ValueError):
+            salted_join(li, orders, on=["l_orderkey"], how=how)
+
+
+def test_two_phase_count_distinct_null_semantics(spark):
+    """NULL values are not distinct values (countDistinct parity); keys
+    whose values are all NULL still emit a 0 row."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None), ("b", None)],
+        "k string, v int",
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in two_phase_count_distinct(df, ["k"], "v").collect()
+    }
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want == {"a": 1, "b": 0}

@@ -60,3 +60,43 @@ def test_scd2_idempotent_when_no_changes(spark):
     out = scd2_apply(dim, no_change, ["country"], ["gdp"], "2024-06-01")
     assert out.count() == dim.count()
     assert scd2_current(out).count() == scd2_current(dim).count()
+
+
+def test_scd2_revives_key_with_all_versions_closed(spark):
+    """An update for a key whose versions are all closed (soft-deleted)
+    must open exactly one new version, not vanish."""
+    dim = spark.createDataFrame(
+        [
+            ("PL", 90.0, "2010-01-01", "2015-01-01"),
+            ("PL", 95.0, "2015-01-01", "2020-01-01"),
+        ],
+        "country string, gdp double, valid_from string, valid_to string",
+    ).selectExpr(
+        "country", "gdp",
+        "CAST(valid_from AS DATE) AS valid_from",
+        "CAST(valid_to AS DATE) AS valid_to",
+    )
+    updates = spark.createDataFrame([("PL", 120.0)], "country string, gdp double")
+    out = scd2_apply(dim, updates, ["country"], ["gdp"], "2024-06-01")
+    rows = sorted(
+        (r["gdp"], str(r["valid_from"]), r["valid_to"] and str(r["valid_to"]))
+        for r in out.collect()
+    )
+    assert rows == [
+        (90.0, "2010-01-01", "2015-01-01"),
+        (95.0, "2015-01-01", "2020-01-01"),
+        (120.0, "2024-06-01", None),
+    ]
+    assert scd2_current(out).count() == 1
+
+
+def test_scd2_dedups_duplicate_update_keys(spark):
+    """Duplicate keys in one update batch must not open multiple
+    simultaneous current versions."""
+    dim = _dim(spark)
+    dup = spark.createDataFrame(
+        [("PL", 110.0), ("PL", 111.0)], "country string, gdp double"
+    )
+    out = scd2_apply(dim, dup, ["country"], ["gdp"], "2024-06-01")
+    current_pl = scd2_current(out).filter("country = 'PL'").collect()
+    assert len(current_pl) == 1
