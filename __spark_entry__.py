@@ -99,6 +99,32 @@ def _q_fuzzy_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("dirty_name", "matched")
 
 
+def _q_fuzzy_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with fuzzywuzzy-family scoring: top-1 token-set join of two
+    dirty variants (multi-token superset 'republic of x', truncated
+    tail) onto the canonical nation domain. The token-subset case
+    resolves to distance 0 — the behavior plain levenshtein misses
+    (reference transform.py:45-59 WRatio)."""
+    from dw_etl_spark.operators.joins import token_set_distance
+
+    nation = read_table(spark, sf_dir, "nation")
+    dirty = (
+        nation.select(
+            F.concat(F.lit("republic of "), F.lower("n_name")).alias("dirty_name")
+        )
+        .unionByName(
+            nation.select(
+                F.expr("substring(n_name, 1, length(n_name) - 2)").alias("dirty_name")
+            )
+        )
+        .distinct()
+    )
+    return fuzzy_top1_join(
+        dirty, "dirty_name", nation, "n_name",
+        mapped_name="matched", score_expr=token_set_distance,
+    ).select("dirty_name", "matched")
+
+
 # ---- multi-way joins (TPC-H Q3/Q5 shapes) ----------------------------------
 
 def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +544,321 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- sources / sinks round-trips (S1/S2/S5, S7-S13, S3, X1) ----------------
+
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S5 through the hard gate: write part to CSV (quoted,
+    single-file), read it back with a declared schema (FAILFAST) +
+    required-column validation + empty-input guard, then aggregate per
+    price bin. Oracle = the same aggregate straight off the parquet —
+    the CSV round-trip must be lossless. Reference resources.py:192-201,
+    raw_analysis/main.py:27-38."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dw_etl_spark.operators.bins import bin_numeric
+    from dw_etl_spark.plans.star_schema import PRICE_EDGES
+    from dw_etl_spark.sources.files import read_csv, write_csv
+
+    out = tempfile.mkdtemp(prefix="dwetl_csv_rt_")
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    write_csv(part, out, single_file=True)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    back = read_csv(
+        spark,
+        out,
+        schema=schema,
+        required_columns=["p_partkey", "p_name", "p_retailprice"],
+        require_nonempty=True,
+    )
+    return (
+        back.select(
+            bin_numeric("p_retailprice", PRICE_EDGES).alias("PriceCategory"),
+            "p_retailprice",
+            "p_name",
+        )
+        .groupBy("PriceCategory")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+            F.min("p_name").alias("first_name"),
+        )
+    )
+
+
+def _q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7-S13 + X1 through the hard gate: build the star schema, load it
+    through ParquetWarehouse (drop-then-write with validated PK/FK
+    specs, dims before fact), read the fact back. Oracle = the fact SQL
+    — the warehouse round-trip must be lossless. Reference
+    load.py:113-168, resources.py:58-78."""
+    import tempfile
+
+    from dw_etl_spark.sinks.warehouse import (
+        ForeignKey,
+        ParquetWarehouse,
+        TableSpec,
+        load_star_schema,
+    )
+
+    base = tempfile.mkdtemp(prefix="dwetl_wh_rt_")
+    wh = ParquetWarehouse(spark, base)
+    tables = {
+        "DIM_Date": build_dim_date(spark, sf_dir),
+        "DIM_Part": build_dim_part(spark, sf_dir),
+        "FACT_LineItem": build_fact(spark, sf_dir),
+    }
+    specs = {
+        "DIM_Date": TableSpec("DIM_Date", primary_key=["Id"]),
+        "DIM_Part": TableSpec("DIM_Part", primary_key=["Id"]),
+        "FACT_LineItem": TableSpec(
+            "FACT_LineItem",
+            primary_key=["Id"],
+            foreign_keys=[
+                ForeignKey(["DateId"], "DIM_Date", ["Id"]),
+                ForeignKey(["PartId"], "DIM_Part", ["Id"]),
+            ],
+        ),
+    }
+    load_star_schema(wh, tables, specs, fact_name="FACT_LineItem")
+    assert wh.table_exists("FACT_LineItem")  # S8 probe on the way out
+    return wh.read_table("FACT_LineItem")
+
+
+# REST fixture: deterministic World-Bank-shaped payload, paginated so the
+# pagination loop is exercised; the oracle is a VALUES twin generated from
+# the SAME fixture function (single source of truth).
+_REST_INDICATORS = ["NY.GDP.MKTP.CD", "SP.POP.TOTL"]
+_REST_COUNTRIES = [
+    ("PL", "Poland"),
+    ("DE", "Germany"),
+    ("FR", "France"),
+    ("ES", "Spain"),
+    ("IT", "Italy"),
+]
+_REST_PAGE_SIZE = 13  # not a divisor of 25 → a ragged last page
+
+
+def _rest_fixture_records(indicator: str) -> list[dict]:
+    offset = _REST_INDICATORS.index(indicator)
+    recs = []
+    for i, (code, name) in enumerate(_REST_COUNTRIES):
+        for year in range(2000, 2005):
+            missing = (year + i) % 7 == 0  # API nulls (extract.py:292)
+            value = None if missing else round(
+                (i + 1) * 1000.0 + (year - 2000) * 1.5 + offset * 0.25, 2
+            )
+            recs.append(
+                {
+                    "country": {"id": code, "value": name},
+                    "indicator": {"id": indicator},
+                    "date": str(year),
+                    "value": value,
+                }
+            )
+    return recs
+
+
+def _rest_fixture_fetcher(url: str, params: dict) -> list:
+    import math
+
+    indicator = url.rsplit("/", 1)[-1]
+    recs = _rest_fixture_records(indicator)
+    pages = math.ceil(len(recs) / _REST_PAGE_SIZE)
+    page = int(params["page"])
+    start = (page - 1) * _REST_PAGE_SIZE
+    return [{"pages": pages}, recs[start : start + _REST_PAGE_SIZE]]
+
+
+def _q_rest_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 through the hard gate: the paginated JSON source (injectable
+    fetcher, deterministic fixture, ragged pages) flattened to the
+    long-form indicator frame. Reference extract.py:263-297."""
+    from dw_etl_spark.sources.rest import PaginatedJsonSource
+
+    src = PaginatedJsonSource(
+        base_url="fixture://worldbank",
+        indicators=list(_REST_INDICATORS),
+        year_start=2000,
+        year_end=2004,
+        fetcher=_rest_fixture_fetcher,
+    )
+    return src.to_dataframe(spark)
+
+
+def _rest_indicators_sql() -> str:
+    rows = []
+    for ind in _REST_INDICATORS:
+        for rec in _rest_fixture_records(ind):
+            v = "NULL" if rec["value"] is None else repr(rec["value"])
+            rows.append(
+                f"('{rec['country']['id']}', '{rec['country']['value']}', "
+                f"'{ind}', {rec['date']}, {v})"
+            )
+    values = ",\n".join(rows)
+    return f"""
+SELECT COUNTRYCODE, COUNTRYNAME, INDICATORCODE,
+       CAST(YEAR AS INTEGER) AS YEAR, CAST(VALUE AS DOUBLE) AS VALUE
+FROM (VALUES {values})
+  AS t(COUNTRYCODE, COUNTRYNAME, INDICATORCODE, YEAR, VALUE)
+"""
+
+
+# ---- SCD Type 2 (incremental dimension maintenance) ------------------------
+
+def _q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 through the hard gate: seed a versioned dimension from
+    nation (every 3rd key soft-deleted), apply a deterministic update
+    batch (every 2nd key, region bumped on every 4th, plus one brand-new
+    key), return the merged dimension state. Covers close / open /
+    passthrough / revive-closed-key / brand-new in one result."""
+    from dw_etl_spark.operators.scd import scd2_apply
+
+    nation = read_table(spark, sf_dir, "nation")
+    dim = nation.select(
+        F.col("n_name").alias("country"),
+        F.col("n_regionkey").cast("int").alias("region"),
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        F.when(
+            F.col("n_nationkey") % 3 == 0, F.to_date(F.lit("2022-01-01"))
+        ).alias("valid_to"),
+    )
+    updates = nation.filter(F.col("n_nationkey") % 2 == 0).select(
+        F.col("n_name").alias("country"),
+        (
+            F.col("n_regionkey")
+            + F.when(F.col("n_nationkey") % 4 == 0, F.lit(10)).otherwise(F.lit(0))
+        ).cast("int").alias("region"),
+    ).unionByName(
+        spark.createDataFrame([("ATLANTIS", 99)], "country string, region int")
+    )
+    out = scd2_apply(
+        dim, updates, key=["country"], attrs=["region"], effective="2024-06-01"
+    )
+    # dates → timestamps at the contract edge: Spark DATE collects as
+    # python objects (None for null) while the oracle's DATE lands as
+    # datetime64 (NaT) — timestamp columns canonicalize identically.
+    return out.select(
+        "country",
+        "region",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+
+
+_SCD2_SQL = """
+WITH dim AS (
+  SELECT n_name AS country,
+         CAST(n_regionkey AS INTEGER) AS region,
+         DATE '2020-01-01' AS valid_from,
+         CASE WHEN n_nationkey % 3 = 0 THEN DATE '2022-01-01' END AS valid_to
+  FROM nation
+),
+u AS (
+  SELECT n_name AS country,
+         CAST(n_regionkey
+              + CASE WHEN n_nationkey % 4 = 0 THEN 10 ELSE 0 END
+              AS INTEGER) AS region
+  FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT 'ATLANTIS', CAST(99 AS INTEGER)
+),
+cur AS (SELECT country, region FROM dim WHERE valid_to IS NULL),
+hc AS (
+  SELECT country,
+         max(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS has_cur
+  FROM dim GROUP BY country
+),
+closed AS (
+  SELECT d.country, d.region, d.valid_from,
+         CASE WHEN d.valid_to IS NULL AND u.country IS NOT NULL
+                   AND d.region IS DISTINCT FROM u.region
+              THEN DATE '2024-06-01' ELSE d.valid_to END AS valid_to
+  FROM dim d LEFT JOIN u ON d.country = u.country
+),
+opened AS (
+  SELECT u.country, u.region,
+         DATE '2024-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM u
+  LEFT JOIN hc ON u.country = hc.country
+  LEFT JOIN cur ON u.country = cur.country
+  WHERE hc.country IS NULL          -- brand-new key
+     OR hc.has_cur = 0              -- revive a fully-closed key
+     OR (hc.has_cur = 1 AND cur.region IS DISTINCT FROM u.region)
+)
+SELECT country, region,
+       CAST(valid_from AS TIMESTAMP) AS valid_from,
+       CAST(valid_to AS TIMESTAMP) AS valid_to
+FROM (SELECT * FROM closed UNION ALL SELECT * FROM opened)
+"""
+
+
+# ---- pandas-exact qcut (A8 value-bin variant) ------------------------------
+
+def _q_qcut_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8's value-bin variant through the hard gate: pandas-exact
+    ``qcut`` (quantile-edge bins, duplicates='drop' label collapse,
+    reference transform.py:322-353) on two columns — raw quantity
+    (3 distinct edges → Low/Medium/High) and quantity clamped at 20
+    (38% of rows tie at the 1/3-quantile edge → the duplicate edge is
+    dropped and labels collapse to Low/High). Oracle = DuckDB
+    quantile_cont CASE ranges with the same collapse."""
+    from dw_etl_spark.operators.qcut import qcut_by_group
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.greatest(F.col("l_quantity").cast("double"), F.lit(20.0)).alias(
+            "qty_clamped"
+        ),
+    )
+    b1 = qcut_by_group(li, ["l_returnflag"], "qty", n=3, out_col="qty_bin")
+    b2 = qcut_by_group(
+        b1, ["l_returnflag"], "qty_clamped", n=3, out_col="clamped_bin"
+    )
+    return b2.groupBy("l_returnflag", "qty_bin", "clamped_bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("qty"), 2).alias("sum_qty"),
+    )
+
+
+_QCUT_VALUE_BINS_SQL = """
+WITH vals AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DOUBLE) AS qty,
+         greatest(CAST(l_quantity AS DOUBLE), 20.0) AS qty_clamped
+  FROM lineitem
+),
+q AS (
+  SELECT l_returnflag,
+         quantile_cont(qty, 1.0/3.0) AS r1,
+         quantile_cont(qty, 2.0/3.0) AS r2,
+         -- clamped: the 1/3 edge ties with the min (both 20.0) and is
+         -- dropped (duplicates='drop'), leaving 2 bins → Low/High
+         quantile_cont(qty_clamped, 2.0/3.0) AS c2
+  FROM vals GROUP BY l_returnflag
+)
+SELECT v.l_returnflag,
+       CASE WHEN qty <= r1 THEN 'Low'
+            WHEN qty <= r2 THEN 'Medium'
+            ELSE 'High' END AS qty_bin,
+       CASE WHEN qty_clamped <= c2 THEN 'Low' ELSE 'High' END AS clamped_bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(qty), 2) AS sum_qty
+FROM vals v JOIN q USING (l_returnflag)
+GROUP BY 1, 2, 3
+"""
+
+
 # ---- multimodal plumbing --------------------------------------------------
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,6 +887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_sales": _q_rollup_sales,
     "semi_anti_join": _q_semi_anti,
     "fuzzy_top1_join": _q_fuzzy_top1,
+    "fuzzy_token_set_join": _q_fuzzy_token_set,
     "profile_columns": _q_profile_part,
     "describe_stats": _q_describe_stats,
     "approx_profile": _q_approx_profile,
@@ -569,6 +911,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_topk": _q_lsh_topk,
     "embedding_dup_pairs": _q_embedding_dups,
     "media_stats": _q_media_stats,
+    "csv_roundtrip": _q_csv_roundtrip,
+    "warehouse_roundtrip": _q_warehouse_roundtrip,
+    "rest_indicators": _q_rest_indicators,
+    "scd2_apply": _q_scd2_apply,
+    "qcut_value_bins": _q_qcut_value_bins,
 }
 
 
@@ -881,6 +1228,52 @@ best AS (
 SELECT dirty_name, n_name AS matched FROM best WHERE rn = 1
 """
 
+# token_set_distance twin: identical token algebra and 100·lev/maxlen
+# arithmetic (IEEE-identical doubles), identical (score, name) tiebreak.
+_FUZZY_TOKEN_SET_SQL = r"""
+WITH dirty AS (
+  SELECT DISTINCT dirty_name FROM (
+    SELECT 'republic of ' || lower(n_name) AS dirty_name FROM nation
+    UNION ALL
+    SELECT substr(n_name, 1, length(n_name) - 2) FROM nation
+  )
+),
+domain AS (SELECT DISTINCT n_name FROM nation),
+toks AS (
+  SELECT d.dirty_name, m.n_name,
+         list_sort(list_distinct(string_split_regex(lower(trim(d.dirty_name)), '\s+'))) AS ta,
+         list_sort(list_distinct(string_split_regex(lower(trim(m.n_name)), '\s+'))) AS tb
+  FROM dirty d CROSS JOIN domain m
+),
+parts AS (
+  SELECT dirty_name, n_name,
+         array_to_string(list_sort(list_intersect(ta, tb)), ' ') AS inter,
+         trim(concat_ws(' ',
+           array_to_string(list_sort(list_intersect(ta, tb)), ' '),
+           array_to_string(list_sort(list_filter(ta, x -> NOT list_contains(tb, x))), ' '))) AS c1,
+         trim(concat_ws(' ',
+           array_to_string(list_sort(list_intersect(ta, tb)), ' '),
+           array_to_string(list_sort(list_filter(tb, x -> NOT list_contains(ta, x))), ' '))) AS c2
+  FROM toks
+),
+scored AS (
+  SELECT dirty_name, n_name,
+         CASE WHEN dirty_name = n_name THEN -1.0 ELSE least(
+           100.0 * levenshtein(inter, c1) / greatest(length(inter), length(c1), 1),
+           100.0 * levenshtein(inter, c2) / greatest(length(inter), length(c2), 1),
+           100.0 * levenshtein(c1, c2)    / greatest(length(c1), length(c2), 1)
+         ) END AS score
+  FROM parts
+),
+best AS (
+  SELECT dirty_name, n_name,
+         row_number() OVER (PARTITION BY dirty_name
+                            ORDER BY score ASC, n_name ASC) AS rn
+  FROM scored
+)
+SELECT dirty_name, n_name AS matched FROM best WHERE rn = 1
+"""
+
 
 def _profile_part_sql() -> str:
     def block(col: str, is_str: bool, typ: str) -> str:
@@ -1044,6 +1437,15 @@ FROM events
 GROUP BY event_type
 """
 
+_CSV_ROUNDTRIP_SQL = f"""
+SELECT {_PRICE_CASE} AS PriceCategory,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(p_retailprice), 2) AS total_price,
+       min(p_name) AS first_name
+FROM part
+GROUP BY 1
+"""
+
 _MEDIA_STATS_SQL = """
 SELECT 'image' AS kind,
        CAST(count(*) AS BIGINT) AS n_items,
@@ -1070,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_sales": _ROLLUP_SQL,
         "semi_anti_join": _SEMI_ANTI_SQL,
         "fuzzy_top1_join": _FUZZY_SQL,
+        "fuzzy_token_set_join": _FUZZY_TOKEN_SET_SQL,
         "profile_columns": _profile_part_sql(),
         "describe_stats": _describe_stats_sql(),
         # approx_profile intentionally absent: sketch results are
@@ -1094,4 +1497,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": oracles.lsh_topk_sql(),
         "embedding_dup_pairs": oracles.embedding_dup_pairs_sql(),
         "media_stats": _MEDIA_STATS_SQL,
+        "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
+        "warehouse_roundtrip": _FACT_SQL,
+        "rest_indicators": _rest_indicators_sql(),
+        "scd2_apply": _SCD2_SQL,
+        "qcut_value_bins": _QCUT_VALUE_BINS_SQL,
     }

@@ -69,6 +69,41 @@ def token_sort_levenshtein(a: Column, b: Column) -> Column:
     return F.levenshtein(norm(a), norm(b))
 
 
+def token_set_distance(a: Column, b: Column) -> Column:
+    """Token-set edit distance in [0, 100], lower = better — the
+    built-in-only analog of fuzzywuzzy's ``token_set_ratio`` (the
+    dominant component of ``process.extractOne``'s WRatio, reference
+    transform.py:45-59). Word-subset noise ('Rep. of Korea' vs 'Korea')
+    scores 0 because the token intersection equals the shorter side:
+
+      inter = sorted(tokens(a) ∩ tokens(b))
+      c1    = inter + sorted(tokens(a) − tokens(b))
+      c2    = inter + sorted(tokens(b) − tokens(a))
+      dist  = min over (inter,c1), (inter,c2), (c1,c2) of
+              100·levenshtein(x,y)/max(len(x),len(y))
+
+    All JVM expressions (split/array_intersect/levenshtein) — codegen'd,
+    no Python in the scoring loop. Pass as ``score_expr`` to
+    ``fuzzy_top1_join``.
+    """
+
+    def toks(c: Column) -> Column:
+        return F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
+
+    ta, tb = toks(a), toks(b)
+    inter = F.concat_ws(" ", F.array_sort(F.array_intersect(ta, tb)))
+    only_a = F.concat_ws(" ", F.array_sort(F.array_except(ta, tb)))
+    only_b = F.concat_ws(" ", F.array_sort(F.array_except(tb, ta)))
+    c1 = F.trim(F.concat_ws(" ", inter, only_a))
+    c2 = F.trim(F.concat_ws(" ", inter, only_b))
+
+    def ndist(x: Column, y: Column) -> Column:
+        denom = F.greatest(F.length(x), F.length(y), F.lit(1))
+        return F.lit(100.0) * F.levenshtein(x, y) / denom
+
+    return F.least(ndist(inter, c1), ndist(inter, c2), ndist(c1, c2))
+
+
 def fuzzy_top1_join(
     left: DataFrame,
     left_col: str,

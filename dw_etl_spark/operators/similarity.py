@@ -106,8 +106,13 @@ def hyperplane(plane_idx: int, dim: int) -> list[float]:
     return out
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane signature: bit p = sign(vec · plane_p).
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Random-hyperplane signature: bit p = sign(vec · plane_{p+offset}).
+
+    ``plane_offset`` selects an independent plane family — table t of an
+    OR-amplified index uses offset ``t * n_planes``.
 
     Each projection is a ``zip_with``+``aggregate`` left fold against a
     literal plane array — the same d=0..dim-1 addition order as the
@@ -117,14 +122,16 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """
     dvec = _as_double(vec)
     out = F.lit(0).cast("long")
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         plane = F.array(*[F.lit(w) for w in hyperplane(p, dim)])
         proj = F.aggregate(
             F.zip_with(dvec, plane, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        out = out + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+        out = out + F.when(
+            proj > 0, F.lit(1 << (p - plane_offset)).cast("long")
+        ).otherwise(F.lit(0))
     return out
 
 
@@ -174,27 +181,39 @@ def lsh_topk(
     id_col: str = "vec_id",
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: only score (query, corpus) pairs that share
     an LSH bucket. Equi-join on the bucket → shuffle hash join keyed by
     signature, work per query ≈ bucket occupancy, not corpus size.
 
-    Recall is tunable: fewer planes → bigger buckets → higher recall &
-    cost. (Multi-table OR-amplification is the next notch; one table
-    keeps the oracle SQL tractable and demonstrates the plan shape.)
+    Recall is tunable on two axes (the classic AND-OR construction):
+    ``n_planes`` ANDs bits inside one signature (more planes → smaller
+    buckets → lower recall & cost), ``n_tables`` ORs independent plane
+    families (a pair is a candidate if ANY table buckets them together
+    → recall 1-(1-p^planes)^tables). With multiple tables each side is
+    exploded n_tables× and the join key is (table, bucket); duplicate
+    candidates from different tables are deduped by a (query, neighbor)
+    aggregation before ranking, so a pair is scored once in the output
+    regardless of how many tables caught it.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                lsh_bucket(F.col(vec_col), dim, n_planes, plane_offset=t * n_planes)
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            _as_double(F.col(vec_col)).alias(out_vec),
+            F.posexplode(buckets).alias("table", "bucket"),
+        )
+
+    q = with_buckets(queries, "query_id", "qv")
+    c = with_buckets(corpus, "neighbor_id", "cv")
     scored = (
-        c.join(q, "bucket")
+        c.join(q, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -202,6 +221,10 @@ def lsh_topk(
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
+    if n_tables > 1:
+        scored = scored.groupBy("query_id", "neighbor_id").agg(
+            F.max("cos_sim").alias("cos_sim")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

@@ -315,3 +315,65 @@ def test_validate_required_columns(spark):
     validate_required_columns(df, ["a", "b"])
     with pytest.raises(SchemaValidationError, match="missing"):
         validate_required_columns(df, ["a", "zzz"])
+
+
+# ---- token-set fuzzy scoring parity (reference transform.py:45-59) ---------
+
+def _ref_token_set_ratio(s1: str, s2: str) -> float:
+    """fuzzywuzzy token_set_ratio reference: rapidfuzz when installed,
+    else the textbook difflib formulation (what fuzzywuzzy itself wraps)."""
+    try:
+        from rapidfuzz.fuzz import token_set_ratio
+
+        return float(token_set_ratio(s1, s2))
+    except ImportError:
+        from difflib import SequenceMatcher
+
+        t1, t2 = set(s1.lower().split()), set(s2.lower().split())
+        inter = " ".join(sorted(t1 & t2))
+        c1 = (inter + " " + " ".join(sorted(t1 - t2))).strip()
+        c2 = (inter + " " + " ".join(sorted(t2 - t1))).strip()
+        r = lambda a, b: SequenceMatcher(None, a, b).ratio() * 100
+        return max(r(inter, c1), r(inter, c2), r(c1, c2))
+
+
+_FUZZY_DOMAIN = [
+    "South Korea", "North Korea", "United States", "Germany", "France",
+    "Poland", "Czech Republic", "Dominican Republic", "United Kingdom",
+    "Ireland",
+]
+_FUZZY_DIRTY = [
+    "korea, south",                      # word order + punctuation-ish
+    "the united states",                 # extra token (subset match)
+    "germny",                            # typo
+    "republic czech",                    # word order
+    "united kingdom of great britain",   # long superset
+    "poland",                            # exact (case)
+    "dominican rep.",                    # truncated token
+    "FRANCE",                            # case only
+]
+
+
+def test_token_set_distance_top1_matches_fuzzywuzzy_reference(spark):
+    from dw_etl_spark.operators.joins import fuzzy_top1_join, token_set_distance
+
+    left = spark.createDataFrame([(d,) for d in _FUZZY_DIRTY], ["dirty"])
+    domain = spark.createDataFrame([(d,) for d in _FUZZY_DOMAIN], ["name"])
+    got = {
+        r["dirty"]: r["matched"]
+        for r in fuzzy_top1_join(
+            left, "dirty", domain, "name",
+            score_expr=token_set_distance,
+        ).collect()
+    }
+    want = {}
+    for d in _FUZZY_DIRTY:
+        # best ratio, ties broken by domain value ascending (the same
+        # tiebreak fuzzy_top1_join applies)
+        best = max(
+            sorted(_FUZZY_DOMAIN),
+            key=lambda c: (_ref_token_set_ratio(d, c),),
+        )
+        # max() keeps the FIRST maximum of the sorted domain = lexical tiebreak
+        want[d] = best
+    assert got == want
