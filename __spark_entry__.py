@@ -634,6 +634,58 @@ def _q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.read_table("FACT_LineItem")
 
 
+# DBF fixture: deterministic records shared by the query (which writes a
+# real byte-level dBase III file and scans it) and the VALUES oracle.
+_DBF_RECORDS = [
+    ("alpha", "42", "19.95"),
+    ("beta", "7", "3.50"),
+    ("gamma", "", ""),
+    ("delta", "100", "0.99"),
+]
+
+
+def _q_dbf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 through the hard gate: write a dBase III file byte-for-byte
+    (struct-packed — no dbf library exists on either side), scan it with
+    read_dbf, return the typed rows. Reference raw_analysis/main.py:12-13."""
+    import struct
+    import tempfile
+    from pathlib import Path
+
+    from dw_etl_spark.sources.dbf import read_dbf
+
+    fields = [("NAME", "C", 10, 0), ("QTY", "N", 6, 0), ("PRICE", "N", 10, 2)]
+    record_size = 1 + sum(ln for _, _, ln, _ in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    head = struct.pack(
+        "<B3BIHH20x", 0x03, 24, 1, 1, len(_DBF_RECORDS), header_size, record_size
+    )
+    descs = b"".join(
+        struct.pack("<11sc4xBB14x", name.encode(), tc.encode(), ln, dec)
+        for name, tc, ln, dec in fields
+    )
+    body = b""
+    for rec in _DBF_RECORDS:
+        body += b" "
+        for (name, tc, ln, dec), val in zip(fields, rec):
+            body += val.encode().rjust(ln) if tc in "NF" else val.encode().ljust(ln)
+    path = Path(tempfile.mkdtemp(prefix="dwetl_dbf_")) / "demo.dbf"
+    path.write_bytes(head + descs + b"\x0d" + body + b"\x1a")
+    return read_dbf(spark, str(path), required_columns=["NAME", "QTY", "PRICE"])
+
+
+def _dbf_scan_sql() -> str:
+    rows = []
+    for name, qty, price in _DBF_RECORDS:
+        q = qty if qty else "NULL"
+        p = price if price else "NULL"
+        rows.append(f"('{name}', {q}, {p})")
+    return (
+        "SELECT NAME, CAST(QTY AS BIGINT) AS QTY, CAST(PRICE AS DOUBLE) AS PRICE "
+        f"FROM (VALUES {', '.join(rows)}) AS t(NAME, QTY, PRICE)"
+    )
+
+
 # REST fixture: deterministic World-Bank-shaped payload, paginated so the
 # pagination loop is exercised; the oracle is a VALUES twin generated from
 # the SAME fixture function (single source of truth).
@@ -810,9 +862,11 @@ def _q_qcut_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference transform.py:322-353) on two columns — raw quantity
     (3 distinct edges → Low/Medium/High) and quantity clamped at 20
     (38% of rows tie at the 1/3-quantile edge → the duplicate edge is
-    dropped and labels collapse to Low/High). Oracle = DuckDB
-    quantile_cont CASE ranges with the same collapse."""
-    from dw_etl_spark.operators.qcut import qcut_by_group
+    dropped and labels collapse to Low/High). Runs the pure-JVM
+    ``qcut_by_group_expr`` (pytest proves it row-equal to the
+    applyInPandas/pandas variant). Oracle = DuckDB quantile_cont CASE
+    ranges with the same collapse."""
+    from dw_etl_spark.operators.qcut import qcut_by_group_expr
 
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -821,11 +875,14 @@ def _q_qcut_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_clamped"
         ),
     )
-    b1 = qcut_by_group(li, ["l_returnflag"], "qty", n=3, out_col="qty_bin")
-    b2 = qcut_by_group(
-        b1, ["l_returnflag"], "qty_clamped", n=3, out_col="clamped_bin"
+    b = qcut_by_group_expr(
+        li,
+        ["l_returnflag"],
+        ["qty", "qty_clamped"],
+        n=3,
+        out_col=["qty_bin", "clamped_bin"],
     )
-    return b2.groupBy("l_returnflag", "qty_bin", "clamped_bin").agg(
+    return b.groupBy("l_returnflag", "qty_bin", "clamped_bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("qty"), 2).alias("sum_qty"),
     )
@@ -914,6 +971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip": _q_csv_roundtrip,
     "warehouse_roundtrip": _q_warehouse_roundtrip,
     "rest_indicators": _q_rest_indicators,
+    "dbf_scan": _q_dbf_scan,
     "scd2_apply": _q_scd2_apply,
     "qcut_value_bins": _q_qcut_value_bins,
 }
@@ -1500,6 +1558,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
         "warehouse_roundtrip": _FACT_SQL,
         "rest_indicators": _rest_indicators_sql(),
+        "dbf_scan": _dbf_scan_sql(),
         "scd2_apply": _SCD2_SQL,
         "qcut_value_bins": _QCUT_VALUE_BINS_SQL,
     }

@@ -84,6 +84,103 @@ def profile_columns(
     return row.select(F.expr(stack_expr))
 
 
+def bracketed_exact_percentiles(
+    df: DataFrame,
+    columns: list[str],
+    percentiles: list[float],
+    accuracy: int | None = None,
+) -> dict[str, list[float | None]]:
+    """Exact interpolated percentiles in two narrow passes — the scale
+    path for exact order statistics (the built-in ``percentile`` agg
+    carries a per-partition value map: ~O(distinct) state per task and
+    a giant final merge; 2.8× slower at 600k rows, unusable at 100 TB).
+
+      pass 1 — count(col) + an approx_percentile sketch probed at
+               p ± 3/accuracy: rank-error guarantees make [lo, hi] a
+               certain bracket of both interpolation neighbors.
+      pass 2 — per percentile: count(col < lo) and collect the few
+               in-bracket values (≈ 6·n/accuracy of them).
+      driver — sort candidates, pick floor/ceil ranks, interpolate
+               with the same lower + (upper-lower)·frac arithmetic as
+               ``percentile``/DuckDB ``quantile_cont`` (IEEE-identical).
+
+    ``accuracy`` auto-scales as clamp(n/10⁴, 10⁴, 10⁶) so the collected
+    bracket stays ~60k values regardless of n (≤ ~50 MB at the cap).
+    Falls back to the ``percentile`` agg if a bracket misses (cannot
+    happen within the sketch's guarantees — pure defense).
+    """
+    import math
+
+    def run_pass1(acc: int):
+        eps = 3.0 / acc
+        probes: list[float] = []
+        for p in percentiles:
+            probes += [max(0.0, p - eps), min(1.0, p + eps)]
+        plist = ", ".join(repr(p) for p in probes)
+        return df.agg(
+            F.count(F.lit(1)).alias("__nrows"),
+            *[F.count(F.col(c)).alias(f"{c}__n") for c in columns],
+            *[
+                F.expr(f"approx_percentile({c}, array({plist}), {acc})").alias(
+                    f"{c}__b"
+                )
+                for c in columns
+            ],
+        ).first()
+
+    # optimistic first sketch at the floor accuracy; re-sketch only when
+    # the observed row count wants a tighter one (n > 1e8) — saves a
+    # dedicated count pass in the common case
+    acc = accuracy or 10_000
+    pass1 = run_pass1(acc)
+    if accuracy is None:
+        needed = min(max(pass1["__nrows"] // 10_000, 10_000), 1_000_000)
+        if needed > acc:
+            acc = needed
+            pass1 = run_pass1(acc)
+
+    aggs = []
+    for c in columns:
+        brackets = pass1[f"{c}__b"]
+        for i in range(len(percentiles)):
+            if brackets is None:
+                continue
+            lo, hi = brackets[2 * i], brackets[2 * i + 1]
+            aggs.append(
+                F.sum((F.col(c) < F.lit(lo)).cast("long")).alias(f"{c}__clo{i}")
+            )
+            aggs.append(
+                F.expr(
+                    f"sort_array(collect_list(CASE WHEN {c} >= {lo!r} "
+                    f"AND {c} <= {hi!r} THEN CAST({c} AS DOUBLE) END))"
+                ).alias(f"{c}__cand{i}")
+            )
+    pass2 = df.agg(*aggs).first() if aggs else None
+
+    out: dict[str, list[float | None]] = {}
+    for c in columns:
+        n = pass1[f"{c}__n"]
+        vals: list[float | None] = []
+        for i, p in enumerate(percentiles):
+            if n == 0 or pass1[f"{c}__b"] is None:
+                vals.append(None)
+                continue
+            h = (n - 1) * p
+            fl, ce = math.floor(h), math.ceil(h)
+            clo = pass2[f"{c}__clo{i}"] or 0
+            cand = pass2[f"{c}__cand{i}"]
+            if fl - clo < 0 or ce - clo >= len(cand):  # bracket miss
+                exact = df.agg(
+                    F.expr(f"percentile({c}, {p!r})").alias("v")
+                ).first()["v"]
+                vals.append(exact)
+                continue
+            vlo, vhi = cand[fl - clo], cand[ce - clo]
+            vals.append(vlo + (vhi - vlo) * (h - fl))
+        out[c] = vals
+    return out
+
+
 def describe_numeric(
     df: DataFrame,
     columns: list[str],
@@ -93,13 +190,12 @@ def describe_numeric(
     """A10: describe-style numeric profile with the reference's extended
     percentiles (raw_analysis/main.py:75-82 uses [.01,.05,.95,.99]).
 
-    One aggregation pass for ALL columns: each column contributes one
-    ``percentile(col, array(...))`` plus count/mean/std/min/max; output
-    is long-form (col_name, metric, value). ``exact=False`` switches to
-    the sketch-based ``approx_percentile`` for the 100 TB path.
+    One lazy aggregation pass for ALL columns' count/mean/std/min/max;
+    ``exact=True`` computes percentiles via the two-pass
+    ``bracketed_exact_percentiles`` (values land as literals in the
+    output plan); ``exact=False`` keeps everything in one pass with the
+    sketch-based ``approx_percentile`` for when approximate is fine.
     """
-    pct = "percentile" if exact else "approx_percentile"
-    plist = ", ".join(str(p) for p in percentiles)
     exprs = []
     for c in columns:
         exprs += [
@@ -108,8 +204,15 @@ def describe_numeric(
             F.stddev(F.col(c)).alias(f"{c}__std"),
             F.min(F.col(c)).cast("double").alias(f"{c}__min"),
             F.max(F.col(c)).cast("double").alias(f"{c}__max"),
-            F.expr(f"{pct}({c}, array({plist}))").alias(f"{c}__pcts"),
         ]
+    if exact:
+        pct_vals = bracketed_exact_percentiles(df, columns, list(percentiles))
+    else:
+        plist = ", ".join(str(p) for p in percentiles)
+        for c in columns:
+            exprs.append(
+                F.expr(f"approx_percentile({c}, array({plist}))").alias(f"{c}__pcts")
+            )
     row = df.agg(*exprs)
     pieces = []
     for c in columns:
@@ -119,9 +222,14 @@ def describe_numeric(
                 f"'value', CAST(`{c}__{m}` AS DOUBLE))"
             )
         for i, p in enumerate(percentiles):
+            if exact:
+                v = pct_vals[c][i]
+                lit = "CAST(NULL AS DOUBLE)" if v is None else f"CAST({v!r} AS DOUBLE)"
+            else:
+                lit = f"CAST(`{c}__pcts`[{i}] AS DOUBLE)"
             pieces.append(
                 f"named_struct('col_name', '{c}', 'metric', 'p{int(p * 100):02d}', "
-                f"'value', CAST(`{c}__pcts`[{i}] AS DOUBLE))"
+                f"'value', {lit})"
             )
     inline = f"inline(array({', '.join(pieces)}))"
     return row.select(F.expr(inline))
@@ -147,14 +255,26 @@ def iqr_outlier_count(
     """A11: count values outside [q1 - f*IQR, q3 + f*IQR] (reference
     raw_analysis/main.py:84-93).
 
-    ``exact`` uses ``percentile`` (full sort of the column — fine up to
-    ~1e9 values); ``exact=False`` uses ``approx_percentile`` (constant
-    memory sketch) for the 100 TB path.
+    ``exact=True`` gets q1/q3 from the two-pass
+    ``bracketed_exact_percentiles`` (exact values, no per-task value
+    maps — the 100 TB-safe exact path); ``exact=False`` uses the
+    one-pass ``approx_percentile`` sketch when approximate is fine.
+    Either way the outlier count itself is one narrow pass + reduce.
     """
-    pct = "percentile" if exact else "approx_percentile"
+    if exact:
+        q1, q3 = bracketed_exact_percentiles(df, [column], [0.25, 0.75])[column]
+        if q1 is None:
+            return df.limit(0).agg(F.lit(0).cast("long").alias("n_outliers"))
+        fence_lo = q1 - factor * (q3 - q1)
+        fence_hi = q3 + factor * (q3 - q1)
+        return df.select(
+            (
+                (F.col(column) < F.lit(fence_lo)) | (F.col(column) > F.lit(fence_hi))
+            ).cast("long").alias("is_outlier")
+        ).agg(F.sum("is_outlier").alias("n_outliers"))
     q = df.agg(
-        F.expr(f"{pct}({column}, 0.25)").alias("q1"),
-        F.expr(f"{pct}({column}, 0.75)").alias("q3"),
+        F.expr(f"approx_percentile({column}, 0.25)").alias("q1"),
+        F.expr(f"approx_percentile({column}, 0.75)").alias("q3"),
     )
     # cross-join the 1-row quantile frame (broadcast) — one pass + reduce
     return (

@@ -89,43 +89,231 @@ def _qcut_labels(n_bins: int, labels: list[str]) -> list[str]:
     return [labels[0]]
 
 
+_HIST_EDGE_CAP = 2_000_000  # max collected (group, col, value) hist rows
+
+
+def _group_quantile_edges(
+    df: DataFrame, group_by: list[str], value_cols: list[str], n: int
+) -> dict[tuple, dict[str, list[float]]] | None:
+    """Per-group linear-interpolation quantile edges [q0..qn], computed
+    driver-side from a value histogram: {group_key: {col: edges}}.
+
+    One map-combinable pass builds per-(group, col, value) counts (the
+    melt is an explode of a len(value_cols)-struct array — still one
+    scan); the bounded histogram (groups × distinct values, capped) is
+    collected and the weighted quantiles interpolated with the numpy
+    lerp ``v_lo + (v_hi - v_lo)·frac`` — bit-identical to pandas and
+    DuckDB ``quantile_cont``. Returns None when the histogram exceeds
+    the cap (high-cardinality doubles) — caller falls back to the
+    ``percentile`` agg.
+    """
+    import bisect
+    import math
+    from collections import defaultdict
+
+    melt = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("__col"),
+                    F.col(c).cast("double").alias("__val"),
+                )
+                for c in value_cols
+            ]
+        )
+    )
+    hist_rows = (
+        df.select(*group_by, melt.alias("m"))
+        .select(*group_by, "m.__col", "m.__val")
+        .filter(F.col("__val").isNotNull())
+        .groupBy(*group_by, "__col", "__val")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .limit(_HIST_EDGE_CAP + 1)
+        .collect()
+    )
+    if len(hist_rows) > _HIST_EDGE_CAP:
+        return None
+
+    hist: dict[tuple, dict[str, list[tuple[float, int]]]] = defaultdict(
+        lambda: defaultdict(list)
+    )
+    for r in hist_rows:
+        key = tuple(r[g] for g in group_by)
+        hist[key][r["__col"]].append((r["__val"], r["__cnt"]))
+
+    def weighted_quantiles(pairs: list[tuple[float, int]]) -> list[float]:
+        pairs.sort()
+        m = sum(cnt for _, cnt in pairs)
+        cums: list[int] = []
+        run = 0
+        for _, cnt in pairs:
+            run += cnt
+            cums.append(run)
+
+        def value_at(rank: int) -> float:
+            return pairs[bisect.bisect_right(cums, rank)][0]
+
+        out = []
+        for i in range(n + 1):
+            h = (m - 1) * (i / n)
+            fl = math.floor(h)
+            vlo, vhi = value_at(fl), value_at(math.ceil(h))
+            out.append(vlo + (vhi - vlo) * (h - fl))
+        return out
+
+    return {
+        key: {c: weighted_quantiles(cols[c]) for c in cols}
+        for key, cols in hist.items()
+    }
+
+
+def qcut_by_group_expr(
+    df: DataFrame,
+    group_by: list[str],
+    value_col: str | list[str],
+    n: int = 3,
+    labels: list[str] | None = None,
+    out_col: str | list[str] | None = None,
+) -> DataFrame:
+    """pandas-``qcut`` semantics as pure JVM expressions — no Python in
+    the data path (the ``applyInPandas`` twin ``qcut_by_group`` pays an
+    Arrow round-trip and single-threaded pandas per group).
+
+    Fast path: per-group quantile edges come from a one-pass value
+    histogram interpolated driver-side (numpy-identical lerp), then the
+    assignment is an inlined literal CASE chain — group dispatch and
+    right-closed-interval comparisons against constant edges, fully
+    codegen'd, zero joins, zero extra scans. duplicates='drop' happens
+    driver-side (dedup edges, shrink the label set like _qcut_labels).
+
+    Fallback (histogram over the cap — high-cardinality doubles):
+    grouped ``percentile`` agg broadcast-joined back, bucket index via
+    unrolled comparisons (no HOF lambdas — Spark interprets those).
+
+    Verified equal to ``qcut_by_group`` (and hence pandas) in pytest
+    and against the DuckDB value-bin oracle in the contract gate.
+    """
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    if out_col is None:
+        out_cols = [f"{c}Bucket" for c in value_cols]
+    else:
+        out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    labels = labels or DEFAULT_LABELS
+
+    edge_map = _group_quantile_edges(df, group_by, value_cols, n)
+    if edge_map is not None:
+        out = df
+        for vc, oc in zip(value_cols, out_cols):
+            v = F.col(vc)
+            expr = None
+            for key, cols in edge_map.items():
+                if vc not in cols:
+                    continue
+                uniq = sorted(set(cols[vc]))
+                k = len(uniq) - 1
+                if k < 1:
+                    continue
+                lbs = _qcut_labels(k, labels)
+                inner = uniq[1:-1]
+                assign = F.lit(lbs[-1])
+                for e, lb in zip(reversed(inner), reversed(lbs[:-1])):
+                    assign = F.when(v <= F.lit(e), F.lit(lb)).otherwise(assign)
+                cond = None
+                for g, kv in zip(group_by, key):
+                    c = F.col(g).eqNullSafe(F.lit(kv))
+                    cond = c if cond is None else cond & c
+                expr = F.when(cond, assign) if expr is None else expr.when(cond, assign)
+            if expr is None:
+                out = out.withColumn(oc, F.lit(None).cast("string"))
+            else:
+                out = out.withColumn(oc, F.when(v.isNotNull(), expr))
+        return out
+
+    # fallback: grouped percentile agg + broadcast join
+    qs = ", ".join(repr(i / n) for i in range(n + 1))
+    edges = df.groupBy(*group_by).agg(
+        *[
+            F.expr(f"percentile({c}, array({qs}))").alias(f"__edges_{c}")
+            for c in value_cols
+        ]
+    )
+    out = df.join(F.broadcast(edges), group_by)
+    for vc, oc in zip(value_cols, out_cols):
+        uniq = F.array_distinct(F.col(f"__edges_{vc}"))
+        sz = F.size(uniq)
+        k = sz - 1  # bin count after duplicate collapse
+        v = F.col(vc)
+        # bucket = #{inner edges e : v > e}; inner edges sit at 1-based
+        # positions 2..sz-1. Unrolled over the n-1 possible positions —
+        # plain codegen'd comparisons, no higher-order functions
+        idx = F.lit(0)
+        for j in range(2, n + 1):
+            idx = idx + F.when(
+                (F.lit(j) <= sz - 1) & (v > F.element_at(uniq, j)), F.lit(1)
+            ).otherwise(F.lit(0))
+        label_arr = None
+        for kk in range(1, n + 1):
+            arr = F.array(*[F.lit(x) for x in _qcut_labels(kk, labels)])
+            label_arr = (
+                F.when(k == kk, arr) if label_arr is None
+                else label_arr.when(k == kk, arr)
+            )
+        out = out.withColumn(
+            oc,
+            F.when(v.isNotNull() & (k >= 1), F.element_at(label_arr, idx + 1)),
+        )
+    return out.drop(*[f"__edges_{c}" for c in value_cols])
+
+
 def qcut_by_group(
     df: DataFrame,
     group_by: list[str],
-    value_col: str,
+    value_col: str | list[str],
     n: int = 3,
     labels: list[str] | None = None,
-    out_col: str | None = None,
+    out_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Exact pandas-``qcut`` bucketing per group via ``applyInPandas``.
 
     Arrow-batched grouped map; per-group data fits one worker (the
     reference's groups are year-sized). Pandas-parity variant of
     ``ntile_buckets`` for callers needing bin-by-value semantics.
+
+    ``value_col`` may be a list: all columns are bucketed in ONE grouped
+    Arrow pass (one shuffle, one Python round-trip) instead of one
+    ``applyInPandas`` stage per column.
     """
     import pandas as pd
 
     labels = labels or DEFAULT_LABELS
-    out_col = out_col or f"{value_col}Bucket"
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    if out_col is None:
+        out_cols = [f"{c}Bucket" for c in value_cols]
+    else:
+        out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     schema_out = T.StructType(
-        [*df.schema.fields, T.StructField(out_col, T.StringType(), True)]
+        [
+            *df.schema.fields,
+            *[T.StructField(o, T.StringType(), True) for o in out_cols],
+        ]
     )
 
     def bucketize(pdf: pd.DataFrame) -> pd.DataFrame:
-        series = pdf[value_col]
-        try:
-            binned, edges = pd.qcut(
-                series, q=n, retbins=True, duplicates="drop", labels=None
-            )
-            n_bins = len(edges) - 1
-            if n_bins <= 0:
-                pdf[out_col] = None
-                return pdf
-            lbs = _qcut_labels(n_bins, labels)
-            pdf[out_col] = binned.cat.rename_categories(lbs).astype(str)
-            pdf.loc[series.isna(), out_col] = None
-        except (ValueError, IndexError):
-            pdf[out_col] = None
+        for vc, oc in zip(value_cols, out_cols):
+            series = pdf[vc]
+            try:
+                binned, edges = pd.qcut(
+                    series, q=n, retbins=True, duplicates="drop", labels=None
+                )
+                n_bins = len(edges) - 1
+                if n_bins <= 0:
+                    pdf[oc] = None
+                    continue
+                lbs = _qcut_labels(n_bins, labels)
+                pdf[oc] = binned.cat.rename_categories(lbs).astype(str)
+                pdf.loc[series.isna(), oc] = None
+            except (ValueError, IndexError):
+                pdf[oc] = None
         return pdf
 
     return df.groupBy(*group_by).applyInPandas(bucketize, schema=schema_out)

@@ -377,3 +377,58 @@ def test_token_set_distance_top1_matches_fuzzywuzzy_reference(spark):
         # max() keeps the FIRST maximum of the sorted domain = lexical tiebreak
         want[d] = best
     assert got == want
+
+
+def test_bracketed_exact_percentiles_match_percentile_agg(spark):
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.profile import bracketed_exact_percentiles
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    ps = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = bracketed_exact_percentiles(li, ["l_extendedprice", "l_quantity"], ps)
+    want = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, ps))}))").alias("a"),
+        F.expr(f"percentile(l_quantity, array({','.join(map(str, ps))}))").alias("b"),
+    ).first()
+    assert got["l_extendedprice"] == list(want["a"])
+    assert got["l_quantity"] == list(want["b"])
+
+
+def test_bracketed_exact_percentiles_edge_cases(spark):
+    from dw_etl_spark.operators.profile import bracketed_exact_percentiles
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (None, None)], "x double, y double"
+    )
+    got = bracketed_exact_percentiles(df, ["x", "y"], [0.5])
+    assert got["x"] == [1.5]
+    assert got["y"] == [None]
+
+
+def test_qcut_expr_equals_pandas_variant(spark):
+    """The JVM-expression qcut must agree with the applyInPandas (and
+    hence pandas) variant row-for-row, including the duplicate-edge
+    label collapse (qty_clamped ties at the 1/3 edge) and NaN rows."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.qcut import qcut_by_group, qcut_by_group_expr
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.greatest(F.col("l_quantity").cast("double"), F.lit(20.0)).alias("qc"),
+        F.when(F.col("l_linenumber") == 1, None)
+         .otherwise(F.col("l_extendedprice")).alias("px"),
+    )
+    cols = dict(value_col=["qty", "qc", "px"], out_col=["b1", "b2", "b3"])
+    key = ["l_orderkey", "l_linenumber", "qty"]
+    a = qcut_by_group(li, ["l_returnflag"], n=3, **cols)
+    b = qcut_by_group_expr(li, ["l_returnflag"], n=3, **cols)
+    rows_a = sorted(map(tuple, a.select(*key, "b1", "b2", "b3").collect()))
+    rows_b = sorted(map(tuple, b.select(*key, "b1", "b2", "b3").collect()))
+    assert rows_a == rows_b
