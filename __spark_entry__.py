@@ -19,7 +19,13 @@ from pyspark.sql import Window
 
 from dw_etl_spark import oracles
 from dw_etl_spark.functions.scalar import clean_whitespace
-from dw_etl_spark.functions.text import fingerprint, lang_id, quality_score, token_count
+from dw_etl_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    subword_count,
+    token_count,
+)
 from dw_etl_spark.operators.joins import fuzzy_top1_join
 from dw_etl_spark.operators.multimodal import media_stats, pack_documents_as_media
 from dw_etl_spark.operators.profile import (
@@ -476,6 +482,7 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         clean_whitespace("text").alias("cleaned"),
         token_count("text").alias("n_tokens"),
+        subword_count("text").alias("n_subwords"),
         lang_id("text").alias("lang_pred"),
         quality_score("text").cast("double").alias("quality"),
         fingerprint("text").alias("fp"),

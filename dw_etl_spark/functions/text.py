@@ -91,6 +91,24 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# GPT-2-family pre-tokenizer shape, RE2-compatible (no lookahead, so the
+# DuckDB oracle replays it exactly): optional leading space + a letter
+# run / digit run / punctuation run. Whitespace-only stretches are not
+# counted (the lookahead-dependent trailing-space rule is the one
+# deviation from the GPT-2 pattern).
+_SUBWORD_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def subword_count(col: Column | str) -> Column:
+    """BPE-ish token-count estimate: the number of pre-tokenizer pieces
+    (letter runs, digit runs, punctuation runs, each with an optional
+    leading space). Counts pieces a byte-pair vocabulary would start
+    from — a closer LLM-token estimate than whitespace words (which
+    undercount punctuation-heavy and digit-heavy text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_SUBWORD_RE), 0)).cast("long")
+
+
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-gram (shingle) set of the text.
 

@@ -83,10 +83,15 @@ def text_features_sql() -> str:
         f" + (CASE WHEN {stop_hits} > 0 THEN 0.25 ELSE 0.0 END), 2)"
     )
     fp = h64("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    # twin of functions/text.py _SUBWORD_RE (RE2-compatible by design)
+    n_subwords = (
+        "len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+', 0))"
+    )
     return f"""
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned,
        CAST({n_toks} AS BIGINT) AS n_tokens,
+       CAST({n_subwords} AS BIGINT) AS n_subwords,
        {lang_case} AS lang_pred,
        CAST({quality} AS DOUBLE) AS quality,
        {fp} AS fp

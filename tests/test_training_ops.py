@@ -250,3 +250,24 @@ def test_lsh_topk_or_amplification_recall(spark):
     assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
     # no duplicate (query, neighbor) rows despite 16 tables
     assert approx_df.count() == approx_df.select("query_id", "neighbor_id").distinct().count()
+
+
+def test_subword_count_bpe_ish(spark):
+    """Pre-tokenizer piece counts: letter/digit/punct runs with optional
+    leading space; punctuation- and digit-heavy text counts higher than
+    whitespace words."""
+    from dw_etl_spark.functions.text import subword_count, token_count
+
+    df = spark.createDataFrame(
+        [
+            ("hello world",),           # 2 words, 2 pieces
+            ("don't stop",),            # don + ' + t + stop = 4 pieces
+            ("v2.5-beta!",),            # v 2 . 5 - beta ! = 7 pieces
+            ("",),
+        ],
+        ["text"],
+    )
+    rows = df.select(
+        token_count("text").alias("w"), subword_count("text").alias("s")
+    ).collect()
+    assert [(r["w"], r["s"]) for r in rows] == [(2, 2), (2, 4), (1, 7), (0, 0)]
