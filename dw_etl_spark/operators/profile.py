@@ -98,14 +98,19 @@ def bracketed_exact_percentiles(
       pass 1 — count(col) + an approx_percentile sketch probed at
                p ± 3/accuracy: rank-error guarantees make [lo, hi] a
                certain bracket of both interpolation neighbors.
-      pass 2 — per percentile: count(col < lo) and collect the few
-               in-bracket values (≈ 6·n/accuracy of them).
-      driver — sort candidates, pick floor/ceil ranks, interpolate
-               with the same lower + (upper-lower)·frac arithmetic as
-               ``percentile``/DuckDB ``quantile_cont`` (IEEE-identical).
+      pass 2a — per percentile: exact count(col < lo) (one flat agg).
+      pass 2b — histogram of the in-bracket values: value → count via
+               a melt + groupBy (NOT a raw collect_list — a tie-heavy
+               column puts one value at many ranks, and collecting
+               duplicates scales with row count; distinct values stay
+               ≤ ~6·n/accuracy).
+      driver — walk the cumulative histogram to the floor/ceil ranks,
+               interpolate with the same lower + (upper-lower)·frac
+               arithmetic as ``percentile``/DuckDB ``quantile_cont``
+               (IEEE-identical).
 
     ``accuracy`` auto-scales as clamp(n/10⁴, 10⁴, 10⁶) so the collected
-    bracket stays ~60k values regardless of n (≤ ~50 MB at the cap).
+    histogram stays ~60k entries regardless of n (≤ ~50 MB at the cap).
     Falls back to the ``percentile`` agg if a bracket misses (cannot
     happen within the sketch's guarantees — pure defense).
     """
@@ -139,43 +144,83 @@ def bracketed_exact_percentiles(
             acc = needed
             pass1 = run_pass1(acc)
 
+    # pass 2a: exact below-bracket counts, one flat agg
     aggs = []
+    bracket_conds: dict[str, object] = {}
     for c in columns:
         brackets = pass1[f"{c}__b"]
+        if brackets is None:
+            continue
+        cond = None
         for i in range(len(percentiles)):
-            if brackets is None:
-                continue
             lo, hi = brackets[2 * i], brackets[2 * i + 1]
             aggs.append(
                 F.sum((F.col(c) < F.lit(lo)).cast("long")).alias(f"{c}__clo{i}")
             )
-            aggs.append(
-                F.expr(
-                    f"sort_array(collect_list(CASE WHEN {c} >= {lo!r} "
-                    f"AND {c} <= {hi!r} THEN CAST({c} AS DOUBLE) END))"
-                ).alias(f"{c}__cand{i}")
-            )
+            in_bracket = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+            cond = in_bracket if cond is None else cond | in_bracket
+        bracket_conds[c] = cond
     pass2 = df.agg(*aggs).first() if aggs else None
+
+    # pass 2b: in-bracket value histogram for all columns in one job
+    hist: dict[str, list[tuple[float, int]]] = {c: [] for c in columns}
+    if bracket_conds:
+        melt = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("__col"),
+                        F.when(bracket_conds[c], F.col(c).cast("double")).alias(
+                            "__val"
+                        ),
+                    )
+                    for c in bracket_conds
+                ]
+            )
+        )
+        for r in (
+            df.select(melt.alias("m"))
+            .select("m.__col", "m.__val")
+            .filter(F.col("__val").isNotNull())
+            .groupBy("__col", "__val")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .collect()
+        ):
+            hist[r["__col"]].append((r["__val"], r["__cnt"]))
+        for c in hist:
+            hist[c].sort()
 
     out: dict[str, list[float | None]] = {}
     for c in columns:
         n = pass1[f"{c}__n"]
+        brackets = pass1[f"{c}__b"]
         vals: list[float | None] = []
         for i, p in enumerate(percentiles):
-            if n == 0 or pass1[f"{c}__b"] is None:
+            if n == 0 or brackets is None:
                 vals.append(None)
                 continue
             h = (n - 1) * p
             fl, ce = math.floor(h), math.ceil(h)
             clo = pass2[f"{c}__clo{i}"] or 0
-            cand = pass2[f"{c}__cand{i}"]
-            if fl - clo < 0 or ce - clo >= len(cand):  # bracket miss
+            lo, hi = brackets[2 * i], brackets[2 * i + 1]
+
+            def value_at(rank: int) -> float | None:
+                cum = clo
+                for v, cnt in hist[c]:
+                    if v < lo or v > hi:
+                        continue
+                    cum += cnt
+                    if rank < cum:
+                        return v
+                return None
+
+            vlo, vhi = value_at(fl), value_at(ce)
+            if fl < clo or vlo is None or vhi is None:  # bracket miss
                 exact = df.agg(
                     F.expr(f"percentile({c}, {p!r})").alias("v")
                 ).first()["v"]
                 vals.append(exact)
                 continue
-            vlo, vhi = cand[fl - clo], cand[ce - clo]
             vals.append(vlo + (vhi - vlo) * (h - fl))
         out[c] = vals
     return out
