@@ -143,6 +143,7 @@ class ParquetWarehouse:
         spec: TableSpec,
         parents: dict[str, DataFrame] | None = None,
         partition_by: list[str] | None = None,
+        pin: bool = True,
     ) -> None:
         """Drop-and-recreate load (S7+S9 parity): cast declared types,
         validate PK/FK invariants, overwrite parquet.
@@ -150,17 +151,32 @@ class ParquetWarehouse:
         ``partition_by`` maps to hive-style directory partitioning —
         the scale lever the reference's flat tables lack (partition
         pruning on the read side).
+
+        The frame is pinned for the duration of the load (``pin``): the
+        PK check, each FK check, and the write are separate actions, and
+        without a persist every one recomputes the full upstream
+        lineage. Pass ``pin=False`` when the caller manages the frame's
+        cache lifecycle itself (``load_star_schema`` does, because a dim
+        outlives its own write as the fact's FK parent).
         """
+        from pyspark import StorageLevel
+
         for c, t in spec.column_types.items():  # S12: cast before write
             df = df.withColumn(c, F.col(c).cast(t))
-        check_primary_key(df, spec.primary_key)
-        for fk in spec.foreign_keys:
-            if parents and fk.ref_table in parents:
-                check_foreign_key(df, fk, parents[fk.ref_table])
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._path(spec.name))
+        if pin:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            check_primary_key(df, spec.primary_key)
+            for fk in spec.foreign_keys:
+                if parents and fk.ref_table in parents:
+                    check_foreign_key(df, fk, parents[fk.ref_table])
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self._path(spec.name))
+        finally:
+            if pin:
+                df.unpersist()
 
 
 # Spark dtype → SQL DDL type (reference load.py:21-33 get_id_datatype).
@@ -283,12 +299,28 @@ def load_star_schema(
 ) -> None:
     """Reference load stage (jobs.py:41-47, load.py:82-168): dims first,
     fact last so FK targets exist; with JDBC, FKs dropped up front.
+
+    Dims are pinned across the whole load — each serves as its own
+    write input AND as the broadcast parent of the fact's FK checks.
     """
+    from pyspark import StorageLevel
+
     if isinstance(warehouse, JdbcWarehouse):
         for spec in specs.values():
             for fk in spec.foreign_keys:
                 warehouse.execute(ddl_drop_foreign_key(spec.name, fk.name))
-    dims = {n: df for n, df in tables.items() if n != fact_name}
-    for name, df in dims.items():
-        warehouse.write_table(df, specs[name])
-    warehouse.write_table(tables[fact_name], specs[fact_name], parents=dims)
+    dims = {
+        n: df.persist(StorageLevel.MEMORY_AND_DISK)
+        for n, df in tables.items()
+        if n != fact_name
+    }
+    pin_kw = {"pin": False} if isinstance(warehouse, ParquetWarehouse) else {}
+    try:
+        for name, df in dims.items():
+            warehouse.write_table(df, specs[name], **pin_kw)
+        warehouse.write_table(
+            tables[fact_name], specs[fact_name], parents=dims
+        )
+    finally:
+        for df in dims.values():
+            df.unpersist()
