@@ -528,6 +528,53 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: minhash pairs → connected
+    components (iterative min-label propagation) → every doc labeled
+    with its cluster id (its own id when it has no near-dup). The
+    transitive-closure step a real corpus dedup needs on top of LSH;
+    oracle = recursive-CTE closure over the same pairs."""
+    from dw_etl_spark.operators.graph import connected_components
+
+    corpus = _docs_with_copies(spark, sf_dir, " qq")
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=2, num_hashes=32, bands=8, min_jaccard=0.5
+    )
+    comp = connected_components(pairs)
+    return (
+        corpus.select("doc_id")
+        .join(comp, corpus["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS ({oracles.minhash_lsh_pairs_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id, min(m) AS component FROM reach GROUP BY id),
+corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 FROM documents
+)
+SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component
+FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
+"""
+
+
 # ---- similarity search ----------------------------------------------------
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -971,6 +1018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": _q_minhash_lsh,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
     "simhash_pairs": _q_simhash,
+    "dedup_clusters": _q_dedup_clusters,
     "cosine_topk": _q_cosine_topk,
     "lsh_topk": _q_lsh_topk,
     "embedding_dup_pairs": _q_embedding_dups,
@@ -1558,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "cosine_topk": oracles.cosine_topk_sql(),
         "lsh_topk": oracles.lsh_topk_sql(),
         "embedding_dup_pairs": oracles.embedding_dup_pairs_sql(),

@@ -1,0 +1,90 @@
+"""Connected components + cluster-level dedup (training-data extension).
+
+``minhash_lsh_pairs``/``simhash_pairs``/``embedding_dup_pairs`` emit
+near-duplicate PAIRS; an end-to-end corpus dedup needs the transitive
+closure — if A~B and B~C, exactly one of {A,B,C} survives. That closure
+is connected components over the pair graph.
+
+Spark-first design (no GraphX dependency — it has no Python API):
+iterative min-label propagation, the standard large-graph formulation:
+
+  label(v) ← min(label(v), min_{(u,v)∈E} label(u))     until fixpoint
+
+- Near-dup graphs are many tiny star/clique components, so the label
+  diameter is small and convergence takes a handful of rounds; the cap
+  (``max_iter``) bounds pathological chains.
+- Each round is one join + one aggregation, both shuffling on the node
+  id — co-partitioned round to round.
+- ``localCheckpoint`` truncates the per-round lineage (otherwise the
+  plan doubles every iteration and planning time, not data, becomes
+  the bottleneck) and pins the frame for the convergence check.
+- Convergence is detected with one tiny agg (sum of labels + count of
+  label==id) instead of a join against the previous round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node id → component id) for every node appearing in ``edges``;
+    the component id is the minimum node id of the component.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    sym = sym.localCheckpoint()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        msgs = labels.join(sym, labels["id"] == sym["a"]).select(
+            F.col("b").alias("id"), F.col("component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        sig = new_labels.agg(
+            F.sum("component").alias("s"), F.count(F.lit(1)).alias("n")
+        ).first()
+        labels = new_labels
+        if prev_sig == (sig["s"], sig["n"]):
+            break
+        prev_sig = (sig["s"], sig["n"])
+    return labels
+
+
+def cluster_dedup(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one document per near-duplicate cluster (the minimum id),
+    plus every document with no near-dup pair. ``pairs`` is any of the
+    near-dup pair frames (minhash/simhash/embedding).
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    # the survivor of each cluster IS its component id (the min node id)
+    dropped = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(dropped, id_col, "left_anti")

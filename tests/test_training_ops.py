@@ -271,3 +271,48 @@ def test_subword_count_bpe_ish(spark):
         token_count("text").alias("w"), subword_count("text").alias("s")
     ).collect()
     assert [(r["w"], r["s"]) for r in rows] == [(2, 2), (2, 4), (1, 7), (0, 0)]
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A 6-node chain (worst case for label propagation), a triangle,
+    and an isolated edge — every node labeled with its component min."""
+    from dw_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # chain
+         (10, 11), (11, 12), (10, 12),                # triangle
+         (20, 21)],                                    # pair
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_cluster_dedup_removes_minhash_duplicates(spark):
+    """End-to-end: corpus ∪ perturbed copies → minhash pairs → cluster
+    dedup keeps exactly one doc per near-dup cluster."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.graph import cluster_dedup
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=2, num_hashes=32, bands=8, min_jaccard=0.5
+    )
+    kept = cluster_dedup(corpus, pairs)
+    n_docs, n_corpus, n_kept = docs.count(), corpus.count(), kept.count()
+    assert n_corpus == 2 * n_docs
+    # every copy is caught; some in-corpus near-dups may also merge
+    assert n_kept <= n_docs
+    # survivors are the min ids: no surviving doc has its base twin dropped
+    assert kept.filter(F.col("doc_id") >= 100000).count() < n_docs * 0.05
