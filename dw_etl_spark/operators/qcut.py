@@ -190,8 +190,14 @@ def qcut_by_group_expr(
     grouped ``percentile`` agg broadcast-joined back, bucket index via
     unrolled comparisons (no HOF lambdas — Spark interprets those).
 
-    Verified equal to ``qcut_by_group`` (and hence pandas) in pytest
-    and against the DuckDB value-bin oracle in the contract gate.
+    Semantics note: edges follow EXACT-RANK arithmetic (``percentile``/
+    ``quantile_cont``). pandas qcut routes quantiles through
+    ``np.percentile(q*100)`` whose /100 round-trip lands 1 ulp low, so
+    at an exactly-integral rank (e.g. [1,1,2,2] at q=2/3) pandas keeps
+    a bin this variant collapses. Property-tested against DuckDB
+    quantile_cont; the divergence corner is pinned in
+    ``test_qcut_tie_rank_ulp_divergence_documented``. Use
+    ``qcut_by_group`` when bit-exact pandas behavior is required.
     """
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
     if out_col is None:

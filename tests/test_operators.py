@@ -432,3 +432,24 @@ def test_qcut_expr_equals_pandas_variant(spark):
     rows_a = sorted(map(tuple, a.select(*key, "b1", "b2", "b3").collect()))
     rows_b = sorted(map(tuple, b.select(*key, "b1", "b2", "b3").collect()))
     assert rows_a == rows_b
+
+
+def test_qcut_tie_rank_ulp_divergence_documented(spark):
+    """On [1,1,2,2] the 2/3-quantile rank is exactly integral: exact
+    arithmetic (DuckDB quantile_cont, the correctness gate, and the JVM
+    qcut variant) yields edge 2.0 and collapses to ONE bin, while
+    pandas' np.percentile(q*100) path computes the edge 1-2 ulp below
+    2.0 and keeps TWO bins. Both behaviors are intentional: the expr
+    variant matches the gate, the applyInPandas variant matches the
+    reference's pandas. This test pins the divergence so a change to
+    either side is caught."""
+    from dw_etl_spark.operators.qcut import qcut_by_group, qcut_by_group_expr
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 0), ("g", 1.0, 1), ("g", 2.0, 2), ("g", 2.0, 3)],
+        "g string, v double, rid int",
+    )
+    expr = {r["rid"]: r["b"] for r in qcut_by_group_expr(df, ["g"], "v", n=3, out_col="b").collect()}
+    pnd = {r["rid"]: r["b"] for r in qcut_by_group(df, ["g"], "v", n=3, out_col="b").collect()}
+    assert expr == {0: "Low", 1: "Low", 2: "Low", 3: "Low"}
+    assert pnd == {0: "Low", 1: "Low", 2: "High", 3: "High"}

@@ -154,3 +154,72 @@ def test_minhash_signature_agreement_tracks_jaccard(spark, seed):
     true_j = inter / union
     # 32 lanes → binomial std ≤ 0.09; allow 4 sigma
     assert abs(agree - true_j) <= 0.36, (agree, true_j)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.one_of(
+                st.none(),
+                # heavy-tie pool so duplicate quantile edges actually occur
+                st.sampled_from([1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 13.0]),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_qcut_expr_matches_duckdb_quantile_cont(spark, rows):
+    """Property: the JVM-expression qcut follows exact-rank
+    (quantile_cont) semantics on random grouped data — ties, all-null
+    groups, singleton groups, duplicate-edge collapse and all. The
+    reference computes edges with DuckDB and assigns bins in plain
+    python. (pandas qcut is NOT the reference here: its
+    percentile/100 round-trip shifts edges at exactly-integral ranks
+    by 1 ulp — see test_qcut_tie_rank_ulp_divergence.)"""
+    import duckdb
+    import pandas as pd
+
+    from dw_etl_spark.operators.qcut import _qcut_labels, qcut_by_group_expr
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, v double, rid int"
+    )
+    got = {
+        r["rid"]: r["b"]
+        for r in qcut_by_group_expr(df, ["g"], "v", n=3, out_col="b").collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["g", "v"]).assign(rid=range(len(rows)))
+    con = duckdb.connect()
+    con.register("t", pdf)
+    edges = {
+        r[0]: [r[1], r[2], r[3], r[4]]
+        for r in con.execute(
+            "SELECT g, quantile_cont(v, 0.0), quantile_cont(v, 1.0/3.0), "
+            "quantile_cont(v, 2.0/3.0), quantile_cont(v, 1.0) "
+            "FROM t WHERE v IS NOT NULL GROUP BY g"
+        ).fetchall()
+    }
+    want = {}
+    for _, row in pdf.iterrows():
+        g, v, rid = row["g"], row["v"], row["rid"]
+        if pd.isna(v) or g not in edges or edges[g][0] is None:
+            want[rid] = None
+            continue
+        uniq = sorted(set(edges[g]))
+        k = len(uniq) - 1
+        if k < 1:
+            want[rid] = None
+            continue
+        lbs = _qcut_labels(k, ["Low", "Medium", "High"])
+        inner = uniq[1:-1]
+        label = lbs[-1]
+        for e, lb in zip(inner, lbs[:-1]):
+            if v <= e:
+                label = lb
+                break
+        want[rid] = label
+    assert got == want
