@@ -163,3 +163,64 @@ def test_first_seen_dedup_stream(spark):
         for r in read_table(spark, SF_SMOKE, "events").select("event_type").distinct().collect()
     }
     assert set(types) == batch_types
+
+
+def test_scd2_stream_writer_incremental_dimension(spark, tmp_path):
+    """foreachBatch SCD2 maintenance: stream attribute updates into a
+    parquet dimension; versions open/close across epochs and a restart
+    with the same checkpoint is a no-op (idempotent merge)."""
+    import json
+
+    from dw_etl_spark.operators.scd import scd2_current
+    from dw_etl_spark.streaming.sinks import scd2_stream_writer
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    dim_path = str(tmp_path / "dim_country")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "country string, gdp double, seen string"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.json")
+            .json(str(src))
+        )
+        q = scd2_stream_writer(
+            stream, spark, dim_path,
+            key=["country"], attrs=["gdp"],
+            checkpoint_dir=ckpt, effective_col="seen",
+        )
+        q.awaitTermination()
+
+    # epoch 1: two brand-new keys (one with an in-batch duplicate —
+    # latest by `seen` must win)
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"country": "PL", "gdp": 100.0, "seen": "2024-01-01"},
+            {"country": "PL", "gdp": 105.0, "seen": "2024-02-01"},
+            {"country": "DE", "gdp": 200.0, "seen": "2024-02-01"},
+        ])
+    )
+    run()
+    cur = {r["country"]: r["gdp"] for r in scd2_current(spark.read.parquet(dim_path)).collect()}
+    assert cur == {"PL": 105.0, "DE": 200.0}
+
+    # epoch 2: PL changes, DE unchanged
+    (src / "b2.json").write_text(
+        json.dumps({"country": "PL", "gdp": 110.0, "seen": "2024-06-01"})
+        + "\n"
+        + json.dumps({"country": "DE", "gdp": 200.0, "seen": "2024-06-01"})
+    )
+    run()
+    dim = spark.read.parquet(dim_path)
+    assert {r["country"]: r["gdp"] for r in scd2_current(dim).collect()} == {
+        "PL": 110.0, "DE": 200.0,
+    }
+    closed_pl = dim.filter("country = 'PL' AND valid_to IS NOT NULL").collect()
+    assert len(closed_pl) == 1 and str(closed_pl[0]["valid_to"]) == "2024-06-01"
+
+    # restart with no new data: nothing changes (checkpoint + idempotence)
+    before = sorted(map(tuple, dim.collect()))
+    run()
+    assert sorted(map(tuple, spark.read.parquet(dim_path).collect())) == before
