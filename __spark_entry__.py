@@ -970,6 +970,81 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---- deterministic sampling / splits ---------------------------------------
+
+def _q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based dataset split (80/10/10 by md5 bucket —
+    run-, engine- and partition-independent; the reproducibility a
+    training pipeline needs for stable eval sets). Oracle replays the
+    identical md5 arithmetic."""
+    from dw_etl_spark.operators.sampling import train_val_test_split
+
+    cust = read_table(spark, sf_dir, "customer")
+    train, val, test = train_val_test_split(cust, "c_custkey")
+    parts = [
+        df.agg(
+            F.lit(name).alias("split"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        for name, df in [("train", train), ("val", val), ("test", test)]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_SAMPLING_BUCKET = (
+    "CAST('0x' || substr(md5('split|' || CAST(c_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 10000"
+)
+
+_TRAIN_VAL_TEST_SQL = f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM (
+  SELECT CASE WHEN {_SAMPLING_BUCKET} < 1000 THEN 'val'
+              WHEN {_SAMPLING_BUCKET} < 2000 THEN 'test'
+              ELSE 'train' END AS split,
+         c_acctbal
+  FROM customer
+)
+GROUP BY split
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling: BUILDING at 10%,
+    MACHINERY at 50%, everything else kept whole."""
+    from dw_etl_spark.operators.sampling import stratified_sample
+
+    cust = read_table(spark, sf_dir, "customer")
+    sampled = stratified_sample(
+        cust,
+        "c_mktsegment",
+        {"BUILDING": 0.1, "MACHINERY": 0.5},
+        id_col="c_custkey",
+        default_fraction=1.0,
+    )
+    return sampled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+WHERE {_SAMPLING_BUCKET} < CASE c_mktsegment
+         WHEN 'BUILDING' THEN 1000
+         WHEN 'MACHINERY' THEN 5000
+         ELSE 10000 END
+GROUP BY c_mktsegment
+"""
+
+
 # ---- multimodal plumbing --------------------------------------------------
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,6 +1104,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dbf_scan": _q_dbf_scan,
     "scd2_apply": _q_scd2_apply,
     "qcut_value_bins": _q_qcut_value_bins,
+    "train_val_test_split": _q_train_val_test,
+    "stratified_sample": _q_stratified_sample,
 }
 
 
@@ -1617,4 +1694,6 @@ def oracle_sql() -> dict[str, str]:
         "dbf_scan": _dbf_scan_sql(),
         "scd2_apply": _SCD2_SQL,
         "qcut_value_bins": _QCUT_VALUE_BINS_SQL,
+        "train_val_test_split": _TRAIN_VAL_TEST_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     }

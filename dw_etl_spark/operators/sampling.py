@@ -1,0 +1,85 @@
+"""Deterministic sampling and dataset splits (training-data extension).
+
+A training-data pipeline needs reproducible sampling: the same document
+must land in the same split on every run, on any engine, at any
+parallelism — which rules out RNG-based ``df.sample`` (seed-stable only
+within one Spark version/partitioning). Hash-based assignment gives
+run-, engine- and partition-independent splits:
+
+    bucket(id) = md5-hash(salt|id) mod B        (B = 10_000)
+
+- Pure narrow map — no shuffle, no RNG state, pushdown-friendly.
+- The md5 formulation is the same portable pattern as
+  ``functions.text.stable_hash64`` — the DuckDB oracle reproduces it
+  bit-for-bit, so sampling queries sit in the hard correctness gate.
+- Changing ``salt`` draws an independent sample; keeping it pins the
+  assignment forever (the property that makes eval sets stable across
+  corpus re-crawls).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, 10000) from md5(salt|value)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "split"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, stable across runs/engines."""
+    return df.filter(hash_bucket(id_col, salt) < int(round(fraction * BUCKETS)))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(train, val, test) by contiguous bucket ranges — disjoint and
+    exhaustive, stable under corpus growth (a new id never moves an
+    existing id's split)."""
+    b = hash_bucket(id_col, salt)
+    v = int(round(val_fraction * BUCKETS))
+    t = int(round(test_fraction * BUCKETS))
+    val = df.filter(b < v)
+    test = df.filter((b >= v) & (b < v + t))
+    train = df.filter(b >= v + t)
+    return train, val, test
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "split",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    languages, keep all rare ones). ``fractions`` maps stratum value →
+    keep fraction; unlisted strata use ``default_fraction``.
+    """
+    b = hash_bucket(id_col, salt)
+    thresholds = F.lit(int(round(default_fraction * BUCKETS)))
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col).eqNullSafe(F.lit(value))
+        thr = F.lit(int(round(frac * BUCKETS)))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    threshold = expr.otherwise(thresholds) if expr is not None else thresholds
+    return df.filter(b < threshold)

@@ -316,3 +316,44 @@ def test_cluster_dedup_removes_minhash_duplicates(spark):
     assert n_kept <= n_docs
     # survivors are the min ids: no surviving doc has its base twin dropped
     assert kept.filter(F.col("doc_id") >= 100000).count() < n_docs * 0.05
+
+
+def test_train_val_test_split_disjoint_exhaustive_stable(spark):
+    from dw_etl_spark.operators.sampling import train_val_test_split
+    from dw_etl_spark.sources.files import read_table
+
+    cust = read_table(spark, SF_SMOKE, "customer")
+    train, val, test = train_val_test_split(cust, "c_custkey")
+    n = cust.count()
+    nt, nv, ns = train.count(), val.count(), test.count()
+    assert nt + nv + ns == n
+    assert 0.05 * n < nv < 0.15 * n and 0.05 * n < ns < 0.15 * n
+    # stability: same ids land in the same split on a re-run
+    train2, _, _ = train_val_test_split(cust, "c_custkey")
+    assert sorted(r["c_custkey"] for r in train.select("c_custkey").collect()) \
+        == sorted(r["c_custkey"] for r in train2.select("c_custkey").collect())
+    # growth-stability: splitting a SUBSET never moves a surviving id
+    sub = cust.filter(F.col("c_custkey") % 2 == 0)
+    sub_train, _, _ = train_val_test_split(sub, "c_custkey")
+    full_train_ids = {r["c_custkey"] for r in train.select("c_custkey").collect()}
+    for r in sub_train.select("c_custkey").collect():
+        assert r["c_custkey"] in full_train_ids
+
+
+def test_stratified_sample_fractions(spark):
+    from dw_etl_spark.operators.sampling import stratified_sample
+    from dw_etl_spark.sources.files import read_table
+
+    cust = read_table(spark, SF_SMOKE, "customer")
+    sampled = stratified_sample(
+        cust, "c_mktsegment", {"BUILDING": 0.1}, id_col="c_custkey",
+        default_fraction=1.0,
+    )
+    full = {r["c_mktsegment"]: r["n"] for r in
+            cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["c_mktsegment"]: r["n"] for r in
+           sampled.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["BUILDING"] < 0.3 * full["BUILDING"]  # downsampled hard
+    for seg in full:
+        if seg != "BUILDING":
+            assert got[seg] == full[seg]  # untouched strata intact
