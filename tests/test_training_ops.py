@@ -357,3 +357,71 @@ def test_stratified_sample_fractions(spark):
     for seg in full:
         if seg != "BUILDING":
             assert got[seg] == full[seg]  # untouched strata intact
+
+
+def test_bmp_codec_roundtrip_resize_feature(spark):
+    """REAL image path (no codec libs needed for uncompressed BMP):
+    encode→decode round-trips bit-exact, nearest-neighbor resize through
+    the mapInPandas plumbing, histogram features through
+    extract_features."""
+    import numpy as np
+
+    from dw_etl_spark.functions.codecs import (
+        bmp_feature,
+        decode_bmp,
+        encode_bmp,
+        resize_bmp,
+    )
+    from dw_etl_spark.operators.multimodal import extract_features, resize_images
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(5, 7), (16, 16), (3, 3)]]
+    for img in imgs:
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    rows = [(i, "image", bytearray(encode_bmp(img))) for i, img in enumerate(imgs)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).withColumn("n_bytes", F.length("payload").cast("long")).withColumn(
+        "mime", F.lit("image/bmp")
+    )
+
+    resized = resize_images(media, 4, 4, resize_fn=resize_bmp).collect()
+    for r in resized:
+        img = decode_bmp(bytes(r["payload"]))
+        assert img.shape == (4, 4, 3)
+
+    feats = {r["media_id"]: r["feature"] for r in
+             extract_features(media, dim=8, decode_fn=bmp_feature).collect()}
+    for i, img in enumerate(imgs):
+        want = bmp_feature(encode_bmp(img), 8)
+        # FEATURE_SCHEMA carries float32 — compare at float32 precision
+        assert all(abs(a - b) < 1e-6 for a, b in zip(feats[i], want))
+        assert abs(sum(feats[i]) - 1.0) < 1e-4  # normalized histogram
+
+
+def test_wav_codec_roundtrip_feature(spark):
+    import numpy as np
+
+    from dw_etl_spark.functions.codecs import decode_wav, encode_wav, wav_feature
+    from dw_etl_spark.operators.multimodal import extract_features
+
+    t = np.arange(16000, dtype=np.float32) / 16000.0
+    tone = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    silence = np.zeros(8000, dtype=np.int16)
+
+    rate, back = decode_wav(encode_wav(tone))
+    assert rate == 16000 and back.size == tone.size
+    assert np.allclose(back * 32768.0, tone, atol=1.0)
+
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(encode_wav(tone))),
+         (1, "audio", bytearray(encode_wav(silence)))],
+        "media_id long, kind string, payload binary",
+    ).withColumn("n_bytes", F.length("payload").cast("long"))
+    feats = {r["media_id"]: r["feature"] for r in
+             extract_features(media, dim=4, decode_fn=wav_feature).collect()}
+    # 20000/32768 sine → RMS = 0.61/sqrt(2) ≈ 0.43 in every window
+    assert all(0.4 < v < 0.5 for v in feats[0])
+    assert feats[1] == [0.0, 0.0, 0.0, 0.0]  # silence: zero RMS
