@@ -41,14 +41,17 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    )
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    sym = sym.localCheckpoint()
+    # seed with min(id, min neighbor) — one agg instead of the first
+    # propagation round; stars and pairs (the common near-dup shapes)
+    # are already converged after this
+    labels = (
+        sym.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("__mn"))
+        .select("id", F.least("id", "__mn").alias("component"))
+        .localCheckpoint()
+    )
 
     prev_sig = None
     for _ in range(max_iter):
