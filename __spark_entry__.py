@@ -634,13 +634,16 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         required_columns=["p_partkey", "p_name", "p_retailprice"],
         require_nonempty=True,
     )
+    # second grouping key: the synthetic price range fits one bin, and a
+    # 1-row aggregate would round-trip-check almost nothing
     return (
         back.select(
             bin_numeric("p_retailprice", PRICE_EDGES).alias("PriceCategory"),
+            F.pmod(F.col("p_partkey"), F.lit(7)).alias("key_bucket"),
             "p_retailprice",
             "p_name",
         )
-        .groupBy("PriceCategory")
+        .groupBy("PriceCategory", "key_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("p_retailprice"), 2).alias("total_price"),
@@ -1629,11 +1632,12 @@ GROUP BY event_type
 
 _CSV_ROUNDTRIP_SQL = f"""
 SELECT {_PRICE_CASE} AS PriceCategory,
+       p_partkey % 7 AS key_bucket,
        CAST(count(*) AS BIGINT) AS n,
        round(sum(p_retailprice), 2) AS total_price,
        min(p_name) AS first_name
 FROM part
-GROUP BY 1
+GROUP BY 1, 2
 """
 
 _MEDIA_STATS_SQL = """
