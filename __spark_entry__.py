@@ -973,6 +973,72 @@ GROUP BY 1, 2, 3
 """
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data operators COMPOSED end-to-end, the way a corpus
+    build actually runs: documents → quality/lang features → quality
+    filter → exact dedup (corpus ∪ exact copies, keep-min-id) →
+    deterministic split assignment → per-(lang, split) counts + mean
+    quality. Every stage has an exact SQL twin, so the whole composed
+    lineage sits in the hard gate."""
+    from dw_etl_spark.operators.sampling import hash_bucket
+    from dw_etl_spark.operators.text_dedup import exact_dedup
+
+    corpus = _docs_with_copies(spark, sf_dir, None)
+    featured = corpus.select(
+        "doc_id",
+        "text",
+        lang_id("text").alias("lang"),
+        quality_score("text").cast("double").alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    deduped = exact_dedup(featured, "text", "doc_id")
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 1000, F.lit("val"))
+        .when(b < 2000, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
+def _corpus_pipeline_sql() -> str:
+    fp = oracles.h64("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    bucket = (
+        "CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT) % 10000"
+    )
+    return f"""
+WITH corpus AS ({oracles.corpus_with_copies_sql(None)}),
+featured AS (
+  SELECT doc_id, text,
+         {oracles.lang_case_sql('text')} AS lang,
+         CAST({oracles.quality_sql('text')} AS DOUBLE) AS quality
+  FROM corpus
+),
+filtered AS (SELECT * FROM featured WHERE quality >= 0.5),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY {fp}) AS __keeper
+    FROM filtered
+  ) WHERE doc_id = __keeper
+)
+SELECT lang,
+       CASE WHEN {bucket} < 1000 THEN 'val'
+            WHEN {bucket} < 2000 THEN 'test'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(quality), 6) AS avg_quality
+FROM deduped
+GROUP BY 1, 2
+"""
+
+
 # ---- deterministic sampling / splits ---------------------------------------
 
 def _q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1109,6 +1175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qcut_value_bins": _q_qcut_value_bins,
     "train_val_test_split": _q_train_val_test,
     "stratified_sample": _q_stratified_sample,
+    "corpus_pipeline": _q_corpus_pipeline,
 }
 
 
@@ -1700,4 +1767,5 @@ def oracle_sql() -> dict[str, str]:
         "qcut_value_bins": _QCUT_VALUE_BINS_SQL,
         "train_val_test_split": _TRAIN_VAL_TEST_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "corpus_pipeline": _corpus_pipeline_sql(),
     }

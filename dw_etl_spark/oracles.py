@@ -59,29 +59,51 @@ def _sw_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
-def text_features_sql() -> str:
-    """doc_id, cleaned text, token count, lang-id, quality, fingerprint."""
-    toks = tokens("text")
-    hits = {
+def _lang_hits(expr: str) -> dict[str, str]:
+    toks = tokens(expr)
+    return {
         lang: f"len(list_filter({toks}, t -> list_contains({_sw_list(lang)}, lower(t))))"
         for lang in STOPWORDS
     }
+
+
+def lang_case_sql(expr: str = "text") -> str:
+    """Twin of functions/text.py lang_id over a text expression."""
+    hits = _lang_hits(expr)
     best = "greatest(" + ", ".join(hits.values()) + ")"
-    lang_case = "CASE WHEN " + best + " <= 0 THEN 'unknown' " + " ".join(
-        f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in sorted(STOPWORDS)
-    ) + " END"
-    n_chars = "length(text)"
+    return (
+        "CASE WHEN " + best + " <= 0 THEN 'unknown' "
+        + " ".join(
+            f"WHEN {hits[lang]} = {best} THEN '{lang}'"
+            for lang in sorted(STOPWORDS)
+        )
+        + " END"
+    )
+
+
+def quality_sql(expr: str = "text") -> str:
+    """Twin of functions/text.py quality_score over a text expression."""
+    toks = tokens(expr)
+    n_chars = f"length({expr})"
     n_toks = f"len({toks})"
-    n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    n_alpha = f"length(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
     alpha_ratio = f"round({n_alpha} / greatest({n_chars}, 1), 4)"
     mean_tok_len = f"round(({n_chars} - ({n_toks} - 1)) / greatest({n_toks}, 1), 4)"
-    stop_hits = hits["en"]
-    quality = (
+    stop_hits = _lang_hits(expr)["en"]
+    return (
         f"round((CASE WHEN {n_chars} BETWEEN 100 AND 10000 THEN 0.25 ELSE 0.0 END)"
         f" + (CASE WHEN {mean_tok_len} BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)"
         f" + (CASE WHEN {alpha_ratio} >= 0.6 THEN 0.25 ELSE 0.0 END)"
         f" + (CASE WHEN {stop_hits} > 0 THEN 0.25 ELSE 0.0 END), 2)"
     )
+
+
+def text_features_sql() -> str:
+    """doc_id, cleaned text, token count, lang-id, quality, fingerprint."""
+    toks = tokens("text")
+    n_toks = f"len({toks})"
+    lang_case = lang_case_sql("text")
+    quality = quality_sql("text")
     fp = h64("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
     # twin of functions/text.py _SUBWORD_RE (RE2-compatible by design)
     n_subwords = (
