@@ -48,6 +48,23 @@ def stable_hash64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def stable_hash32a(col: Column | str) -> Column:
+    """Portable 32-bit hash: md5 hex chars 1-8 as BIGINT (DuckDB:
+    ``CAST('0x' || substr(md5(s),1,8) AS BIGINT)``). Low lane of the
+    64-bit simhash — paired with ``stable_hash32b`` it yields 64
+    independent portable bits from one digest."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def stable_hash32b(col: Column | str) -> Column:
+    """Portable 32-bit hash: md5 hex chars 9-16 as BIGINT (DuckDB:
+    ``CAST('0x' || substr(md5(s),9,8) AS BIGINT)``). High lane of the
+    64-bit simhash."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+
+
 def stable_hash28(col: Column | str) -> Column:
     """Portable 28-bit hash: first 7 hex chars of md5, as BIGINT.
 

@@ -32,7 +32,8 @@ from dw_etl_spark.functions.text import (
     fingerprint,
     minhash_coeffs,
     stable_hash28,
-    stable_hash64,
+    stable_hash32a,
+    stable_hash32b,
     word_ngrams,
 )
 
@@ -226,40 +227,45 @@ def simhash_values(
     df: DataFrame, text_col: str, id_col: str, n: int = 3,
     shingle: str = "char",
 ) -> DataFrame:
-    """(id, sh): 32-bit SimHash per doc, relational shape.
+    """(id, sh): 64-bit SimHash per doc, relational shape.
 
-    explode shingles → one md5 per (doc, shingle) → 32 integer bit-vote
-    sums in a single groupBy → assemble bits. One shuffle on doc id;
-    each shingle hashed exactly once (the pure-expression ``simhash32``
-    column is kept for array-sized inputs but re-evaluates its subtree
-    per bit lane — wrong shape for a corpus pass).
+    explode shingles → one md5 per (doc, shingle), split into two
+    portable 32-bit lanes (hex chars 1-8 / 9-16) → 64 integer bit-vote
+    sums in a single groupBy → assemble into one signed 64-bit value
+    (bit 63 contributes the sign via the two's-complement min-long
+    term, so DuckDB BIGINT arithmetic reproduces it exactly). One
+    shuffle on doc id; each shingle hashed exactly once.
 
-    Docs with no shingles keep sh = 0 (``explode_outer``), matching
-    ``simhash32`` semantics.
+    Docs with no shingles keep sh = 0 (``explode_outer``).
     """
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(_shingles(text_col, n, shingle)).alias("s"),
     )
-    hashed = exploded.select("id", stable_hash64(F.col("s")).alias("h"))
-    votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col("h").isNotNull(),
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long")
-                    * 2
-                    - 1,
-                ).otherwise(F.lit(0))
-            ).alias(f"v{b}")
-            for b in range(32)
-        ]
+    hashed = exploded.select(
+        "id",
+        stable_hash32a(F.col("s")).alias("h1"),
+        stable_hash32b(F.col("s")).alias("h2"),
     )
+
+    def vote(b: int) -> Column:
+        lane = F.col("h1") if b < 32 else F.col("h2")
+        return F.sum(
+            F.when(
+                lane.isNotNull(),
+                F.shiftright(lane, b % 32).bitwiseAND(F.lit(1)).cast("long") * 2
+                - 1,
+            ).otherwise(F.lit(0))
+        ).alias(f"v{b}")
+
+    votes = hashed.groupBy("id").agg(*[vote(b) for b in range(64)])
     bits = None
-    for b in range(32):
-        term = F.when(
-            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    for b in range(64):
+        # Bit 63 is the sign bit: adding long-min gives the correct
+        # two's-complement value (partial sums never overflow: bits
+        # 0..62 sum to at most 2^63-1, then + (-2^63) >= -1).
+        on = F.lit(-(1 << 63) if b == 63 else 1 << b).cast("long")
+        term = F.when(F.col(f"v{b}") > 0, on).otherwise(F.lit(0).cast("long"))
         bits = term if bits is None else bits + term
     return votes.select("id", bits.alias("sh"))
 
@@ -271,13 +277,35 @@ def simhash_pairs(
     n: int = 3,
     max_hamming: int = 3,
     shingle: str = "char",
+    bands: int = 4,
+    bits_per_band: int = 16,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit simhash, banded into 4 bytes —
-    any pair within hamming distance ≤ 3 shares at least one exact
-    byte (pigeonhole) → bucket-join per byte, verify with bit_count.
+    """SimHash near-dup pairs: 64-bit simhash banded into ``bands``
+    contiguous ``bits_per_band``-bit keys — any pair within hamming
+    distance ≤ bands-1 shares at least one exact band (pigeonhole) →
+    bucket-join per band, verify with bit_count.
 
     Returns (id_a < id_b, hamming).
+
+    Scale: the band keyspace is ``bands × 2^bits_per_band`` (defaults
+    4×65,536 = 262k keys vs the 1,024 of a 4×8-bit layout) and grows
+    by widening bands, so bucket occupancy stays ~n/2^bits and the
+    bucket self-join never degenerates toward all-pairs on large
+    corpora. For hamming ≤ 5 use bands=8, bits_per_band=8 — wider
+    hamming needs more bands (pigeonhole: bands ≥ max_hamming+1),
+    trading keyspace for recall.
     """
+    if bands * bits_per_band != 64:
+        raise ValueError(
+            f"bands * bits_per_band must equal 64, got {bands}×{bits_per_band}"
+        )
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole requires bands >= max_hamming+1 "
+            f"({bands} < {max_hamming + 1}): a pair at distance "
+            f"{max_hamming} could differ in every band"
+        )
+    mask = (1 << bits_per_band) - 1
     sh = simhash_values(df, text_col, id_col, n, shingle)
     banded = sh.select(
         "id",
@@ -286,12 +314,15 @@ def simhash_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(byte).alias("band"),
-                        F.shiftright(F.col("sh"), byte * 8)
-                        .bitwiseAND(F.lit(255))
+                        F.lit(i).alias("band"),
+                        # Arithmetic shift then mask: the AND keeps only
+                        # the low bits_per_band bits, so sign extension
+                        # is irrelevant (same as DuckDB's `>> &`).
+                        F.shiftright(F.col("sh"), i * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
-                    for byte in range(4)
+                    for i in range(bands)
                 ]
             )
         ).alias("bk"),

@@ -27,6 +27,16 @@ def h28(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 7) AS BIGINT)"
 
 
+def h32a(expr: str) -> str:
+    """Mirror of functions/text.py stable_hash32a (md5 hex 1-8)."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def h32b(expr: str) -> str:
+    """Mirror of functions/text.py stable_hash32b (md5 hex 9-16)."""
+    return f"CAST('0x' || substr(md5({expr}), 9, 8) AS BIGINT)"
+
+
 def tokens(expr: str) -> str:
     return (
         f"CASE WHEN trim({expr}) = '' THEN CAST([] AS VARCHAR[]) "
@@ -204,25 +214,39 @@ WHERE {jac} >= {min_jaccard}
 
 
 def simhash_pairs_sql(n: int = 2, max_hamming: int = 3, perturb: str = " qq",
-                      shingle: str = "word") -> str:
+                      shingle: str = "word", bands_n: int = 4,
+                      bits_per_band: int = 16) -> str:
+    """64-bit simhash twin: two 32-bit md5 lanes (hex 1-8 / 9-16) give
+    64 portable vote bits; bit 63 contributes -2^63 so the assembled
+    BIGINT matches Spark's signed long exactly (partial sums of bits
+    0..62 stay <= 2^63-1, so no checked-overflow trip)."""
+    assert bands_n * bits_per_band == 64
     sh = word_shingles("text", n) if shingle == "word" else shingles("text", n)
-    vote_terms = " + ".join(
-        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {b}) & 1)) - len(hs) > 0 "
-        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
-        for b in range(32)
-    )
+
+    def vote(b: int) -> str:
+        lane, shift = ("hs1", b) if b < 32 else ("hs2", b - 32)
+        on = -(1 << 63) if b == 63 else 1 << b
+        return (
+            f"(CASE WHEN 2 * list_sum(list_transform({lane}, h -> (h >> {shift}) & 1))"
+            f" - len({lane}) > 0 THEN CAST({on} AS BIGINT) ELSE 0 END)"
+        )
+
+    vote_terms = " + ".join(vote(b) for b in range(64))
+    mask = (1 << bits_per_band) - 1
     bands = " UNION ALL ".join(
-        f"SELECT id, sh, {byte} AS band, (sh >> {byte * 8}) & 255 AS key FROM hashes"
-        for byte in range(4)
+        f"SELECT id, sh, {i} AS band, (sh >> {i * bits_per_band}) & {mask} AS key "
+        f"FROM hashes"
+        for i in range(bands_n)
     )
     return f"""
 WITH corpus AS ({corpus_with_copies_sql(perturb)}),
 shingled AS (SELECT doc_id AS id, {sh} AS shs FROM corpus),
 hlists AS (
-  SELECT id, list_transform(shs, s -> {h64('s')}) AS hs FROM shingled
+  SELECT id, list_transform(shs, s -> {h32a('s')}) AS hs1,
+         list_transform(shs, s -> {h32b('s')}) AS hs2 FROM shingled
 ),
 hashes AS (
-  SELECT id, CASE WHEN len(hs) = 0 THEN 0 ELSE {vote_terms} END AS sh FROM hlists
+  SELECT id, CASE WHEN len(hs1) = 0 THEN 0 ELSE {vote_terms} END AS sh FROM hlists
 ),
 banded AS ({bands}),
 pairs AS (

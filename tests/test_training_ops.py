@@ -135,10 +135,68 @@ def test_simhash_identical_and_near(spark):
     assert sh[1] == sh[2]  # identical text, identical simhash
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_pairs(df, "text", "doc_id", max_hamming=4).collect()
+        for r in simhash_pairs(
+            df, "text", "doc_id", max_hamming=4, bands=8, bits_per_band=8
+        ).collect()
     }
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs
+
+
+def test_simhash_band_layout_validation(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="must equal 64"):
+        simhash_pairs(df, "text", "doc_id", bands=4, bits_per_band=8)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, "text", "doc_id", max_hamming=5, bands=4,
+                      bits_per_band=16)
+
+
+def test_simhash_bucket_occupancy_bounded_on_shared_vocab(spark):
+    """The PLANS.md §1 regression applied to simhash: on a corpus that
+    shares one small vocabulary (every doc built from the same 12
+    words), distinct docs must still spread across the 2^bits_per_band
+    band keyspace instead of flooding a handful of buckets — the
+    4×8-bit layout this replaced had only 256 keys per band and
+    degenerated the bucket self-join toward all-pairs at corpus scale.
+    """
+    from dw_etl_spark.operators.text_dedup import simhash_values
+
+    vocab = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far",
+             "blue", "red", "sun"]
+    rows = []
+    for i in range(240):
+        words = [vocab[(i * 7 + j * 5 + (i * j) % 11) % len(vocab)]
+                 for j in range(24)]
+        rows.append((i, " ".join(words) + f" tail{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    bits = 16
+    mask = (1 << bits) - 1
+    sh = simhash_values(df, "text", "doc_id", n=2, shingle="word")
+    occ = (
+        sh.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sh"), i * bits)
+                        .bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for i in range(4)
+                ])
+            ).alias("bk")
+        )
+        .groupBy("bk.band", "bk.key")
+        .count()
+    )
+    max_bucket = occ.agg(F.max("count")).first()[0]
+    # 240 distinct docs over a 65,536-key band space: any bucket
+    # holding a double-digit share of the corpus means the banding
+    # collapsed back into the old tiny keyspace.
+    assert max_bucket <= 12, f"bucket flooding: max occupancy {max_bucket}/240"
+    n_buckets = occ.count()
+    assert n_buckets >= 4 * 240 * 0.5  # most (band, doc) keys distinct
 
 
 # --------------------------------------------------------------- similarity
