@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark.sql import Window
@@ -27,7 +27,11 @@ from dw_etl_spark.functions.text import (
     token_count,
 )
 from dw_etl_spark.operators.joins import fuzzy_top1_join
-from dw_etl_spark.operators.multimodal import media_stats, pack_documents_as_media
+from dw_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    media_stats,
+    pack_documents_as_media,
+)
 from dw_etl_spark.operators.profile import (
     describe_numeric,
     iqr_outlier_count,
@@ -308,22 +312,59 @@ def _describe_stats_sql() -> str:
 
 def _q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch path: HLL distinct + approx percentiles — one
-    map-side-combinable pass, constant memory. No oracle on purpose:
-    sketch internals are engine-specific, so the driver records the
-    weaker rows-only check (documented in tests/test_oracle_parity.py).
-    Quartiles are emitted as scalar columns (not array<double>) so the
-    driver's row canonicalizer can sort/hash them.
+    map-side-combinable pass, constant memory.
+
+    Raw sketch outputs are engine-specific (HLL/KLL internals), so the
+    hash-matchable contract is *relative-error booleans*: each sketch
+    estimate is compared against the exact value computed in the same
+    query, and the row emits ``abs(approx-exact)/exact <= 0.05`` flags
+    plus the exact row count. The DuckDB oracle is then the trivially
+    exact all-true row. HLL rsd is pinned to 0.01 so the 5%% bound is
+    ~5 sigma — deterministic-in-practice, while still exercising the
+    sketch path end-to-end.
     """
     li = read_table(spark, sf_dir, "lineitem")
     q = F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("nd_partkey"),
-        F.approx_count_distinct("l_suppkey").alias("nd_suppkey"),
-        q.getItem(0).alias("price_q25"),
-        q.getItem(1).alias("price_q50"),
-        q.getItem(2).alias("price_q75"),
+    eq = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("a_pk"),
+        F.countDistinct("l_partkey").alias("e_pk"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("a_sk"),
+        F.countDistinct("l_suppkey").alias("e_sk"),
+        q.getItem(0).alias("a_q25"),
+        q.getItem(1).alias("a_q50"),
+        q.getItem(2).alias("a_q75"),
+        eq.getItem(0).alias("e_q25"),
+        eq.getItem(1).alias("e_q50"),
+        eq.getItem(2).alias("e_q75"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+    def _ok(a: str, e: str) -> Column:
+        return F.abs(F.col(a) - F.col(e)) / F.abs(F.col(e)) <= F.lit(0.05)
+
+    return agg.select(
+        "n_rows",
+        _ok("a_pk", "e_pk").alias("nd_partkey_ok"),
+        _ok("a_sk", "e_sk").alias("nd_suppkey_ok"),
+        _ok("a_q25", "e_q25").alias("price_q25_ok"),
+        _ok("a_q50", "e_q50").alias("price_q50_ok"),
+        _ok("a_q75", "e_q75").alias("price_q75_ok"),
+    )
+
+
+# The oracle side of the sketch contract: exact row count + all-true
+# flags (the Spark side asserts its sketches are within 5% of exact).
+_APPROX_PROFILE_SQL = """
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  TRUE AS nd_partkey_ok,
+  TRUE AS nd_suppkey_ok,
+  TRUE AS price_q25_ok,
+  TRUE AS price_q50_ok,
+  TRUE AS price_q75_ok
+FROM lineitem
+"""
 
 
 def _q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +730,50 @@ def _q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_star_schema(wh, tables, specs, fact_name="FACT_LineItem")
     assert wh.table_exists("FACT_LineItem")  # S8 probe on the way out
     return wh.read_table("FACT_LineItem")
+
+
+def _q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+S7+S8+S9+S10 against a REAL database in the hard gate:
+    load DIM_Part into embedded Derby (ships with Spark — zero external
+    services) through ``JdbcWarehouse`` (drop-then-write + PK retrofit),
+    read it back over ``spark.read.jdbc`` (S6), aggregate. Oracle = the
+    same dim + aggregation straight from parquet — the RDBMS round-trip
+    must be lossless. Reference resources.py:31-180, load.py:113-168."""
+    from dw_etl_spark.sinks.warehouse import JdbcWarehouse, TableSpec
+
+    wh = JdbcWarehouse(
+        spark,
+        "jdbc:derby:memory:dwetl_gate;create=true",
+        {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        dialect="derby",
+    )
+    wh.write_table(
+        build_dim_part(spark, sf_dir), TableSpec("DIM_PART_RT", primary_key=["Id"])
+    )
+    assert wh.table_exists("DIM_PART_RT")  # S8 probe on the way out
+    back = spark.read.jdbc(wh.url, "DIM_PART_RT", properties=wh.properties)
+    return back.groupBy("PriceCategory").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("RetailPrice"), 2).alias("total_price"),
+        F.min("Name").alias("first_name"),
+        F.count_distinct("Id").alias("n_ids"),
+    )
+
+
+_JDBC_ROUNDTRIP_SQL = """
+WITH dim AS (
+  SELECT p_partkey AS Id, p_name AS Name, p_retailprice AS RetailPrice,
+         {price_case} AS PriceCategory
+  FROM part
+)
+SELECT PriceCategory,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(RetailPrice), 2) AS total_price,
+       min(Name) AS first_name,
+       CAST(count(DISTINCT Id) AS BIGINT) AS n_ids
+FROM dim
+GROUP BY PriceCategory
+"""
 
 
 # DBF fixture: deterministic records shared by the query (which writes a
@@ -1127,11 +1212,112 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_decode_fixture() -> list[tuple]:
+    """Deterministic BMP + WAV payloads (no RNG): gradient images and
+    integer-tone audio, sized differently per id so every feature row
+    is distinct. Shared by the Spark query and its VALUES oracle."""
+    import numpy as np
+
+    from dw_etl_spark.functions.codecs import encode_bmp, encode_wav
+
+    rows = []
+    for i in range(3):
+        h, w = 8 + 2 * i, 12 + 3 * i
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (xx * 7 + i * 31) % 256,
+                (yy * 11 + i * 17) % 256,
+                (xx * 3 + yy * 5) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        rows.append((i, "image", encode_bmp(px)))
+    for i in range(3):
+        n = 1600 + 400 * i
+        j = np.arange(n)
+        samples = (((j * 131 + i * 977) % 20011) - 10005).astype(np.int16)
+        rows.append((100 + i, "audio", encode_wav(samples)))
+    return rows
+
+
+_MEDIA_DECODE_DIM = 4
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL codecs through the hard gate (not just pytest): encode
+    deterministic BMP gradients and PCM WAV tones driver-side, decode
+    them on executors via the ``mapInPandas`` plumbing
+    (``extract_features`` + ``bmp_feature``/``wav_feature``,
+    functions/codecs.py), emit grayscale-histogram / RMS-window
+    features as scalar columns. Oracle = the same codec functions run
+    driver-side into a VALUES table (the ``rest_indicators`` fixture
+    pattern). Features pass through the float32 feature schema, so both
+    sides round to 4 dp after an explicit float32 round-trip."""
+    from dw_etl_spark.functions.codecs import bmp_feature, wav_feature
+    from dw_etl_spark.operators.multimodal import extract_features
+
+    rows = [
+        (mid, kind, payload, len(payload), "application/octet-stream")
+        for mid, kind, payload in _media_decode_fixture()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def route(payload: bytes, dim: int) -> list[float]:
+        # one decode_fn for the union: BMP magic routes to the image
+        # codec, everything else is WAV
+        if payload[:2] == b"BM":
+            return bmp_feature(payload, dim)
+        return wav_feature(payload, dim)
+
+    feats = extract_features(media, dim=_MEDIA_DECODE_DIM, decode_fn=route)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 4).alias(
+                f"f{i}"
+            )
+            for i in range(_MEDIA_DECODE_DIM)
+        ],
+    )
+
+
+def _media_decode_sql() -> str:
+    import numpy as np
+
+    from dw_etl_spark.functions.codecs import bmp_feature, wav_feature
+
+    rows = []
+    for mid, kind, payload in _media_decode_fixture():
+        fn = bmp_feature if kind == "image" else wav_feature
+        feat = fn(payload, _MEDIA_DECODE_DIM)
+        # mirror the engine's precision path: round6 (codec) → float32
+        # (FEATURE_SCHEMA) → double → round4 (contract edge)
+        vals = [round(float(np.float32(x)), 4) for x in feat]
+        rows.append(
+            f"({mid}, '{kind}', {len(payload)}, "
+            + ", ".join(repr(v) for v in vals)
+            + ")"
+        )
+    cols = ", ".join(f"f{i}" for i in range(_MEDIA_DECODE_DIM))
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       {", ".join(f"CAST(f{i} AS DOUBLE) AS f{i}" for i in range(_MEDIA_DECODE_DIM))}
+FROM (VALUES {", ".join(rows)}) AS t(media_id, kind, n_bytes, {cols})
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dim_date": build_dim_date,
     "dim_order": build_dim_order,
     "dim_part": build_dim_part,
     "dim_indicator": build_dim_indicator,
+    "dim_indicator_qcut": lambda spark, sf_dir: build_dim_indicator(
+        spark, sf_dir, qcut="value"
+    ),
     "fact_lineitem": build_fact,
     "pricing_summary": _q_pricing_summary,
     "top_orders": _q_top_orders,
@@ -1167,8 +1353,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_topk": _q_lsh_topk,
     "embedding_dup_pairs": _q_embedding_dups,
     "media_stats": _q_media_stats,
+    "media_decode": _q_media_decode,
     "csv_roundtrip": _q_csv_roundtrip,
     "warehouse_roundtrip": _q_warehouse_roundtrip,
+    "jdbc_roundtrip": _q_jdbc_roundtrip,
     "rest_indicators": _q_rest_indicators,
     "dbf_scan": _q_dbf_scan,
     "scd2_apply": _q_scd2_apply,
@@ -1234,12 +1422,18 @@ FROM part
 """
 
 
-def _dim_indicator_sql() -> str:
+def _dim_indicator_sql(qcut: str = "count") -> str:
     """Generated oracle for the pivot→seed→interpolate→Id→tercile chain.
 
     Mirrors operators/pivot.py, interpolate.py, qcut.py exactly:
     identical arithmetic, identical orderings, identical integer ntile
     formula, doubles rounded to 6 at the end on both sides.
+
+    ``qcut="value"`` swaps the count-based ntile for the reference's
+    true pandas-qcut semantics: per-Day ``quantile_cont`` edges, bins
+    right-closed on the inner edges, duplicates='drop' label collapse
+    (3→Low/Medium/High, 2→Low/High, 1→Low, 0 bins→NULL) — the same
+    rule ``qcut_by_group_expr`` applies (operators/qcut.py:82).
     """
     cols = EVENT_TYPES
     pivots = ",\n    ".join(
@@ -1269,6 +1463,79 @@ def _dim_indicator_sql() -> str:
         f"END AS {c}"
         for c in cols
     )
+    rounded = ", ".join(f"round({c}, 6) AS {c}" for c in cols)
+    bucket_names = ", ".join(f"{c}Bucket" for c in cols)
+    if qcut == "value":
+        edge_aggs = ",\n    ".join(
+            f"quantile_cont({c}, 1.0/3.0) AS {c}_r1,\n    "
+            f"quantile_cont({c}, 2.0/3.0) AS {c}_r2,\n    "
+            f"min({c}) AS {c}_mn,\n    max({c}) AS {c}_mx"
+            for c in cols
+        )
+        # duplicates='drop' collapse, same rule as _qcut_labels: 3 bins
+        # when both inner edges are strict, 2 when exactly one survives,
+        # 1 ('Low') when none, NULL bucket when the group is constant.
+        vbuckets = ",\n    ".join(
+            f"CASE WHEN {c} IS NULL THEN NULL "
+            f"WHEN {c}_mn = {c}_mx THEN NULL "
+            f"WHEN {c}_r1 > {c}_mn AND {c}_r2 > {c}_r1 AND {c}_mx > {c}_r2 THEN "
+            f"CASE WHEN {c} <= {c}_r1 THEN 'Low' "
+            f"WHEN {c} <= {c}_r2 THEN 'Medium' ELSE 'High' END "
+            f"WHEN {c}_r1 > {c}_mn AND {c}_r1 < {c}_mx THEN "
+            f"CASE WHEN {c} <= {c}_r1 THEN 'Low' ELSE 'High' END "
+            f"WHEN {c}_r2 > {c}_mn AND {c}_r2 < {c}_mx THEN "
+            f"CASE WHEN {c} <= {c}_r2 THEN 'Low' ELSE 'High' END "
+            f"ELSE 'Low' END AS {c}Bucket"
+            for c in cols
+        )
+        return f"""
+WITH wide AS (
+  SELECT CAST(user_id AS BIGINT) AS UserId,
+         CAST(day(ts) AS INTEGER) AS Day,
+    {pivots}
+  FROM events
+  GROUP BY 1, 2
+),
+seeded AS (
+  SELECT UserId, Day,
+    {seeds}
+  FROM wide
+  WINDOW w1 AS (PARTITION BY UserId ORDER BY Day)
+),
+pos AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY UserId ORDER BY Day) AS DOUBLE)
+         AS __pos
+  FROM seeded
+),
+nbr AS (
+  SELECT *,
+    {neighbors}
+  FROM pos
+  WINDOW
+    wb AS (PARTITION BY UserId ORDER BY Day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY UserId ORDER BY Day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+interp AS (
+  SELECT UserId, Day,
+    {interps}
+  FROM nbr
+),
+with_id AS (
+  SELECT CAST(row_number() OVER (ORDER BY UserId, Day) AS BIGINT) AS Id, *
+  FROM interp
+),
+edges AS (
+  SELECT Day,
+    {edge_aggs}
+  FROM with_id
+  GROUP BY Day
+)
+SELECT Id, UserId, Day, {rounded},
+    {vbuckets}
+FROM with_id JOIN edges USING (Day)
+"""
     # exact ntile(3): integer arithmetic identical to operators/qcut.py
     tiles = ",\n    ".join(
         f"row_number() OVER (PARTITION BY Day ORDER BY {c} ASC NULLS LAST, Id)"
@@ -1285,8 +1552,6 @@ def _dim_indicator_sql() -> str:
         f"END AS {c}Bucket"
         for c in cols
     )
-    rounded = ", ".join(f"round({c}, 6) AS {c}" for c in cols)
-    bucket_names = ", ".join(f"{c}Bucket" for c in cols)
     return f"""
 WITH wide AS (
   SELECT CAST(user_id AS BIGINT) AS UserId,
@@ -1723,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "dim_order": _DIM_ORDER_SQL,
         "dim_part": _DIM_PART_SQL,
         "dim_indicator": _dim_indicator_sql(),
+        "dim_indicator_qcut": _dim_indicator_sql(qcut="value"),
         "fact_lineitem": _FACT_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "top_orders": _TOP_ORDERS_SQL,
@@ -1736,8 +2002,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_token_set_join": _FUZZY_TOKEN_SET_SQL,
         "profile_columns": _profile_part_sql(),
         "describe_stats": _describe_stats_sql(),
-        # approx_profile intentionally absent: sketch results are
-        # engine-specific (HLL/KLL internals) — rows-only check
+        "approx_profile": _APPROX_PROFILE_SQL,
         "full_outer_join": _FULL_OUTER_SQL,
         "topk_values": _TOPK_SQL,
         "iqr_outliers": _IQR_SQL,
@@ -1759,8 +2024,10 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": oracles.lsh_topk_sql(),
         "embedding_dup_pairs": oracles.embedding_dup_pairs_sql(),
         "media_stats": _MEDIA_STATS_SQL,
+        "media_decode": _media_decode_sql(),
         "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
         "warehouse_roundtrip": _FACT_SQL,
+        "jdbc_roundtrip": _JDBC_ROUNDTRIP_SQL.format(price_case=_PRICE_CASE),
         "rest_indicators": _rest_indicators_sql(),
         "dbf_scan": _dbf_scan_sql(),
         "scd2_apply": _SCD2_SQL,

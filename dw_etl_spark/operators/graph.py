@@ -33,24 +33,40 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node id → component id) for every node appearing in ``edges``;
     the component id is the minimum node id of the component.
+
+    ``checkpoint_dir`` switches lineage truncation from
+    ``localCheckpoint`` (executor-local blocks — fast, but a lost
+    executor loses the blocks and the job with them, since the lineage
+    that could recompute them was truncated away) to reliable
+    ``checkpoint()`` into that directory (HDFS/S3 on a cluster). Local
+    mode and short jobs keep the default; long iterative runs on a
+    1000-executor cluster, where an executor loss mid-iteration is
+    routine, should pass a durable path.
     """
-    sym = (
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        return df.checkpoint()
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sym = _pin(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
     # seed with min(id, min neighbor) — one agg instead of the first
     # propagation round; stars and pairs (the common near-dup shapes)
     # are already converged after this
-    labels = (
+    labels = _pin(
         sym.groupBy(F.col("a").alias("id"))
         .agg(F.min("b").alias("__mn"))
         .select("id", F.least("id", "__mn").alias("component"))
-        .localCheckpoint()
     )
 
     prev_sig = None
@@ -58,11 +74,10 @@ def connected_components(
         msgs = labels.join(sym, labels["id"] == sym["a"]).select(
             F.col("b").alias("id"), F.col("component")
         )
-        new_labels = (
+        new_labels = _pin(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
         sig = new_labels.agg(
             F.sum("component").alias("s"), F.count(F.lit(1)).alias("n")
@@ -80,12 +95,16 @@ def cluster_dedup(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep one document per near-duplicate cluster (the minimum id),
     plus every document with no near-dup pair. ``pairs`` is any of the
     near-dup pair frames (minhash/simhash/embedding).
+    ``checkpoint_dir`` is forwarded to ``connected_components``.
     """
-    comp = connected_components(pairs, src=src, dst=dst)
+    comp = connected_components(
+        pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
+    )
     # the survivor of each cluster IS its component id (the min node id)
     dropped = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

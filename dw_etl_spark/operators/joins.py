@@ -104,6 +104,76 @@ def token_set_distance(a: Column, b: Column) -> Column:
     return F.least(ndist(inter, c1), ndist(inter, c2), ndist(c1, c2))
 
 
+def partial_levenshtein(a: Column, b: Column) -> Column:
+    """Substring-alignment distance in [0, 100], lower = better — the
+    built-in-only analog of fuzzywuzzy's ``partial_ratio``: the shorter
+    string is slid over every same-length substring alignment of the
+    longer and the best (minimum) normalized levenshtein wins. Catches
+    containment noise ('Korea' vs 'Republic of Korea' → 0) that whole-
+    string edit distance scores badly.
+
+    The alignment sweep is a ``transform``/``array_min`` higher-order
+    expression — interpreted, not codegen'd, but it only ever runs on
+    the distinct×domain grid of ``fuzzy_top1_join`` (|distinct_left| ×
+    |domain| rows), never on fact-table rows, so the cost is bounded at
+    any corpus scale.
+    """
+    la, lb = F.length(a), F.length(b)
+    s = F.when(la <= lb, a).otherwise(b)
+    lng = F.when(la <= lb, b).otherwise(a)
+    slen = F.length(s)
+    dists = F.transform(
+        F.sequence(F.lit(1), F.length(lng) - slen + 1),
+        lambda i: F.levenshtein(s, F.substring(lng, i, slen)),
+    )
+    return F.lit(100.0) * F.array_min(dists) / F.greatest(slen, F.lit(1))
+
+
+def wratio_distance(a: Column, b: Column) -> Column:
+    """Weighted composite distance in [0, 100], lower = better — the
+    built-in-only analog of fuzzywuzzy's ``WRatio``, the scorer
+    ``process.extractOne`` actually uses (reference transform.py:45-59).
+
+    Mirrors WRatio's public structure: the whole-string ratio is the
+    floor; token-sort and token-set variants are discounted ×0.95; when
+    the lengths diverge (ratio ≥ 1.5) the substring-alignment
+    ``partial_levenshtein`` components join the max, discounted ×0.9
+    (×0.6 past an 8× length gap). All similarities are taken as
+    ``100 − normalized_distance`` and the result converted back, so the
+    lower-is-better contract of ``fuzzy_top1_join`` holds.
+    """
+
+    def norm(c: Column) -> Column:
+        return F.concat_ws(" ", F.array_sort(F.split(F.lower(F.trim(c)), r"\s+")))
+
+    la, lb = F.length(a), F.length(b)
+    mx = F.greatest(la, lb, F.lit(1))
+    len_ratio = mx / F.greatest(F.least(la, lb), F.lit(1))
+
+    sim_base = F.lit(100.0) - F.lit(100.0) * F.levenshtein(a, b) / mx
+    na, nb = norm(a), norm(b)
+    nmx = F.greatest(F.length(na), F.length(nb), F.lit(1))
+    sim_tsort = F.lit(100.0) - F.lit(100.0) * F.levenshtein(na, nb) / nmx
+    sim_tset = F.lit(100.0) - token_set_distance(a, b)
+
+    pscale = F.when(len_ratio > 8, F.lit(0.6)).otherwise(F.lit(0.9))
+    sim_partial = F.lit(100.0) - partial_levenshtein(a, b)
+    sim_ptsort = F.lit(100.0) - partial_levenshtein(na, nb)
+
+    best = F.when(
+        len_ratio >= 1.5,
+        F.greatest(
+            sim_base,
+            sim_partial * pscale,
+            sim_ptsort * F.lit(0.95) * pscale,
+            sim_tset * F.lit(0.95) * pscale,
+        ),
+    ).otherwise(
+        F.greatest(sim_base, sim_tsort * F.lit(0.95), sim_tset * F.lit(0.95))
+    )
+    return F.lit(100.0) - best
+
+
 def fuzzy_top1_join(
     left: DataFrame,
     left_col: str,

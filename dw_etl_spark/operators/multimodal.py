@@ -85,6 +85,15 @@ def extract_features(
     fake. A genuinely-unavailable codec should raise
     ``NotImplementedError`` from its ``decode_fn`` — the plumbing
     (schema, batching, partitioning) is identical either way.
+
+    ``batch_size_hint`` bounds the rows decoded per pandas frame by
+    slicing each incoming Arrow batch inside the UDF — a pure batch-
+    shape control with NO driver action and NO shuffle of blob bytes
+    (an earlier version repartitioned by ``count()/hint``, paying a
+    full pass over the payload column plus a blob-sized exchange just
+    to size partitions). Incoming batches are additionally capped by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``; the hint tightens
+    the decode working set below that when blobs are large.
     """
     import pandas as pd
 
@@ -92,19 +101,18 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["n_bytes"],
-                    "feature": [fn(p, dim) for p in pdf["payload"]],
-                }
-            )
+            step = max(batch_size_hint or len(pdf), 1)
+            for i in range(0, len(pdf), step):
+                chunk = pdf.iloc[i : i + step]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "kind": chunk["kind"],
+                        "n_bytes": chunk["n_bytes"],
+                        "feature": [fn(p, dim) for p in chunk["payload"]],
+                    }
+                )
 
-    if batch_size_hint:
-        media = media.repartition(
-            max(int(media.count() / batch_size_hint), 1)
-        )
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

@@ -135,6 +135,39 @@ def lsh_bucket(
     return out
 
 
+def suggest_lsh_params(
+    n: int, target_bucket: int = 16, max_planes: int = 24
+) -> dict[str, int]:
+    """Pick ``n_planes``/``n_tables`` for a corpus of ``n`` vectors.
+
+    Random-hyperplane signatures split the corpus into ≤ 2^planes
+    buckets; for roughly uniform directions the expected occupancy is
+    ``n / 2^planes``, so planes ≈ log2(n / target_bucket) keeps the
+    per-bucket self-join work near ``C(target_bucket, 2)`` per bucket —
+    linear in n overall, never all-pairs. More planes than that buys
+    nothing but recall loss; fewer degenerates toward all-pairs (the
+    r2 fixture-tuned ``n_planes=8`` default was exactly this trap at
+    corpus sizes ≫ 2^8·target).
+
+    ``n_tables`` compensates recall: each halving of per-table recall
+    from extra planes is roughly recovered by doubling tables
+    (OR-amplification, recall 1-(1-p^planes)^tables). The suggestion
+    scales tables with planes beyond the 8-plane baseline, bounded to
+    keep the explode factor sane.
+
+    Returns {"n_planes": ..., "n_tables": ...}; pass straight into
+    ``lsh_topk`` / ``embedding_dup_pairs`` (which uses n_planes only —
+    dup-level thresholds keep per-table recall ~1, tables unneeded).
+    """
+    import math
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    planes = max(1, min(max_planes, round(math.log2(max(n / target_bucket, 2)))))
+    tables = max(1, min(16, 1 << max(0, (planes - 8) // 2)))
+    return {"n_planes": planes, "n_tables": tables}
+
+
 def embedding_dup_pairs(
     corpus: DataFrame,
     dim: int,
@@ -151,6 +184,10 @@ def embedding_dup_pairs(
     hyperplane sign, so recall at dup-level thresholds is ~1 while the
     self-join stays linear in corpus + bucket-collision count — never
     all-pairs.
+
+    The ``n_planes=8`` default suits corpora up to ~2^8·16 ≈ 4k
+    vectors; beyond that pass ``suggest_lsh_params(n)["n_planes"]``
+    (planes ≈ log2(n/16)) or buckets outgrow executor-sized self-joins.
     """
     b = corpus.select(
         F.col(id_col).alias("id"),

@@ -279,6 +279,7 @@ def simhash_pairs(
     shingle: str = "char",
     bands: int = 4,
     bits_per_band: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash banded into ``bands``
     contiguous ``bits_per_band``-bit keys — any pair within hamming
@@ -287,6 +288,11 @@ def simhash_pairs(
 
     Returns (id_a < id_b, hamming).
 
+    Migration note: simhash widened from 32 to 64 bits, so the same
+    textual distance now lands at roughly double the hamming — callers
+    tuned against the old 32-bit layout should re-tune ``max_hamming``
+    (roughly: double your previous threshold) deliberately.
+
     Scale: the band keyspace is ``bands × 2^bits_per_band`` (defaults
     4×65,536 = 262k keys vs the 1,024 of a 4×8-bit layout) and grows
     by widening bands, so bucket occupancy stays ~n/2^bits and the
@@ -294,10 +300,28 @@ def simhash_pairs(
     corpora. For hamming ≤ 5 use bands=8, bits_per_band=8 — wider
     hamming needs more bands (pigeonhole: bands ≥ max_hamming+1),
     trading keyspace for recall.
+
+    Hot buckets: simhash keys are content-correlated by design, so a
+    boilerplate-heavy corpus (shared headers, templated crawl pages)
+    concentrates genuinely-similar docs into a few buckets and the
+    per-bucket self-join cost grows as C(n,2). ``max_bucket_size``
+    caps that: any (band, key) bucket holding more rows is dropped
+    before the self-join (the standard LSH-dedup mitigation). Recall
+    loss is bounded by the pigeonhole slack — a pair is only missed if
+    *every* band it shares is hot — and near-identical boilerplate is
+    usually better handled by ``exact_dedup`` upstream anyway. The cap
+    is a count-window over the same (band, key) the self-join shuffles
+    on, so the exchange is reusable and no new shuffle key appears.
     """
     if bands * bits_per_band != 64:
         raise ValueError(
             f"bands * bits_per_band must equal 64, got {bands}×{bits_per_band}"
+        )
+    if bands < 2:
+        raise ValueError(
+            "bands must be >= 2: a single 64-bit band has a mask that "
+            "overflows Spark's long literal and degenerates banding to "
+            "exact-hash equality"
         )
     if bands < max_hamming + 1:
         raise ValueError(
@@ -305,6 +329,8 @@ def simhash_pairs(
             f"({bands} < {max_hamming + 1}): a pair at distance "
             f"{max_hamming} could differ in every band"
         )
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (a pair needs 2 rows)")
     mask = (1 << bits_per_band) - 1
     sh = simhash_values(df, text_col, id_col, n, shingle)
     banded = sh.select(
@@ -327,6 +353,11 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("id", "sh", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        occ = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        banded = banded.withColumn("__occ", occ).filter(
+            F.col("__occ") <= max_bucket_size
+        ).drop("__occ")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -27,7 +27,7 @@ from dw_etl_spark.operators.interpolate import interpolate_by_group, seed_group_
 from dw_etl_spark.operators.joins import resolve_surrogate_key
 from dw_etl_spark.operators.keys import add_sequential_id, add_unique_id
 from dw_etl_spark.operators.pivot import pivot_wide
-from dw_etl_spark.operators.qcut import ntile_buckets
+from dw_etl_spark.operators.qcut import ntile_buckets, qcut_by_group_expr
 from dw_etl_spark.sources.files import read_table
 
 QUARTER_NAMES = {1: "Winter", 2: "Spring", 3: "Summer", 4: "Autumn"}
@@ -86,7 +86,9 @@ def build_dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_dim_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_dim_indicator(
+    spark: SparkSession, sf_dir: str, qcut: str = "count"
+) -> DataFrame:
     """DIM_CountryIndicator role (transform.py:256-356), full chain:
     pivot long→wide (A4) → group-head null seed (A5/A6) → per-group
     linear interpolation (A7) → sequential Id (F7) → per-'year' tercile
@@ -94,7 +96,15 @@ def build_dim_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events role: user_id = country, day-of-month = year axis,
     event_type = indicator code, value = indicator value.
+
+    ``qcut`` picks the A8 tercile semantics: ``"count"`` (equal-count
+    ntile, deterministic via Id tiebreak) or ``"value"`` — the
+    reference's actual ``pd.qcut`` bin-by-quantile-edge behavior
+    (transform.py:335), where ties share a bin and duplicate edges
+    collapse the label set (duplicates='drop').
     """
+    if qcut not in ("count", "value"):
+        raise ValueError(f"qcut must be 'count' or 'value', got {qcut!r}")
     events = read_table(spark, sf_dir, "events")
     long_form = events.select(
         F.col("user_id").alias("UserId"),
@@ -116,16 +126,25 @@ def build_dim_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeded, group_by=["UserId"], order_by="Day", cols=EVENT_TYPES
     )
     with_id = add_sequential_id(filled, order_by=["UserId", "Day"])
-    bucketed = with_id
-    for ind in EVENT_TYPES:
-        bucketed = ntile_buckets(
-            bucketed,
+    if qcut == "value":
+        bucketed = qcut_by_group_expr(
+            with_id,
             group_by=["Day"],
-            value_col=ind,
+            value_col=list(EVENT_TYPES),
             n=3,
-            out_col=f"{ind}Bucket",
-            tiebreak=[F.col("Id")],
+            out_col=[f"{c}Bucket" for c in EVENT_TYPES],
         )
+    else:
+        bucketed = with_id
+        for ind in EVENT_TYPES:
+            bucketed = ntile_buckets(
+                bucketed,
+                group_by=["Day"],
+                value_col=ind,
+                n=3,
+                out_col=f"{ind}Bucket",
+                tiebreak=[F.col("Id")],
+            )
     # round for cross-engine double stability (partial-agg order varies)
     rounded = [F.round(F.col(c), 6).alias(c) for c in EVENT_TYPES]
     return bucketed.select(

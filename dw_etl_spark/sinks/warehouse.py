@@ -235,14 +235,27 @@ class JdbcWarehouse:
     ``df.write.jdbc`` with ``batchsize`` is the distributed version of
     the reference's chunked multi-row INSERT (resources.py:66-73) —
     every executor writes its partitions concurrently.
+
+    ``dialect`` selects the DDL/catalog flavor: ``"sqlserver"``
+    (reference parity — T-SQL ``IF EXISTS`` guards, INFORMATION_SCHEMA,
+    NVARCHAR types) or ``"derby"`` (embedded Apache Derby, which ships
+    with Spark — the dialect the e2e tests run against in-process).
+    Derby deltas: no ``IF EXISTS`` anywhere (existence is probed via
+    ``SYS`` catalogs first), ANSI type names, and ``ALTER COLUMN SET
+    DATA TYPE`` is VARCHAR-widening-only, so the FK type retrofit is a
+    no-op — Spark's JDBC writer already created identical types on both
+    sides of the key.
     """
 
     def __init__(self, spark: SparkSession, url: str, properties: dict[str, str],
-                 batchsize: int = 10_000):
+                 batchsize: int = 10_000, dialect: str = "sqlserver"):
+        if dialect not in ("sqlserver", "derby"):
+            raise ValueError(f"unsupported dialect: {dialect!r}")
         self.spark = spark
         self.url = url
         self.properties = properties
         self.batchsize = batchsize
+        self.dialect = dialect
 
     def execute(self, statement: str) -> None:
         """Run one DDL statement over a JVM DriverManager connection."""
@@ -257,36 +270,114 @@ class JdbcWarehouse:
             conn.close()
 
     def table_exists(self, name: str) -> bool:  # S8
-        probe = (
-            "(SELECT COUNT(*) AS n FROM INFORMATION_SCHEMA.TABLES "
-            f"WHERE TABLE_NAME = '{name}') q"
-        )
+        if self.dialect == "derby":
+            # Spark's JDBC writer emits the table name unquoted (Derby
+            # uppercases it) but quotes COLUMN names (exact case kept) —
+            # catalog probes and DDL must follow the same split
+            probe = (
+                "(SELECT COUNT(*) AS n FROM SYS.SYSTABLES "
+                f"WHERE TABLENAME = '{name.upper()}') q"
+            )
+        else:
+            probe = (
+                "(SELECT COUNT(*) AS n FROM INFORMATION_SCHEMA.TABLES "
+                f"WHERE TABLE_NAME = '{name}') q"
+            )
         row = self.spark.read.jdbc(self.url, probe, properties=self.properties).first()
-        return bool(row and row["n"])
+        return bool(row and row[0])  # positional: Derby uppercases aliases
 
     def introspect(self, name: str) -> DataFrame:  # S13
+        if self.dialect == "derby":
+            # Derby's catalog: SYSCOLUMNS type descriptors stringify as
+            # e.g. 'BIGINT NOT NULL' — split into the standard 4-col shape
+            q = (
+                "(SELECT t.TABLENAME AS TABLE_NAME, "
+                "c.COLUMNNAME AS COLUMN_NAME, "
+                "CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS DATA_TYPE "
+                "FROM SYS.SYSCOLUMNS c JOIN SYS.SYSTABLES t "
+                "ON c.REFERENCEID = t.TABLEID "
+                f"WHERE t.TABLENAME = '{name.upper()}') q"
+            )
+            raw = self.spark.read.jdbc(self.url, q, properties=self.properties)
+            return raw.select(
+                "TABLE_NAME",
+                "COLUMN_NAME",
+                F.trim(F.regexp_replace("DATA_TYPE", "NOT NULL", "")).alias(
+                    "DATA_TYPE"
+                ),
+                F.when(
+                    F.col("DATA_TYPE").contains("NOT NULL"), F.lit("NO")
+                ).otherwise(F.lit("YES")).alias("IS_NULLABLE"),
+            )
         q = (
             "(SELECT TABLE_NAME, COLUMN_NAME, DATA_TYPE, IS_NULLABLE "
             f"FROM INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = '{name}') q"
         )
         return self.spark.read.jdbc(self.url, q, properties=self.properties)
 
+    def drop_table(self, name: str) -> None:  # S9
+        if self.dialect == "derby":
+            if self.table_exists(name):  # Derby has no IF EXISTS
+                self.execute(f"DROP TABLE {name}")
+        else:
+            self.execute(ddl_drop_table(name))
+
+    def drop_foreign_key(self, table: str, fk_name: str) -> None:  # S11 (guarded)
+        if self.dialect == "derby":
+            probe = (
+                "(SELECT COUNT(*) AS n FROM SYS.SYSCONSTRAINTS "
+                f"WHERE CONSTRAINTNAME = '{fk_name.upper()}') q"
+            )
+            row = self.spark.read.jdbc(
+                self.url, probe, properties=self.properties
+            ).first()
+            if row and row[0]:
+                self.execute(f"ALTER TABLE {table} DROP CONSTRAINT {fk_name}")
+        else:
+            self.execute(ddl_drop_foreign_key(table, fk_name))
+
     def write_table(self, df: DataFrame, spec: TableSpec, **_ignored) -> None:
         for c, t in spec.column_types.items():
             df = df.withColumn(c, F.col(c).cast(t))
-        self.execute(ddl_drop_table(spec.name))  # S9: drop-then-write
+        self.drop_table(spec.name)  # S9: drop-then-write
         props = dict(self.properties, batchsize=str(self.batchsize))
         df.write.jdbc(self.url, spec.name, mode="append", properties=props)  # S7
         if spec.primary_key:  # S10 retrofit
-            pk_types = {
-                c: sql_type_for(df.schema[c].dataType) for c in spec.primary_key
-            }
-            for stmt in ddl_set_primary_key(spec.name, spec.primary_key, pk_types):
-                self.execute(stmt)
+            if self.dialect == "derby":
+                for c in spec.primary_key:
+                    self.execute(
+                        f'ALTER TABLE {spec.name} ALTER COLUMN "{c}" NOT NULL'
+                    )
+                cols = ", ".join(f'"{c}"' for c in spec.primary_key)
+                self.execute(
+                    f"ALTER TABLE {spec.name} ADD CONSTRAINT "
+                    f"PK_{spec.name} PRIMARY KEY ({cols})"
+                )
+            else:
+                pk_types = {
+                    c: sql_type_for(df.schema[c].dataType)
+                    for c in spec.primary_key
+                }
+                for stmt in ddl_set_primary_key(
+                    spec.name, spec.primary_key, pk_types
+                ):
+                    self.execute(stmt)
         for fk in spec.foreign_keys:  # S11/S12 retrofit
-            fk_type = sql_type_for(df.schema[fk.columns[0]].dataType)
-            self.execute(ddl_alter_column_type(spec.name, fk.columns[0], fk_type))
-            self.execute(ddl_add_foreign_key(spec.name, fk))
+            if self.dialect == "derby":
+                # writer-created types already match both sides; ALTER
+                # ... SET DATA TYPE is VARCHAR-widening-only in Derby
+                cols = ", ".join(f'"{c}"' for c in fk.columns)
+                refs = ", ".join(f'"{c}"' for c in fk.ref_columns)
+                self.execute(
+                    f"ALTER TABLE {spec.name} ADD CONSTRAINT {fk.name} "
+                    f"FOREIGN KEY ({cols}) REFERENCES {fk.ref_table} ({refs})"
+                )
+            else:
+                fk_type = sql_type_for(df.schema[fk.columns[0]].dataType)
+                self.execute(
+                    ddl_alter_column_type(spec.name, fk.columns[0], fk_type)
+                )
+                self.execute(ddl_add_foreign_key(spec.name, fk))
 
 
 # ---------------------------------------------------------------- orchestration
@@ -308,7 +399,7 @@ def load_star_schema(
     if isinstance(warehouse, JdbcWarehouse):
         for spec in specs.values():
             for fk in spec.foreign_keys:
-                warehouse.execute(ddl_drop_foreign_key(spec.name, fk.name))
+                warehouse.drop_foreign_key(spec.name, fk.name)
     dims = {
         n: df.persist(StorageLevel.MEMORY_AND_DISK)
         for n, df in tables.items()

@@ -85,17 +85,26 @@ def read_parquet(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table: ``{sf_dir}/{name}.parquet``.
 
-    The ``events`` table carries nanosecond parquet timestamps, which
-    Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); read
-    them as longs (``nanosAsLong``) and rebuild a proper timestamp via
-    integer division (``div`` — a double round-trip would lose precision
-    at 1e18 nanos).
+    The ``events`` table's timestamp encoding has varied across driver
+    generations; both are normalized to session-zoned TIMESTAMP (the
+    session zone is UTC, so values are preserved):
+
+    - nanosecond timestamps — rejected by Spark's vectorized reader
+      ([PARQUET_TYPE_ILLEGAL]); read as longs (``nanosAsLong``) and
+      rebuilt via integer division (``div`` — a double round-trip would
+      lose precision at 1e18 nanos);
+    - microsecond no-tz timestamps — surface as TIMESTAMP_NTZ, which
+      streaming watermarks reject ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE])
+      → cast.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 

@@ -25,32 +25,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Schema of the driver's events table as stored (ns timestamps → long).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/files.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with the same ns→µs
-    timestamp rebuild as the batch reader (sources/files.py:read_table).
+    """``readStream`` over the events parquet, schema-matched to the
+    batch reader (sources/files.py:read_table).
+
+    ``readStream`` needs a user-declared schema (no inference on file
+    streams), so the footer schema is taken from a zero-job batch read
+    of the same file. That also absorbs the driver testdata's timestamp
+    encoding: nanosecond parquet timestamps surface as long
+    (``nanosAsLong``) and are rebuilt with the same ``div``-based
+    expression as batch; microsecond timestamps pass through natively —
+    either way stream and batch plans see identical ``ts`` values.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stored = spark.read.parquet(path).schema  # footer only — no job
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(stored)
         .option("maxFilesPerTrigger", "1")
         # file streams need a directory; select just the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = stored["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # watermarks need session-zoned TIMESTAMP, not NTZ; session tz
+        # is UTC so the cast is value-preserving (same as read_table)
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_event_counts(

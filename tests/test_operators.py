@@ -195,6 +195,70 @@ def test_fuzzy_join_with_token_sort_score(spark):
     assert got == {"Korea South": "South Korea", "Grmany": "Germany"}
 
 
+def test_partial_levenshtein_substring_containment(spark):
+    from dw_etl_spark.operators.joins import partial_levenshtein
+
+    df = spark.createDataFrame(
+        [
+            ("Korea", "Republic of Korea"),       # exact containment → 0
+            ("Korea", "Republic of Korfa"),       # 1 edit in best window
+            ("abc", "xyz"),                       # disjoint → 100
+        ],
+        ["a", "b"],
+    )
+    got = [r[0] for r in df.select(partial_levenshtein(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == 0.0
+    assert got[1] == pytest.approx(100.0 / 5)     # 1 edit over len 5
+    assert got[2] == 100.0
+
+
+def test_wratio_distance_ranks_dirty_countries(spark):
+    from dw_etl_spark.operators.joins import wratio_distance
+
+    # Substring noise ('Germany (Federal Rep.)'), word-order noise
+    # ('Korea, South'), and typos — the mix WRatio exists for.
+    left = spark.createDataFrame(
+        [
+            ("Germany (Federal Rep.)",),
+            ("Korea South",),
+            ("Untied States",),
+            ("Republic of India",),
+        ],
+        ["name"],
+    )
+    domain = spark.createDataFrame(
+        [("Germany",), ("South Korea",), ("United States",), ("India",),
+         ("France",)],
+        ["country"],
+    )
+    got = {
+        r["name"]: r["matched"]
+        for r in fuzzy_top1_join(
+            left, "name", domain, "country", score_expr=wratio_distance
+        ).collect()
+    }
+    assert got == {
+        "Germany (Federal Rep.)": "Germany",
+        "Korea South": "South Korea",
+        "Untied States": "United States",
+        "Republic of India": "India",
+    }
+
+
+def test_wratio_distance_bounds(spark):
+    from dw_etl_spark.operators.joins import wratio_distance
+
+    df = spark.createDataFrame(
+        [("same", "same"), ("aaaa", "zzzz"), ("Korea", "Republic of Korea")],
+        ["a", "b"],
+    )
+    got = [r[0] for r in df.select(wratio_distance(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == 0.0                      # identical → distance 0
+    assert 0.0 <= got[1] <= 100.0
+    # containment is heavily discounted, not free: 100 - 100*0.9 = 10
+    assert got[2] == pytest.approx(10.0)
+
+
 def test_describe_numeric_percentiles(spark):
     from dw_etl_spark.operators.profile import describe_numeric
 

