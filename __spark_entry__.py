@@ -323,33 +323,39 @@ def _q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5 sigma — deterministic-in-practice, while still exercising the
     sketch path end-to-end.
     """
+    from dw_etl_spark.operators.profile import bracketed_exact_percentiles
+
     li = read_table(spark, sf_dir, "lineitem")
+    # Exact references come from their own narrow jobs, NOT the sketch
+    # agg: the bracketed two-pass path replaces the O(distinct)-state
+    # `percentile` agg (PLANS.md §6), and mixing exact countDistinct
+    # into the HLL agg forced an Expand that multiplied every sketch
+    # buffer ×3 (18s for a 4s job at sf0.1).
+    exact_q = bracketed_exact_percentiles(
+        li, ["l_extendedprice"], [0.25, 0.5, 0.75]
+    )["l_extendedprice"]
+    e_pk = li.select("l_partkey").distinct().count()
+    e_sk = li.select("l_suppkey").distinct().count()
     q = F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
-    eq = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
     agg = li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("a_pk"),
-        F.countDistinct("l_partkey").alias("e_pk"),
         F.approx_count_distinct("l_suppkey", 0.01).alias("a_sk"),
-        F.countDistinct("l_suppkey").alias("e_sk"),
         q.getItem(0).alias("a_q25"),
         q.getItem(1).alias("a_q50"),
         q.getItem(2).alias("a_q75"),
-        eq.getItem(0).alias("e_q25"),
-        eq.getItem(1).alias("e_q50"),
-        eq.getItem(2).alias("e_q75"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
-    def _ok(a: str, e: str) -> Column:
-        return F.abs(F.col(a) - F.col(e)) / F.abs(F.col(e)) <= F.lit(0.05)
+    def _ok(a: str, e: float) -> Column:
+        return F.abs(F.col(a) - F.lit(e)) / F.abs(F.lit(float(e))) <= F.lit(0.05)
 
     return agg.select(
         "n_rows",
-        _ok("a_pk", "e_pk").alias("nd_partkey_ok"),
-        _ok("a_sk", "e_sk").alias("nd_suppkey_ok"),
-        _ok("a_q25", "e_q25").alias("price_q25_ok"),
-        _ok("a_q50", "e_q50").alias("price_q50_ok"),
-        _ok("a_q75", "e_q75").alias("price_q75_ok"),
+        _ok("a_pk", e_pk).alias("nd_partkey_ok"),
+        _ok("a_sk", e_sk).alias("nd_suppkey_ok"),
+        _ok("a_q25", exact_q[0]).alias("price_q25_ok"),
+        _ok("a_q50", exact_q[1]).alias("price_q50_ok"),
+        _ok("a_q75", exact_q[2]).alias("price_q75_ok"),
     )
 
 

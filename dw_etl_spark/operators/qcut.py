@@ -100,16 +100,19 @@ def _group_quantile_edges(
 
     One map-combinable pass builds per-(group, col, value) counts (the
     melt is an explode of a len(value_cols)-struct array — still one
-    scan); the bounded histogram (groups × distinct values, capped) is
-    collected and the weighted quantiles interpolated with the numpy
-    lerp ``v_lo + (v_hi - v_lo)·frac`` — bit-identical to pandas and
-    DuckDB ``quantile_cont``. Returns None when the histogram exceeds
-    the cap (high-cardinality doubles) — caller falls back to the
-    ``percentile`` agg.
+    scan); the bounded histogram (groups × distinct values, capped)
+    comes back as ONE Arrow batch (``toPandas`` — a ``collect()`` of
+    the same rows paid ~10× in py4j Row deserialization at 500k
+    histogram rows) and the weighted quantiles are interpolated with
+    the numpy lerp ``v_lo + (v_hi - v_lo)·frac`` — bit-identical to
+    pandas and DuckDB ``quantile_cont`` (searchsorted-right ==
+    bisect_right, IEEE-identical float64 arithmetic). Returns None when
+    the histogram exceeds the cap (high-cardinality doubles) — caller
+    falls back to the ``percentile`` agg.
     """
-    import bisect
     import math
-    from collections import defaultdict
+
+    import numpy as np
 
     melt = F.explode(
         F.array(
@@ -122,49 +125,51 @@ def _group_quantile_edges(
             ]
         )
     )
-    hist_rows = (
+    pdf = (
         df.select(*group_by, melt.alias("m"))
         .select(*group_by, "m.__col", "m.__val")
         .filter(F.col("__val").isNotNull())
         .groupBy(*group_by, "__col", "__val")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .limit(_HIST_EDGE_CAP + 1)
-        .collect()
+        .toPandas()
     )
-    if len(hist_rows) > _HIST_EDGE_CAP:
+    if len(pdf) > _HIST_EDGE_CAP:
         return None
 
-    hist: dict[tuple, dict[str, list[tuple[float, int]]]] = defaultdict(
-        lambda: defaultdict(list)
-    )
-    for r in hist_rows:
-        key = tuple(r[g] for g in group_by)
-        hist[key][r["__col"]].append((r["__val"], r["__cnt"]))
-
-    def weighted_quantiles(pairs: list[tuple[float, int]]) -> list[float]:
-        pairs.sort()
-        m = sum(cnt for _, cnt in pairs)
-        cums: list[int] = []
-        run = 0
-        for _, cnt in pairs:
-            run += cnt
-            cums.append(run)
-
-        def value_at(rank: int) -> float:
-            return pairs[bisect.bisect_right(cums, rank)][0]
-
+    def py_key(vals: tuple) -> tuple:
+        # pandas renders null keys as NaN/NaT and ints as numpy scalars;
+        # normalize back to the plain-Python values `F.lit` expects
         out = []
+        for v in vals:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                out.append(None)
+            elif hasattr(v, "item"):
+                out.append(v.item())
+            else:
+                out.append(v)
+        return tuple(out)
+
+    hist: dict[tuple, dict[str, list[float]]] = {}
+    for idx_key, grp in pdf.groupby([*group_by, "__col"], dropna=False, sort=False):
+        if not isinstance(idx_key, tuple):
+            idx_key = (idx_key,)
+        *key_vals, colname = idx_key
+        key = py_key(tuple(key_vals))
+        v = grp["__val"].to_numpy(dtype=float)
+        c = grp["__cnt"].to_numpy(dtype="int64")
+        order = np.argsort(v, kind="stable")
+        v, cums = v[order], np.cumsum(c[order])
+        m = int(cums[-1])
+        edges = []
         for i in range(n + 1):
             h = (m - 1) * (i / n)
             fl = math.floor(h)
-            vlo, vhi = value_at(fl), value_at(math.ceil(h))
-            out.append(vlo + (vhi - vlo) * (h - fl))
-        return out
-
-    return {
-        key: {c: weighted_quantiles(cols[c]) for c in cols}
-        for key, cols in hist.items()
-    }
+            vlo = float(v[np.searchsorted(cums, fl, side="right")])
+            vhi = float(v[np.searchsorted(cums, math.ceil(h), side="right")])
+            edges.append(vlo + (vhi - vlo) * (h - fl))
+        hist.setdefault(key, {})[str(colname)] = edges
+    return hist
 
 
 def qcut_by_group_expr(
