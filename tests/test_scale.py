@@ -143,6 +143,32 @@ def test_salted_join_rejects_outer_joins(spark):
             salted_join(li, orders, on=["l_orderkey"], how=how)
 
 
+def test_approx_profile_sketch_agg_is_expand_free(spark):
+    """The sketch agg must never mix exact distinct aggregates back in:
+    a countDistinct alongside the tight-rsd HLLs forces an Expand that
+    multiplies every sketch buffer by the distinct-group count (measured
+    5x wall-clock at sf0.1). Exact references run as separate narrow
+    jobs instead — the plan of the returned frame stays Expand-free."""
+    import __spark_entry__ as e
+
+    df = e.queries()["approx_profile"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_dim_indicator_qcut_plan_has_no_joins(spark):
+    """The value-bin tercile variant assigns buckets via inlined literal
+    CASE chains (driver-interpolated quantile edges) — zero joins in the
+    plan, same exchange family as the count-based sibling."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["dim_indicator_qcut"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Join|CartesianProduct", plan)
+
+
 def test_two_phase_count_distinct_null_semantics(spark):
     """NULL values are not distinct values (countDistinct parity); keys
     whose values are all NULL still emit a 0 row."""
