@@ -127,6 +127,11 @@ def build_dim_indicator(
     )
     with_id = add_sequential_id(filled, order_by=["UserId", "Day"])
     if qcut == "value":
+        # qcut_by_group_expr reads the frame twice (histogram pass +
+        # bucket assembly); pin the dim-sized interpolated frame so the
+        # pivot/window chain runs once, not twice (dedup_clusters
+        # precedent — blocks are ~MBs and die with the frame)
+        with_id = with_id.localCheckpoint()
         bucketed = qcut_by_group_expr(
             with_id,
             group_by=["Day"],
