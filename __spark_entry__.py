@@ -41,6 +41,7 @@ from dw_etl_spark.operators.profile import (
 from dw_etl_spark.operators.similarity import (
     cosine_topk,
     embedding_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from dw_etl_spark.operators.temporal_joins import asof_join, range_join
@@ -632,6 +633,18 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, n_planes=8)
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(-flat) ANN through the hard gate: deterministic md5-sampled
+    centroids, nearest-list assignment, nprobe=4 of 16 lists probed per
+    query — the cluster-routing scale path next to lsh_topk's
+    hyperplane banding."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5,
+        n_centroids=16, nprobe=4,
+    )
 
 
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1357,6 +1370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _q_dedup_clusters,
     "cosine_topk": _q_cosine_topk,
     "lsh_topk": _q_lsh_topk,
+    "ivf_topk": _q_ivf_topk,
     "embedding_dup_pairs": _q_embedding_dups,
     "media_stats": _q_media_stats,
     "media_decode": _q_media_decode,
@@ -2028,6 +2042,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "cosine_topk": oracles.cosine_topk_sql(),
         "lsh_topk": oracles.lsh_topk_sql(),
+        "ivf_topk": oracles.ivf_topk_sql(),
         "embedding_dup_pairs": oracles.embedding_dup_pairs_sql(),
         "media_stats": _MEDIA_STATS_SQL,
         "media_decode": _media_decode_sql(),

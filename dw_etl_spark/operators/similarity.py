@@ -25,6 +25,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -207,6 +209,116 @@ def embedding_dup_pairs(
             F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic IVF coarse quantizer: the ``n_centroids`` vectors
+    with the lowest ``md5(vec_id)`` hex rank ARE the centroids (a
+    deterministic uniform sample — no RNG, no Lloyd iterations, so any
+    engine/run picks the identical set and the DuckDB oracle can
+    reproduce it with ``ORDER BY md5(...) LIMIT k``).
+
+    Returns [(cid, vector, l2_norm)] with cid = 0-based hash-rank. The
+    collect is k rows (driver-bounded); at 100 TB the sample is still
+    one ordered-limit job over ids, not data.
+    """
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "id")
+        .limit(n_centroids)
+        .collect()
+    )
+    out = []
+    for cid, r in enumerate(rows):
+        vec = [float(x) for x in r["v"]]
+        # left-to-right sum — same order as the engine/oracle list_sum
+        norm = math.sqrt(sum(x * x for x in vec))
+        out.append((cid, vec, norm))
+    return out
+
+
+def _ranked_centroids(v: Column, cents: list[tuple[int, list[float], float]]) -> Column:
+    """Struct array [(−cos₆, cid)] sorted ascending — best centroid
+    first; rounded cosines + cid tiebreak keep the ranking identical in
+    any engine (same rule as the DuckDB twin's ORDER BY)."""
+    nv = l2_norm(v)
+    structs = []
+    for cid, cvec, cnorm in cents:
+        ca = F.array(*[F.lit(x) for x in cvec])
+        cos = F.round(dot(v, ca) / (nv * F.lit(cnorm)), 6)
+        structs.append(F.struct((-cos).alias("ns"), F.lit(cid).alias("cid")))
+    return F.array_sort(F.array(*structs))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF(-flat) index — the cluster-routing
+    alternative to ``lsh_topk``'s hyperplane banding: every corpus
+    vector is assigned to its nearest centroid (inverted list), each
+    query probes its ``nprobe`` nearest lists, and only co-listed pairs
+    are scored.
+
+    Work per query ≈ nprobe/n_centroids of the corpus (vs all of it for
+    brute force); the join is a plain equi-join on cid, so the shuffle
+    key cardinality is n_centroids — size it ≥ executor parallelism at
+    scale. Assignment is a narrow map of n_centroids literal-array dot
+    folds per row; ``nprobe == n_centroids`` degrades gracefully to
+    exact brute force (tested). Recall depends on how well the sampled
+    centroids cover the data — the classic IVF trade, tunable without
+    touching the index by raising nprobe.
+    """
+    cents = ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.element_at(_ranked_centroids(F.col(vec_col), cents), 1)["cid"].alias(
+            "cid"
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(_ranked_centroids(F.col(vec_col), cents), 1, nprobe),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    )
+    scored = (
+        c.join(q, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

@@ -327,6 +327,55 @@ WHERE {cos} >= {min_cosine}
 """
 
 
+def ivf_topk_sql(
+    k: int = 5, query_max_id: int = 10, n_centroids: int = 16, nprobe: int = 4
+) -> str:
+    """Twin of operators/similarity.py:ivf_topk — identical centroid
+    sample (ORDER BY md5 hex LIMIT k), identical (rounded cos DESC,
+    cid ASC) ranking for assignment and probes."""
+    rcos = (
+        f"round({_dot64('e.embedding', 'c.embedding')} / "
+        f"({_norm64('e.embedding')} * {_norm64('c.embedding')}), 6)"
+    )
+    cos = (
+        f"round({_dot64('q.qv', 'a.cv')} / "
+        f"({_norm64('q.qv')} * {_norm64('a.cv')}), 6)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         embedding
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_centroids}
+),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {rcos} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, cid FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid
+  FROM ranked WHERE rn <= {nprobe} AND vec_id < {query_max_id}
+),
+scored AS (
+  SELECT q.query_id, a.neighbor_id, {cos} AS cos_sim
+  FROM assigned a JOIN probes q USING (cid)
+  WHERE q.query_id <> a.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 def lsh_topk_sql(k: int = 5, query_max_id: int = 10, n_planes: int = 8) -> str:
     cos = f"round({_dot64('q.embedding', 'c.embedding')} / ({_norm64('q.embedding')} * {_norm64('c.embedding')}), 6)"
     bucket = lsh_bucket_sql("embedding", 64, n_planes)

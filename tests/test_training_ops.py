@@ -271,6 +271,47 @@ def test_lsh_topk_subset_of_bucketmates(spark):
         )
 
 
+def test_ivf_topk_subset_of_exact_and_full_probe_equals_brute_force(spark):
+    """IVF results are genuine pairs with exact scores, and probing
+    every list (nprobe == n_centroids) degrades to exact brute force."""
+    import random
+
+    from dw_etl_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id") < 3)
+
+    exact = cosine_topk(qs, df, k=59).collect()
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    approx = ivf_topk(qs, df, dim=8, k=3, n_centroids=8, nprobe=2).collect()
+    assert approx  # probing its own list always yields neighbors
+    for r in approx:
+        assert math.isclose(
+            exact_scores[(r["query_id"], r["neighbor_id"])], r["cos_sim"],
+            abs_tol=1e-9,
+        )
+
+    full = ivf_topk(qs, df, dim=8, k=5, n_centroids=8, nprobe=8).collect()
+    brute = cosine_topk(qs, df, k=5).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cos_sim"])
+    assert sorted(map(key, full)) == sorted(map(key, brute))
+
+
+def test_ivf_centroids_deterministic(spark):
+    from dw_etl_spark.operators.similarity import ivf_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    a = ivf_centroids(df, n_centroids=4)
+    b = ivf_centroids(df, n_centroids=4)
+    assert a == b
+    assert [cid for cid, _, _ in a] == [0, 1, 2, 3]
+    assert all(n > 0 for _, _, n in a)
+
+
 def test_suggest_lsh_params_bounds_occupancy(spark):
     """suggest_lsh_params encodes planes ≈ log2(n/target): expected
     occupancy n/2^planes stays near the target across corpus scales,
