@@ -537,6 +537,43 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus filtering through the hard gate (Rae et al.
+    2021 appendix-A rules as deterministic expressions): the
+    single-line documents fixture is extended with deterministic
+    repeated lines / bullets / ellipsis endings so every line-level
+    metric has signal, then each doc gets its repetition + quality
+    metrics and a keep verdict (fixture-sized min_words/mean-length
+    thresholds, paper defaults otherwise)."""
+    from dw_etl_spark.functions.text import gopher_keep, gopher_metrics
+
+    docs = read_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit("\n"),
+                F.substring("text", 1, 40),
+            ),
+        ).otherwise(F.concat(F.lit("second line "), F.col("doc_id").cast("string"))),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\n- bullet one\n- bullet two")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\nto be continued...")).otherwise(
+            F.lit("")
+        ),
+    )
+    m = gopher_metrics(synth)
+    return docs.select(
+        "doc_id",
+        *[col.alias(name) for name, col in m.items()],
+        gopher_keep(synth, min_words=10, min_mean_word_len=2.0).alias("keep"),
+    )
+
+
 # ---- dedup family ---------------------------------------------------------
 
 def _docs_with_copies(spark, sf_dir: str, perturb: str | None) -> DataFrame:
@@ -1363,6 +1400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": _q_sessionize,
     "json_extract": _q_json_extract,
     "text_features": _q_text_features,
+    "quality_filters": _q_quality_filters,
     "exact_dedup": _q_exact_dedup,
     "minhash_lsh_pairs": _q_minhash_lsh,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2035,6 +2073,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SESSIONIZE_SQL,
         "json_extract": _JSON_EXTRACT_SQL,
         "text_features": oracles.text_features_sql(),
+        "quality_filters": oracles.quality_filters_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),

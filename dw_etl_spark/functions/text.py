@@ -95,10 +95,17 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization; empty/blank text → empty array."""
+    """Whitespace tokenization; empty/blank text → empty array.
+
+    Trims with ``btrim(.., " \\t\\n\\r")``, not ``trim`` — SQL ``trim``
+    strips spaces only, so text ending in a newline kept a phantom
+    empty trailing token (same quirk in the DuckDB twin, fixed
+    together).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(c), r"\s+")
+    t = F.btrim(c, F.lit(" \t\n\r"))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
     )
 
 
@@ -212,6 +219,83 @@ def quality_score(col: Column | str) -> Column:
         + F.when(stop_hits > 0, 0.25).otherwise(0.0)
     )
     return F.round(score, 2)
+
+
+def gopher_metrics(col: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition/quality surface statistics (Rae et al.
+    2021, "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", appendix A — the published corpus-filtering
+    rules). All pure JVM expressions over one row — no shuffle, no UDF;
+    ratios rounded to 4 decimals for cross-engine stability.
+
+    Returns named columns:
+      n_words            whitespace token count
+      mean_word_len      Σ len(token) / words
+      symbol_ratio       ('#' or ellipsis occurrences) / words
+      alpha_word_frac    words containing a letter / words
+      dup_line_frac      1 − distinct non-blank lines / non-blank lines
+      bullet_line_frac   lines starting with -, * or •
+      ellipsis_line_frac lines ending with ... or …
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_words = F.size(toks).cast("long")
+    denom_w = F.greatest(n_words, F.lit(1))
+    word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.size(lines)
+    denom_l = F.greatest(n_lines, F.lit(1))
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(word_chars / denom_w, 4),
+        "symbol_ratio": F.round(
+            F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0)) / denom_w, 4
+        ),
+        "alpha_word_frac": F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / denom_w, 4
+        ),
+        "dup_line_frac": F.round(
+            (n_lines - F.size(F.array_distinct(lines))) / denom_l, 4
+        ),
+        "bullet_line_frac": F.round(
+            F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))) / denom_l,
+            4,
+        ),
+        "ellipsis_line_frac": F.round(
+            F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+            / denom_l,
+            4,
+        ),
+    }
+
+
+def gopher_keep(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    max_dup_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+) -> Column:
+    """Boolean Gopher filter verdict — the conjunction of the published
+    thresholds (defaults = the paper's; every threshold overridable,
+    e.g. short-doc corpora lower ``min_words``)."""
+    m = gopher_metrics(col)
+    return (
+        m["n_words"].between(min_words, max_words)
+        & m["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (m["symbol_ratio"] <= max_symbol_ratio)
+        & (m["alpha_word_frac"] >= min_alpha_word_frac)
+        & (m["dup_line_frac"] <= max_dup_line_frac)
+        & (m["bullet_line_frac"] <= max_bullet_line_frac)
+        & (m["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+    )
 
 
 def fingerprint(col: Column | str) -> Column:

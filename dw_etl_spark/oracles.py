@@ -38,9 +38,13 @@ def h32b(expr: str) -> str:
 
 
 def tokens(expr: str) -> str:
+    # trim on the full whitespace set (twin of text.py tokens' btrim) —
+    # plain trim() strips spaces only and leaves a phantom empty token
+    # after a trailing newline
+    ws = "' ' || chr(9) || chr(10) || chr(13)"
     return (
-        f"CASE WHEN trim({expr}) = '' THEN CAST([] AS VARCHAR[]) "
-        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+        f"CASE WHEN trim({expr}, {ws}) = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array(trim({expr}, {ws}), '\\s+') END"
     )
 
 
@@ -106,6 +110,82 @@ def quality_sql(expr: str = "text") -> str:
         f" + (CASE WHEN {alpha_ratio} >= 0.6 THEN 0.25 ELSE 0.0 END)"
         f" + (CASE WHEN {stop_hits} > 0 THEN 0.25 ELSE 0.0 END), 2)"
     )
+
+
+def gopher_metrics_sql(expr: str) -> dict[str, str]:
+    """Twin of functions/text.py gopher_metrics over a text expression."""
+    toks = tokens(expr)
+    n_words = f"len({toks})"
+    dw = f"greatest({n_words}, 1)"
+    word_chars = f"list_sum(list_transform({toks}, t -> length(t)))"
+    lines = f"list_filter(string_split({expr}, chr(10)), l -> trim(l) <> '')"
+    n_lines = f"len({lines})"
+    dl = f"greatest({n_lines}, 1)"
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "mean_word_len": f"round(coalesce({word_chars}, 0) / {dw}, 4)",
+        "symbol_ratio": (
+            f"round(len(regexp_extract_all({expr}, '#|\\.\\.\\.|…', 0)) / {dw}, 4)"
+        ),
+        "alpha_word_frac": (
+            f"round(len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]')))"
+            f" / {dw}, 4)"
+        ),
+        "dup_line_frac": (
+            f"round(({n_lines} - len(list_distinct({lines}))) / {dl}, 4)"
+        ),
+        "bullet_line_frac": (
+            f"round(len(list_filter({lines}, "
+            f"l -> regexp_matches(trim(l), '^[-*•]'))) / {dl}, 4)"
+        ),
+        "ellipsis_line_frac": (
+            f"round(len(list_filter({lines}, "
+            f"l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) / {dl}, 4)"
+        ),
+    }
+
+
+#: Twin of the synthetic multi-line corpus in _q_quality_filters: the
+#: single-line documents fixture gains deterministic repeated lines
+#: (even ids), bullet lines (ids % 3) and ellipsis endings (ids % 5) so
+#: the line-level Gopher metrics have signal.
+QUALITY_SYNTH_SQL = (
+    "text || chr(10) || "
+    "CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 40) || chr(10) || "
+    "substr(text, 1, 40) "
+    "ELSE 'second line ' || CAST(doc_id AS VARCHAR) END || "
+    "CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet one' || chr(10) || "
+    "'- bullet two' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' "
+    "ELSE '' END"
+)
+
+
+def quality_filters_sql() -> str:
+    """Twin of _q_quality_filters: Gopher metrics + keep verdict over
+    the synthetic multi-line corpus (thresholds as in the query:
+    fixture-sized min_words=10, min_mean_word_len=2.0, rest = paper)."""
+    m = gopher_metrics_sql("text")
+    cols = ",\n       ".join(f"{sql} AS {name}" for name, sql in m.items())
+    return f"""
+WITH synth AS (
+  SELECT doc_id, {QUALITY_SYNTH_SQL} AS text FROM documents
+),
+metrics AS (
+  SELECT doc_id,
+       {cols}
+  FROM synth
+)
+SELECT *,
+       (n_words BETWEEN 10 AND 100000
+        AND mean_word_len BETWEEN 2.0 AND 10.0
+        AND symbol_ratio <= 0.1
+        AND alpha_word_frac >= 0.8
+        AND dup_line_frac <= 0.3
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3) AS keep
+FROM metrics
+"""
 
 
 def text_features_sql() -> str:

@@ -467,6 +467,41 @@ def test_subword_count_bpe_ish(spark):
     assert [(r["w"], r["s"]) for r in rows] == [(2, 2), (2, 4), (1, 7), (0, 0)]
 
 
+def test_gopher_metrics_hand_computed(spark):
+    from dw_etl_spark.functions.text import gopher_keep, gopher_metrics
+
+    text = "alpha beta gamma\nalpha beta gamma\n- bullet\nwait for it...\n\n"
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    m = gopher_metrics(F.col("text"))
+    row = df.select(
+        *[c.alias(n) for n, c in m.items()],
+        gopher_keep(F.col("text"), min_words=5, min_mean_word_len=2.0).alias("keep"),
+    ).first()
+    # 11 words: 2x(alpha beta gamma) + '-' 'bullet' + 'wait' 'for' 'it...'
+    # (and NOT a phantom 12th empty token from the trailing newlines)
+    assert row["n_words"] == 11
+    # 4 non-blank lines, one exact duplicate
+    assert row["dup_line_frac"] == 0.25
+    assert row["bullet_line_frac"] == 0.25
+    assert row["ellipsis_line_frac"] == 0.25
+    # 10 of 11 words contain a letter ('-' does not)
+    assert row["alpha_word_frac"] == 0.9091
+    # one '...' over 11 words
+    assert row["symbol_ratio"] == 0.0909
+    # 47 word chars / 11 words
+    assert row["mean_word_len"] == 4.2727
+    assert row["keep"]  # every threshold inclusive-passes
+    # dup-heavy doc fails: 3 identical lines of 4 -> 0.5 > 0.3
+    dup = "same line\nsame line\nsame line\nunique tail here now"
+    row2 = (
+        spark.createDataFrame([(1, dup)], ["id", "text"])
+        .select(gopher_keep(F.col("text"), min_words=3, min_mean_word_len=2.0)
+                .alias("keep"))
+        .first()
+    )
+    assert not row2["keep"]
+
+
 def test_connected_components_chain_and_cliques(spark):
     """A 6-node chain (worst case for label propagation), a triangle,
     and an isolated edge — every node labeled with its component min."""
