@@ -574,6 +574,41 @@ def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard layout through the hard gate: documents in
+    doc_id order become one token stream cut into 512-token shards;
+    each doc gets its exclusive prefix-sum, shard id, and in-shard
+    offset via the scalable two-phase prefix sum (no global sort).
+    Oracle = a plain SQL window prefix-sum — the distributed layout
+    must equal the sequential one exactly."""
+    from dw_etl_spark.operators.packing import pack_into_shards
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_into_shards(
+        docs, "n_tokens", order_by=["doc_id"], shard_tokens=512
+    )
+
+
+_SHARD_PACKING_SQL_TEMPLATE = """
+WITH t AS (
+  SELECT doc_id, CAST({n_toks} AS BIGINT) AS n_tokens FROM documents
+),
+p AS (
+  SELECT *,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prefix_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, prefix_tokens,
+       CAST(prefix_tokens // 512 AS BIGINT) AS shard_id,
+       CAST(prefix_tokens % 512 AS BIGINT) AS shard_offset
+FROM p
+"""
+
+
 # ---- dedup family ---------------------------------------------------------
 
 def _docs_with_copies(spark, sf_dir: str, perturb: str | None) -> DataFrame:
@@ -1401,6 +1436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": _q_json_extract,
     "text_features": _q_text_features,
     "quality_filters": _q_quality_filters,
+    "shard_packing": _q_shard_packing,
     "exact_dedup": _q_exact_dedup,
     "minhash_lsh_pairs": _q_minhash_lsh,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2074,6 +2110,9 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": _JSON_EXTRACT_SQL,
         "text_features": oracles.text_features_sql(),
         "quality_filters": oracles.quality_filters_sql(),
+        "shard_packing": _SHARD_PACKING_SQL_TEMPLATE.format(
+            n_toks=f"len({oracles.tokens('text')})"
+        ),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),

@@ -1,0 +1,85 @@
+"""Token-budget shard packing (training-data extension).
+
+An LLM training pipeline lays documents out as one long token stream
+and cuts it into fixed-size shards/sequences. Assigning each document
+its (shard, offset) in that stream is a global *prefix sum* over a
+deterministic document order — the same two-phase trick as
+``keys.add_unique_id`` (range partition → in-partition running sums →
+per-partition totals broadcast as offsets), generalized from row counts
+to token sums, so the layout of a 100 TB corpus never sorts on a single
+partition.
+
+Semantics are contiguous-stream: a document may straddle a shard
+boundary (exactly how concatenate-then-chunk training pipelines split
+sequences). Boundary-respecting greedy packing is inherently
+sequential state; callers that need it can filter
+``shard_offset + n_tokens <= shard_tokens`` and reflow the remainder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_into_shards(
+    df: DataFrame,
+    token_col: str,
+    order_by: list[str],
+    shard_tokens: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``prefix_tokens``, ``shard_id``, ``shard_offset``:
+    the document's exclusive token prefix-sum in ``order_by`` order,
+    the shard it starts in (``prefix // shard_tokens``), and its
+    starting offset inside that shard (``prefix % shard_tokens``).
+
+    Deterministic for any input partitioning given a total ``order_by``
+    (tested); the persist pin is the same AQE-snapshot requirement as
+    ``add_unique_id`` (see keys.py — two separately-planned consumers
+    of one range exchange can otherwise see different partitionings).
+    """
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    from pyspark import StorageLevel
+
+    n_parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    parted = df.repartitionByRange(int(n_parts), *order_by).sortWithinPartitions(
+        *order_by
+    )
+    with_pid = parted.withColumn("__pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_run = with_pid.withColumn(
+        "__run", F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    )
+
+    # one row per partition — the "global" window is microscopic
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_pid.groupBy("__pid")
+        .agg(F.sum(token_col).alias("__tok"))
+        .withColumn(
+            "__offset",
+            F.coalesce(F.sum("__tok").over(w_off), F.lit(0)).cast("long"),
+        )
+        .select("__pid", "__offset")
+    )
+    prefix = F.col("__offset") + F.col("__run")
+    return (
+        with_run.join(F.broadcast(offsets), "__pid")
+        .withColumn("prefix_tokens", prefix)
+        .withColumn(
+            "shard_id", F.floor(prefix / F.lit(shard_tokens)).cast("long")
+        )
+        .withColumn("shard_offset", (prefix % F.lit(shard_tokens)).cast("long"))
+        .drop("__pid", "__run", "__offset")
+        .select(*df.columns, "prefix_tokens", "shard_id", "shard_offset")
+    )

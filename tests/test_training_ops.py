@@ -467,6 +467,37 @@ def test_subword_count_bpe_ish(spark):
     assert [(r["w"], r["s"]) for r in rows] == [(2, 2), (2, 4), (1, 7), (0, 0)]
 
 
+def test_pack_into_shards_hand_computed_and_partition_independent(spark):
+    """Contiguous-stream shard layout: exclusive prefix sums, straddle
+    allowed; identical output for any input partitioning (the two-phase
+    prefix sum must equal the sequential layout)."""
+    from dw_etl_spark.operators.packing import pack_into_shards
+
+    rows = [(1, 300), (2, 300), (3, 100), (4, 500), (5, 50)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {
+        r["doc_id"]: (r["prefix_tokens"], r["shard_id"], r["shard_offset"])
+        for r in pack_into_shards(df, "n_tokens", ["doc_id"], 512).collect()
+    }
+    # prefix:  0, 300, 600, 700, 1200  → shard = prefix // 512
+    assert got == {
+        1: (0, 0, 0),
+        2: (300, 0, 300),   # straddles the 512 boundary — stays shard 0
+        3: (600, 1, 88),
+        4: (700, 1, 188),
+        5: (1200, 2, 176),
+    }
+    reparted = {
+        r["doc_id"]: (r["prefix_tokens"], r["shard_id"], r["shard_offset"])
+        for r in pack_into_shards(
+            df.repartition(7), "n_tokens", ["doc_id"], 512, num_partitions=3
+        ).collect()
+    }
+    assert reparted == got
+    with pytest.raises(ValueError):
+        pack_into_shards(df, "n_tokens", ["doc_id"], 0)
+
+
 def test_gopher_metrics_hand_computed(spark):
     from dw_etl_spark.functions.text import gopher_keep, gopher_metrics
 
