@@ -43,22 +43,12 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    runs: dict[str, list[float]] = {}
-    t_all = time.perf_counter()
-    qs = entrymod.queries()
-    for _ in range(k):
-        for name, fn in qs.items():
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.setdefault(name, []).append(time.perf_counter() - t0)
-    wall_clock = round(time.perf_counter() - t_all, 3)
-    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
-    medians = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
-    total = round(sum(timings.values()), 3)
-
     # apples-to-apples with BASELINE.md's full-ETL wall clock: build the
     # whole star schema and load it through the warehouse sink (writes +
-    # PK uniqueness + FK orphan validation), extract → warehouse on disk
+    # PK uniqueness + FK orphan validation), extract → warehouse on disk.
+    # Measured FIRST (right after warmup): the headline baseline
+    # comparison shouldn't inherit GC/block pressure from 3×54 query
+    # executions (measured +40% when run last).
     import shutil
     import tempfile
 
@@ -86,6 +76,19 @@ def main() -> None:
         )
         pipeline_runs.append(time.perf_counter() - t0)
         shutil.rmtree(wh_dir, ignore_errors=True)
+
+    runs: dict[str, list[float]] = {}
+    t_all = time.perf_counter()
+    qs = entrymod.queries()
+    for _ in range(k):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.setdefault(name, []).append(time.perf_counter() - t0)
+    wall_clock = round(time.perf_counter() - t_all, 3)
+    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
+    medians = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
