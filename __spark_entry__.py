@@ -1290,6 +1290,115 @@ GROUP BY c_mktsegment
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli downsampling: each doc
+    is kept with probability = its quality score, via the stable hash
+    bucket (no RNG — same kept set every run/engine/partitioning).
+    Oracle replays the md5 bucket and the quality expression."""
+    from dw_etl_spark.operators.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "w", quality_score("text").cast("double")
+    )
+    kept = weighted_sample(docs, "doc_id", "w")
+    return kept.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+_WEIGHTED_SAMPLE_BUCKET = (
+    "CAST('0x' || substr(md5('weight|' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 10000"
+)
+
+
+def _weighted_sample_sql() -> str:
+    q = oracles.quality_sql("text")
+    return f"""
+SELECT w, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM (
+  SELECT doc_id, CAST({q} AS DOUBLE) AS w,
+         {_WEIGHTED_SAMPLE_BUCKET} AS bucket
+  FROM documents
+)
+WHERE bucket < round(greatest(least(w, 1.0), 0.0) * 10000, 0)
+GROUP BY w
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing through the hard gate: deterministic emails/URLs/
+    phones/IPs are appended to fixture docs (the corpus has none), then
+    counted on the raw text and redacted to <TOKEN> placeholders — the
+    scrub pass a training corpus runs before tokenization. Patterns are
+    RE2-compatible by design so the DuckDB oracle applies the literal
+    same regexes."""
+    from dw_etl_spark.functions.text import pii_counts, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" visit https://data.example.org/doc/"),
+                     did.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call +1415555"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                     F.lit(".25")),
+        ).otherwise(F.lit("")),
+    )
+    counts = pii_counts(synth)
+    return docs.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}") for k in counts],
+        redact_pii(synth).alias("redacted"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from dw_etl_spark.functions.text import PII_PATTERNS
+
+    synth = (
+        "text || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN ' visit https://data.example.org/doc/'"
+        " || CAST(doc_id AS VARCHAR) ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN ' call +1415555' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || "
+        "CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.25' ELSE '' END"
+    )
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(synth, '{pat}', 0)) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "synth"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+WITH s AS (SELECT doc_id, {synth} AS synth FROM documents)
+SELECT doc_id,
+       {counts},
+       {red} AS redacted
+FROM s
+"""
+
+
 # ---- multimodal plumbing --------------------------------------------------
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1437,6 +1546,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_features": _q_text_features,
     "quality_filters": _q_quality_filters,
     "shard_packing": _q_shard_packing,
+    "pii_scrub": _q_pii_scrub,
+    "weighted_sample": _q_weighted_sample,
     "exact_dedup": _q_exact_dedup,
     "minhash_lsh_pairs": _q_minhash_lsh,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2113,6 +2224,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_packing": _SHARD_PACKING_SQL_TEMPLATE.format(
             n_toks=f"len({oracles.tokens('text')})"
         ),
+        "pii_scrub": _pii_scrub_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),

@@ -221,6 +221,39 @@ def quality_score(col: Column | str) -> Column:
     return F.round(score, 2)
 
 
+# PII patterns, RE2-compatible by design (no lookahead/backrefs) so the
+# DuckDB oracle applies the literal same regexes. Order matters: URLs
+# before emails (a URL may embed an @), IPs before phones (digit runs).
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-]{7,}[0-9]",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Match count per PII category (url/email/ip/phone) — counted on
+    the raw text, before any redaction."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace each PII category with its ``<TOKEN>`` placeholder, in
+    PII_PATTERNS order — the scrubbing pass a training corpus runs
+    before tokenization. Pure ``regexp_replace`` chain: JVM-side,
+    pushdown-friendly, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
 def gopher_metrics(col: Column | str) -> dict[str, Column]:
     """Gopher-style repetition/quality surface statistics (Rae et al.
     2021, "Scaling Language Models: Methods, Analysis & Insights from

@@ -62,6 +62,27 @@ def train_val_test_split(
     return train, val, test
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    salt: str = "weight",
+) -> DataFrame:
+    """Per-row deterministic Bernoulli keep with probability
+    ``weight_col`` (clamped to [0, 1]) — quality-weighted corpus
+    downsampling without RNG: row kept iff its stable hash bucket falls
+    under ``weight·B``. The same row with the same weight survives on
+    every run/engine/partitioning; raising a row's weight can only flip
+    it from dropped to kept (threshold monotonicity), so re-scoring a
+    corpus never churns the kept set randomly.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    threshold = F.round(
+        F.greatest(F.least(w, F.lit(1.0)), F.lit(0.0)) * BUCKETS, 0
+    )
+    return df.filter(hash_bucket(id_col, salt) < threshold)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -467,6 +467,42 @@ def test_subword_count_bpe_ish(spark):
     assert [(r["w"], r["s"]) for r in rows] == [(2, 2), (2, 4), (1, 7), (0, 0)]
 
 
+def test_redact_pii_categories_and_order(spark):
+    from dw_etl_spark.functions.text import pii_counts, redact_pii
+
+    text = ("mail a@b.io or see https://x.io/a?u=c@d.io from 10.1.2.3 "
+            "call +12345678901 done")
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    c = pii_counts(F.col("text"))
+    row = df.select(
+        *[v.alias(f"n_{k}") for k, v in c.items()], redact_pii("text").alias("r")
+    ).first()
+    assert (row["n_url"], row["n_ip"], row["n_phone"]) == (1, 1, 1)
+    assert row["n_email"] == 2  # the URL-embedded c@d.io also matches
+    # URL redacted first, so its embedded email never leaks a token
+    assert row["r"] == "mail <EMAIL> or see <URL> from <IP> call <PHONE> done"
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from dw_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 0.3) for i in range(1000)], ["doc_id", "w"]
+    )
+    kept1 = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w").collect()}
+    kept2 = {r["doc_id"] for r in
+             weighted_sample(df.repartition(7), "doc_id", "w").collect()}
+    assert kept1 == kept2  # partition-independent
+    assert 200 <= len(kept1) <= 400  # ~30% of 1000
+    # raising the weight only ADDS rows (threshold monotonicity)
+    more = {r["doc_id"] for r in
+            weighted_sample(df.withColumn("w", F.lit(0.6)), "doc_id", "w").collect()}
+    assert kept1 <= more
+    # weight 0 drops everything, weight 1 keeps everything
+    assert weighted_sample(df.withColumn("w", F.lit(0.0)), "doc_id", "w").count() == 0
+    assert weighted_sample(df.withColumn("w", F.lit(1.0)), "doc_id", "w").count() == 1000
+
+
 def test_pack_into_shards_hand_computed_and_partition_independent(spark):
     """Contiguous-stream shard layout: exclusive prefix sums, straddle
     allowed; identical output for any input partitioning (the two-phase
