@@ -1290,6 +1290,58 @@ GROUP BY c_mktsegment
 """
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition through the hard gate: per-document
+    duplicated word-bigram char fraction (the remaining Gopher rule —
+    line-level ones live in quality_filters), computed relationally
+    (explode → per-(doc, gram) counts → weighted ratio), bucketed into
+    a per-corpus histogram."""
+    from dw_etl_spark.operators.text_dedup import dup_ngram_char_fraction
+
+    docs = read_table(spark, sf_dir, "documents")
+    frac = dup_ngram_char_fraction(docs, "text", "doc_id", n=2)
+    return frac.groupBy(
+        F.floor(F.col("dup_ngram_frac") * 10).cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup_ngram_frac"), 4).alias("mean_frac"),
+        F.sum("id").alias("id_sum"),
+    )
+
+
+def _repetition_stats_sql() -> str:
+    toks = oracles.tokens("text")
+    # NON-distinct word bigrams (list_transform over positions)
+    bigrams = (
+        f"CASE WHEN len({toks}) < 2 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1]) END"
+    )
+    return f"""
+WITH exploded AS (
+  SELECT doc_id AS id, unnest({bigrams}) AS g FROM documents
+),
+all_ids AS (SELECT doc_id AS id FROM documents),
+per_gram AS (
+  SELECT id, g, count(*) AS c FROM exploded GROUP BY id, g
+),
+per_doc AS (
+  SELECT a.id,
+         round(coalesce(
+           sum(CASE WHEN c >= 2 THEN length(g) * c ELSE 0 END)
+             / sum(length(g) * c), 0.0), 4) AS dup_ngram_frac
+  FROM all_ids a LEFT JOIN per_gram p ON a.id = p.id
+  GROUP BY a.id
+)
+SELECT CAST(floor(dup_ngram_frac * 10) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(dup_ngram_frac), 4) AS mean_frac,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM per_doc
+GROUP BY 1
+"""
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic Bernoulli downsampling: each doc
     is kept with probability = its quality score, via the stable hash
@@ -1548,6 +1600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_packing": _q_shard_packing,
     "pii_scrub": _q_pii_scrub,
     "weighted_sample": _q_weighted_sample,
+    "repetition_stats": _q_repetition_stats,
     "exact_dedup": _q_exact_dedup,
     "minhash_lsh_pairs": _q_minhash_lsh,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2226,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_scrub": _pii_scrub_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "repetition_stats": _repetition_stats_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),

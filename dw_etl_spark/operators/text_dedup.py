@@ -223,6 +223,58 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_ngram_char_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """Per-document within-doc repetition: the fraction of word-n-gram
+    characters belonging to n-grams that occur more than once in the
+    SAME document (the remaining repetition rule of the Gopher filter
+    family — ``gopher_metrics`` covers the line-level ones).
+
+    Relational shape, not a per-row HOF scan: explode NON-distinct
+    n-grams → count per (doc, gram) → one weighted ratio per doc. An
+    in-expression occurrence count would be O(grams²) interpreted work
+    per row; this is one shuffle keyed on (doc, gram) whose cardinality
+    grows with the corpus — even at 100 TB. Docs with fewer than n
+    tokens emit fraction 0.0.
+
+    Returns (id, dup_ngram_frac) — join back to the corpus as needed.
+    """
+    from dw_etl_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    cnt = F.size(toks)
+    m = cnt - (n - 1)
+    grams = F.slice(toks, 1, F.greatest(m, F.lit(0)))
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, F.greatest(m, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.when(cnt < n, F.array().cast("array<string>")).otherwise(grams)
+        ).alias("g"),
+    )
+    per_gram = exploded.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    chars = F.length("g") * F.col("c")
+    return per_gram.groupBy("id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, chars).otherwise(F.lit(0)))
+                / F.sum(chars),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("dup_ngram_frac")
+    )
+
+
 def simhash_values(
     df: DataFrame, text_col: str, id_col: str, n: int = 3,
     shingle: str = "char",

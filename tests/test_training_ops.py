@@ -467,6 +467,26 @@ def test_subword_count_bpe_ish(spark):
     assert [(r["w"], r["s"]) for r in rows] == [(2, 2), (2, 4), (1, 7), (0, 0)]
 
 
+def test_dup_ngram_char_fraction_hand_computed(spark):
+    from dw_etl_spark.operators.text_dedup import dup_ngram_char_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),      # bigrams: 'a b','b a','a b','b c' → 'a b'×2
+            (2, "x y z"),          # all unique
+            (3, "w"),              # < 2 tokens → 0.0
+            (4, ""),               # empty → 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: r["dup_ngram_frac"]
+        for r in dup_ngram_char_fraction(df, "text", "doc_id", n=2).collect()
+    }
+    # doc 1: dup chars = 3*2 ('a b' twice) over total 3*2 + 3 + 3 = 12
+    assert got == {1: 0.5, 2: 0.0, 3: 0.0, 4: 0.0}
+
+
 def test_redact_pii_categories_and_order(spark):
     from dw_etl_spark.functions.text import pii_counts, redact_pii
 
