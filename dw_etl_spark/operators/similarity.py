@@ -247,17 +247,36 @@ def ivf_centroids(
     return out
 
 
-def _ranked_centroids(v: Column, cents: list[tuple[int, list[float], float]]) -> Column:
+def _centroid_frame(spark, cents: list[tuple[int, list[float], float]]):
+    """The centroid set as ONE broadcastable row holding
+    ``array<struct<cid,vec,norm>>``. Joining this single row onto every
+    input row ships the centroids as *broadcast data*, not plan
+    literals — the plan stays O(1) in ``n_centroids`` (the r4 version
+    folded n_centroids×dim ``F.lit``s into the projection, which blows
+    up codegen at the 10³-10⁴ centroids a 100 TB corpus needs)."""
+    data = [([(cid, vec, norm) for cid, vec, norm in cents],)]
+    schema = (
+        "__cents array<struct<cid: int, vec: array<double>, norm: double>>"
+    )
+    return spark.createDataFrame(data, schema)
+
+
+def _ranked_centroids(v: Column, cents_col: Column) -> Column:
     """Struct array [(−cos₆, cid)] sorted ascending — best centroid
     first; rounded cosines + cid tiebreak keep the ranking identical in
-    any engine (same rule as the DuckDB twin's ORDER BY)."""
+    any engine (same rule as the DuckDB twin's ORDER BY). The dot
+    product is the same left-to-right ``zip_with``+``aggregate`` fold
+    as ``dot()``, so doubles match the oracle's ``list_sum`` exactly."""
     nv = l2_norm(v)
-    structs = []
-    for cid, cvec, cnorm in cents:
-        ca = F.array(*[F.lit(x) for x in cvec])
-        cos = F.round(dot(v, ca) / (nv * F.lit(cnorm)), 6)
-        structs.append(F.struct((-cos).alias("ns"), F.lit(cid).alias("cid")))
-    return F.array_sort(F.array(*structs))
+    return F.array_sort(
+        F.transform(
+            cents_col,
+            lambda s: F.struct(
+                (-F.round(dot(v, s["vec"]) / (nv * s["norm"]), 6)).alias("ns"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
 
 
 def ivf_topk(
@@ -279,29 +298,43 @@ def ivf_topk(
     Work per query ≈ nprobe/n_centroids of the corpus (vs all of it for
     brute force); the join is a plain equi-join on cid, so the shuffle
     key cardinality is n_centroids — size it ≥ executor parallelism at
-    scale. Assignment is a narrow map of n_centroids literal-array dot
-    folds per row; ``nprobe == n_centroids`` degrades gracefully to
-    exact brute force (tested). Recall depends on how well the sampled
-    centroids cover the data — the classic IVF trade, tunable without
-    touching the index by raising nprobe.
+    scale. Assignment is a narrow broadcast pass: the centroid table
+    rides in as one broadcast row of ``array<struct>`` (never plan
+    literals — plan size is O(1) in n_centroids, pytest-pinned at 256)
+    and each row ranks it with higher-order expressions.
+    ``nprobe == n_centroids`` degrades gracefully to exact brute force
+    (tested). Recall depends on how well the sampled centroids cover
+    the data — the classic IVF trade, tunable without touching the
+    index by raising nprobe.
     """
     cents = ivf_centroids(corpus, vec_col, id_col, n_centroids)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        F.element_at(_ranked_centroids(F.col(vec_col), cents), 1)["cid"].alias(
-            "cid"
-        ),
+    cent_df = _centroid_frame(corpus.sparkSession, cents)
+    c = (
+        corpus.crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            F.element_at(
+                _ranked_centroids(F.col(vec_col), F.col("__cents")), 1
+            )["cid"].alias("cid"),
+        )
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        F.explode(
-            F.transform(
-                F.slice(_ranked_centroids(F.col(vec_col), cents), 1, nprobe),
-                lambda s: s["cid"],
-            )
-        ).alias("cid"),
+    q = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        _ranked_centroids(F.col(vec_col), F.col("__cents")),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["cid"],
+                )
+            ).alias("cid"),
+        )
     )
     scored = (
         c.join(q, "cid")

@@ -764,3 +764,30 @@ def test_wav_codec_roundtrip_feature(spark):
     # 20000/32768 sine → RMS = 0.61/sqrt(2) ≈ 0.43 in every window
     assert all(0.4 < v < 0.5 for v in feats[0])
     assert feats[1] == [0.0, 0.0, 0.0, 0.0]  # silence: zero RMS
+
+
+def test_ivf_topk_plan_stays_bounded_at_256_centroids(spark):
+    """Centroids ride in as broadcast data, not plan literals: the
+    optimized-plan string must stay small and (near-)constant as
+    n_centroids grows 16→256 — the r4 version folded n_centroids×dim
+    literals into the projection and the plan exploded linearly."""
+    import random
+
+    from dw_etl_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id") < 2)
+
+    plans = {}
+    for k_cent in (16, 256):
+        out = ivf_topk(qs, df, dim=16, k=3, n_centroids=k_cent, nprobe=2)
+        plans[k_cent] = len(
+            out._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert out.count() > 0  # still executes and returns neighbors
+    # plan growth must be O(1)-ish, not O(n_centroids·dim): allow slack
+    # for join-size hints but nothing near the 16x literal blowup
+    assert plans[256] < plans[16] * 2, plans
+    assert plans[256] < 100_000, plans
