@@ -8,10 +8,15 @@ dominant fixed cost is pipeline wall-clock, BASELINE.md).
 
 Noise control: every query runs k times ($SPARK_GRAFT_BENCH_K, default
 3) in round-robin passes; ``queries`` reports the per-query MIN (the
-noise-free estimate; comparable to earlier single-run rounds) and
-``queries_median`` the median, so round-over-round deltas on untouched
-queries can be told apart from single-run scheduler noise. ``value`` is
-the sum of per-query mins; ``wall_clock_sec`` is the raw loop time.
+noise-floor estimate) and ``queries_median`` the median. Min-of-k is
+systematically <= a single run, so compare MEDIANS against the
+single-run rounds (r1-r3) and either stat within the min-of-k rounds
+(r4+). ``value`` is the sum of per-query mins; ``wall_clock_sec`` is
+the raw loop time.
+
+The JSON line is also written to ``bench_out.json`` next to this file:
+the driver's stdout tail-capture truncated the (long) line in r4 and
+lost the parsed per-query dict — the file artifact is always intact.
 """
 
 from __future__ import annotations
@@ -90,24 +95,27 @@ def main() -> None:
     medians = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "runs": k,
-                "wall_clock_sec": wall_clock,
-                "sf": sf,
-                "pipeline_sec": round(min(pipeline_runs), 3),
-                "pipeline_sec_median": round(
-                    statistics.median(pipeline_runs), 3
-                ),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "query_suite_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_median": medians,
+            "runs": k,
+            "wall_clock_sec": wall_clock,
+            "sf": sf,
+            "pipeline_sec": round(min(pipeline_runs), 3),
+            "pipeline_sec_median": round(
+                statistics.median(pipeline_runs), 3
+            ),
+        }
     )
+    print(payload)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as f:
+        f.write(payload + "\n")
     spark.stop()
 
 

@@ -182,6 +182,7 @@ def fuzzy_top1_join(
     mapped_name: str = "matched",
     score_expr: Callable[[Column, Column], Column] | None = None,
     max_distance: int | None = None,
+    max_left_distinct: int | None = 100_000,
 ) -> DataFrame:
     """Map each ``left_col`` value to its best-scoring ``domain_col`` value.
 
@@ -199,11 +200,29 @@ def fuzzy_top1_join(
       6. optional ``max_distance``: worse matches → NULL (the
          reference's unmatchable→null, :53-57).
       7. broadcast the mapping back onto ``left``.
+
+    ``max_left_distinct`` is the SURVEY §4.4 guardrail: the operator's
+    viability rests on the distinct left side being domain-shaped
+    (country names, categories), and a high-cardinality free-text
+    column would silently build a |distinct_left| × |domain| grid. The
+    distinct side is counted first (one cheap job over one column) and
+    the join refuses to run past the cap — raise it (or pass ``None``)
+    deliberately if the grid is genuinely intended.
     """
     score = score_expr or (lambda a, b: F.levenshtein(a, b))
 
     lv = left.select(F.col(left_col).alias("__lv")).filter(F.col("__lv").isNotNull()).distinct()
     dv = domain.select(F.col(domain_col).alias("__dv")).filter(F.col("__dv").isNotNull()).distinct()
+    if max_left_distinct is not None:
+        n_left = lv.count()
+        if n_left > max_left_distinct:
+            raise ValueError(
+                f"fuzzy_top1_join: distinct({left_col}) has {n_left} values, "
+                f"over max_left_distinct={max_left_distinct} — the scoring "
+                f"grid would be {n_left} x |domain|. If this column is "
+                "genuinely domain-shaped, raise max_left_distinct (or pass "
+                "None); otherwise pre-aggregate or block the left side."
+            )
 
     scored = lv.crossJoin(F.broadcast(dv)).withColumn(
         "__score",

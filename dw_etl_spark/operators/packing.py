@@ -28,16 +28,24 @@ def pack_into_shards(
     order_by: list[str],
     shard_tokens: int,
     num_partitions: int | None = None,
+    pinned_out: list | None = None,
 ) -> DataFrame:
     """Append ``prefix_tokens``, ``shard_id``, ``shard_offset``:
     the document's exclusive token prefix-sum in ``order_by`` order,
-    the shard it starts in (``prefix // shard_tokens``), and its
-    starting offset inside that shard (``prefix % shard_tokens``).
+    the shard it starts in (``prefix // shard_tokens``, exact integer
+    ``div`` — no double-precision detour, so the layout stays exact
+    past 2^53 total tokens), and its starting offset inside that shard
+    (``prefix % shard_tokens``).
 
     Deterministic for any input partitioning given a total ``order_by``
     (tested); the persist pin is the same AQE-snapshot requirement as
     ``add_unique_id`` (see keys.py — two separately-planned consumers
     of one range exchange can otherwise see different partitionings).
+    As there, the cache is the price of stable distributed layout:
+    ``unpersist()`` it once the output is consumed. Pass a list as
+    ``pinned_out`` to receive the pinned frame for caller-managed
+    cleanup (``pinned_out[0].unpersist()``); otherwise the pin lives
+    until the session drops it.
     """
     if shard_tokens <= 0:
         raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
@@ -52,6 +60,8 @@ def pack_into_shards(
     with_pid = parted.withColumn("__pid", F.spark_partition_id()).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if pinned_out is not None:
+        pinned_out.append(with_pid)
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_by)
@@ -77,7 +87,8 @@ def pack_into_shards(
         with_run.join(F.broadcast(offsets), "__pid")
         .withColumn("prefix_tokens", prefix)
         .withColumn(
-            "shard_id", F.floor(prefix / F.lit(shard_tokens)).cast("long")
+            "shard_id",
+            F.expr(f"prefix_tokens div {int(shard_tokens)}").cast("long"),
         )
         .withColumn("shard_offset", (prefix % F.lit(shard_tokens)).cast("long"))
         .drop("__pid", "__run", "__offset")

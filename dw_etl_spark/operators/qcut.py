@@ -125,8 +125,23 @@ def _group_quantile_edges(
             ]
         )
     )
+    import pandas as pd
+
+    # toPandas renders a nullable integral group column as float64,
+    # silently lossy above 2^53 (collect() preserved exact ints).
+    # Route integral group keys through a lossless string cast
+    # Spark-side and parse them back to Python ints driver-side.
+    integral = {
+        c
+        for c, t in df.select(*group_by).dtypes
+        if t in ("tinyint", "smallint", "int", "bigint")
+    }
+    sel_groups = [
+        F.col(c).cast("string").alias(c) if c in integral else F.col(c)
+        for c in group_by
+    ]
     pdf = (
-        df.select(*group_by, melt.alias("m"))
+        df.select(*sel_groups, melt.alias("m"))
         .select(*group_by, "m.__col", "m.__val")
         .filter(F.col("__val").isNotNull())
         .groupBy(*group_by, "__col", "__val")
@@ -137,12 +152,16 @@ def _group_quantile_edges(
     if len(pdf) > _HIST_EDGE_CAP:
         return None
 
+    for c in integral:
+        pdf[c] = pdf[c].map(lambda s: None if pd.isna(s) else int(s))
+
     def py_key(vals: tuple) -> tuple:
-        # pandas renders null keys as NaN/NaT and ints as numpy scalars;
-        # normalize back to the plain-Python values `F.lit` expects
+        # pandas renders null keys as NaN/NaT/NA and ints as numpy
+        # scalars; normalize back to the plain-Python values `F.lit`
+        # expects
         out = []
         for v in vals:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
+            if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
                 out.append(None)
             elif hasattr(v, "item"):
                 out.append(v.item())

@@ -295,11 +295,16 @@ WHERE {jac} >= {min_jaccard}
 
 def simhash_pairs_sql(n: int = 2, max_hamming: int = 3, perturb: str = " qq",
                       shingle: str = "word", bands_n: int = 4,
-                      bits_per_band: int = 16) -> str:
+                      bits_per_band: int = 16,
+                      max_bucket_size: int | None = None) -> str:
     """64-bit simhash twin: two 32-bit md5 lanes (hex 1-8 / 9-16) give
     64 portable vote bits; bit 63 contributes -2^63 so the assembled
     BIGINT matches Spark's signed long exactly (partial sums of bits
-    0..62 stay <= 2^63-1, so no checked-overflow trip)."""
+    0..62 stay <= 2^63-1, so no checked-overflow trip).
+
+    ``max_bucket_size`` mirrors operators/text_dedup.py:simhash_pairs:
+    (band, key) buckets holding more rows are dropped before the
+    self-join (hot-bucket mitigation)."""
     assert bands_n * bits_per_band == 64
     sh = word_shingles("text", n) if shingle == "word" else shingles("text", n)
 
@@ -318,6 +323,14 @@ def simhash_pairs_sql(n: int = 2, max_hamming: int = 3, perturb: str = " qq",
         f"FROM hashes"
         for i in range(bands_n)
     )
+    capped = (
+        "SELECT id, sh, band, key FROM ("
+        "SELECT *, count(*) OVER (PARTITION BY band, key) AS __occ "
+        "FROM banded_all"
+        f") WHERE __occ <= {max_bucket_size}"
+        if max_bucket_size is not None
+        else "SELECT * FROM banded_all"
+    )
     return f"""
 WITH corpus AS ({corpus_with_copies_sql(perturb)}),
 shingled AS (SELECT doc_id AS id, {sh} AS shs FROM corpus),
@@ -328,7 +341,8 @@ hlists AS (
 hashes AS (
   SELECT id, CASE WHEN len(hs1) = 0 THEN 0 ELSE {vote_terms} END AS sh FROM hlists
 ),
-banded AS ({bands}),
+banded_all AS ({bands}),
+banded AS ({capped}),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming

@@ -220,8 +220,12 @@ def ddl_add_foreign_key(name: str, fk: ForeignKey) -> str:  # S11
     )
 
 def ddl_drop_foreign_key(name: str, fk_name: str) -> str:  # S11 (guarded drop)
+    # scoped to the parent table like the reference (resources.py:137-141)
+    # — constraint names are only unique per table in SQL Server, and an
+    # unscoped guard could fire the DROP against the wrong match
     return (
-        f"IF EXISTS (SELECT 1 FROM sys.foreign_keys WHERE name = '{fk_name}') "
+        f"IF EXISTS (SELECT 1 FROM sys.foreign_keys WHERE name = '{fk_name}' "
+        f"AND parent_object_id = OBJECT_ID('{name}')) "
         f"ALTER TABLE {name} DROP CONSTRAINT {fk_name}"
     )
 

@@ -517,3 +517,47 @@ def test_qcut_tie_rank_ulp_divergence_documented(spark):
     pnd = {r["rid"]: r["b"] for r in qcut_by_group(df, ["g"], "v", n=3, out_col="b").collect()}
     assert expr == {0: "Low", 1: "Low", 2: "Low", 3: "Low"}
     assert pnd == {0: "Low", 1: "Low", 2: "High", 3: "High"}
+
+
+def test_qcut_expr_group_keys_exact_past_double_precision(spark):
+    """Nullable 64-bit group keys above 2^53 must stay exact through
+    the driver-side histogram (toPandas renders nullable bigint as
+    float64, which collides adjacent keys; the Int64 round-trip keeps
+    them distinct)."""
+    from dw_etl_spark.operators.qcut import qcut_by_group_expr
+
+    k1, k2 = (1 << 53) + 1, (1 << 53) + 2  # indistinguishable as float64
+    rows = (
+        [(k1, i, float(i)) for i in range(6)]
+        + [(k2, i, float(100 + 10 * i)) for i in range(6)]
+        + [(None, i, float(i)) for i in range(3)]  # null group key
+    )
+    df = spark.createDataFrame(rows, "g bigint, rid int, v double")
+    out = qcut_by_group_expr(df, ["g"], "v", n=3, out_col="b").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["g"], set()).add((r["rid"], r["b"]))
+    # both >2^53 groups present and independently bucketed Low/Med/High
+    assert set(by_group) == {k1, k2, None}
+    for g in (k1, k2):
+        labels = {b for _, b in by_group[g]}
+        assert labels == {"Low", "Medium", "High"}, (g, labels)
+
+
+def test_fuzzy_top1_join_guards_high_cardinality_left(spark):
+    """SURVEY §4.4 guardrail: a free-text left column over the distinct
+    cap refuses to build the crossJoin grid; raising the cap (or
+    passing None) opts in deliberately."""
+    import pytest
+
+    from dw_etl_spark.operators.joins import fuzzy_top1_join
+
+    left = spark.range(50).select(
+        F.concat(F.lit("free text "), F.col("id").cast("string")).alias("t")
+    )
+    domain = spark.createDataFrame([("alpha",), ("beta",)], ["name"])
+    with pytest.raises(ValueError, match="max_left_distinct"):
+        fuzzy_top1_join(left, "t", domain, "name", max_left_distinct=10)
+    # explicit opt-in still works
+    out = fuzzy_top1_join(left, "t", domain, "name", max_left_distinct=None)
+    assert out.count() == 50

@@ -223,3 +223,55 @@ def test_qcut_expr_matches_duckdb_quantile_cont(spark, rows):
                 break
         want[rid] = label
     assert got == want
+
+
+# ------------------------------------------------- shard packing vs oracle
+
+@st.composite
+def token_streams(draw):
+    n = draw(st.integers(1, 40))
+    # adversarial mix: zero-token docs, tiny docs, and huge docs that
+    # straddle many shard boundaries
+    toks = draw(
+        st.lists(
+            st.one_of(
+                st.just(0),
+                st.integers(0, 7),
+                st.integers(500, 5000),
+            ),
+            min_size=n, max_size=n,
+        )
+    )
+    shard_tokens = draw(st.sampled_from([1, 64, 512]))
+    num_partitions = draw(st.sampled_from([1, 3, 7]))
+    return toks, shard_tokens, num_partitions
+
+
+@SLOW
+@given(token_streams())
+def test_pack_into_shards_matches_sequential_oracle(spark, stream):
+    """The distributed two-phase prefix sum must equal the trivially
+    sequential layout for any token mix, shard size and partitioning."""
+    from dw_etl_spark.operators.packing import pack_into_shards
+
+    toks, shard_tokens, num_partitions = stream
+    rows = [(i, t) for i, t in enumerate(toks)]
+
+    # sequential oracle: running sum in doc order
+    expect, run = {}, 0
+    for i, t in rows:
+        expect[i] = (run, run // shard_tokens, run % shard_tokens)
+        run += t
+
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).repartition(4)
+    pins: list = []
+    got = {
+        r["doc_id"]: (r["prefix_tokens"], r["shard_id"], r["shard_offset"])
+        for r in pack_into_shards(
+            df, "n_tokens", ["doc_id"], shard_tokens,
+            num_partitions=num_partitions, pinned_out=pins,
+        ).collect()
+    }
+    for p in pins:
+        p.unpersist()
+    assert got == expect
