@@ -453,15 +453,28 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # profile_metrics in r5 — its unionByName of deliberately
 # column-order-swapped branches lives there now)
 
-def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-day event-time windows; the same function runs on a
+def _q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming surface in one gate row (consolidated r5):
+    tumbling 1-day event-time windows AND gap-based sessions
+    (session_window), aligned to (grp, win_start, win_end, n,
+    total_value) and unioned by name. Both functions run unchanged on a
     readStream with a watermark (tests/test_streaming.py)."""
-    return windowed_event_counts(read_table(spark, sf_dir, "events"), window="1 day")
-
-
-def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessions (session_window); stream twin in streaming/."""
-    return sessionize(read_table(spark, sf_dir, "events"), gap="30 minutes")
+    ev = read_table(spark, sf_dir, "events")
+    w = windowed_event_counts(ev, window="1 day").select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("grp"),
+        F.col("window_start").alias("win_start"),
+        F.col("window_end").alias("win_end"),
+        "n",
+        "total_value",
+    )
+    s = sessionize(ev, gap="30 minutes").select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("grp"),
+        F.col("session_start").alias("win_start"),
+        F.col("session_end").alias("win_end"),
+        F.col("n_events").alias("n"),
+        "total_value",
+    )
+    return w.unionByName(s)
 
 
 def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,6 +625,40 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id", n=2, max_hamming=3, shingle="word",
         max_bucket_size=3,
     )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination through the hard gate (new r5): every
+    17th document plays the benchmark/eval set; each corpus doc is
+    flagged with its count of distinct word-trigram shingles that occur
+    anywhere in the eval set (n=3 because the fixture docs are short —
+    production uses 8-13). The eval docs themselves flag as
+    contaminated by construction, which pins the self-overlap case."""
+    from dw_etl_spark.operators.text_dedup import contamination_flags
+
+    docs = read_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_flags(docs, eval_set, "text", "doc_id", n=3)
+
+
+def _contamination_sql() -> str:
+    grams = oracles.word_shingles("text", 3)
+    return f"""
+WITH eval_grams AS (
+  SELECT DISTINCT unnest({grams}) AS g FROM documents WHERE doc_id % 17 = 0
+),
+exploded AS (
+  SELECT doc_id AS id, unnest({grams}) AS g FROM documents
+),
+hits AS (
+  SELECT id, count(*) AS n FROM exploded JOIN eval_grams USING (g) GROUP BY id
+)
+SELECT c.id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_shared_grams,
+       coalesce(n, 0) >= 1 AS contaminated
+FROM (SELECT doc_id AS id FROM documents) c
+LEFT JOIN hits USING (id)
+"""
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1517,8 +1564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_metrics": _q_profile_metrics,
     "window_running": _q_window_running,
     "token_freq": _q_token_freq,
-    "windowed_counts": _q_windowed_counts,
-    "sessionize": _q_sessionize,
+    "event_time_windows": _q_event_time_windows,
     "json_extract": _q_json_extract,
     "text_features": _q_text_features,
     "quality_filters": _q_quality_filters,
@@ -1530,6 +1576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": _q_minhash_lsh,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
     "simhash_pairs": _q_simhash,
+    "contamination": _q_contamination,
     "dedup_clusters": _q_dedup_clusters,
     "cosine_topk": _q_cosine_topk,
     "lsh_topk": _q_lsh_topk,
@@ -2072,18 +2119,9 @@ ORDER BY freq DESC, token ASC
 LIMIT 20
 """
 
-_WINDOWED_COUNTS_SQL = """
-SELECT date_trunc('day', ts) AS window_start,
-       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
-       event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS total_value
-FROM events
-GROUP BY 1, 2, 3
-"""
-
-# session_window semantics: session end = last event ts + gap
-_SESSIONIZE_SQL = """
+# merged streaming-surface twin (r5): tumbling windows ∪ sessions
+# (session_window semantics: session end = last event ts + gap)
+_EVENT_TIME_WINDOWS_SQL = """
 WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -2097,10 +2135,18 @@ sids AS (
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 )
-SELECT user_id,
-       min(ts) AS session_start,
-       max(ts) + INTERVAL 30 MINUTE AS session_end,
-       CAST(count(*) AS BIGINT) AS n_events,
+SELECT 'type:' || event_type AS grp,
+       date_trunc('day', ts) AS win_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'user:' || CAST(user_id AS VARCHAR) AS grp,
+       min(ts) AS win_start,
+       max(ts) + INTERVAL 30 MINUTE AS win_end,
+       CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS total_value
 FROM sids
 GROUP BY user_id, sid
@@ -2165,8 +2211,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_metrics": _PROFILE_METRICS_SQL,
         "window_running": _WINDOW_RUNNING_SQL,
         "token_freq": _TOKEN_FREQ_SQL,
-        "windowed_counts": _WINDOWED_COUNTS_SQL,
-        "sessionize": _SESSIONIZE_SQL,
+        "event_time_windows": _EVENT_TIME_WINDOWS_SQL,
         "json_extract": _JSON_EXTRACT_SQL,
         "text_features": oracles.text_features_sql(),
         "quality_filters": oracles.quality_filters_sql(),
@@ -2180,6 +2225,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(max_bucket_size=3),
+        "contamination": _contamination_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "cosine_topk": oracles.cosine_topk_sql(),
         # the embeddings fixture is 500 rows at both gate SFs, so the

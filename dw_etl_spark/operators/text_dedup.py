@@ -275,6 +275,57 @@ def dup_ngram_char_fraction(
     )
 
 
+def contamination_flags(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    shingle: str = "word",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/eval contamination check: flag corpus docs sharing at
+    least ``min_shared`` distinct n-gram shingles with ANY eval-set
+    document — the decontamination pass an LLM training pipeline runs
+    so benchmark answers don't leak into the corpus (the GPT-3/PaLM
+    papers use 8-13 word-gram collisions; pick ``n`` to taste).
+
+    Returns (id, n_shared_grams, contaminated) for every corpus row —
+    ``n_shared_grams`` counts the doc's distinct shingles that occur
+    anywhere in the eval set.
+
+    Scale shape: corpus shingles explode into (id, gram) rows and
+    equi-join the DISTINCT eval gram set — an inverted-index semi-join
+    keyed on the gram, never doc×doc. The eval side of the join is the
+    distinct gram set of the *eval corpus* (benchmarks are ~10⁴-10⁶
+    docs — broadcastable in practice; Catalyst/AQE picks broadcast vs
+    shuffle from its size). One shuffle over corpus grams at 100 TB,
+    with the count aggregation keyed on doc id.
+    """
+    corpus_grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, n, shingle)).alias("g"),
+    )
+    eval_grams = eval_df.select(
+        F.explode(_shingles(text_col, n, shingle)).alias("g")
+    ).distinct()
+    hits = (
+        corpus_grams.join(eval_grams, "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__n_shared"))
+    )
+    shared = F.coalesce("__n_shared", F.lit(0)).cast("long")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            shared.alias("n_shared_grams"),
+            (shared >= min_shared).alias("contaminated"),
+        )
+    )
+
+
 def simhash_values(
     df: DataFrame, text_col: str, id_col: str, n: int = 3,
     shingle: str = "char",

@@ -791,3 +791,44 @@ def test_ivf_topk_plan_stays_bounded_at_256_centroids(spark):
     # for join-size hints but nothing near the 16x literal blowup
     assert plans[256] < plans[16] * 2, plans
     assert plans[256] < 100_000, plans
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """Docs sharing an n-gram with the eval set flag contaminated with
+    the right shared count; clean docs report zero; gram-less docs
+    survive with zero."""
+    from dw_etl_spark.operators.text_dedup import contamination_flags
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence entirely here"),
+            (3, "quick brown fox in the wild"),
+            (4, "xy"),  # fewer than n tokens -> no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps high")], ["doc_id", "text"]
+    )
+    got = {
+        r["id"]: (r["n_shared_grams"], r["contaminated"])
+        for r in contamination_flags(
+            corpus, eval_set, "text", "doc_id", n=3
+        ).collect()
+    }
+    # doc 1 shares 'the quick brown', 'quick brown fox', 'brown fox jumps'
+    assert got[1] == (3, True)
+    assert got[2] == (0, False)
+    # doc 3 shares 'quick brown fox' only
+    assert got[3] == (1, True)
+    assert got[4] == (0, False)
+
+    # min_shared raises the bar
+    strict = {
+        r["id"]: r["contaminated"]
+        for r in contamination_flags(
+            corpus, eval_set, "text", "doc_id", n=3, min_shared=2
+        ).collect()
+    }
+    assert strict[1] is True and strict[3] is False
