@@ -275,3 +275,44 @@ def test_pack_into_shards_matches_sequential_oracle(spark, stream):
     for p in pins:
         p.unpersist()
     assert got == expect
+
+
+# ------------------------------------------------- contamination vs oracle
+
+@st.composite
+def contamination_corpora(draw):
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    def doc():
+        k = draw(st.integers(0, 6))
+        return " ".join(draw(st.sampled_from(vocab)) for _ in range(k))
+    corpus = [(i, doc()) for i in range(draw(st.integers(1, 12)))]
+    eval_set = [(100 + i, doc()) for i in range(draw(st.integers(1, 4)))]
+    n = draw(st.sampled_from([2, 3]))
+    return corpus, eval_set, n
+
+
+@SLOW
+@given(contamination_corpora())
+def test_contamination_flags_match_python_oracle(spark, case):
+    """Shared-distinct-shingle counts must equal a brute-force Python
+    implementation for any corpus/eval mix, incl. empty and short docs."""
+    from dw_etl_spark.operators.text_dedup import contamination_flags
+
+    corpus, eval_set, n = case
+
+    def grams(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    eval_grams = set().union(*(grams(t) for _, t in eval_set)) if eval_set else set()
+    expect = {
+        i: len(grams(t) & eval_grams) for i, t in corpus
+    }
+
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    edf = spark.createDataFrame(eval_set, ["doc_id", "text"])
+    got = {
+        r["id"]: r["n_shared_grams"]
+        for r in contamination_flags(cdf, edf, "text", "doc_id", n=n).collect()
+    }
+    assert got == expect

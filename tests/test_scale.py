@@ -185,3 +185,18 @@ def test_two_phase_count_distinct_null_semantics(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
     }
     assert got == want == {"a": 1, "b": 0}
+
+
+def test_contamination_plan_is_equi_join_not_all_pairs(spark):
+    """The decontamination pass must plan as an inverted-index equi-join
+    on the gram — no CartesianProduct and no doc x doc nested loop."""
+    from dw_etl_spark.operators.text_dedup import contamination_flags
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    flags = contamination_flags(
+        docs, docs.filter("doc_id % 17 = 0"), "text", "doc_id", n=3
+    )
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
