@@ -169,9 +169,18 @@ def minhash_lsh_pairs(
     bands: int = 8,
     min_jaccard: float = 0.5,
     shingle: str = "word",
+    pin_signatures: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket
     self-join → exact-Jaccard verify. Returns (id_a < id_b, jaccard).
+
+    ``pin_signatures`` (default on) lazily ``localCheckpoint``s the
+    signature frame: the banded self-join consumes the shingle→hash→
+    k-min aggregation on both sides and Spark does not reuse the
+    exchange under a broadcast join, so the pin halves the signature
+    work. num_hashes longs per doc (~256 B at k=32) — negligible at
+    any scale; a lost executor fails the job instead of recomputing
+    (pass ``False`` on preemptible clusters).
 
     rows_per_band r = num_hashes/bands; collision prob ≈ 1-(1-s^r)^b.
     Defaults (word bigrams, k=32, b=8 → r=4) keep buckets honest on
@@ -184,6 +193,8 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle)
+    if pin_signatures:
+        sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         "id",
         F.explode(
@@ -383,6 +394,7 @@ def simhash_pairs(
     bands: int = 4,
     bits_per_band: int = 16,
     max_bucket_size: int | None = None,
+    pin_signatures: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash banded into ``bands``
     contiguous ``bits_per_band``-bit keys — any pair within hamming
@@ -415,6 +427,16 @@ def simhash_pairs(
     usually better handled by ``exact_dedup`` upstream anyway. The cap
     is a count-window over the same (band, key) the self-join shuffles
     on, so the exchange is reusable and no new shuffle key appears.
+
+    ``pin_signatures`` (default on) lazily ``localCheckpoint``s the
+    (id, sh) frame: the self-join consumes the signature pipeline
+    (explode → hash → 64 bit-vote aggregates) on BOTH sides and Spark
+    does not reuse the exchange under a broadcast join, so without the
+    pin the most expensive stage runs 2-3×. The pinned frame is 16
+    bytes/doc — negligible at any corpus scale — and is GC-cleaned
+    with the DataFrame. Trade-off: a lost executor fails the job
+    instead of recomputing (standard localCheckpoint semantics); pass
+    ``False`` on preemptible clusters.
     """
     if bands * bits_per_band != 64:
         raise ValueError(
@@ -436,6 +458,8 @@ def simhash_pairs(
         raise ValueError("max_bucket_size must be >= 2 (a pair needs 2 rows)")
     mask = (1 << bits_per_band) - 1
     sh = simhash_values(df, text_col, id_col, n, shingle)
+    if pin_signatures:
+        sh = sh.localCheckpoint(eager=False)
     banded = sh.select(
         "id",
         "sh",
