@@ -46,3 +46,15 @@ def test_query_matches_oracle(spark, oracle, name):
         assert df.count() >= 0  # rows-only check
         return
     assert_matches_oracle(df, oracle, sql)
+
+
+def test_query_count_fits_driver_sweep_cap():
+    """The external correctness sweep records at most 50 rows (r4
+    declared 57 and the last 7 dict entries silently got no row).
+    Adding a gate query requires freeing a slot first — merge
+    near-duplicate queries rather than exceeding the cap."""
+    n = len(entrymod.queries())
+    assert n <= 50, (
+        f"queries() declares {n} entries but the driver sweep caps at 50 — "
+        "the trailing entries would get no correctness row"
+    )
