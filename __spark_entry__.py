@@ -516,8 +516,13 @@ def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated lines / bullets / ellipsis endings so every line-level
     metric has signal, then each doc gets its repetition + quality
     metrics and a keep verdict (fixture-sized min_words/mean-length
-    thresholds, paper defaults otherwise)."""
+    thresholds, paper defaults otherwise). r5: the CROSS-document line
+    duplication stats ride along (``duplicate_line_stats`` — the
+    C4/RefinedWeb boilerplate signal; the bullet/ellipsis lines shared
+    between every 3rd/5th doc give it real cross-doc dups), so the
+    line-dedup operator is oracle-checked in the same row."""
     from dw_etl_spark.functions.text import gopher_keep, gopher_metrics
+    from dw_etl_spark.operators.text_dedup import duplicate_line_stats
 
     docs = read_table(spark, sf_dir, "documents")
     synth = F.concat(
@@ -539,11 +544,20 @@ def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     m = gopher_metrics(synth)
-    return docs.select(
+    base = docs.select(
         "doc_id",
         *[col.alias(name) for name, col in m.items()],
         gopher_keep(synth, min_words=10, min_mean_word_len=2.0).alias("keep"),
     )
+    stats = duplicate_line_stats(
+        docs.select("doc_id", synth.alias("text")), "text", "doc_id", min_docs=2
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_lines").alias("xdoc_n_lines"),
+        F.col("n_dup_lines").alias("xdoc_dup_lines"),
+        F.col("dup_line_char_frac").alias("xdoc_dup_char_frac"),
+    )
+    return base.join(stats, "doc_id")
 
 
 def _q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:

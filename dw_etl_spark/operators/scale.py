@@ -11,6 +11,12 @@ for the 100 TB regime, with equality-to-naive-plan tests:
                              bucketed on the key; subsequent joins have
                              NO Exchange (verified by plan assertion in
                              tests/test_scale.py)
+  build_bloom /            — broadcast-Bloom prefilter for incremental
+  bloom_prefilter_anti_join  ingest dedup: definitely-new rows skip the
+                             anti-join shuffle entirely; only Bloom hits
+                             are verified exactly (zero false negatives
+                             by construction — equality to the naive
+                             left_anti plan is tested)
 
 When to reach for which:
 - First line of defense is AQE (enabled in session.py): it splits skewed
@@ -107,3 +113,120 @@ def write_bucketed(
     if sort_keys:
         writer = writer.sortBy(*sort_keys)
     writer.saveAsTable(table_name)
+
+
+# --------------------------------------------------- bloom prefilter dedup
+
+def _bloom_indices(keys, num_bits: int, num_hashes: int):
+    """k bit indices per int64 key, fully vectorized (numpy uint64
+    splitmix64 finalizer per hash seed — no per-row Python)."""
+    import numpy as np
+
+    h = keys.astype(np.uint64)
+    out = []
+    with np.errstate(over="ignore"):
+        for seed in range(num_hashes):
+            x = h + np.uint64(
+                (0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF
+            )
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+            out.append((x % np.uint64(num_bits)).astype(np.int64))
+    return out
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, num_bits: int, num_hashes: int = 5
+) -> bytes:
+    """Bloom filter over an int64 key column, built distributed: each
+    partition sets bits into its own byte array (one Arrow-batched
+    pass, numpy-vectorized), the driver ORs the per-partition arrays.
+    Driver traffic is num_partitions × num_bits/8 bytes — size
+    ``num_bits`` for the seen-set cardinality (~ -n·ln(p)/ln(2)² bits
+    for false-positive rate p), not for the corpus text.
+    """
+    import numpy as np
+
+    nbytes = (num_bits + 7) // 8
+
+    def per_partition(batches):
+        import pandas as pd
+
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy(dtype=np.int64, na_value=0)
+            for idx in _bloom_indices(keys, num_bits, num_hashes):
+                np.bitwise_or.at(bits, idx // 8, np.uint8(1) << (idx % 8).astype(np.uint8))
+        yield pd.DataFrame({"bloom": [bits.tobytes()]})
+
+    parts = df.select(key_col).mapInPandas(per_partition, "bloom binary").collect()
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        acc |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_prefilter_anti_join(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """Incremental-ingest dedup: rows of ``new_df`` whose ``key_col``
+    is not already in ``seen_df``, with a broadcast Bloom filter doing
+    the heavy lifting.
+
+    The naive ``left_anti`` join shuffles BOTH the batch and the whole
+    seen corpus every ingest. Here the seen keys aggregate into one
+    Bloom bitset (one narrow pass, no shuffle), which is broadcast and
+    probed in a vectorized Arrow pass over the batch:
+
+      - misses are DEFINITELY new (Bloom has no false negatives) —
+        they bypass the join entirely;
+      - hits are *candidates*: with ``exact=True`` (default) only they
+        meet the seen side in a ``left_anti`` join, so the shuffled
+        batch side shrinks to ~|true dups| + p·|batch|; with
+        ``exact=False`` hits are simply dropped — the approximate mode
+        loses ~p of genuinely-new rows (p = Bloom false-positive rate)
+        but needs NO join at all, the right trade when the seen side
+        is too large to shuffle per ingest and recall is negotiable.
+
+    Exact mode is plan-equal in semantics to the naive anti-join
+    (tested row-for-row in tests/test_scale.py).
+    """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    bloom = build_bloom(seen_df, key_col, num_bits, num_hashes)
+    spark = new_df.sparkSession
+    bloom_bc = spark.sparkContext.broadcast(bloom)
+    # copy the field list — StructType.add would mutate the frame's
+    # cached schema object and corrupt new_df.columns
+    schema = StructType(
+        list(new_df.schema.fields) + [StructField("__maybe_seen", BooleanType())]
+    )
+
+    def probe(batches):
+        import numpy as np
+
+        bits = np.frombuffer(bloom_bc.value, dtype=np.uint8)
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy(dtype=np.int64, na_value=0)
+            hit = np.ones(len(pdf), dtype=bool)
+            for idx in _bloom_indices(keys, num_bits, num_hashes):
+                hit &= (bits[idx // 8] >> (idx % 8).astype(np.uint8)) & 1 == 1
+            out = pdf.copy()
+            out["__maybe_seen"] = hit
+            yield out
+
+    probed = new_df.mapInPandas(probe, schema)
+    if not exact:
+        return probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    fresh = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    candidates = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    verified = candidates.join(
+        seen_df.select(key_col).distinct(), key_col, "left_anti"
+    )
+    return fresh.unionByName(verified)

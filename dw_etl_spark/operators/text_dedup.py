@@ -348,6 +348,114 @@ def contamination_flags(
     )
 
 
+def _line_frames(
+    df: DataFrame, text_col: str, id_col: str, min_docs: int
+) -> tuple[DataFrame, Column]:
+    """Shared candidate shape for the line-dedup family: one row per
+    (doc, line position, line) with the corpus-wide DISTINCT-document
+    count of the trimmed line attached. Blank (all-whitespace) lines
+    are structural, not content — they never count as duplicates."""
+    from dw_etl_spark.functions.text import stable_hash64
+
+    norm = F.trim(F.col("line"))
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "__lfp",
+        F.when(norm == "", F.lit(None)).otherwise(stable_hash64(norm)),
+    )
+    # two-phase distinct-doc count: dedupe (line, doc) first so the
+    # per-line combine state is bounded even when one doc repeats a
+    # line millions of times (boilerplate), then count per line.
+    doc_counts = (
+        lines.filter(F.col("__lfp").isNotNull())
+        .select("__lfp", "id")
+        .distinct()
+        .groupBy("__lfp")
+        .agg(F.count(F.lit(1)).alias("__docs_w"))
+    )
+    joined = lines.join(doc_counts, "__lfp", "left")
+    is_dup = F.coalesce("__docs_w", F.lit(0)) >= min_docs
+    return joined, is_dup
+
+
+def duplicate_line_stats(
+    df: DataFrame, text_col: str, id_col: str, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document line duplication signal (the C4/RefinedWeb line
+    dedup family — distinct from ``gopher_metrics``' WITHIN-doc
+    ``dup_line_frac``): for each doc, how many of its lines occur
+    (trimmed-identical) in at least ``min_docs`` DISTINCT documents,
+    and what fraction of its characters those lines carry. Web-corpus
+    boilerplate (nav bars, cookie banners, footers) shows up as a high
+    fraction here long before whole-document dedup would catch it.
+
+    Returns (id, n_lines, n_dup_lines, dup_line_char_frac) for every
+    input row. Blank lines count in ``n_lines`` but are never
+    duplicates; a doc of only blank lines gets fraction 0.0.
+
+    Scale shape: lines shuffle ONCE keyed by a 60-bit md5 line hash
+    (portable — a DuckDB oracle grouping raw trimmed lines replays the
+    counts exactly, modulo md5 collisions), never the line text; key
+    cardinality grows with corpus size. The (line, doc) distinct pass
+    bounds combine state under repeated-boilerplate skew, and the
+    final aggregation is keyed on the doc id.
+    """
+    joined, is_dup = _line_frames(df, text_col, id_col, min_docs)
+    dup_chars = F.sum(F.when(is_dup, F.length("line")).otherwise(F.lit(0)))
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(is_dup.cast("long")).alias("n_dup_lines"),
+        F.round(
+            F.coalesce(
+                dup_chars / F.nullif(F.sum(F.length("line")), F.lit(0)),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame, text_col: str, id_col: str, min_docs: int = 2
+) -> DataFrame:
+    """Rewrite ``text_col`` with every cross-corpus duplicated line
+    removed (trimmed-identical in ≥ ``min_docs`` DISTINCT docs —
+    dropped from ALL of them, the RefinedWeb policy), preserving the
+    original line order and every other column. Blank lines survive;
+    a doc whose every content line was boilerplate comes back with
+    just its blank skeleton (or '' if it had none).
+
+    Scale shape: the stats shuffle of ``duplicate_line_stats`` plus
+    one doc-keyed aggregation whose per-group state is a single
+    document's lines — bounded by max doc size, not corpus size.
+    """
+    joined, is_dup = _line_frames(df, text_col, id_col, min_docs)
+    rebuilt = (
+        joined.filter(~is_dup)
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("__clean")
+        )
+    )
+    out_cols = [
+        F.coalesce("__clean", F.lit("")).alias(c) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return (
+        df.drop(text_col)
+        .join(rebuilt.withColumnRenamed("id", id_col), id_col, "left")
+        .select(*out_cols)
+    )
+
+
 def simhash_values(
     df: DataFrame, text_col: str, id_col: str, n: int = 3,
     shingle: str = "char",

@@ -164,7 +164,10 @@ QUALITY_SYNTH_SQL = (
 def quality_filters_sql() -> str:
     """Twin of _q_quality_filters: Gopher metrics + keep verdict over
     the synthetic multi-line corpus (thresholds as in the query:
-    fixture-sized min_words=10, min_mean_word_len=2.0, rest = paper)."""
+    fixture-sized min_words=10, min_mean_word_len=2.0, rest = paper),
+    plus the cross-document line duplication stats (r5) — the oracle
+    groups raw trimmed lines where Spark groups their 60-bit md5 hash,
+    identical counts modulo md5 collisions."""
     m = gopher_metrics_sql("text")
     cols = ",\n       ".join(f"{sql} AS {name}" for name, sql in m.items())
     return f"""
@@ -175,16 +178,36 @@ metrics AS (
   SELECT doc_id,
        {cols}
   FROM synth
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM synth
+),
+line_docs AS (
+  SELECT trim(line) AS tl, count(DISTINCT doc_id) AS docs_w
+  FROM lines WHERE trim(line) <> '' GROUP BY 1
+),
+linestats AS (
+  SELECT l.doc_id,
+         CAST(count(*) AS BIGINT) AS xdoc_n_lines,
+         CAST(coalesce(sum(CASE WHEN docs_w >= 2 THEN 1 END), 0) AS BIGINT)
+           AS xdoc_dup_lines,
+         round(coalesce(
+           CAST(sum(CASE WHEN docs_w >= 2 THEN length(line) ELSE 0 END)
+                AS DOUBLE) / nullif(sum(length(line)), 0), 0.0), 4)
+           AS xdoc_dup_char_frac
+  FROM lines l LEFT JOIN line_docs c ON trim(l.line) = c.tl
+  GROUP BY 1
 )
-SELECT *,
+SELECT m.*,
        (n_words BETWEEN 10 AND 100000
         AND mean_word_len BETWEEN 2.0 AND 10.0
         AND symbol_ratio <= 0.1
         AND alpha_word_frac >= 0.8
         AND dup_line_frac <= 0.3
         AND bullet_line_frac <= 0.9
-        AND ellipsis_line_frac <= 0.3) AS keep
-FROM metrics
+        AND ellipsis_line_frac <= 0.3) AS keep,
+       xdoc_n_lines, xdoc_dup_lines, xdoc_dup_char_frac
+FROM metrics m JOIN linestats USING (doc_id)
 """
 
 

@@ -200,3 +200,63 @@ def test_contamination_plan_is_equi_join_not_all_pairs(spark):
     plan = flags._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------- bloom prefilter dedup
+
+def test_bloom_prefilter_exact_equals_naive_anti_join(spark):
+    from dw_etl_spark.operators.scale import bloom_prefilter_anti_join
+
+    seen = spark.range(0, 5000).select(
+        (F.col("id") * 7919 % 100000).alias("fp")
+    )
+    new = spark.range(0, 3000).select(
+        (F.col("id") * 104729 % 100000).alias("fp"), F.col("id").alias("doc")
+    )
+    naive = {
+        (r["fp"], r["doc"])
+        for r in new.join(seen.distinct(), "fp", "left_anti").collect()
+    }
+    # tiny filter (4 KiB) => plenty of false positives; exact mode must
+    # still match the naive join row-for-row.
+    got = {
+        (r["fp"], r["doc"])
+        for r in bloom_prefilter_anti_join(
+            new, seen, "fp", num_bits=1 << 15, num_hashes=3
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_bloom_prefilter_approximate_never_keeps_seen_rows(spark):
+    from dw_etl_spark.operators.scale import bloom_prefilter_anti_join
+
+    seen = spark.range(0, 2000).select((F.col("id") * 31 % 60000).alias("fp"))
+    new = spark.range(0, 2000).select((F.col("id") * 37 % 60000).alias("fp"))
+    seen_keys = {r["fp"] for r in seen.collect()}
+    naive_new = {r["fp"] for r in new.join(seen, "fp", "left_anti").collect()}
+    kept = {
+        r["fp"]
+        for r in bloom_prefilter_anti_join(
+            new, seen, "fp", num_bits=1 << 18, exact=False
+        ).collect()
+    }
+    # no false negatives: every kept row is genuinely new...
+    assert kept.isdisjoint(seen_keys)
+    assert kept <= naive_new
+    # ...and at a sane filter size the loss is small, not wholesale.
+    assert len(kept) >= 0.9 * len(naive_new)
+
+
+def test_bloom_prefilter_shrinks_the_join_input(spark):
+    from dw_etl_spark.operators.scale import build_bloom, bloom_prefilter_anti_join
+
+    # mostly-new batch: only ~1/10 of batch keys were seen before
+    seen = spark.range(0, 1000).select(F.col("id").alias("fp"))
+    new = spark.range(0, 10000).select(F.col("id").alias("fp"))
+    out = bloom_prefilter_anti_join(new, seen, "fp", num_bits=1 << 18)
+    assert out.count() == 9000
+    # the exact-verification join input is candidates only: with a
+    # well-sized filter that is ~|true dups|, far below |batch|
+    bloom = build_bloom(seen, "fp", 1 << 18)
+    assert len(bloom) == (1 << 18) // 8
