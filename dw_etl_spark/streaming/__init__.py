@@ -1,5 +1,5 @@
 from dw_etl_spark.streaming.sinks import scd2_stream_writer
-from dw_etl_spark.streaming.stateful import first_seen_dedup
+from dw_etl_spark.streaming.stateful import first_seen_dedup, watermarked_dedup
 from dw_etl_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
@@ -9,6 +9,7 @@ from dw_etl_spark.streaming.windows import (
 
 __all__ = [
     "first_seen_dedup",
+    "watermarked_dedup",
     "scd2_stream_writer",
     "read_events_stream",
     "run_stream_to_memory",

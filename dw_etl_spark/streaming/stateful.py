@@ -73,3 +73,27 @@ def first_seen_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def watermarked_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    event_time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state via the built-in
+    ``dropDuplicatesWithinWatermark``: a repeat of the same key is
+    suppressed while it arrives within the watermark delay of the
+    first occurrence; state for a key is evicted once the watermark
+    passes it, so the store never grows with the full key history —
+    the built-in complement to ``first_seen_dedup`` (which holds a
+    bit per key forever unless given a TTL).
+
+    This is the right default for streaming ingest dedup where
+    duplicates come from at-least-once delivery (retries land close
+    to the original); use ``first_seen_dedup`` when dedup must span
+    arbitrary time gaps.
+    """
+    return stream.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark(key_cols)

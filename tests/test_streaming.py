@@ -224,3 +224,21 @@ def test_scd2_stream_writer_incremental_dimension(spark, tmp_path):
     before = sorted(map(tuple, dim.collect()))
     run()
     assert sorted(map(tuple, spark.read.parquet(dim_path).collect())) == before
+
+
+def test_watermarked_dedup_suppresses_replayed_events(spark):
+    from dw_etl_spark.streaming.stateful import watermarked_dedup
+
+    # replay the whole feed twice in one bounded stream: the union is
+    # two copies of every event_id, all within any sane watermark.
+    base = read_events_stream(spark, SF_SMOKE).select("ts", "event_id", "value")
+    doubled = base.union(base)
+    got = run_stream_to_memory(
+        watermarked_dedup(doubled, ["event_id"], "ts", "1 hour"),
+        name="wm_dedup",
+        output_mode="append",
+    ).collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids))  # one survivor per event_id
+    n_batch = read_table(spark, SF_SMOKE, "events").count()
+    assert len(ids) == n_batch
