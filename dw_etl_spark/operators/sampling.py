@@ -104,3 +104,28 @@ def stratified_sample(
         expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
     threshold = expr.otherwise(thresholds) if expr is not None else thresholds
     return df.filter(b < threshold)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, salt: str = "shuffle", num_partitions: int | None = None
+) -> DataFrame:
+    """Reproducible global shuffle for training-order randomization:
+    rows come back ordered by md5(salt|id) — the same permutation on
+    every run, engine, and input partitioning (RNG-based ``orderBy(
+    rand(seed))`` is none of those). Change ``salt`` per epoch to draw
+    a fresh permutation.
+
+    Scale shape: one ``repartitionByRange`` + in-partition sort on the
+    hash key — the standard distributed sort, no single-reducer stage;
+    the hash key is uniform by construction so the range partitions
+    balance even when ids are dense/sequential. Write the result with
+    ``maxRecordsPerFile`` to get fixed-size shuffled training shards.
+    """
+    key = hash_bucket(id_col, salt) * BUCKETS + hash_bucket(id_col, salt + "#t")
+    out = df.withColumn("__shuffle_key", key)
+    parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    return (
+        out.repartitionByRange(parts, "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key", id_col)
+        .drop("__shuffle_key")
+    )

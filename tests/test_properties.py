@@ -316,3 +316,69 @@ def test_contamination_flags_match_python_oracle(spark, case):
         for r in contamination_flags(cdf, edf, "text", "doc_id", n=n).collect()
     }
     assert got == expect
+
+
+# ------------------------------------------------- line dedup vs oracle
+
+@st.composite
+def line_corpora(draw):
+    vocab = ["shared header", "nav bar", "body %d", "footer", "  ", ""]
+    docs = []
+    for i in range(draw(st.integers(1, 10))):
+        n = draw(st.integers(0, 6))
+        lines = []
+        for _ in range(n):
+            pick = draw(st.sampled_from(vocab))
+            lines.append(pick % i if "%d" in pick else pick)
+        docs.append((i, "\n".join(lines)))
+    min_docs = draw(st.sampled_from([2, 3]))
+    return docs, min_docs
+
+
+def _line_oracle(docs, min_docs):
+    from collections import defaultdict
+
+    by_line = defaultdict(set)
+    for i, text in docs:
+        for ln in text.split("\n"):
+            if ln.strip():
+                by_line[ln.strip()].add(i)
+    stats, cleaned = {}, {}
+    for i, text in docs:
+        lines = text.split("\n")
+        dup = [ln for ln in lines
+               if ln.strip() and len(by_line[ln.strip()]) >= min_docs]
+        total = sum(len(ln) for ln in lines)
+        stats[i] = (
+            len(lines),
+            len(dup),
+            round(sum(len(ln) for ln in dup) / total, 4) if total else 0.0,
+        )
+        cleaned[i] = "\n".join(
+            ln for ln in lines
+            if not (ln.strip() and len(by_line[ln.strip()]) >= min_docs)
+        )
+    return stats, cleaned
+
+
+@SLOW
+@given(line_corpora())
+def test_line_dedup_matches_sequential_oracle(spark, corpus):
+    from dw_etl_spark.operators.text_dedup import (
+        duplicate_line_stats,
+        remove_duplicate_lines,
+    )
+
+    docs, min_docs = corpus
+    want_stats, want_clean = _line_oracle(docs, min_docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(3)
+    got_stats = {
+        r["id"]: (r["n_lines"], r["n_dup_lines"], r["dup_line_char_frac"])
+        for r in duplicate_line_stats(df, "text", "doc_id", min_docs).collect()
+    }
+    assert got_stats == want_stats
+    got_clean = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_lines(df, "text", "doc_id", min_docs).collect()
+    }
+    assert got_clean == want_clean

@@ -909,3 +909,22 @@ def test_remove_duplicate_lines_min_docs_threshold(spark):
     # only lines in >= 3 distinct docs go — nothing reaches 3 here,
     # so every doc survives verbatim.
     assert out == {i: t for i, t in _LINE_CORPUS}
+
+
+def test_deterministic_shuffle_is_a_stable_permutation(spark):
+    from dw_etl_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id").collect()]
+    b = [
+        r["doc_id"]
+        for r in deterministic_shuffle(df.repartition(13), "doc_id").collect()
+    ]
+    assert a == b  # partitioning-independent permutation
+    assert sorted(a) == list(range(2000))  # it IS a permutation
+    assert a != list(range(2000))  # and not the identity
+    c = [
+        r["doc_id"]
+        for r in deterministic_shuffle(df, "doc_id", salt="epoch2").collect()
+    ]
+    assert sorted(c) == list(range(2000)) and c != a  # fresh per epoch
