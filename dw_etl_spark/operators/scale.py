@@ -17,6 +17,9 @@ for the 100 TB regime, with equality-to-naive-plan tests:
                              are verified exactly (zero false negatives
                              by construction — equality to the naive
                              left_anti plan is tested)
+  zorder_by                — Morton-curve clustering so parquet min/max
+                             stats prune on EVERY listed dimension, not
+                             just a lexicographic sort's leading column
 
 When to reach for which:
 - First line of defense is AQE (enabled in session.py): it splits skewed
@@ -230,3 +233,65 @@ def bloom_prefilter_anti_join(
         seen_df.select(key_col).distinct(), key_col, "left_anti"
     )
     return fresh.unionByName(verified)
+
+
+# ------------------------------------------------------- z-order clustering
+
+def zorder_key(cols: list, bucket_cols: list, bits: int = 12):
+    """Interleave the bits of per-column buckets (Morton/Z-curve).
+    ``bucket_cols`` are int columns already scaled to [0, 2^bits).
+    Pure JVM bit arithmetic — ncols × bits shift/or terms, codegen'd."""
+    z = F.lit(0).cast("long")
+    n = len(bucket_cols)
+    for i, b in enumerate(bucket_cols):
+        for k in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b.cast("long"), k).bitwiseAND(F.lit(1)),
+                    k * n + i,
+                )
+            )
+    return z
+
+
+def zorder_by(
+    df: DataFrame, cols: list[str], bits: int = 12, num_partitions: int | None = None
+) -> DataFrame:
+    """Cluster rows along a Z-curve over ``cols`` so that EVERY listed
+    column has narrow per-file min/max ranges after writing — the
+    data-skipping layout for tables filtered on several independent
+    dimensions (a lexicographic sort gives locality only to its leading
+    column). Equivalent to lakehouse OPTIMIZE ZORDER, expressed as:
+    min/max-scale each column to a ``bits``-bit bucket (one tiny agg
+    pass for the bounds), interleave the bucket bits into a Morton key,
+    then range-partition + sort on it — the standard distributed sort,
+    no single-reducer stage. NULLs land in bucket 0 (cluster together).
+
+    Write the result with ``maxRecordsPerFile`` / per-partition files;
+    parquet footer min/max stats then prune on any filtered dimension
+    (demonstrated in tests/test_scale.py against a 1-d sort).
+    """
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(mn if mn is not None else 0.0))
+            / F.lit(span)
+            * F.lit(top)
+        )
+        buckets.append(
+            F.coalesce(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)), F.lit(0))
+        )
+    out = df.withColumn("__z", zorder_key(cols, buckets, bits))
+    parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    return (
+        out.repartitionByRange(parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

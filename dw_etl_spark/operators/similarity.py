@@ -259,6 +259,82 @@ def ivf_centroids(
     return out
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> list[tuple[int, list[float], float]]:
+    """Lloyd's-iteration refinement of the md5-sampled seeds: repeat
+    (assign every vector to its nearest centroid via the broadcast
+    centroid row, recompute each centroid as its cluster mean). Better
+    list balance and recall than raw sampling when the data is
+    clustered; pass the result to ``ivf_topk(centroids=...)``.
+
+    Scale shape per iteration: one narrow broadcast-assignment pass
+    (same O(1)-plan centroid shipping as ``ivf_topk``), then the
+    cluster means via posexplode → groupBy (cid, position) — a shuffle
+    keyed on n_centroids × dim cells, never a per-executor copy of all
+    vectors — and a driver collect of exactly n_centroids × dim cell
+    means. Empty clusters keep their previous centroid. Deterministic
+    given the seed sample up to float summation order (cluster means
+    are partial-sum-order dependent, as any distributed mean is) —
+    which is why the ORACLE-checked gate path keeps the pure sampled
+    centroids, and training is the recall upgrade you opt into.
+    """
+    spark = corpus.sparkSession
+    cents = ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    vecs = corpus.select(_as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        cent_df = _centroid_frame(spark, cents)
+        cells = (
+            vecs.crossJoin(F.broadcast(cent_df))
+            .select(
+                F.element_at(
+                    _ranked_centroids(F.col("v"), F.col("__cents")), 1
+                )["cid"].alias("cid"),
+                F.posexplode("v").alias("pos", "x"),
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in cells:
+            means.setdefault(r["cid"], {})[r["pos"]] = float(r["m"])
+        new_cents = []
+        for cid, vec, norm in cents:
+            if cid in means:
+                mv = [means[cid][p] for p in range(len(vec))]
+                new_cents.append((cid, mv, math.sqrt(sum(x * x for x in mv))))
+            else:
+                new_cents.append((cid, vec, norm))  # empty cluster
+        cents = new_cents
+    return cents
+
+
+def ivf_quantization_cost(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean (1 − cosine-to-nearest-centroid) over the corpus — the
+    objective Lloyd's iterations should not worsen. One broadcast
+    pass + a scalar agg."""
+    spark = corpus.sparkSession
+    cent_df = _centroid_frame(spark, cents)
+    best = F.element_at(
+        _ranked_centroids(_as_double(F.col(vec_col)), F.col("__cents")), 1
+    )["ns"]
+    row = (
+        corpus.crossJoin(F.broadcast(cent_df))
+        .agg(F.avg(F.lit(1.0) + best).alias("cost"))  # ns = −cos
+        .collect()[0]
+    )
+    return float(row["cost"])
+
+
 def _centroid_frame(spark, cents: list[tuple[int, list[float], float]]):
     """The centroid set as ONE broadcastable row holding
     ``array<struct<cid,vec,norm>>``. Joining this single row onto every
@@ -300,6 +376,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF(-flat) index — the cluster-routing
     alternative to ``lsh_topk``'s hyperplane banding: every corpus
@@ -317,9 +394,14 @@ def ivf_topk(
     ``nprobe == n_centroids`` degrades gracefully to exact brute force
     (tested). Recall depends on how well the sampled centroids cover
     the data — the classic IVF trade, tunable without touching the
-    index by raising nprobe.
+    index by raising nprobe, or by passing
+    ``centroids=ivf_train_centroids(...)`` for Lloyd's-refined lists.
     """
-    cents = ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    )
     cent_df = _centroid_frame(corpus.sparkSession, cents)
     c = (
         corpus.crossJoin(F.broadcast(cent_df))

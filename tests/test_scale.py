@@ -260,3 +260,50 @@ def test_bloom_prefilter_shrinks_the_join_input(spark):
     # well-sized filter that is ~|true dups|, far below |batch|
     bloom = build_bloom(seen, "fp", 1 << 18)
     assert len(bloom) == (1 << 18) // 8
+
+
+# ------------------------------------------------------- z-order clustering
+
+def test_zorder_gives_locality_on_every_dimension(spark):
+    from dw_etl_spark.operators.scale import zorder_by
+
+    # 64x64 uniform grid: a 1-d sort by x leaves y spanning the full
+    # range in every partition; z-order must shrink BOTH spans.
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def mean_spans(df, parts):
+        spans = (
+            df.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+            .collect()[0]
+        )
+        return spans["ax"], spans["ay"]
+
+    z = zorder_by(grid, ["x", "y"], num_partitions=16)
+    zx, zy = mean_spans(z, 16)
+    lex = grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+    lx, ly = mean_spans(lex, 16)
+    # lexicographic: x tight but y spans ~everything
+    assert lx < 16 and ly > 48
+    # z-order: both dimensions tight (16 partitions of a 64x64 grid =>
+    # ideal 16x16 tiles; allow generous slack over the ideal span 15)
+    assert zx < 32 and zy < 32
+
+
+def test_zorder_preserves_rows_and_handles_nulls(spark):
+    from dw_etl_spark.operators.scale import zorder_by
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 0.5), (4, None), (5, 99.0)], ["k", "v"]
+    )
+    out = zorder_by(df, ["k", "v"], num_partitions=2)
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == sorted(
+        (r["k"], r["v"]) for r in df.collect()
+    )

@@ -928,3 +928,41 @@ def test_deterministic_shuffle_is_a_stable_permutation(spark):
         for r in deterministic_shuffle(df, "doc_id", salt="epoch2").collect()
     ]
     assert sorted(c) == list(range(2000)) and c != a  # fresh per epoch
+
+
+def test_ivf_train_centroids_reduces_quantization_cost(spark):
+    from dw_etl_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_quantization_cost,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    # three well-separated direction clusters in 8-d
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        base = [0.0] * 8
+        base[i % 3] = 1.0  # cluster axis
+        vec = [b + rng.uniform(-0.05, 0.05) for b in base]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    seeds = ivf_centroids(df, n_centroids=3)
+    trained = ivf_train_centroids(df, n_centroids=3, iters=3)
+    c0 = ivf_quantization_cost(df, seeds)
+    c1 = ivf_quantization_cost(df, trained)
+    assert c1 <= c0 + 1e-9  # Lloyd never worsens the objective
+    # trained centroids must separate the three axis clusters: each
+    # cluster's members all route to one list
+    routed = ivf_topk(
+        df.limit(9), df, dim=8, k=2, n_centroids=3, nprobe=1,
+        centroids=trained,
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]) for r in routed.collect()
+    }
+    for q, n in got:
+        assert q % 3 == n % 3  # neighbors come from the same cluster
