@@ -120,3 +120,58 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", "true").option(
         "quoteAll", "true"
     ).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    required_columns: list[str] | None = None,
+    require_nonempty: bool = False,
+) -> DataFrame:
+    """JSON-lines scan — the interchange format most raw LLM corpus
+    dumps arrive in. With a declared schema the read is FAILFAST
+    (strict parse, like the CSV path) and single-pass; without one
+    Spark runs a schema-inference pass first — fine for exploration,
+    declare the schema in pipelines.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema).option("mode", "FAILFAST")
+    df = reader.json(path)
+    if required_columns:
+        validate_required_columns(df, required_columns)
+    if require_nonempty:
+        _require_nonempty(df, path)
+    return df
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-lines sink, sharded (one file per partition; compressed by
+    default — JSONL is the text-heavy format where codec choice
+    matters most)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    required_columns: list[str] | None = None,
+    require_nonempty: bool = False,
+) -> DataFrame:
+    """ORC scan — same columnar/pushdown properties as parquet, for
+    interop with Hive-era warehouses."""
+    df = spark.read.orc(path)
+    if required_columns:
+        validate_required_columns(df, required_columns)
+    if require_nonempty:
+        _require_nonempty(df, path)
+    return df
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink, sharded."""
+    df.write.mode("overwrite").orc(path)

@@ -218,3 +218,38 @@ def test_load_star_schema_into_derby(spark):
         spark.read.jdbc(wh.url, "FACT_LineItem", properties=DERBY_PROPS).count()
         == n_fact
     )
+
+
+def test_jsonl_roundtrip_preserves_rows_and_types(spark, tmp_path):
+    from dw_etl_spark.sources.files import read_jsonl, write_jsonl
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(1, "a\nb", 1.5, ["x", "y"]), (2, None, -0.25, [])],
+        ["id", "txt", "score", "tags"],
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("txt", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ])
+    back = read_jsonl(spark, path, schema=schema)
+    assert sorted(
+        (r["id"], r["txt"], r["score"], tuple(r["tags"])) for r in back.collect()
+    ) == [(1, "a\nb", 1.5, ("x", "y")), (2, None, -0.25, ())]
+
+
+def test_orc_roundtrip_and_required_columns(spark, tmp_path):
+    from dw_etl_spark.sources.files import read_orc, write_orc, SchemaValidationError
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, required_columns=["id", "name"])
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+    with _pytest.raises(SchemaValidationError):
+        read_orc(spark, path, required_columns=["missing_col"])
