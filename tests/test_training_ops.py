@@ -966,3 +966,33 @@ def test_ivf_train_centroids_reduces_quantization_cost(spark):
     }
     for q, n in got:
         assert q % 3 == n % 3  # neighbors come from the same cluster
+
+
+def test_strip_control_chars_and_zero_width(spark):
+    from dw_etl_spark.functions.text import strip_control_chars
+
+    df = spark.createDataFrame(
+        [("a\x00b\x1fc\tok\nline​z﻿\n\n\n\nend",)], ["text"]
+    )
+    got = df.select(strip_control_chars("text").alias("t")).collect()[0]["t"]
+    assert got == "abc\tok\nlinez\n\nend"
+
+
+def test_normalize_unicode_makes_fingerprints_agree(spark):
+    from dw_etl_spark.functions.text import fingerprint
+    from dw_etl_spark.functions.text import normalize_unicode
+
+    composed = "café"           # é as one codepoint
+    decomposed = "café"        # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], ["doc_id", "text"]
+    )
+    raw = df.select(fingerprint("text").alias("fp")).distinct().count()
+    assert raw == 2  # different bytes, different hashes
+    normed = (
+        normalize_unicode(df, "text", "NFC")
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert normed == 1  # NFC makes them byte-identical
