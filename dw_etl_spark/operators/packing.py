@@ -94,3 +94,32 @@ def pack_into_shards(
         .drop("__pid", "__run", "__offset")
         .select(*df.columns, "prefix_tokens", "shard_id", "shard_offset")
     )
+
+
+def write_training_shards(
+    df,
+    path: str,
+    order_col: str,
+    records_per_file: int = 100_000,
+    salt: str = "shuffle",
+    num_partitions: int | None = None,
+) -> None:
+    """Materialize a training-ready corpus delivery: rows in a
+    reproducible shuffled order (``deterministic_shuffle`` — same
+    permutation every run/engine/partitioning), cut into size-bounded
+    parquet shards via ``maxRecordsPerFile``. The loader can then
+    stream shards sequentially and still see a well-mixed corpus.
+
+    Scale shape: one range-partitioned sort (the shuffle) and a plain
+    sharded write — no driver materialization, no single-reducer stage.
+    """
+    from dw_etl_spark.operators.sampling import deterministic_shuffle
+
+    shuffled = deterministic_shuffle(
+        df, order_col, salt=salt, num_partitions=num_partitions
+    )
+    (
+        shuffled.write.mode("overwrite")
+        .option("maxRecordsPerFile", records_per_file)
+        .parquet(path)
+    )

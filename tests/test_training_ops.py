@@ -996,3 +996,62 @@ def test_normalize_unicode_makes_fingerprints_agree(spark):
         .count()
     )
     assert normed == 1  # NFC makes them byte-identical
+
+
+def test_write_training_shards_bounded_files_and_stable_order(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dw_etl_spark.operators.packing import write_training_shards
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", records_per_file=700,
+                          num_partitions=4)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    sizes = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert sum(sizes) == 5000
+    assert max(sizes) <= 700  # every shard respects the bound
+    # same salt => byte-stable shard contents across reruns
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df, out2, "doc_id", records_per_file=700,
+                          num_partitions=4)
+    a = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    b = [r["doc_id"] for r in spark.read.parquet(out2).collect()]
+    assert sorted(a) == sorted(b) == list(range(5000))
+
+
+def test_corpus_ops_compose_end_to_end(spark):
+    """Integration: clean -> line dedup -> quality gate -> exact dedup
+    -> bloom-incremental second batch, chained as one lineage."""
+    from dw_etl_spark.functions.text import fingerprint, strip_control_chars
+    from dw_etl_spark.operators.scale import bloom_prefilter_anti_join
+    from dw_etl_spark.operators.text_dedup import (
+        exact_dedup,
+        remove_duplicate_lines,
+    )
+
+    boiler = "SUBSCRIBE NOW"
+    batch1 = spark.createDataFrame(
+        [
+            (1, f"real article one\n{boiler}\x00"),
+            (2, f"real article two\n{boiler}"),
+            (3, f"real article two\n{boiler}"),  # exact dup of 2 post-clean
+        ],
+        ["doc_id", "text"],
+    )
+    cleaned = batch1.withColumn("text", strip_control_chars("text"))
+    no_boiler = remove_duplicate_lines(cleaned, "text", "doc_id")
+    survivors = exact_dedup(no_boiler, "text", "doc_id")
+    got = sorted(r["doc_id"] for r in survivors.collect())
+    assert got == [1, 2]  # 3 collapsed into 2 once boilerplate was gone
+
+    seen_fps = survivors.select(fingerprint("text").alias("fp"))
+    batch2 = spark.createDataFrame(
+        [(10, "real article one"), (11, "brand new article")],
+        ["doc_id", "text"],
+    ).withColumn("fp", fingerprint("text"))
+    fresh = bloom_prefilter_anti_join(batch2, seen_fps, "fp", num_bits=1 << 12)
+    # doc 10 equals doc 1's post-dedup text ("real article one") => dropped
+    assert [r["doc_id"] for r in fresh.collect()] == [11]
