@@ -405,10 +405,22 @@ def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-series in one gate row (consolidated r5): ROWS-frame running
     sum, lag/lead, row_number, AND the time-RANGE frame (trailing 7-day
     revenue — a frame type the reference has no analog for) over the
-    same supplier partition."""
+    same supplier partition.
+
+    Both window sums accumulate in DECIMAL(18,2): the prices are exact
+    2-decimal values, so decimal addition is exact and ORDER-FREE —
+    double accumulation was flaky at sf0.1 because DuckDB's windowed
+    sum uses a segment tree (pairwise order) while Spark's frame sums
+    linearly, and a 1-ulp difference at a .005 boundary flips round(2).
+    The result is cast back to double for a stable compared schema."""
     li = read_table(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    # total-order key: (shipdate, orderkey, linenumber) is NOT unique in
+    # the synthetic data (one sf0.1 tie group with differing prices), and
+    # tied rows make intermediate prefix sums engine-dependent — widen
+    # with the price, the same rule as the fact-id ordering.
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     wr = (
         Window.partitionBy("l_suppkey")
@@ -419,18 +431,14 @@ def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.sum("l_extendedprice").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            2,
-        ).alias("running_revenue"),
+        F.sum(price_dec)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_revenue"),
         F.lag("l_extendedprice").over(w).alias("prev_price"),
         F.lead("l_extendedprice").over(w).alias("next_price"),
         F.row_number().over(w).alias("rn"),
-        F.round(F.sum("l_extendedprice").over(wr), 2).alias(
-            "trailing_7d_revenue"
-        ),
+        F.sum(price_dec).over(wr).cast("double").alias("trailing_7d_revenue"),
     )
 
 
@@ -2100,24 +2108,27 @@ SELECT 'iqr_outliers_extendedprice' AS metric,
 FROM lineitem, q
 """
 
+# decimal accumulation: exact and summation-order-free (DuckDB's
+# segment-tree window sum vs Spark's linear frame sum differ in
+# double order; see _q_window_running)
 _WINDOW_RUNNING_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       round(sum(l_extendedprice) OVER (
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_revenue,
        lag(l_extendedprice) OVER w AS prev_price,
        lead(l_extendedprice) OVER w AS next_price,
        CAST(row_number() OVER w AS INTEGER) AS rn,
-       round(sum(l_extendedprice) OVER (
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
          PARTITION BY l_suppkey
          ORDER BY l_shipdate
-         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2)
+         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS trailing_7d_revenue
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice)
 """
 
 _TOKEN_FREQ_SQL = """
