@@ -376,31 +376,3 @@ def strip_control_chars(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
     c = F.regexp_replace(c, "[​‌‍﻿]", "")
     return F.regexp_replace(c, r"\n{3,}", "\n\n")
-
-
-def normalize_unicode(
-    df: "DataFrame", text_col: str, form: str = "NFC"
-) -> "DataFrame":
-    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) so that
-    visually-identical strings hash identically — run it BEFORE any
-    fingerprint/dedup pass on web text (composed é vs e+combining
-    accent are different bytes, hence different md5s).
-
-    Spark has no built-in normalizer, so this is a deliberate
-    Arrow-batched ``mapInPandas`` pass (`unicodedata` per batch via
-    pandas ``str.normalize`` — vectorized C loop, not per-row Python
-    UDF). Narrow map: no shuffle, composes with any downstream plan.
-    """
-    from pyspark.sql import DataFrame  # noqa: F401  (typing only)
-
-    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
-        raise ValueError(f"unknown normalization form {form!r}")
-    schema = df.schema
-
-    def norm(batches):
-        for pdf in batches:
-            out = pdf.copy()
-            out[text_col] = out[text_col].str.normalize(form)
-            yield out
-
-    return df.mapInPandas(norm, schema)

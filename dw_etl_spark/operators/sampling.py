@@ -120,8 +120,17 @@ def deterministic_shuffle(
     the hash key is uniform by construction so the range partitions
     balance even when ids are dense/sequential. Write the result with
     ``maxRecordsPerFile`` to get fixed-size shuffled training shards.
+
+    The key is the 60-bit ``stable_hash64`` of (salt|id) — one md5
+    digest per row with a 2⁶⁰ keyspace, so collisions (which would
+    fall back to id order and leave adjacent crawl docs adjacent) stay
+    negligible at corpus scale.
     """
-    key = hash_bucket(id_col, salt) * BUCKETS + hash_bucket(id_col, salt + "#t")
+    from dw_etl_spark.functions.text import stable_hash64
+
+    key = stable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
     out = df.withColumn("__shuffle_key", key)
     parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
     return (

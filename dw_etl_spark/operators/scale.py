@@ -158,7 +158,9 @@ def build_bloom(
 
         bits = np.zeros(nbytes, dtype=np.uint8)
         for pdf in batches:
-            keys = pdf[key_col].to_numpy(dtype=np.int64, na_value=0)
+            # NULL keys never enter the filter: an anti-join's NULL key
+            # matches nothing, so it must not shadow key 0
+            keys = pdf[key_col].dropna().to_numpy(dtype=np.int64)
             for idx in _bloom_indices(keys, num_bits, num_hashes):
                 np.bitwise_or.at(bits, idx // 8, np.uint8(1) << (idx % 8).astype(np.uint8))
         yield pd.DataFrame({"bloom": [bits.tobytes()]})
@@ -216,8 +218,10 @@ def bloom_prefilter_anti_join(
 
         bits = np.frombuffer(bloom_bc.value, dtype=np.uint8)
         for pdf in batches:
-            keys = pdf[key_col].to_numpy(dtype=np.int64, na_value=0)
-            hit = np.ones(len(pdf), dtype=bool)
+            # a NULL key matches nothing in a left_anti — definitely new
+            notnull = pdf[key_col].notna().to_numpy()
+            keys = pdf[key_col].fillna(0).to_numpy(dtype=np.int64)
+            hit = notnull.copy()
             for idx in _bloom_indices(keys, num_bits, num_hashes):
                 hit &= (bits[idx // 8] >> (idx % 8).astype(np.uint8)) & 1 == 1
             out = pdf.copy()
@@ -227,6 +231,10 @@ def bloom_prefilter_anti_join(
     probed = new_df.mapInPandas(probe, schema)
     if not exact:
         return probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    # pinned: the fresh and candidates branches both consume this frame
+    # — without the pin the Arrow probe (and the upstream batch scan)
+    # would execute twice
+    probed = probed.localCheckpoint(eager=False)
     fresh = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     candidates = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     verified = candidates.join(
@@ -237,12 +245,21 @@ def bloom_prefilter_anti_join(
 
 # ------------------------------------------------------- z-order clustering
 
-def zorder_key(cols: list, bucket_cols: list, bits: int = 12):
+def zorder_key(bucket_cols: list, bits: int = 12):
     """Interleave the bits of per-column buckets (Morton/Z-curve).
     ``bucket_cols`` are int columns already scaled to [0, 2^bits).
-    Pure JVM bit arithmetic — ncols × bits shift/or terms, codegen'd."""
-    z = F.lit(0).cast("long")
+    Pure JVM bit arithmetic — ncols × bits shift/or terms, codegen'd.
+
+    The interleaved key must fit a signed long: Java's ``<<`` masks the
+    shift count mod 64, so shifts ≥ 63 would silently wrap high bits
+    onto low ones (and flip the sign) — rejected instead."""
     n = len(bucket_cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder key needs {n * bits} bits but a signed long holds 63; "
+            f"use bits <= {63 // n} for {n} columns"
+        )
+    z = F.lit(0).cast("long")
     for i, b in enumerate(bucket_cols):
         for k in range(bits):
             z = z.bitwiseOR(
@@ -288,7 +305,7 @@ def zorder_by(
         buckets.append(
             F.coalesce(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)), F.lit(0))
         )
-    out = df.withColumn("__z", zorder_key(cols, buckets, bits))
+    out = df.withColumn("__z", zorder_key(buckets, bits))
     parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
     return (
         out.repartitionByRange(parts, "__z")

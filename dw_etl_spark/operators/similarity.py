@@ -266,11 +266,18 @@ def ivf_train_centroids(
     n_centroids: int = 16,
     iters: int = 3,
 ) -> list[tuple[int, list[float], float]]:
-    """Lloyd's-iteration refinement of the md5-sampled seeds: repeat
-    (assign every vector to its nearest centroid via the broadcast
-    centroid row, recompute each centroid as its cluster mean). Better
-    list balance and recall than raw sampling when the data is
-    clustered; pass the result to ``ivf_topk(centroids=...)``.
+    """Spherical-k-means refinement of the md5-sampled seeds: repeat
+    (assign every vector to its max-cosine centroid via the broadcast
+    centroid row, recompute each centroid as the mean of its members'
+    UNIT vectors). Assignment is by cosine, so the update must average
+    directions, not raw vectors — a plain mean weights members by
+    magnitude and can move a centroid against the cosine objective;
+    the mean-of-unit-vectors direction is the closed-form maximizer of
+    a cluster's summed cosine. Better list balance and recall than raw
+    sampling when the data is clustered; pass the result to
+    ``ivf_topk(centroids=...)``. Zero-norm vectors are excluded from
+    updates (no direction); a cluster whose members cancel to the zero
+    vector keeps its previous centroid.
 
     Scale shape per iteration: one narrow broadcast-assignment pass
     (same O(1)-plan centroid shipping as ``ivf_topk``), then the
@@ -285,7 +292,16 @@ def ivf_train_centroids(
     """
     spark = corpus.sparkSession
     cents = ivf_centroids(corpus, vec_col, id_col, n_centroids)
-    vecs = corpus.select(_as_double(F.col(vec_col)).alias("v"))
+    # normalize once through an intermediate attribute so the norm is
+    # evaluated per row, not re-inlined per element inside the lambda
+    vecs = (
+        corpus.select(_as_double(F.col(vec_col)).alias("rv"))
+        .withColumn("nv", l2_norm(F.col("rv")))
+        .filter(F.col("nv") > 0)
+        .select(
+            F.transform("rv", lambda x: x / F.col("nv")).alias("v")
+        )
+    )
     for _ in range(iters):
         cent_df = _centroid_frame(spark, cents)
         cells = (
@@ -305,11 +321,16 @@ def ivf_train_centroids(
             means.setdefault(r["cid"], {})[r["pos"]] = float(r["m"])
         new_cents = []
         for cid, vec, norm in cents:
-            if cid in means:
-                mv = [means[cid][p] for p in range(len(vec))]
-                new_cents.append((cid, mv, math.sqrt(sum(x * x for x in mv))))
+            mv = (
+                [means[cid][p] for p in range(len(vec))]
+                if cid in means
+                else None
+            )
+            nm = math.sqrt(sum(x * x for x in mv)) if mv is not None else 0.0
+            if mv is not None and nm > 0:
+                new_cents.append((cid, mv, nm))
             else:
-                new_cents.append((cid, vec, norm))  # empty cluster
+                new_cents.append((cid, vec, norm))  # empty/degenerate cluster
         cents = new_cents
     return cents
 

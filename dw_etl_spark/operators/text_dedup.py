@@ -348,19 +348,51 @@ def contamination_flags(
     )
 
 
+def normalize_unicode(
+    df: DataFrame, text_col: str, form: str = "NFC"
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) so that
+    visually-identical strings hash identically — the pre-pass every
+    fingerprint/dedup in this module assumes on web text (composed é
+    vs e+combining accent are different bytes, hence different md5s).
+
+    Spark has no built-in normalizer, so this is a deliberate
+    Arrow-batched ``mapInPandas`` pass (`unicodedata` per batch via
+    pandas ``str.normalize`` — vectorized C loop, not per-row Python
+    UDF). Narrow map: no shuffle, composes with any downstream plan.
+    Lives in operators/ (frame in → frame out), not functions/text,
+    whose contract is pure JVM column expressions.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    schema = df.schema
+
+    def norm(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out[text_col] = out[text_col].str.normalize(form)
+            yield out
+
+    return df.mapInPandas(norm, schema)
+
+
 def _line_frames(
     df: DataFrame, text_col: str, id_col: str, min_docs: int
 ) -> tuple[DataFrame, Column]:
     """Shared candidate shape for the line-dedup family: one row per
     (doc, line position, line) with the corpus-wide DISTINCT-document
     count of the trimmed line attached. Blank (all-whitespace) lines
-    are structural, not content — they never count as duplicates."""
+    are structural, not content — they never count as duplicates.
+    NULL text is treated as the empty document (one blank line), so
+    every input row gets a stats row and survives the rewrite."""
     from dw_etl_spark.functions.text import stable_hash64
 
     norm = F.trim(F.col("line"))
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).withColumn(
         "__lfp",
         F.when(norm == "", F.lit(None)).otherwise(stable_hash64(norm)),
@@ -425,7 +457,8 @@ def remove_duplicate_lines(
     dropped from ALL of them, the RefinedWeb policy), preserving the
     original line order and every other column. Blank lines survive;
     a doc whose every content line was boilerplate comes back with
-    just its blank skeleton (or '' if it had none).
+    just its blank skeleton (or '' if it had none). NULL text is
+    normalized to '' (the empty document).
 
     Scale shape: the stats shuffle of ``duplicate_line_stats`` plus
     one doc-keyed aggregation whose per-group state is a single

@@ -335,6 +335,15 @@ def line_corpora(draw):
     return docs, min_docs
 
 
+def _round_half_up(x, nd):
+    # Spark's F.round is HALF_UP; Python round() is banker's — a .5 at
+    # the 4th decimal would make exact-equality comparison flaky
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(10) ** -nd
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _line_oracle(docs, min_docs):
     from collections import defaultdict
 
@@ -352,7 +361,9 @@ def _line_oracle(docs, min_docs):
         stats[i] = (
             len(lines),
             len(dup),
-            round(sum(len(ln) for ln in dup) / total, 4) if total else 0.0,
+            _round_half_up(sum(len(ln) for ln in dup) / total, 4)
+            if total
+            else 0.0,
         )
         cleaned[i] = "\n".join(
             ln for ln in lines

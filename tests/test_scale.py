@@ -307,3 +307,13 @@ def test_zorder_preserves_rows_and_handles_nulls(spark):
     assert sorted((r["k"], r["v"]) for r in out.collect()) == sorted(
         (r["k"], r["v"]) for r in df.collect()
     )
+
+
+def test_zorder_key_rejects_overflow(spark):
+    import pytest as _pytest
+
+    from dw_etl_spark.operators.scale import zorder_by
+
+    df = spark.range(4).select(*[(F.col("id") + i).alias(f"c{i}") for i in range(6)])
+    with _pytest.raises(ValueError, match="63"):
+        zorder_by(df, [f"c{i}" for i in range(6)], bits=12).collect()

@@ -980,7 +980,7 @@ def test_strip_control_chars_and_zero_width(spark):
 
 def test_normalize_unicode_makes_fingerprints_agree(spark):
     from dw_etl_spark.functions.text import fingerprint
-    from dw_etl_spark.functions.text import normalize_unicode
+    from dw_etl_spark.operators.text_dedup import normalize_unicode
 
     composed = "café"           # é as one codepoint
     decomposed = "café"        # e + combining acute
