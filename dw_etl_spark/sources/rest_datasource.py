@@ -18,6 +18,11 @@ Usage:
 Offline mode for tests/air-gapped runs: pass a ``fixture`` option — a
 JSON object mapping indicator id → list of raw API records; partitions
 parse the fixture instead of fetching.
+
+Streaming (r5): ``spark.readStream.format("rest_indicator")`` consumes
+one indicator per micro-batch via ``RestIndicatorStreamReader`` — dict
+offsets track consumed-indicator count and ``readBetweenOffsets``
+replays any offset range exactly for checkpoint recovery.
 """
 
 from __future__ import annotations
@@ -25,7 +30,12 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA_DDL = (
     "COUNTRYCODE string, COUNTRYNAME string, INDICATORCODE string, "
@@ -50,6 +60,10 @@ class RestIndicatorDataSource(DataSource):
 
     def reader(self, schema) -> "RestIndicatorReader":
         return RestIndicatorReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "RestIndicatorStreamReader":
+        # one indicator per micro-batch; offset = indicators consumed
+        return RestIndicatorStreamReader(self.options)
 
 
 class RestIndicatorReader(DataSourceReader):
@@ -87,3 +101,45 @@ class RestIndicatorReader(DataSourceReader):
             per_page=self.per_page,
         )
         yield from src.fetch_indicator(partition.indicator)
+
+
+class RestIndicatorStreamReader(SimpleDataSourceStreamReader):
+    """Incremental (streaming) variant: each micro-batch consumes the
+    next indicator from the configured list, with the consumed count
+    as the stream offset — the shape of a nightly API-ingest stream
+    where new series appear over time.
+
+    Offsets are plain dicts (``{"i": n}`` = first n indicators
+    consumed), so checkpoint recovery replays deterministically:
+    ``readBetweenOffsets(start, end)`` re-reads exactly the indicators
+    in [start, end) — required for exactly-once delivery into a
+    checkpointed sink. Fixture mode (offline) reads the same JSON
+    fixture as the batch reader.
+    """
+
+    def __init__(self, options: dict):
+        self._r = RestIndicatorReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows_for(self, indicator: str) -> list:
+        # materialized: the streaming runner deep-copies the returned
+        # rows for its prefetch cache — a generator cannot be pickled
+        return list(self._r.read(IndicatorPartition(indicator)))
+
+    def read(self, start: dict):
+        n = start["i"]
+        if n >= len(self._r.indicators):
+            return [], start  # drained: offset unchanged
+        ind = self._r.indicators[n]
+        return self._rows_for(ind), {"i": n + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list = []
+        for ind in self._r.indicators[start["i"]:end["i"]]:
+            rows.extend(self._rows_for(ind))
+        return rows
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — offsets fully describe progress

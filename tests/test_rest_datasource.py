@@ -54,3 +54,69 @@ def test_csv_roundtrip(spark, tmp_path):
     assert sorted((r["id"], r["s"]) for r in back.collect()) == [
         (1, "a,b"), (2, 'quo"te'), (3, None)
     ]
+
+
+def test_datasource_stream_reads_one_indicator_per_batch(spark, tmp_path):
+    import time
+
+    fixture = {
+        "POP": [_rec("PL", "Poland", "POP", 2020, 38.0)],
+        "GDP": [_rec("PL", "Poland", "GDP", 2020, 500.0),
+                 _rec("PL", "Poland", "GDP", 2021, 510.0)],
+        "AREA": [_rec("PL", "Poland", "AREA", 2020, 312.0)],
+    }
+    spark.dataSource.register(RestIndicatorDataSource)
+    stream = (
+        spark.readStream.format("rest_indicator")
+        .option("indicators", "POP,GDP,AREA")
+        .option("fixture", json.dumps(fixture))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("rest_stream").count() >= 4:
+                break
+            time.sleep(0.5)
+        rows = sorted(
+            (r["INDICATORCODE"], r["YEAR"], r["VALUE"])
+            for r in spark.table("rest_stream").collect()
+        )
+    finally:
+        q.stop()
+    assert rows == [
+        ("AREA", 2020, 312.0),
+        ("GDP", 2020, 500.0),
+        ("GDP", 2021, 510.0),
+        ("POP", 2020, 38.0),
+    ]
+
+
+def test_stream_reader_offset_replay_is_exact():
+    fixture = {
+        "POP": [_rec("PL", "Poland", "POP", 2020, 1.0)],
+        "GDP": [_rec("PL", "Poland", "GDP", 2020, 2.0)],
+    }
+    from dw_etl_spark.sources.rest_datasource import RestIndicatorStreamReader
+
+    r = RestIndicatorStreamReader(
+        {"indicators": "POP,GDP", "fixture": json.dumps(fixture)}
+    )
+    assert r.initialOffset() == {"i": 0}
+    rows1, o1 = r.read({"i": 0})
+    assert o1 == {"i": 1} and len(list(rows1)) == 1
+    rows2, o2 = r.read(o1)
+    assert o2 == {"i": 2} and len(list(rows2)) == 1
+    drained, o3 = r.read(o2)
+    assert o3 == {"i": 2} and list(drained) == []
+    # recovery replay: exactly the [start, end) indicators, same rows
+    replay = list(r.readBetweenOffsets({"i": 0}, {"i": 2}))
+    assert len(replay) == 2
