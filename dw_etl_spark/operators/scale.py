@@ -20,6 +20,9 @@ for the 100 TB regime, with equality-to-naive-plan tests:
   zorder_by                — Morton-curve clustering so parquet min/max
                              stats prune on EVERY listed dimension, not
                              just a lexicographic sort's leading column
+  rebalance_for_write      — AQE REBALANCE before a sink so files come
+                             out advisory-sized (no small-file debris,
+                             no magic repartition number to re-tune)
 
 When to reach for which:
 - First line of defense is AQE (enabled in session.py): it splits skewed
@@ -312,3 +315,22 @@ def zorder_by(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def rebalance_for_write(df: DataFrame, partition_cols: list[str] | None = None) -> DataFrame:
+    """AQE REBALANCE before a write: sizes output partitions to
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` at runtime —
+    splitting skewed partitions AND coalescing tiny ones — so a sink
+    emits evenly-sized files instead of one-file-per-shuffle-partition
+    debris. With ``partition_cols`` the rebalance keys on them, which
+    co-locates rows of one output partition (``partitionBy`` writes
+    then emit few large files per directory rather than
+    num-tasks × num-partitions small ones).
+
+    Unlike ``repartition(n)`` there is no magic number to re-tune as
+    the data grows — AQE picks the split from observed sizes. The hint
+    is a no-op outside AQE (enabled by default in session.py).
+    """
+    if partition_cols:
+        return df.hint("rebalance", *partition_cols)
+    return df.hint("rebalance")

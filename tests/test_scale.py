@@ -317,3 +317,17 @@ def test_zorder_key_rejects_overflow(spark):
     df = spark.range(4).select(*[(F.col("id") + i).alias(f"c{i}") for i in range(6)])
     with _pytest.raises(ValueError, match="63"):
         zorder_by(df, [f"c{i}" for i in range(6)], bits=12).collect()
+
+
+def test_rebalance_for_write_plans_rebalance_and_preserves_rows(spark, tmp_path):
+    from dw_etl_spark.operators.scale import rebalance_for_write
+
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 3).alias("k")
+    )
+    out = rebalance_for_write(df, ["k"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Rebalance" in plan.replace("RebalancePartitions", "Rebalance")
+    path = str(tmp_path / "rb")
+    out.write.mode("overwrite").partitionBy("k").parquet(path)
+    assert spark.read.parquet(path).count() == 10000
