@@ -331,3 +331,16 @@ def test_rebalance_for_write_plans_rebalance_and_preserves_rows(spark, tmp_path)
     path = str(tmp_path / "rb")
     out.write.mode("overwrite").partitionBy("k").parquet(path)
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_zorder_key_is_injective_on_bucket_pairs(spark):
+    from dw_etl_spark.operators.scale import zorder_key
+
+    # every (a, b) bucket pair in an 8-bit space maps to a distinct key
+    df = spark.range(0, 1 << 10).select(
+        (F.col("id") % 32).alias("a"), (F.col("id") / 32).cast("long").alias("b")
+    )
+    keys = df.select(
+        zorder_key([F.col("a"), F.col("b")], bits=5).alias("z")
+    )
+    assert keys.distinct().count() == 1 << 10
