@@ -23,6 +23,9 @@ for the 100 TB regime, with equality-to-naive-plan tests:
   rebalance_for_write      — AQE REBALANCE before a sink so files come
                              out advisory-sized (no small-file debris,
                              no magic repartition number to re-tune)
+  compact_parquet          — maintenance rewrite of an append-heavy
+                             parquet dataset back to advisory-sized
+                             files (stage + atomic swap)
 
 When to reach for which:
 - First line of defense is AQE (enabled in session.py): it splits skewed
@@ -334,3 +337,39 @@ def rebalance_for_write(df: DataFrame, partition_cols: list[str] | None = None) 
     if partition_cols:
         return df.hint("rebalance", *partition_cols)
     return df.hint("rebalance")
+
+
+def compact_parquet(
+    spark, path: str, partition_cols: list[str] | None = None
+) -> tuple[int, int]:
+    """Rewrite a parquet dataset's small-file debris into advisory-
+    sized files: read → AQE REBALANCE → overwrite. The maintenance
+    pass a long-lived ingest table needs after many incremental
+    appends (every micro-batch/ingest leaves its own file tail).
+    Returns (files_before, files_after).
+
+    The rewrite stages into a sibling directory and swaps via rename —
+    reading and overwriting the same path in one job would delete the
+    input out from under the scan. With ``partition_cols`` the dataset
+    is re-partitioned by those directories (dynamic overwrite
+    semantics are unnecessary — the whole dataset is rewritten).
+    """
+    import glob
+    import os
+    import shutil
+
+    def count_files(p: str) -> int:
+        return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    before = count_files(path)
+    staged = path.rstrip("/") + "__compacting"
+    df = rebalance_for_write(spark.read.parquet(path), partition_cols)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staged)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return before, count_files(path)

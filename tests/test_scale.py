@@ -344,3 +344,17 @@ def test_zorder_key_is_injective_on_bucket_pairs(spark):
         zorder_key([F.col("a"), F.col("b")], bits=5).alias("z")
     )
     assert keys.distinct().count() == 1 << 10
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from dw_etl_spark.operators.scale import compact_parquet
+
+    path = str(tmp_path / "tbl")
+    # simulate 20 tiny incremental appends
+    for i in range(20):
+        spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(path)
+    before, after = compact_parquet(spark, path)
+    assert before >= 20 and after < before
+    assert spark.read.parquet(path).count() == 2000
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(2000))
