@@ -353,6 +353,13 @@ def compact_parquet(
     input out from under the scan. With ``partition_cols`` the dataset
     is re-partitioned by those directories (dynamic overwrite
     semantics are unnecessary — the whole dataset is rewritten).
+
+    Scale caveat: the swap is atomic only where directory rename is
+    (HDFS, POSIX). On object stores (S3/GCS) rename is copy+delete —
+    there, compact into a NEW versioned prefix and flip whatever
+    pointer readers resolve (catalog entry, symlink manifest); doing
+    in-place swaps on an object store is how table formats earn their
+    keep, not something a path-level utility can promise.
     """
     import glob
     import os
