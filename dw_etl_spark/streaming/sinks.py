@@ -21,10 +21,17 @@ Scale notes:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
 
 from dw_etl_spark.operators.scd import scd2_apply
 
@@ -100,3 +107,96 @@ def scd2_stream_writer(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------ custom two-phase sink
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    filename: str
+    rows: int
+
+
+class ManifestParquetDataSource(DataSource):
+    """Exactly-once streaming parquet sink via a two-phase commit.
+
+    The built-in file sink already journals; this is the CUSTOM sink
+    contract (``DataSourceStreamWriter``) made concrete, for targets
+    that have no transaction log of their own:
+
+      executor ``write()``  — each partition writes its rows to a
+        uniquely-named parquet file under ``<path>/.staging/`` and
+        returns (filename, row count) as its commit message;
+      driver ``commit()``   — after EVERY partition succeeded, files
+        move into the epoch directory ``<path>/epoch=<batchId>/`` and
+        a ``_manifest-<batchId>.json`` records them with counts —
+        readers (and replays after failure) trust only manifested
+        epochs, so a re-run of a failed batch cannot double-count;
+      driver ``abort()``    — staged files are deleted.
+
+    Local-FS semantics (rename): see compact_parquet's object-store
+    caveat — on S3/GCS the manifest IS the atomicity, the moves are
+    plain copies.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ManifestParquetStreamWriter(self.options["path"], schema)
+
+
+class ManifestParquetStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str, schema):
+        self.path = path
+        self.schema = schema
+
+    def write(self, iterator) -> _FileCommit:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict() for r in iterator]
+        staging = os.path.join(self.path, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        names = [f.name for f in self.schema.fields]
+        table = pa.Table.from_pydict(
+            {n: [r.get(n) for r in rows] for n in names}
+        )
+        pq.write_table(table, os.path.join(staging, fname))
+        return _FileCommit(filename=fname, rows=len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        epoch_dir = os.path.join(self.path, f"epoch={batchId}")
+        manifest = os.path.join(self.path, f"_manifest-{batchId}.json")
+        if os.path.exists(manifest):
+            return  # replayed batch: already committed, stay idempotent
+        os.makedirs(epoch_dir, exist_ok=True)
+        entries = []
+        for m in messages:
+            if m is None:
+                continue
+            os.rename(
+                os.path.join(self.path, ".staging", m.filename),
+                os.path.join(epoch_dir, m.filename),
+            )
+            entries.append({"file": m.filename, "rows": m.rows})
+        with open(manifest, "w") as f:
+            json.dump({"batch": batchId, "files": entries}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self.path, ".staging", m.filename))

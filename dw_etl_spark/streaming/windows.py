@@ -177,3 +177,31 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a streaming fact feed against a
+    batch dimension — the production pattern for attaching reference
+    data (user profile, product, geo) to events in flight. The static
+    side is explicitly ``broadcast`` so every micro-batch plans a
+    stateless map-side hash join: no streaming state, no shuffle of
+    the stream, and the dimension is re-resolved per micro-batch (a
+    dimension table updated between batches is picked up on the next
+    trigger — the cheap-and-cheerful SCD0; pair with ``scd2_stream_
+    writer`` when history matters).
+
+    ``how`` is 'left' (keep unmatched events) or 'inner'; right/full
+    joins on the STATIC side are not supported by Spark for streams
+    (they would need the stream's end to emit unmatched dim rows).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("stream-static join supports how='left'|'inner'")
+    cols = dim_cols or [c for c in dim.columns if c != on]
+    d = dim.select(on, *cols)
+    return stream.join(F.broadcast(d), on, how)

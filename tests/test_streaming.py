@@ -242,3 +242,70 @@ def test_watermarked_dedup_suppresses_replayed_events(spark):
     assert len(ids) == len(set(ids))  # one survivor per event_id
     n_batch = read_table(spark, SF_SMOKE, "events").count()
     assert len(ids) == n_batch
+
+
+def test_enrich_stream_equals_batch_join(spark):
+    from dw_etl_spark.streaming.windows import enrich_stream
+
+    events = read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "user_id", "value"
+    )
+    # a tiny static dimension keyed on user_id
+    dim = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("string"))
+    )
+    got = run_stream_to_memory(
+        enrich_stream(events, dim, "user_id"),
+        name="enriched",
+        output_mode="append",
+    )
+    batch = read_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    ).join(dim, "user_id", "left")
+    want = _as_sorted_rows(batch, ["event_id", "user_id", "segment"])
+    assert _as_sorted_rows(got, ["event_id", "user_id", "segment"]) == want
+
+
+def test_manifest_parquet_sink_two_phase_commit(spark, tmp_path):
+    import glob
+    import json
+    import os
+
+    from dw_etl_spark.streaming.sinks import ManifestParquetDataSource
+
+    spark.dataSource.register(ManifestParquetDataSource)
+    out = str(tmp_path / "sink")
+    os.makedirs(out, exist_ok=True)
+    stream = read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "event_type", "value"
+    )
+    q = (
+        stream.writeStream.format("manifest_parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    manifests = sorted(glob.glob(os.path.join(out, "_manifest-*.json")))
+    assert manifests  # every committed epoch is manifested
+    manifested = 0
+    for mf in manifests:
+        meta = json.load(open(mf))
+        for entry in meta["files"]:
+            f = os.path.join(out, f"epoch={meta['batch']}", entry["file"])
+            assert os.path.exists(f)
+            manifested += entry["rows"]
+    # nothing left uncommitted, and every event landed exactly once
+    assert glob.glob(os.path.join(out, ".staging", "*")) == []
+    n = read_table(spark, SF_SMOKE, "events").count()
+    assert manifested == n
+    back = spark.read.parquet(os.path.join(out, "epoch=*"))
+    assert back.count() == n
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"]
+        for r in read_table(spark, SF_SMOKE, "events").collect()
+    )
