@@ -505,8 +505,13 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- text analysis (F8 + training-data extensions) ------------------------
 
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text features; r5 adds the CCNet-style corpus-unigram
+    perplexity (``operators/lm.unigram_logppl``) as a rode-along
+    column so the LM-scoring operator is oracle-checked here."""
+    from dw_etl_spark.operators.lm import unigram_logppl
+
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
+    feats = docs.select(
         "doc_id",
         clean_whitespace("text").alias("cleaned"),
         token_count("text").alias("n_tokens"),
@@ -515,6 +520,10 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").cast("double").alias("quality"),
         fingerprint("text").alias("fp"),
     )
+    ppl = unigram_logppl(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    return feats.join(ppl, "doc_id")
 
 
 def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:

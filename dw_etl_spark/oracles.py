@@ -212,7 +212,8 @@ FROM metrics m JOIN linestats USING (doc_id)
 
 
 def text_features_sql() -> str:
-    """doc_id, cleaned text, token count, lang-id, quality, fingerprint."""
+    """doc_id, cleaned text, token count, lang-id, quality,
+    fingerprint, and (r5) the corpus-unigram logppl twin."""
     toks = tokens("text")
     n_toks = f"len({toks})"
     lang_case = lang_case_sql("text")
@@ -223,14 +224,25 @@ def text_features_sql() -> str:
         "len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+', 0))"
     )
     return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({toks}) AS t FROM documents
+),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c) AS s FROM cnt),
+prob AS (SELECT t, ln(CAST(c AS DOUBLE) / s) AS lp FROM cnt, tot),
+ppl AS (
+  SELECT id, round(-avg(lp), 4) AS logppl
+  FROM tok JOIN prob USING (t) GROUP BY id
+)
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned,
        CAST({n_toks} AS BIGINT) AS n_tokens,
        CAST({n_subwords} AS BIGINT) AS n_subwords,
        {lang_case} AS lang_pred,
        CAST({quality} AS DOUBLE) AS quality,
-       {fp} AS fp
-FROM documents
+       {fp} AS fp,
+       logppl
+FROM documents LEFT JOIN ppl ON documents.doc_id = ppl.id
 """
 
 

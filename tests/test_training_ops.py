@@ -1055,3 +1055,26 @@ def test_corpus_ops_compose_end_to_end(spark):
     fresh = bloom_prefilter_anti_join(batch2, seen_fps, "fp", num_bits=1 << 12)
     # doc 10 equals doc 1's post-dedup text ("real article one") => dropped
     assert [r["doc_id"] for r in fresh.collect()] == [11]
+
+
+def test_unigram_logppl_hand_computed(spark):
+    import math as _math
+
+    from dw_etl_spark.operators.lm import unigram_logppl
+
+    # corpus: "a a b" + "a c" => counts a:3 b:1 c:1, total 5
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "   ")], ["doc_id", "text"]
+    )
+    got = {
+        r["id"]: r["logppl"]
+        for r in unigram_logppl(df, "text", "doc_id").collect()
+    }
+    lp = {"a": _math.log(3 / 5), "b": _math.log(1 / 5), "c": _math.log(1 / 5)}
+    want1 = round(-(lp["a"] + lp["a"] + lp["b"]) / 3, 4)
+    want2 = round(-(lp["a"] + lp["c"]) / 2, 4)
+    assert got[1] == pytest.approx(want1, abs=1e-4)
+    assert got[2] == pytest.approx(want2, abs=1e-4)
+    assert got[3] is None  # tokenless doc: no LM evidence
+    # rarer tokens => higher perplexity
+    assert got[1] < got[2] or (lp["b"] == lp["c"])
