@@ -1078,3 +1078,36 @@ def test_unigram_logppl_hand_computed(spark):
     assert got[3] is None  # tokenless doc: no LM evidence
     # rarer tokens => higher perplexity
     assert got[1] < got[2] or (lp["b"] == lp["c"])
+
+
+def test_ivf_trained_centroids_improve_or_match_recall(spark):
+    """IVF recall floor on the real embeddings fixture: with trained
+    centroids and a moderate nprobe, recall@5 vs exact cosine must
+    clear 0.6, and raising nprobe to n_centroids must reach 1.0
+    (brute-force degradation) — the two ends of the IVF trade."""
+    from dw_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+    from dw_etl_spark.sources.files import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=5).collect()}
+    trained = ivf_train_centroids(emb, n_centroids=8, iters=2)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            q, emb, dim=64, k=5, n_centroids=8, nprobe=4, centroids=trained
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"trained-IVF recall {recall:.3f} < 0.6"
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            q, emb, dim=64, k=5, n_centroids=8, nprobe=8, centroids=trained
+        ).collect()
+    }
+    assert full == exact  # nprobe = n_centroids degrades to exact
