@@ -9,6 +9,11 @@ graded alongside SURVEY.md §2):
                        score vectors sharing a bucket → sublinear work
                        per query at scale (recall < 1, tunable via
                        n_planes/n_tables)
+  ivf_topk           — IVF-flat cluster routing (broadcast centroid
+                       row; optional Lloyd's-trained centroids)
+  pq_topk            — product-quantization ADC: m-byte codes + a
+                       per-query distance table, 32× less memory
+                       traffic per scored row than raw vectors
 
 Scale design:
 - Brute force is a crossJoin: |Q|·|N| dot products. Correct at any
@@ -527,6 +532,254 @@ def lsh_topk(
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------- product quantization
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split each vector into ``m`` contiguous
+    subvectors of dim/m and fit ``k`` L2 centroids per subspace
+    (md5-rank-sampled seeds + Lloyd iterations, all subspaces trained
+    in the SAME jobs — one explode pass per iteration, not m of them).
+
+    Returns ``codebooks[sub][cid] -> centroid`` (m × k × dim/m),
+    driver-resident by design: m·k·(dim/m) = k·dim floats total, the
+    same footprint as k full-dimensional centroids.
+
+    Why PQ at 100 TB: a 64-dim float32 vector is 256 B; its PQ code is
+    m bytes (m=8 ⇒ 32× memory compression), so candidate scoring can
+    keep the ENTIRE corpus's codes in executor memory and read the
+    original vectors only for reranking the short list.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_d = dim // m
+    subs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(
+                    _as_double(F.col(vec_col)), s * sub_d + 1, sub_d
+                ),
+            )
+        ).alias("sub", "sv"),
+    )
+    # deterministic seeds: per subspace, the k subvectors with the
+    # lowest md5(id) rank (same rule as ivf_centroids)
+    w = Window.partitionBy("sub").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    seed_rows = (
+        subs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("sub", (F.col("__rn") - 1).alias("cid"), "sv")
+        .collect()
+    )
+    books: list[list[list[float]]] = [[None] * k for _ in range(m)]
+    for r in seed_rows:
+        books[r["sub"]][r["cid"]] = [float(x) for x in r["sv"]]
+    subs = subs.localCheckpoint(eager=False)  # reused every iteration
+    for _ in range(iters):
+        book_df = corpus.sparkSession.createDataFrame(
+            [
+                (
+                    [
+                        (s_i, c_i, c)
+                        for s_i, book in enumerate(books)
+                        for c_i, c in enumerate(book)
+                    ],
+                )
+            ],
+            "__books array<struct<sub: int, cid: int, vec: array<double>>>",
+        )
+        assigned = subs.crossJoin(F.broadcast(book_df)).select(
+            "sub",
+            "sv",
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.filter(
+                            F.col("__books"), lambda b: b["sub"] == F.col("sub")
+                        ),
+                        lambda b: F.struct(
+                            F.round(
+                                F.aggregate(
+                                    F.zip_with(
+                                        F.col("sv"),
+                                        b["vec"],
+                                        lambda x, y: (x - y) * (x - y),
+                                    ),
+                                    F.lit(0.0),
+                                    lambda a, x: a + x,
+                                ),
+                                9,
+                            ).alias("d2"),
+                            b["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+            )["cid"].alias("cid"),
+        )
+        cells = (
+            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("x").alias("mn"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in cells:
+            means.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = float(r["mn"])
+        for s_i in range(m):
+            for c_i in range(k):
+                got = means.get((s_i, c_i))
+                if got:
+                    books[s_i][c_i] = [got[p] for p in range(sub_d)]
+    return books
+
+
+def _books_frame(spark, books):
+    return spark.createDataFrame(
+        [
+            (
+                [
+                    (s_i, c_i, c)
+                    for s_i, book in enumerate(books)
+                    for c_i, c in enumerate(book)
+                ],
+            )
+        ],
+        "__books array<struct<sub: int, cid: int, vec: array<double>>>",
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes): per subspace, the id of the nearest codebook entry
+    — the m-byte compressed representation. One broadcast narrow pass;
+    codes ties break to the lowest cid (deterministic).
+    """
+    m = len(books)
+    sub_d = dim // m
+    book_df = _books_frame(corpus.sparkSession, books)
+
+    def nearest(sv, sub_idx):
+        return F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.filter(F.col("__books"), lambda b: b["sub"] == sub_idx),
+                    lambda b: F.struct(
+                        F.round(
+                            F.aggregate(
+                                F.zip_with(
+                                    sv, b["vec"], lambda x, y: (x - y) * (x - y)
+                                ),
+                                F.lit(0.0),
+                                lambda a, x: a + x,
+                            ),
+                            9,
+                        ).alias("d2"),
+                        b["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )["cid"]
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: nearest(
+            F.slice(_as_double(F.col(vec_col)), s * sub_d + 1, sub_d), s
+        ),
+    )
+    return corpus.crossJoin(F.broadcast(book_df)).select(
+        F.col(id_col).alias("id"), codes.alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    books: list[list[list[float]]],
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query precomputes its
+    m × k table of exact subspace distances to every codebook entry,
+    then scores a corpus row with m table lookups over its codes — no
+    original corpus vectors touched, so the scan reads m bytes per
+    row instead of dim floats.
+
+    Scale shape: |Q| queries broadcast (each carries its k·dim-float
+    table); the encoded corpus streams through one narrow pass per
+    query batch. Returns (query_id, neighbor_id, adist) — approximate
+    L2²; rerank the short list against true vectors when exactness
+    matters.
+    """
+    m = len(books)
+    sub_d = dim // m
+    book_df = _books_frame(queries.sparkSession, books)
+    # per-query distance table: array[sub] of array[cid] of d2
+    table = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.filter(F.col("__books"), lambda b: b["sub"] == s),
+            lambda b: F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(_as_double(F.col(vec_col)), s * sub_d + 1, sub_d),
+                        b["vec"],
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                9,
+            ),
+        ),
+    )
+    q = queries.crossJoin(F.broadcast(book_df)).select(
+        F.col(id_col).alias("query_id"), table.alias("__tbl")
+    )
+    scored = encoded.withColumnRenamed("id", "neighbor_id").crossJoin(
+        F.broadcast(q)
+    )
+    adist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("__tbl"),
+                lambda code, sub_tbl: F.element_at(sub_tbl, code + 1),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

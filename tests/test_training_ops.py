@@ -1111,3 +1111,47 @@ def test_ivf_trained_centroids_improve_or_match_recall(spark):
         ).collect()
     }
     assert full == exact  # nprobe = n_centroids degrades to exact
+
+
+def test_pq_codes_shape_and_partition_independence(spark):
+    from dw_etl_spark.operators.similarity import pq_encode, pq_train_codebooks
+    from dw_etl_spark.sources.files import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    books = pq_train_codebooks(emb, dim=64, m=8, k=16, iters=1)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    enc = {r["id"]: r["codes"] for r in pq_encode(emb, books, dim=64).collect()}
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in enc.values())
+    enc2 = {
+        r["id"]: r["codes"]
+        for r in pq_encode(emb.repartition(7), books, dim=64).collect()
+    }
+    assert enc == enc2  # encoding is partitioning-independent
+
+
+def test_pq_adc_finds_cluster_neighbors(spark):
+    import random
+
+    from dw_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(240):
+        base = [0.0] * 8
+        base[i % 3] = 1.0
+        rows.append((i, [b + rng.uniform(-0.05, 0.05) for b in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_train_codebooks(df, dim=8, m=4, k=4, iters=3)
+    enc = pq_encode(df, books, dim=8)
+    got = pq_topk(df.limit(9), enc, books, dim=8, k=3)
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in got.collect()]
+    assert len(pairs) == 9 * 3
+    same_cluster = sum(1 for q, n in pairs if q % 3 == n % 3)
+    # ADC over 1-byte-per-subspace codes must route overwhelmingly
+    # inside the true cluster on well-separated data
+    assert same_cluster >= 0.9 * len(pairs)
