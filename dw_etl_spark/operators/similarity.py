@@ -783,3 +783,119 @@ def pq_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    centroids: list[tuple[int, list[float], float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF routing composed with PQ scoring (the FAISS-IVFPQ shape):
+    corpus rows carry (inverted-list id, m-byte code); a query probes
+    its ``nprobe`` nearest lists and ADC-scores ONLY co-listed rows.
+
+    The two approximations multiply savings independently: IVF cuts
+    the rows scored per query to ~nprobe/n_centroids of the corpus,
+    PQ cuts the bytes read per scored row from dim floats to m —
+    at 100 TB the entire compressed index (codes + list ids) fits in
+    executor memory while the raw vectors stay on disk for reranking.
+
+    Returns (query_id, neighbor_id, adist); rank by approximate L2².
+    """
+    spark = corpus.sparkSession
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    )
+    books = (
+        books
+        if books is not None
+        else pq_train_codebooks(corpus, dim, vec_col, id_col, m, pq_k)
+    )
+    cent_df = _centroid_frame(spark, cents)
+    encoded = pq_encode(corpus, books, dim, vec_col, id_col)
+    listed = (
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            "id",
+            F.element_at(
+                _ranked_centroids(F.col("v"), F.col("__cents")), 1
+            )["cid"].alias("cid"),
+        )
+        .join(encoded, "id")
+    )
+    book_df = _books_frame(spark, books)
+    sub_d = dim // len(books)
+    table = F.transform(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)),
+        lambda s: F.transform(
+            F.filter(F.col("__books"), lambda b: b["sub"] == s),
+            lambda b: F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(_as_double(F.col(vec_col)), s * sub_d + 1, sub_d),
+                        b["vec"],
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                9,
+            ),
+        ),
+    )
+    probing = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .crossJoin(F.broadcast(book_df))
+        .select(
+            F.col(id_col).alias("query_id"),
+            table.alias("__tbl"),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        _ranked_centroids(
+                            _as_double(F.col(vec_col)), F.col("__cents")
+                        ),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["cid"],
+                )
+            ).alias("cid"),
+        )
+    )
+    adist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("__tbl"),
+                lambda code, sub_tbl: F.element_at(sub_tbl, code + 1),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        listed.withColumnRenamed("id", "neighbor_id")
+        .join(probing, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

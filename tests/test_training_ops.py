@@ -1155,3 +1155,25 @@ def test_pq_adc_finds_cluster_neighbors(spark):
     # ADC over 1-byte-per-subspace codes must route overwhelmingly
     # inside the true cluster on well-separated data
     assert same_cluster >= 0.9 * len(pairs)
+
+
+def test_ivfpq_routes_and_scores_within_clusters(spark):
+    import random
+
+    from dw_etl_spark.operators.similarity import ivfpq_topk
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(240):
+        base = [0.0] * 8
+        base[i % 3] = 1.0
+        rows.append((i, [b + rng.uniform(-0.05, 0.05) for b in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = ivfpq_topk(
+        df.limit(9), df, dim=8, k=3, n_centroids=3, nprobe=1, m=4, pq_k=4
+    )
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in got.collect()]
+    assert len(pairs) == 9 * 3
+    # nprobe=1 routing restricts candidates to the query's own list;
+    # ADC then ranks inside it — neighbors must share the true cluster
+    assert all(q % 3 == n % 3 for q, n in pairs)
