@@ -561,6 +561,12 @@ def pq_train_codebooks(
     m bytes (m=8 ⇒ 32× memory compression), so candidate scoring can
     keep the ENTIRE corpus's codes in executor memory and read the
     original vectors only for reranking the short list.
+
+    Determinism: seeds are exactly reproducible (md5 rank); the Lloyd
+    means are deterministic up to float summation order, like any
+    distributed mean — ENCODING under a fixed codebook is fully
+    deterministic (tested partition-independent), so persist the
+    trained codebooks next to the encoded corpus.
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -647,6 +653,7 @@ def pq_train_codebooks(
                 got = means.get((s_i, c_i))
                 if got:
                     books[s_i][c_i] = [got[p] for p in range(sub_d)]
+    subs.unpersist()  # release the iteration pin before returning
     return books
 
 
