@@ -18,25 +18,77 @@ from dw_etl_spark.operators.profile import (
 from dw_etl_spark.operators.project import project_rename
 from dw_etl_spark.operators.qcut import ntile_buckets, qcut_by_group
 from dw_etl_spark.operators.scd import scd2_apply, scd2_current
+from dw_etl_spark.operators.graph import cluster_dedup, connected_components
+from dw_etl_spark.operators.lm import unigram_logppl
+from dw_etl_spark.operators.packing import pack_into_shards, write_training_shards
+from dw_etl_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_shuffle,
+    stratified_sample,
+    train_val_test_split,
+    weighted_sample,
+)
 from dw_etl_spark.operators.scale import (
+    bloom_prefilter_anti_join,
+    build_bloom,
+    compact_parquet,
+    rebalance_for_write,
     salted_join,
     two_phase_count_distinct,
     write_bucketed,
+    zorder_by,
 )
 from dw_etl_spark.operators.similarity import (
     cosine_topk,
     embedding_dup_pairs,
+    ivf_topk,
+    ivf_train_centroids,
+    ivfpq_topk,
     lsh_topk,
+    pq_encode,
+    pq_topk,
+    pq_train_codebooks,
+    suggest_lsh_params,
 )
 from dw_etl_spark.operators.temporal_joins import asof_join, range_join
 from dw_etl_spark.operators.text_dedup import (
+    contamination_flags,
+    duplicate_line_stats,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    normalize_unicode,
+    remove_duplicate_lines,
     simhash_pairs,
 )
 
 __all__ = [
+    "bloom_prefilter_anti_join",
+    "build_bloom",
+    "cluster_dedup",
+    "compact_parquet",
+    "connected_components",
+    "contamination_flags",
+    "deterministic_sample",
+    "deterministic_shuffle",
+    "duplicate_line_stats",
+    "ivf_topk",
+    "ivf_train_centroids",
+    "ivfpq_topk",
+    "normalize_unicode",
+    "pack_into_shards",
+    "pq_encode",
+    "pq_topk",
+    "pq_train_codebooks",
+    "rebalance_for_write",
+    "remove_duplicate_lines",
+    "stratified_sample",
+    "suggest_lsh_params",
+    "train_val_test_split",
+    "unigram_logppl",
+    "weighted_sample",
+    "write_training_shards",
+    "zorder_by",
     "add_sequential_id",
     "add_unique_id",
     "asof_join",
