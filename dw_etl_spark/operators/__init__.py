@@ -48,6 +48,8 @@ from dw_etl_spark.operators.similarity import (
     pq_encode,
     pq_topk,
     pq_train_codebooks,
+    semantic_dedup,
+    semantic_dedup_pairs,
     suggest_lsh_params,
 )
 from dw_etl_spark.operators.temporal_joins import asof_join, range_join
@@ -82,6 +84,8 @@ __all__ = [
     "pq_train_codebooks",
     "rebalance_for_write",
     "remove_duplicate_lines",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
     "stratified_sample",
     "suggest_lsh_params",
     "train_val_test_split",

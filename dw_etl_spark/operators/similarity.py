@@ -906,3 +906,95 @@ def ivfpq_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs, SemDeDup-style (Abbas et
+    al. 2023): cluster the embedding space, then compare ONLY vectors
+    that share a cluster — never all pairs.
+
+    Each corpus vector is assigned to its max-cosine centroid via the
+    broadcast ``array<struct>`` centroid row (O(1) plan size, same
+    shipping rule as ``ivf_topk``); the candidate set is a self-join
+    keyed on the cluster id, so total comparison work is
+    Σ_c C(n_c, 2) — at 100 TB you size ``n_centroids`` so clusters fit
+    a task (the paper runs 11k clusters for 100M docs). Pairs at cosine
+    ≥ ``threshold`` are emitted once as (id_a < id_b, cos_sim).
+
+    Recall caveat (inherent to SemDeDup): a near-dup pair split across
+    two clusters is missed — raise ``n_centroids`` quality via
+    ``centroids=ivf_train_centroids(...)``, or lower ``threshold``,
+    to trade. Deterministic: md5-sampled default centroids, rounded
+    cosines, id-ordered pair emission — the DuckDB twin reproduces it
+    exactly (tests/test_training_ops.py).
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    )
+    cent_df = _centroid_frame(corpus.sparkSession, cents)
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            F.element_at(
+                _ranked_centroids(F.col(vec_col), F.col("__cents")), 1
+            )["cid"].alias("cid"),
+        )
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """Keep-verdict frame (id, keep) from ``semantic_dedup_pairs``:
+    a vector is dropped iff some SMALLER id sits within ``threshold``
+    cosine in its cluster (keep-min-id — the same deterministic rule
+    as ``exact_dedup``).
+
+    Pairwise keep-min is intentionally non-transitive: in a chain
+    a~b, b~c (a<b<c, a≁c) both b and c are dropped even though a≁c —
+    fine for dedup (survivors are pairwise-distinct w.r.t. kept ids).
+    For keep-one-per-connected-component semantics, feed the pairs
+    into ``operators.graph.connected_components`` instead. A left
+    anti-join against the distinct drop set keeps the corpus-sized
+    side un-exploded.
+    """
+    pairs = semantic_dedup_pairs(
+        corpus, vec_col, id_col, threshold, n_centroids, centroids
+    )
+    drops = pairs.select(F.col("id_b").alias("id")).distinct()
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return ids.join(drops.withColumn("__drop", F.lit(True)), "id", "left").select(
+        "id", F.coalesce(F.col("__drop") == F.lit(False), F.lit(True)).alias("keep")
+    )

@@ -522,3 +522,52 @@ SELECT query_id, neighbor_id, cos_sim FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+def semantic_dedup_pairs_sql(
+    threshold: float = 0.95, n_centroids: int = 16
+) -> str:
+    """Twin of operators/similarity.py:semantic_dedup_pairs — identical
+    md5-sampled centroids, identical (rounded cos DESC, cid ASC)
+    assignment, within-cluster (id_a < id_b) pairs at rounded cosine
+    >= threshold."""
+    rcos = (
+        f"round({_dot64('e.embedding', 'c.embedding')} / "
+        f"({_norm64('e.embedding')} * {_norm64('c.embedding')}), 6)"
+    )
+    pcos = (
+        f"round({_dot64('a.v', 'b.v')} / "
+        f"({_norm64('a.v')} * {_norm64('b.v')}), 6)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         embedding
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_centroids}
+),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {rcos} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id AS id, embedding AS v, cid FROM ranked WHERE rn = 1
+)
+SELECT a.id AS id_a, b.id AS id_b, {pcos} AS cos_sim
+FROM assigned a JOIN assigned b USING (cid)
+WHERE a.id < b.id AND {pcos} >= {threshold}
+"""
+
+
+def semantic_dedup_sql(threshold: float = 0.95, n_centroids: int = 16) -> str:
+    """Keep-verdict twin: drop iff a smaller id pairs with you."""
+    pairs = semantic_dedup_pairs_sql(threshold, n_centroids)
+    return f"""
+SELECT vec_id AS id,
+       vec_id NOT IN (SELECT id_b FROM ({pairs})) AS keep
+FROM embeddings
+"""

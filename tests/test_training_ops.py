@@ -1177,3 +1177,78 @@ def test_ivfpq_routes_and_scores_within_clusters(spark):
     # nprobe=1 routing restricts candidates to the query's own list;
     # ADC then ranks inside it — neighbors must share the true cluster
     assert all(q % 3 == n % 3 for q, n in pairs)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style, round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_pairs_matches_duckdb_twin(spark):
+    """Full oracle parity on the sf0.001 embeddings table: identical
+    centroid sample, assignment, pair set, and rounded cosines."""
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = semantic_dedup_pairs(emb, threshold=0.2, n_centroids=8)
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(
+        got, con, oracles.semantic_dedup_pairs_sql(threshold=0.2, n_centroids=8)
+    )
+    con.close()
+
+
+def test_semantic_dedup_keep_verdict_matches_duckdb_twin(spark):
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = semantic_dedup(emb, threshold=0.2, n_centroids=8)
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(
+        got, con, oracles.semantic_dedup_sql(threshold=0.2, n_centroids=8)
+    )
+    con.close()
+
+
+def test_semantic_dedup_pairs_are_within_cluster_and_genuine(spark):
+    """Every emitted pair shares a cluster, carries the exact cosine,
+    and planted exact duplicates are always caught (same cluster by
+    construction: identical vectors rank centroids identically)."""
+    import random
+
+    from dw_etl_spark.operators.similarity import (
+        cosine_topk,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    vecs += [(100 + i, list(v)) for i, (_, v) in enumerate(vecs[:5])]  # clones
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    pairs = semantic_dedup_pairs(df, threshold=0.999999, n_centroids=6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(5):
+        assert (i, 100 + i) in got
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk(df, df, k=54).collect()
+    }
+    for r in pairs:
+        assert math.isclose(
+            exact[(r["id_a"], r["id_b"])], r["cos_sim"], abs_tol=1e-9
+        )
+
+    verdict = {r["id"]: r["keep"] for r in semantic_dedup(
+        df, threshold=0.999999, n_centroids=6
+    ).collect()}
+    assert len(verdict) == len(vecs)
+    for i in range(5):
+        assert verdict[i] is True and verdict[100 + i] is False
