@@ -33,6 +33,8 @@ from dw_etl_spark.operators.scale import (
     build_bloom,
     compact_parquet,
     rebalance_for_write,
+    file_zone_map,
+    read_pruned,
     salted_join,
     two_phase_count_distinct,
     write_bucketed,
@@ -82,6 +84,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "pq_train_codebooks",
+    "read_pruned",
     "rebalance_for_write",
     "remove_duplicate_lines",
     "semantic_dedup",
@@ -101,6 +104,7 @@ __all__ = [
     "dedup_keep_first",
     "embedding_dup_pairs",
     "exact_dedup",
+    "file_zone_map",
     "extract_features",
     "fuzzy_top1_join",
     "interpolate_by_group",

@@ -26,6 +26,12 @@ for the 100 TB regime, with equality-to-naive-plan tests:
   compact_parquet          — maintenance rewrite of an append-heavy
                              parquet dataset back to advisory-sized
                              files (stage + atomic swap)
+  file_zone_map            — per-file min/max/null/row stats via the
+                             ``_metadata`` column: the queryable index
+                             behind file-level data skipping
+  read_pruned              — range read that opens only the files whose
+                             zone-map interval overlaps the predicate
+                             (row-equal to the naive full-scan filter)
 
 When to reach for which:
 - First line of defense is AQE (enabled in session.py): it splits skewed
@@ -380,3 +386,72 @@ def compact_parquet(
     os.rename(staged, path)
     shutil.rmtree(old)
     return before, count_files(path)
+
+
+def file_zone_map(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-file zone map (min/max/null-count/row-count per column) for
+    a file-backed DataFrame — the queryable face of the statistics
+    ``zorder_by`` lays files out to sharpen.
+
+    ``df`` must come straight from a file scan (``spark.read.parquet``
+    etc.) so the ``_metadata`` hidden column resolves. Output: one row
+    per file — (file_path, file, n_rows, <c>_min, <c>_max, <c>_nulls
+    per requested column). The aggregation's shuffle output is
+    #files-sized, and because a scan partition never spans files the
+    partial aggs collapse per-file map-side: at 100 TB the wide plan
+    traffic is file-count rows, not data. Use it to audit clustering
+    quality (overlapping ranges = poor pruning), drive compaction
+    decisions, or back ``read_pruned``'s file skipping.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.count_if(F.col(c).isNull()).alias(f"{c}_nulls"),
+        ]
+    return (
+        df.select(F.col("_metadata.file_path").alias("file_path"), *cols)
+        .groupBy("file_path")
+        .agg(*aggs)
+        .withColumn(
+            "file", F.regexp_extract(F.col("file_path"), r"([^/]+)$", 1)
+        )
+    )
+
+
+def read_pruned(
+    spark, path: str, col: str, lo, hi
+) -> DataFrame:
+    """Range-filtered read that opens ONLY the files whose zone-map
+    interval overlaps [lo, hi] — explicit file skipping on a column
+    that is NOT a directory-partition key.
+
+    Parquet scans already do row-group-level min/max skipping, but
+    they still LIST and OPEN every file (footer reads dominate on
+    object stores with many files). This plans a #files-sized zone-map
+    job, prunes the listing driver-side, then reads the survivors with
+    the residual filter (so results equal the naive full-scan filter —
+    pytest-pinned). An all-null file has NULL min/max and is skipped:
+    correct for a range predicate, which no NULL row satisfies.
+
+    Scale notes: the driver holds one path string per surviving file —
+    fine to ~10⁶ files; beyond that persist the zone map as a table
+    and join it against the scan's file list instead. For a column you
+    ALWAYS filter on, prefer directory partitioning (free pruning, no
+    extra job); this is for secondary columns — ideally z-ordered so
+    per-file ranges are tight.
+    """
+    zm = file_zone_map(spark.read.parquet(path), [col])
+    rows = zm.select("file_path", f"{col}_min", f"{col}_max").collect()
+    keep = [
+        r["file_path"]
+        for r in rows
+        if r[f"{col}_min"] is not None
+        and r[f"{col}_max"] >= lo
+        and r[f"{col}_min"] <= hi
+    ]
+    pred = F.col(col).between(lo, hi)
+    if not keep:  # schema-preserving empty frame
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*keep).filter(pred)

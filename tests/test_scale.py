@@ -358,3 +358,65 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2000
     got = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert got == list(range(2000))
+
+
+def test_file_zone_map_matches_duckdb_per_file_stats(spark, tmp_path):
+    """Zone-map rows equal DuckDB's per-file min/max/null/row stats
+    over the very same multi-file dataset."""
+    import duckdb
+
+    from dw_etl_spark.operators.scale import file_zone_map
+    from tests.conftest import assert_matches_oracle
+
+    out = str(tmp_path / "orders_files")
+    read_table(spark, SF_SMOKE, "orders").repartition(4).write.parquet(out)
+
+    zm = file_zone_map(spark.read.parquet(out), ["o_totalprice", "o_orderdate"]).select(
+        "file", "n_rows",
+        "o_totalprice_min", "o_totalprice_max", "o_totalprice_nulls",
+        "o_orderdate_min", "o_orderdate_max", "o_orderdate_nulls",
+    )
+    con = duckdb.connect()
+    assert_matches_oracle(zm, con, f"""
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(o_totalprice) AS o_totalprice_min,
+               max(o_totalprice) AS o_totalprice_max,
+               CAST(count(*) FILTER (o_totalprice IS NULL) AS BIGINT)
+                 AS o_totalprice_nulls,
+               min(o_orderdate) AS o_orderdate_min,
+               max(o_orderdate) AS o_orderdate_max,
+               CAST(count(*) FILTER (o_orderdate IS NULL) AS BIGINT)
+                 AS o_orderdate_nulls
+        FROM read_parquet('{out}/*.parquet', filename=true)
+        GROUP BY 1
+    """)
+    con.close()
+
+
+def test_read_pruned_equals_naive_filter_and_skips_files(spark, tmp_path):
+    """File-skipping read returns exactly the naive filter's rows while
+    opening only the files whose range overlaps the predicate (the
+    dataset is range-partitioned on the column, so most files miss)."""
+    from dw_etl_spark.operators.scale import read_pruned
+
+    out = str(tmp_path / "orders_ranged")
+    (
+        read_table(spark, SF_SMOKE, "orders")
+        .repartitionByRange(8, "o_totalprice")
+        .write.parquet(out)
+    )
+    lo, hi = 1000.0, 2000.0
+    pruned = read_pruned(spark, out, "o_totalprice", lo, hi)
+    naive = spark.read.parquet(out).filter(F.col("o_totalprice").between(lo, hi))
+
+    assert sorted(pruned.inputFiles()) != sorted(
+        spark.read.parquet(out).inputFiles()
+    ), "expected at least one file skipped on a range-clustered layout"
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, pruned.collect())) == sorted(map(key, naive.collect()))
+
+    # disjoint predicate: zero files open, schema preserved, zero rows
+    empty = read_pruned(spark, out, "o_totalprice", -2.0, -1.0)
+    assert empty.count() == 0
+    assert empty.schema == naive.schema
