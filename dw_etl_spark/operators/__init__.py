@@ -19,7 +19,7 @@ from dw_etl_spark.operators.project import project_rename
 from dw_etl_spark.operators.qcut import ntile_buckets, qcut_by_group
 from dw_etl_spark.operators.scd import scd2_apply, scd2_current
 from dw_etl_spark.operators.graph import cluster_dedup, connected_components
-from dw_etl_spark.operators.lm import unigram_logppl
+from dw_etl_spark.operators.lm import bigram_logppl, unigram_logppl
 from dw_etl_spark.operators.packing import pack_into_shards, write_training_shards
 from dw_etl_spark.operators.sampling import (
     deterministic_sample,
@@ -27,6 +27,10 @@ from dw_etl_spark.operators.sampling import (
     stratified_sample,
     train_val_test_split,
     weighted_sample,
+)
+from dw_etl_spark.operators.sketches import (
+    distinct_sketch,
+    merge_distinct_sketches,
 )
 from dw_etl_spark.operators.scale import (
     bloom_prefilter_anti_join,
@@ -67,6 +71,7 @@ from dw_etl_spark.operators.text_dedup import (
 )
 
 __all__ = [
+    "bigram_logppl",
     "bloom_prefilter_anti_join",
     "build_bloom",
     "cluster_dedup",
@@ -103,6 +108,7 @@ __all__ = [
     "cosine_topk",
     "dedup_keep_first",
     "embedding_dup_pairs",
+    "distinct_sketch",
     "exact_dedup",
     "file_zone_map",
     "extract_features",
@@ -111,6 +117,7 @@ __all__ = [
     "iqr_outlier_count",
     "lsh_topk",
     "media_stats",
+    "merge_distinct_sketches",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "ntile_buckets",

@@ -48,3 +48,63 @@ def unigram_logppl(
         .agg(F.round(-F.avg("lp"), 4).alias(out_col))
     )
     return df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
+
+
+def bigram_logppl(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "logppl2",
+    lam: float = 0.75,
+) -> DataFrame:
+    """(id, logppl2): −mean ln p(tok | prev) per doc under an
+    interpolated bigram LM fitted on the corpus itself —
+    p(b|a) = λ·c(a,b)/c(a,·) + (1−λ)·c(b)/N.
+
+    The unigram back-off makes every probability positive (an unseen
+    CONTEXT cannot occur — contexts come from the corpus — and the
+    unigram term covers any pair), so no other smoothing is needed.
+    Sharper than ``unigram_logppl`` at catching scrambled/templated
+    text whose token *set* is ordinary but whose token *order* is not.
+    Documents with fewer than two tokens get NULL.
+
+    Scale shape: bigrams via a shifted-slice ``zip_with`` (no
+    posexplode self-join); two count shuffles — (a,b) pairs and the
+    context marginal derived FROM the pair table (one source of truth,
+    which the DuckDB twin replays exactly) — then token-keyed joins
+    back onto the exploded corpus (hot contexts are AQE skew-join
+    territory) and a doc-keyed mean. Rounded to 4 like the unigram
+    path.
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts"))
+    bi = toks.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    c2 = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("s"))
+    lp = F.log(
+        F.lit(lam) * F.col("c2").cast("double") / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("cu").cast("double") / F.col("s")
+    )
+    per_doc = (
+        bi.join(c2, ["a", "b"])
+        .join(ctx, "a")
+        .join(uni, F.col("b") == F.col("t"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(F.round(-F.avg(lp), 4).alias(out_col))
+    )
+    return df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")

@@ -571,3 +571,39 @@ SELECT vec_id AS id,
        vec_id NOT IN (SELECT id_b FROM ({pairs})) AS keep
 FROM embeddings
 """
+
+
+def bigram_logppl_sql(lam: float = 0.75) -> str:
+    """Twin of operators/lm.py:bigram_logppl on the documents table —
+    same bigram construction (adjacent token pairs), same context
+    marginal derived from the pair table, same interpolation."""
+    toks = tokens("text")
+    return f"""
+WITH doc_toks AS (
+  SELECT doc_id AS id, {toks} AS ts FROM documents
+),
+bi AS (
+  SELECT id, ts[i] AS a, ts[i + 1] AS b
+  FROM doc_toks, unnest(range(1, len(ts))) AS r(i)
+),
+c2 AS (SELECT a, b, count(*) AS c2 FROM bi GROUP BY a, b),
+ctx AS (SELECT a, sum(c2) AS c1 FROM c2 GROUP BY a),
+uni AS (
+  SELECT t, count(*) AS cu
+  FROM (SELECT unnest(ts) AS t FROM doc_toks) GROUP BY t
+),
+tot AS (SELECT sum(cu) AS s FROM uni),
+scored AS (
+  SELECT bi.id,
+         ln({lam} * CAST(c2.c2 AS DOUBLE) / ctx.c1
+            + {1.0 - lam} * CAST(uni.cu AS DOUBLE) / tot.s) AS lp
+  FROM bi
+  JOIN c2 USING (a, b)
+  JOIN ctx USING (a)
+  JOIN uni ON bi.b = uni.t
+  CROSS JOIN tot
+),
+ppl AS (SELECT id, round(-avg(lp), 4) AS logppl2 FROM scored GROUP BY id)
+SELECT doc_id AS id, logppl2
+FROM documents LEFT JOIN ppl ON documents.doc_id = ppl.id
+"""

@@ -1252,3 +1252,107 @@ def test_semantic_dedup_pairs_are_within_cluster_and_genuine(spark):
     assert len(verdict) == len(vecs)
     for i in range(5):
         assert verdict[i] is True and verdict[100 + i] is False
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring + mergeable HLL sketches (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logppl_matches_duckdb_twin(spark):
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.lm import bigram_logppl
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = bigram_logppl(docs, "text", "doc_id")
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(got, con, oracles.bigram_logppl_sql())
+    con.close()
+
+
+def test_bigram_logppl_flags_scrambled_token_order(spark):
+    """A doc with the same token MULTISET but shuffled order scores
+    worse (higher −log p) than the intact copies — exactly the signal
+    the unigram model cannot see (it scores both identically)."""
+    from dw_etl_spark.operators.lm import bigram_logppl, unigram_logppl
+
+    intact = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy fox brown jumps the"
+    rows = [(i, intact) for i in range(10)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uni = {r["id"]: r["logppl"] for r in unigram_logppl(df, "text", "doc_id").collect()}
+    assert uni[99] == uni[0]  # unigram is blind to order
+    bi = {r["id"]: r["logppl2"] for r in bigram_logppl(df, "text", "doc_id").collect()}
+    assert bi[99] > bi[0]
+
+    # short docs: <2 tokens → NULL
+    short = spark.createDataFrame([(1, "word"), (2, "  ")], ["doc_id", "text"])
+    got = {r["id"]: r["logppl2"] for r in bigram_logppl(short, "text", "doc_id").collect()}
+    assert got[1] is None and got[2] is None
+
+
+def test_hll_sketches_merge_to_global_estimate(spark):
+    """Union of per-group sketches estimates the global distinct count
+    (within HLL error), and the merged estimate is identical no matter
+    how increments are grouped or partitioned — the property that lets
+    an incremental pipeline roll up without rescans."""
+    from dw_etl_spark.operators.sketches import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+    from dw_etl_spark.sources.files import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    exact = ev.select("user_id").distinct().count()
+
+    per_type = distinct_sketch(ev, "user_id", by=["event_type"])
+    direct = merge_distinct_sketches(per_type).collect()[0]["approx_distinct"]
+    assert abs(direct - exact) / exact < 0.05
+
+    # two-stage merge (arbitrary intermediate grouping) == one-stage
+    staged = merge_distinct_sketches(
+        merge_distinct_sketches(
+            per_type.withColumn(
+                "g", (F.length("event_type") % 2).cast("int")
+            ),
+            by=["g"],
+            keep_sketch=True,
+        )
+    ).collect()[0]["approx_distinct"]
+    assert staged == direct
+
+    # partitioning independence of the sketch build
+    repart = merge_distinct_sketches(
+        distinct_sketch(ev.repartition(7), "user_id", by=["event_type"])
+    ).collect()[0]["approx_distinct"]
+    assert repart == direct
+
+
+def test_hll_incremental_rollup_equals_full_rescan(spark):
+    """Yesterday's rollup sketch merged with today's delta sketch gives
+    the same estimate as sketching the union from scratch."""
+    from dw_etl_spark.operators.sketches import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+    from dw_etl_spark.sources.files import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+
+    rollup = merge_distinct_sketches(
+        distinct_sketch(old, "user_id"), keep_sketch=True
+    ).select("sketch")
+    delta = distinct_sketch(new, "user_id").select("sketch")
+    incremental = merge_distinct_sketches(rollup.unionAll(delta)).collect()[0][
+        "approx_distinct"
+    ]
+    scratch = merge_distinct_sketches(distinct_sketch(ev, "user_id")).collect()[
+        0
+    ]["approx_distinct"]
+    assert incremental == scratch
