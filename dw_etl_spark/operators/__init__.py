@@ -19,6 +19,7 @@ from dw_etl_spark.operators.project import project_rename
 from dw_etl_spark.operators.qcut import ntile_buckets, qcut_by_group
 from dw_etl_spark.operators.scd import scd2_apply, scd2_current
 from dw_etl_spark.operators.graph import cluster_dedup, connected_components
+from dw_etl_spark.operators.ir import hashed_embedding, tfidf_top_terms
 from dw_etl_spark.operators.lm import bigram_logppl, unigram_logppl
 from dw_etl_spark.operators.packing import pack_into_shards, write_training_shards
 from dw_etl_spark.operators.sampling import (
@@ -96,6 +97,7 @@ __all__ = [
     "semantic_dedup_pairs",
     "stratified_sample",
     "suggest_lsh_params",
+    "tfidf_top_terms",
     "train_val_test_split",
     "unigram_logppl",
     "weighted_sample",
@@ -113,6 +115,7 @@ __all__ = [
     "file_zone_map",
     "extract_features",
     "fuzzy_top1_join",
+    "hashed_embedding",
     "interpolate_by_group",
     "iqr_outlier_count",
     "lsh_topk",

@@ -1,0 +1,132 @@
+"""Lexical IR features: TF-IDF keyterms and feature-hashed embeddings.
+
+Two model-free text representations a corpus pipeline wants before any
+neural model is in the loop:
+
+  tfidf_top_terms  — per-doc top-k terms by smoothed TF-IDF: keyword
+                     extraction, near-dup explanation ("which terms
+                     made these docs similar"), topic drift monitoring.
+  hashed_embedding — the hashing trick (Weinberger et al. 2009):
+                     signed token-count features in a fixed dim,
+                     l2-normalized. No vocabulary, no training, no
+                     driver state — every token maps to (bucket, sign)
+                     by portable md5 lanes, so the SAME text always
+                     produces the SAME vector in any engine, and the
+                     output plugs straight into the similarity stack
+                     (cosine_topk / lsh_topk / semantic_dedup).
+
+Scale shape: both are explode → (doc, term) count → small joins.
+TF-IDF's document-frequency table is vocabulary-sized (shuffle keyed
+on the term — hot terms are AQE territory); the hashing trick never
+materializes a vocabulary at all — its widest shuffle is (doc, bucket)
+cells, bounded by dim per doc. All arithmetic is JVM expressions;
+DuckDB twins replay both exactly (md5-derived hashes, rounded scores).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dw_etl_spark.functions.text import stable_hash32b, stable_hash64, tokens
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF.
+
+    score = tf · (ln((N+1)/(df_t+1)) + 1) — the sklearn-style smooth
+    idf, positive even for a term present in every doc. Output
+    (id, term, tf, score, rank), rank 1..k by (score DESC, term ASC);
+    ties broken lexically so the result is total-order deterministic.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n") + F.lit(1)).cast("double")
+                        / (F.col("df_t") + F.lit(1))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding): signed-feature-hashing doc vectors, l2-unit,
+    components rounded to 6.
+
+    bucket = stable_hash64(token) mod dim, sign = ±1 from an
+    independent md5 lane — the classic unbiased variant (same-bucket
+    collisions cancel in expectation instead of inflating). A doc with
+    no tokens (or whose signs fully cancel) gets the zero vector, not
+    NULL — still a valid cosine operand downstream.
+    """
+    cells = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+        .select(
+            "id",
+            F.pmod(stable_hash64(F.col("t")), F.lit(dim)).alias("b"),
+            F.when(stable_hash32b(F.col("t")) % 2 == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    dense = cells.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("m")
+    ).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0.0)),
+        ).alias("raw"),
+    )
+    norm = F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
+    vec = F.when(
+        norm > 0,
+        F.transform("raw", lambda x: F.round(x / norm, 6)),
+    ).otherwise(F.transform("raw", lambda x: x * 0.0))
+    embedded = dense.select("id", vec.alias(out_col))
+    return df.select(F.col(id_col).alias("id")).join(
+        embedded, "id", "left"
+    ).select(
+        "id",
+        F.coalesce(
+            F.col(out_col),
+            F.array_repeat(F.lit(0.0), dim),
+        ).alias(out_col),
+    )

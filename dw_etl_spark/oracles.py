@@ -607,3 +607,62 @@ ppl AS (SELECT id, round(-avg(lp), 4) AS logppl2 FROM scored GROUP BY id)
 SELECT doc_id AS id, logppl2
 FROM documents LEFT JOIN ppl ON documents.doc_id = ppl.id
 """
+
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    """Twin of operators/ir.py:tfidf_top_terms on the documents table."""
+    toks = tokens("text")
+    return f"""
+WITH tf AS (
+  SELECT doc_id AS id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS t FROM documents)
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT id, term, tf,
+         round(tf * (ln(CAST(n + 1 AS DOUBLE) / (df_t + 1)) + 1.0), 6)
+           AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+)
+SELECT id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id
+            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def hashed_embedding_sql(dim: int = 64) -> str:
+    """Twin of operators/ir.py:hashed_embedding — identical md5 bucket
+    and sign lanes, identical fold order for the l2 norm."""
+    toks = tokens("text")
+    b = f"{h64('t')} % {dim}"
+    # CAST: DuckDB decimal literals would otherwise make v/x*x DECIMAL
+    # arithmetic while Spark accumulates doubles
+    s = f"CAST(CASE WHEN {h32b('t')} % 2 = 0 THEN 1.0 ELSE -1.0 END AS DOUBLE)"
+    return f"""
+WITH cells AS (
+  SELECT id, {b} AS b, sum({s}) AS v
+  FROM (SELECT doc_id AS id, unnest({toks}) AS t FROM documents)
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id AS id, i.i AS b
+  FROM documents d CROSS JOIN (SELECT unnest(range({dim})) AS i) i
+),
+raw AS (
+  SELECT g.id, list(CAST(coalesce(c.v, 0) AS DOUBLE) ORDER BY g.b) AS rv
+  FROM grid g LEFT JOIN cells c ON g.id = c.id AND g.b = c.b
+  GROUP BY g.id
+)
+SELECT id,
+       CASE WHEN sqrt(list_sum(list_transform(rv, x -> x * x))) > 0
+            THEN list_transform(
+              rv, x -> round(x / sqrt(list_sum(list_transform(rv, y -> y * y))), 6))
+            ELSE list_transform(rv, x -> 0.0)
+       END AS embedding
+FROM raw
+"""

@@ -1356,3 +1356,80 @@ def test_hll_incremental_rollup_equals_full_rescan(spark):
         0
     ]["approx_distinct"]
     assert incremental == scratch
+
+
+# ---------------------------------------------------------------------------
+# lexical IR features: TF-IDF + hashed embeddings (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_matches_duckdb_twin(spark):
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.ir import tfidf_top_terms
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = tfidf_top_terms(docs, "text", "doc_id", k=3)
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(got, con, oracles.tfidf_top_terms_sql(k=3))
+    con.close()
+
+
+def test_tfidf_rare_term_outranks_ubiquitous_term(spark):
+    from dw_etl_spark.operators.ir import tfidf_top_terms
+
+    rows = [(i, "common filler words here") for i in range(9)]
+    rows.append((9, "common zyzzyva filler here"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = tfidf_top_terms(df, "text", "doc_id", k=1).collect()
+    by_id = {r["id"]: r["term"] for r in top}
+    assert by_id[9] == "zyzzyva"
+
+
+def test_hashed_embedding_matches_duckdb_twin(spark):
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.ir import hashed_embedding
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = hashed_embedding(docs, "text", "doc_id", dim=16)
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(got, con, oracles.hashed_embedding_sql(dim=16))
+    con.close()
+
+
+def test_hashed_embedding_feeds_similarity_stack(spark):
+    """Identical texts map to identical unit vectors (cosine 1.0 via
+    cosine_topk), an empty doc gets the zero vector, and vectors are
+    l2-unit whenever any token survives hashing."""
+    from dw_etl_spark.operators.ir import hashed_embedding
+    from dw_etl_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "completely different tokens entirely"),
+        (3, "   "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = hashed_embedding(df, "text", "doc_id", dim=32)
+    vecs = {r["id"]: r["embedding"] for r in emb.collect()}
+    assert vecs[0] == vecs[1]
+    assert all(x == 0.0 for x in vecs[3])
+    norm = math.sqrt(sum(x * x for x in vecs[0]))
+    assert math.isclose(norm, 1.0, abs_tol=1e-4)
+
+    top = cosine_topk(
+        emb.filter(F.col("id") == 0),
+        emb.filter(F.col("id") != 3),
+        vec_col="embedding",
+        id_col="id",
+        k=1,
+    ).collect()
+    assert top[0]["neighbor_id"] == 1 and math.isclose(
+        top[0]["cos_sim"], 1.0, abs_tol=1e-6
+    )
