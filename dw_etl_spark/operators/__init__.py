@@ -21,6 +21,12 @@ from dw_etl_spark.operators.scd import scd2_apply, scd2_current
 from dw_etl_spark.operators.graph import cluster_dedup, connected_components
 from dw_etl_spark.operators.ir import hashed_embedding, tfidf_top_terms
 from dw_etl_spark.operators.lm import bigram_logppl, unigram_logppl
+from dw_etl_spark.operators.neardup_index import (
+    build_neardup_index,
+    drop_neardup_index,
+    merge_into_neardup_index,
+    query_neardup_index,
+)
 from dw_etl_spark.operators.packing import pack_into_shards, write_training_shards
 from dw_etl_spark.operators.sampling import (
     deterministic_sample,
@@ -75,6 +81,7 @@ __all__ = [
     "bigram_logppl",
     "bloom_prefilter_anti_join",
     "build_bloom",
+    "build_neardup_index",
     "cluster_dedup",
     "compact_parquet",
     "connected_components",
@@ -87,6 +94,7 @@ __all__ = [
     "ivfpq_topk",
     "normalize_unicode",
     "pack_into_shards",
+    "query_neardup_index",
     "pq_encode",
     "pq_topk",
     "pq_train_codebooks",
@@ -111,6 +119,7 @@ __all__ = [
     "dedup_keep_first",
     "embedding_dup_pairs",
     "distinct_sketch",
+    "drop_neardup_index",
     "exact_dedup",
     "file_zone_map",
     "extract_features",
@@ -121,6 +130,7 @@ __all__ = [
     "lsh_topk",
     "media_stats",
     "merge_distinct_sketches",
+    "merge_into_neardup_index",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "ntile_buckets",

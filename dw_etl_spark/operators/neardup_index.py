@@ -1,0 +1,169 @@
+"""Persisted incremental MinHash-LSH near-dup index.
+
+``minhash_lsh_pairs`` re-shingles and re-shuffles the WHOLE corpus
+every run — right for a one-shot dedup, wrong for an ingest pipeline
+that receives daily batches against a 100 TB history. This module
+makes the LSH state a persisted, bucketed catalog table pair:
+
+  build_neardup_index   — one full pass over the seed corpus, writing
+                          (id, band, key) bucket keys bucketed on
+                          (band, key) and the exact shingle sets
+                          bucketed on id, plus a one-row params table.
+  query_neardup_index   — probe a NEW batch: only the batch is
+                          shingled/hashed/shuffled; both index-side
+                          joins read bucket-aligned files with NO
+                          Exchange (plan-asserted in tests). Work
+                          scales with the batch, not the history.
+  merge_into_neardup_index — append the (now deduped) batch into the
+                          index tables, keeping the bucket layout, so
+                          tomorrow's batch sees today's docs.
+
+Equality contract (pytest-pinned): querying a batch against the index
+returns exactly the corpus↔batch pairs that ``minhash_lsh_pairs``
+finds on the concatenated corpus — same bands, same keys, same exact-
+Jaccard verification, just with the corpus side precomputed.
+
+Pair it with ``scale.bloom_prefilter_anti_join`` over exact
+fingerprints for the exact-dup layer of the same incremental story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dw_etl_spark.operators.scale import write_bucketed
+from dw_etl_spark.operators.text_dedup import (
+    _jaccard,
+    _shingles,
+    band_keys,
+    minhash_signatures,
+)
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int, shingle: str):
+    return df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n, shingle).alias("sh")
+    )
+
+
+def build_neardup_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: str = "word",
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the index tables ``{name}_bands`` / ``{name}_shingles``
+    / ``{name}_meta``. The LSH parameters are frozen into the meta table
+    — queries and merges read them back, so probe-side hashing can
+    never drift from what is stored."""
+    spark = df.sparkSession
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle)
+    write_bucketed(
+        band_keys(sig, num_hashes, bands),
+        f"{name}_bands",
+        ["band", "key"],
+        n_buckets,
+    )
+    write_bucketed(
+        _shingled(df, text_col, id_col, n, shingle),
+        f"{name}_shingles",
+        ["id"],
+        n_buckets,
+    )
+    spark.createDataFrame(
+        [(int(n), int(num_hashes), int(bands), shingle, int(n_buckets))],
+        "n int, num_hashes int, bands int, shingle string, n_buckets int",
+    ).write.mode("overwrite").saveAsTable(f"{name}_meta")
+
+
+def drop_neardup_index(spark: SparkSession, name: str) -> None:
+    """Drop the three index tables (managed tables — data included)."""
+    for suffix in ("_bands", "_shingles", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+
+
+def _params(spark: SparkSession, name: str):
+    return spark.table(f"{name}_meta").collect()[0]
+
+
+def query_neardup_index(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """(index_id, batch_id, jaccard): every indexed doc within
+    ``min_jaccard`` of a batch doc. Batch ids need not be disjoint
+    from index ids — self-matches (same id) are excluded.
+
+    Plan shape: the batch (small side) is shingled, hashed, and
+    repartitioned to the index's bucket layout; the ``_bands`` and
+    ``_shingles`` scans join bucket-aligned with no index-side
+    Exchange. Candidates are distinct (band,key) collisions; exact
+    Jaccard verification then reads only the colliding index rows.
+    """
+    spark = batch.sparkSession
+    p = _params(spark, name)
+    sig = minhash_signatures(
+        batch, text_col, id_col, p["n"], p["num_hashes"], p["shingle"]
+    ).localCheckpoint(eager=False)
+    probe = band_keys(sig, p["num_hashes"], p["bands"]).withColumnsRenamed(
+        {"id": "batch_id"}
+    )
+    idx = spark.table(f"{name}_bands").withColumnsRenamed({"id": "index_id"})
+    cands = (
+        idx.join(probe.repartition(p["n_buckets"], "band", "key"), ["band", "key"])
+        .filter(F.col("index_id") != F.col("batch_id"))
+        .select("index_id", "batch_id")
+        .distinct()
+    )
+    idx_sh = spark.table(f"{name}_shingles").withColumnsRenamed(
+        {"id": "index_id", "sh": "sh_i"}
+    )
+    batch_sh = _shingled(
+        batch, text_col, id_col, p["n"], p["shingle"]
+    ).withColumnsRenamed({"id": "batch_id", "sh": "sh_b"})
+    return (
+        cands.join(batch_sh, "batch_id")
+        .repartition(p["n_buckets"], "index_id")
+        .join(idx_sh, "index_id")
+        .select(
+            "index_id",
+            "batch_id",
+            _jaccard(F.col("sh_i"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def merge_into_neardup_index(
+    batch: DataFrame, text_col: str, id_col: str, name: str
+) -> None:
+    """Append the batch's bucket keys and shingles under the stored
+    parameters/bucket spec — the index grows without rewriting
+    history. Dedup the batch first (``query_neardup_index`` + your
+    keep rule); the index itself never drops rows."""
+    spark = batch.sparkSession
+    p = _params(spark, name)
+    sig = minhash_signatures(
+        batch, text_col, id_col, p["n"], p["num_hashes"], p["shingle"]
+    )
+    (
+        band_keys(sig, p["num_hashes"], p["bands"])
+        .write.mode("append")
+        .bucketBy(p["n_buckets"], "band", "key")
+        .saveAsTable(f"{name}_bands")
+    )
+    (
+        _shingled(batch, text_col, id_col, p["n"], p["shingle"])
+        .write.mode("append")
+        .bucketBy(p["n_buckets"], "id")
+        .saveAsTable(f"{name}_shingles")
+    )

@@ -171,6 +171,37 @@ def minhash_signatures(
     )
 
 
+def band_keys(
+    sig: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(id, band, key) LSH bucket keys from a ``minhash_signatures``
+    frame — the shared candidate-generation layer of the self-join
+    path (``minhash_lsh_pairs``) and the persisted incremental index
+    (``operators/neardup_index.py``). key = the band's r signature
+    values comma-joined; one narrow map, bands rows per doc."""
+    r = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{b * r + i}").cast("string")
+                                for i in range(r)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -202,30 +233,10 @@ def minhash_lsh_pairs(
     shingles (fewer than n tokens) produce no signature and thus no
     candidates.
     """
-    r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle)
     if pin_signatures:
         sig = sig.localCheckpoint(eager=False)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"m{b * r + i}").cast("string")
-                                for i in range(r)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    banded = band_keys(sig, num_hashes, bands)
     a = banded.withColumnsRenamed({"id": "id_a"})
     b = banded.withColumnsRenamed({"id": "id_b"})
     cands = (
