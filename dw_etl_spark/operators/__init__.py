@@ -69,11 +69,13 @@ from dw_etl_spark.operators.temporal_joins import asof_join, range_join
 from dw_etl_spark.operators.text_dedup import (
     contamination_flags,
     duplicate_line_stats,
+    duplicated_span_stats,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     normalize_unicode,
     remove_duplicate_lines,
+    remove_duplicated_spans,
     simhash_pairs,
 )
 
@@ -101,6 +103,7 @@ __all__ = [
     "read_pruned",
     "rebalance_for_write",
     "remove_duplicate_lines",
+    "remove_duplicated_spans",
     "semantic_dedup",
     "semantic_dedup_pairs",
     "stratified_sample",
@@ -120,6 +123,7 @@ __all__ = [
     "embedding_dup_pairs",
     "distinct_sketch",
     "drop_neardup_index",
+    "duplicated_span_stats",
     "exact_dedup",
     "file_zone_map",
     "extract_features",

@@ -34,6 +34,8 @@ from dw_etl_spark.functions.text import (
     stable_hash28,
     stable_hash32a,
     stable_hash32b,
+    stable_hash64,
+    tokens,
     word_ngrams,
 )
 
@@ -664,4 +666,139 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _dup_window_positions(
+    df: DataFrame, text_col: str, id_col: str, window: int, min_count: int
+):
+    """(tok frame, duplicated token positions) shared by the span
+    stats and the span remover. Windows are hashed (one 64-bit digest
+    per window), counted corpus-globally, and windows whose gram
+    occurs >= min_count times anywhere mark every token position they
+    cover."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts"))
+    wins = toks.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("ts") >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - window),
+                    lambda i: stable_hash64(
+                        F.array_join(
+                            F.slice(F.col("ts"), i + F.lit(1), F.lit(window)),
+                            " ",
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("wpos", "g"),
+    )
+    dup_g = (
+        wins.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("g")
+    )
+    dup_pos = (
+        wins.join(dup_g, "g")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("wpos"), F.col("wpos") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return toks, dup_pos
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, n_tokens, n_dup_tokens, dup_token_fraction): how much of
+    each doc sits inside a corpus-globally repeated ``window``-token
+    gram — the word-level approximation of suffix-array ExactSubstr
+    dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): any repeat of length >= window chars out
+    as overlapping windows, shorter repeats are ignored by design.
+
+    Counting is by total occurrence (a doc repeating its own header
+    counts), matching the corpus-global ExactSubstr rule. Work is one
+    (gram-hash) shuffle of n_tokens rows per doc — each window is ONE
+    64-bit digest, never the gram text — plus a window-factor-bounded
+    explode of only the duplicated windows. Docs shorter than
+    ``window`` tokens contribute no windows and get fraction 0.
+    """
+    toks, dup_pos = _dup_window_positions(
+        df, text_col, id_col, window, min_count
+    )
+    per_doc = dup_pos.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_tokens")
+    )
+    return (
+        toks.select("id", F.size("ts").alias("n_tokens"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_tokens"),
+            F.round(
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_token_fraction"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+    min_count: int = 2,
+    out_col: str = "cleaned",
+) -> DataFrame:
+    """(id, cleaned): each doc with every token covered by a
+    corpus-globally repeated ``window``-token gram removed — the
+    destructive complement of ``duplicated_span_stats`` (same marking
+    pass), for stripping license blocks/navigation chrome/templated
+    boilerplate that whole-doc dedup cannot touch because the
+    SURROUNDING text differs.
+
+    The rebuild concatenates surviving tokens in position order with
+    single spaces (token-level semantics: original inter-token
+    whitespace is already normalized away by ``tokens``). A fully
+    boilerplate doc comes back as '' — filter on
+    ``duplicated_span_stats`` first if you'd rather drop such docs.
+    """
+    toks, dup_pos = _dup_window_positions(
+        df, text_col, id_col, window, min_count
+    )
+    kept = (
+        toks.select("id", F.posexplode("ts").alias("pos", "tok"))
+        .join(dup_pos, ["id", "pos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias(out_col)
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(kept, "id", "left")
+        .select("id", F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
     )

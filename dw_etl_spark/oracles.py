@@ -666,3 +666,56 @@ SELECT id,
        END AS embedding
 FROM raw
 """
+
+
+def _dup_span_ctes(window: int, min_count: int) -> str:
+    """Shared CTEs of the repeated-span twins: hashed word windows,
+    corpus-global counts, covered token positions (0-based, like the
+    engine's posexplode)."""
+    toks = tokens("text")
+    return f"""
+dt AS (SELECT doc_id AS id, {toks} AS ts FROM documents),
+wins AS (
+  SELECT id, i - 1 AS wpos,
+         {h64(f"array_to_string(ts[i : i + {window} - 1], ' ')")} AS g
+  FROM dt, unnest(range(1, len(ts) - {window} + 2)) AS r(i)
+),
+dup_g AS (SELECT g FROM wins GROUP BY g HAVING count(*) >= {min_count}),
+dup_pos AS (
+  SELECT DISTINCT w.id, p
+  FROM (SELECT wins.* FROM wins JOIN dup_g USING (g)) w,
+       unnest(range(w.wpos, w.wpos + {window})) AS r(p)
+)"""
+
+
+def duplicated_span_stats_sql(window: int = 10, min_count: int = 2) -> str:
+    """Twin of operators/text_dedup.py:duplicated_span_stats."""
+    return f"""
+WITH {_dup_span_ctes(window, min_count)},
+per_doc AS (SELECT id, count(*) AS n_dup FROM dup_pos GROUP BY id)
+SELECT dt.id,
+       CAST(len(dt.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per_doc.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       round(CAST(coalesce(per_doc.n_dup, 0) AS DOUBLE)
+             / greatest(len(dt.ts), 1), 6) AS dup_token_fraction
+FROM dt LEFT JOIN per_doc USING (id)
+"""
+
+
+def remove_duplicated_spans_sql(window: int = 10, min_count: int = 2) -> str:
+    """Twin of operators/text_dedup.py:remove_duplicated_spans —
+    surviving tokens rejoined in position order with single spaces."""
+    return f"""
+WITH {_dup_span_ctes(window, min_count)},
+toks AS (
+  SELECT id, ts[pos + 1] AS tok, pos
+  FROM dt, unnest(range(0, len(ts))) AS r(pos)
+),
+kept AS (
+  SELECT toks.id, string_agg(toks.tok, ' ' ORDER BY toks.pos) AS cleaned
+  FROM toks ANTI JOIN dup_pos ON toks.id = dup_pos.id AND toks.pos = dup_pos.p
+  GROUP BY toks.id
+)
+SELECT dt.id, coalesce(kept.cleaned, '') AS cleaned
+FROM dt LEFT JOIN kept USING (id)
+"""

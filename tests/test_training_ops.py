@@ -1433,3 +1433,85 @@ def test_hashed_embedding_feeds_similarity_stack(spark):
     assert top[0]["neighbor_id"] == 1 and math.isclose(
         top[0]["cos_sim"], 1.0, abs_tol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-global repeated-span removal (ExactSubstr approximation, round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_span_stats_matches_duckdb_twin(spark):
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.text_dedup import duplicated_span_stats
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = duplicated_span_stats(docs, "text", "doc_id", window=5, min_count=2)
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(
+        got, con, oracles.duplicated_span_stats_sql(window=5, min_count=2)
+    )
+    # the fixture must actually contain duplicated spans for this to test anything
+    assert got.filter(F.col("n_dup_tokens") > 0).count() > 0
+    con.close()
+
+
+def test_remove_duplicated_spans_matches_duckdb_twin(spark):
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.text_dedup import remove_duplicated_spans
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = remove_duplicated_spans(docs, "text", "doc_id", window=5, min_count=2)
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(
+        got, con, oracles.remove_duplicated_spans_sql(window=5, min_count=2)
+    )
+    con.close()
+
+
+def test_remove_duplicated_spans_strips_planted_boilerplate(spark):
+    """A license header shared by many docs is removed from every one
+    of them while the distinct tails survive; a short doc and a unique
+    doc pass through untouched."""
+    from dw_etl_spark.operators.text_dedup import (
+        duplicated_span_stats,
+        remove_duplicated_spans,
+    )
+
+    header = "licensed under the apache license version two zero see notice"
+    rows = [
+        (i, f"{header} document body number {i} talks about topic {i * 7}")
+        for i in range(6)
+    ]
+    rows.append((100, "entirely unique prose with no repeated window at all"))
+    rows.append((101, "tiny doc"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cleaned = {
+        r["id"]: r["cleaned"]
+        for r in remove_duplicated_spans(
+            df, "text", "doc_id", window=10, min_count=2
+        ).collect()
+    }
+    # the shared span extends past the header through "document body
+    # number" (13 common prefix tokens, all inside duplicated windows)
+    for i in range(6):
+        assert header not in cleaned[i]
+        assert cleaned[i] == f"{i} talks about topic {i * 7}"
+    assert cleaned[100] == "entirely unique prose with no repeated window at all"
+    assert cleaned[101] == "tiny doc"
+
+    stats = {
+        r["id"]: r
+        for r in duplicated_span_stats(
+            df, "text", "doc_id", window=10, min_count=2
+        ).collect()
+    }
+    assert stats[100]["dup_token_fraction"] == 0.0
+    assert stats[101]["n_dup_tokens"] == 0  # shorter than the window
+    assert stats[0]["n_dup_tokens"] == 13  # the full shared prefix
