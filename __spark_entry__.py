@@ -1303,17 +1303,31 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated word-bigram char fraction (the remaining Gopher rule —
     line-level ones live in quality_filters), computed relationally
     (explode → per-(doc, gram) counts → weighted ratio), bucketed into
-    a per-corpus histogram."""
-    from dw_etl_spark.operators.text_dedup import dup_ngram_char_fraction
+    a per-corpus histogram. The CORPUS-GLOBAL repeated 5-token-window
+    stats (``duplicated_span_stats`` — the ExactSubstr approximation,
+    r5) ride along per decile: how many docs in the bucket contain a
+    span repeated anywhere in the corpus, and the mean covered-token
+    fraction."""
+    from dw_etl_spark.operators.text_dedup import (
+        dup_ngram_char_fraction,
+        duplicated_span_stats,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     frac = dup_ngram_char_fraction(docs, "text", "doc_id", n=2)
-    return frac.groupBy(
-        F.floor(F.col("dup_ngram_frac") * 10).cast("long").alias("decile")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("dup_ngram_frac"), 4).alias("mean_frac"),
-        F.sum("id").alias("id_sum"),
+    spans = duplicated_span_stats(docs, "text", "doc_id", window=5, min_count=2)
+    return (
+        frac.join(spans, "id")
+        .groupBy(
+            F.floor(F.col("dup_ngram_frac") * 10).cast("long").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_ngram_frac"), 4).alias("mean_frac"),
+            F.sum("id").alias("id_sum"),
+            F.count_if(F.col("n_dup_tokens") > 0).alias("span_docs"),
+            F.round(F.avg("dup_token_fraction"), 4).alias("mean_span_frac"),
+        )
     )
 
 
@@ -1340,12 +1354,15 @@ per_doc AS (
              / sum(length(g) * c), 0.0), 4) AS dup_ngram_frac
   FROM all_ids a LEFT JOIN per_gram p ON a.id = p.id
   GROUP BY a.id
-)
+),
+spans AS ({oracles.duplicated_span_stats_sql(window=5, min_count=2)})
 SELECT CAST(floor(dup_ngram_frac * 10) AS BIGINT) AS decile,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(dup_ngram_frac), 4) AS mean_frac,
-       CAST(sum(id) AS BIGINT) AS id_sum
-FROM per_doc
+       CAST(sum(per_doc.id) AS BIGINT) AS id_sum,
+       CAST(count(*) FILTER (n_dup_tokens > 0) AS BIGINT) AS span_docs,
+       round(avg(dup_token_fraction), 4) AS mean_span_frac
+FROM per_doc JOIN spans USING (id)
 GROUP BY 1
 """
 
