@@ -443,17 +443,32 @@ def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explode/unnest surface: top-20 corpus token frequencies."""
+    """Explode/unnest surface: top-20 corpus token frequencies, plus
+    (r5) the top-20 terms by docs-with-this-#1-TF-IDF-term — running
+    the full ``operators/ir.tfidf_top_terms`` pipeline under the hash
+    compare. Ordering inside each section is total (n DESC, token ASC)
+    so both engines pick identical top-20 sets."""
     from dw_etl_spark.functions.text import tokens
+    from dw_etl_spark.operators.ir import tfidf_top_terms
 
     docs = read_table(spark, sf_dir, "documents")
-    return (
+    freq = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("token"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
+        .select(F.lit("freq").alias("kind"), "token", "n")
     )
+    top1 = (
+        tfidf_top_terms(docs, "text", "doc_id", k=1)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+        .select(F.lit("tfidf_top1").alias("kind"), "token", "n")
+    )
+    return freq.unionByName(top1)
 
 
 # ---- event-time windows (streaming surface, batch twin) -------------------
@@ -506,9 +521,11 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text features; r5 adds the CCNet-style corpus-unigram
-    perplexity (``operators/lm.unigram_logppl``) as a rode-along
-    column so the LM-scoring operator is oracle-checked here."""
-    from dw_etl_spark.operators.lm import unigram_logppl
+    perplexity (``operators/lm.unigram_logppl``) and the interpolated
+    bigram perplexity (``operators/lm.bigram_logppl`` — the
+    token-ORDER-sensitive signal) as rode-along columns so both
+    LM-scoring operators are oracle-checked here."""
+    from dw_etl_spark.operators.lm import bigram_logppl, unigram_logppl
 
     docs = read_table(spark, sf_dir, "documents")
     feats = docs.select(
@@ -523,7 +540,10 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppl = unigram_logppl(docs, "text", "doc_id").withColumnRenamed(
         "id", "doc_id"
     )
-    return feats.join(ppl, "doc_id")
+    ppl2 = bigram_logppl(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    return feats.join(ppl, "doc_id").join(ppl2, "doc_id")
 
 
 def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,8 +799,14 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs on corpus ∪ exact copies, with
     ``suggest_lsh_params``-derived plane count (r5): the doubled corpus
     is 1000 vectors at the gate SFs, so the oracle inlines
-    ``suggest_lsh_params(1000)`` and both sides agree."""
-    from dw_etl_spark.operators.similarity import suggest_lsh_params
+    ``suggest_lsh_params(1000)`` and both sides agree. The SemDeDup
+    path (``semantic_dedup_pairs`` — cluster-then-compare, r5) runs on
+    the same corpus and rides along under method='semantic', so both
+    embedding-dedup strategies sit under one hash compare."""
+    from dw_etl_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        suggest_lsh_params,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.select(
@@ -788,9 +814,13 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(copies)
     planes = suggest_lsh_params(2 * emb.count())["n_planes"]
-    return embedding_dup_pairs(
+    lsh = embedding_dup_pairs(
         corpus, dim=64, n_planes=planes, min_cosine=0.99
-    )
+    ).withColumn("method", F.lit("lsh"))
+    sem = semantic_dedup_pairs(
+        corpus, threshold=0.99, n_centroids=16
+    ).withColumn("method", F.lit("semantic"))
+    return lsh.unionByName(sem)
 
 
 # ---- sources / sinks round-trips (S1/S2/S5, S7-S13, S3, X1) ----------------
@@ -2157,17 +2187,30 @@ WINDOW w AS (PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice)
 """
 
-_TOKEN_FREQ_SQL = """
+def _token_freq_sql() -> str:
+    """kind='freq': top-20 corpus token frequencies. kind='tfidf_top1'
+    (r5): top-20 terms by how many docs have them as their #1 TF-IDF
+    term — the aggregate face of ``operators/ir.tfidf_top_terms``."""
+    return f"""
 WITH toks AS (
   SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                      ELSE regexp_split_to_array(trim(text), '\\s+') END) AS token
   FROM documents
+),
+freq AS (
+  SELECT 'freq' AS kind, token, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY token
+  ORDER BY n DESC, token ASC
+  LIMIT 20
+),
+top1 AS (
+  SELECT 'tfidf_top1' AS kind, term AS token, CAST(count(*) AS BIGINT) AS n
+  FROM ({oracles.tfidf_top_terms_sql(k=1)})
+  GROUP BY term
+  ORDER BY n DESC, token ASC
+  LIMIT 20
 )
-SELECT token, CAST(count(*) AS BIGINT) AS freq
-FROM toks
-GROUP BY token
-ORDER BY freq DESC, token ASC
-LIMIT 20
+SELECT * FROM freq UNION ALL SELECT * FROM top1
 """
 
 # merged streaming-surface twin (r5): tumbling windows ∪ sessions
@@ -2261,10 +2304,13 @@ def oracle_sql() -> dict[str, str]:
         "topk_values": _TOPK_SQL,
         "profile_metrics": _PROFILE_METRICS_SQL,
         "window_running": _WINDOW_RUNNING_SQL,
-        "token_freq": _TOKEN_FREQ_SQL,
+        "token_freq": _token_freq_sql(),
         "event_time_windows": _EVENT_TIME_WINDOWS_SQL,
         "json_extract": _JSON_EXTRACT_SQL,
-        "text_features": oracles.text_features_sql(),
+        "text_features": (
+            f"SELECT t.*, b.logppl2 FROM ({oracles.text_features_sql()}) t "
+            f"JOIN ({oracles.bigram_logppl_sql()}) b ON t.doc_id = b.id"
+        ),
         "quality_filters": oracles.quality_filters_sql(),
         "shard_packing": _SHARD_PACKING_SQL_TEMPLATE.format(
             n_toks=f"len({oracles.tokens('text')})"
@@ -2286,8 +2332,21 @@ def oracle_sql() -> dict[str, str]:
             n_planes=_suggest_planes(500)
         ),
         "ivf_topk": oracles.ivf_topk_sql(),
-        "embedding_dup_pairs": oracles.embedding_dup_pairs_sql(
-            n_planes=_suggest_planes(1000)
+        "embedding_dup_pairs": (
+            "SELECT id_a, id_b, cos_sim, 'lsh' AS method FROM ("
+            + oracles.embedding_dup_pairs_sql(n_planes=_suggest_planes(1000))
+            + ") UNION ALL SELECT id_a, id_b, cos_sim, 'semantic' AS method "
+            "FROM ("
+            + oracles.semantic_dedup_pairs_sql(
+                threshold=0.99,
+                n_centroids=16,
+                source=(
+                    "(SELECT vec_id, embedding FROM embeddings UNION ALL "
+                    "SELECT vec_id + 100000 AS vec_id, embedding "
+                    "FROM embeddings)"
+                ),
+            )
+            + ")"
         ),
         "media_stats": _MEDIA_STATS_SQL,
         "media_decode": _media_decode_sql(),

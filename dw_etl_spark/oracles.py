@@ -525,12 +525,14 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 
 
 def semantic_dedup_pairs_sql(
-    threshold: float = 0.95, n_centroids: int = 16
+    threshold: float = 0.95, n_centroids: int = 16,
+    source: str = "embeddings",
 ) -> str:
     """Twin of operators/similarity.py:semantic_dedup_pairs — identical
     md5-sampled centroids, identical (rounded cos DESC, cid ASC)
     assignment, within-cluster (id_a < id_b) pairs at rounded cosine
-    >= threshold."""
+    >= threshold. ``source`` is any table expression exposing
+    (vec_id, embedding)."""
     rcos = (
         f"round({_dot64('e.embedding', 'c.embedding')} / "
         f"({_norm64('e.embedding')} * {_norm64('c.embedding')}), 6)"
@@ -544,7 +546,7 @@ WITH cents AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cid,
          embedding
-  FROM embeddings
+  FROM {source} AS s0
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {n_centroids}
 ),
@@ -552,7 +554,7 @@ ranked AS (
   SELECT e.vec_id, e.embedding, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY {rcos} DESC, c.cid ASC) AS rn
-  FROM embeddings e CROSS JOIN cents c
+  FROM {source} AS e CROSS JOIN cents c
 ),
 assigned AS (
   SELECT vec_id AS id, embedding AS v, cid FROM ranked WHERE rn = 1
