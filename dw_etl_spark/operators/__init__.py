@@ -31,6 +31,8 @@ from dw_etl_spark.operators.packing import pack_into_shards, write_training_shar
 from dw_etl_spark.operators.sampling import (
     deterministic_sample,
     deterministic_shuffle,
+    mix_corpora,
+    quota_sample,
     stratified_sample,
     train_val_test_split,
     weighted_sample,
@@ -97,6 +99,7 @@ __all__ = [
     "normalize_unicode",
     "pack_into_shards",
     "query_neardup_index",
+    "quota_sample",
     "pq_encode",
     "pq_topk",
     "pq_train_codebooks",
@@ -135,6 +138,7 @@ __all__ = [
     "media_stats",
     "merge_distinct_sketches",
     "merge_into_neardup_index",
+    "mix_corpora",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "ntile_buckets",

@@ -19,7 +19,7 @@ run-, engine- and partition-independent splits:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -138,3 +138,100 @@ def deterministic_shuffle(
         .sortWithinPartitions("__shuffle_key", id_col)
         .drop("__shuffle_key")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    per_group: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """Keep at most ``per_group`` rows per group, chosen by hash rank —
+    the deterministic form of per-source capping ("no more than N docs
+    per domain"). Ranking by md5(salt|id) instead of id makes the kept
+    subset an unbiased draw (id order usually encodes crawl order);
+    same rows survive on every run/engine/partitioning, and a growing
+    group only ever swaps members in/out at the hash boundary, never
+    reshuffles wholesale.
+
+    One shuffle keyed on the group (the ranking window); skew caveat:
+    a single monster group serializes in one task — cap such groups
+    upstream via ``stratified_sample`` or salt-split them if a group
+    can exceed a task's memory.
+    """
+    from dw_etl_spark.functions.text import stable_hash64
+
+    key = stable_hash64(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__qr", F.row_number().over(w))
+        .filter(F.col("__qr") <= per_group)
+        .drop("__qr")
+    )
+
+
+def mix_corpora(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_fractions: dict[str, float],
+    weight_col: str | Column | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: downsample each source so
+    the kept corpus approaches ``target_fractions`` (source → share of
+    the total, summing to ≤ 1) — the "mixture weights" step of
+    pretraining-data assembly, measured in rows or, with
+    ``weight_col`` (e.g. a token count), in that weight.
+
+    For each source g with current share p_g and target share t_g the
+    keep rate is r_g = min(1, (t_g/p_g) · r*), where r* is chosen so
+    the most over-demanded source caps at rate 1 (no upsampling: this
+    engine never duplicates rows — express epoch-level oversampling in
+    the training loader). Rates land as per-row hash-Bernoulli keeps
+    (``weighted_sample`` semantics), so the output is reproducible and
+    growth-stable, and the achieved mixture concentrates around the
+    target by the law of large numbers rather than exact truncation —
+    the standard trade for a single narrow pass.
+
+    Scale shape: one aggregation for per-source totals (collected —
+    #sources rows), then a pure narrow filter; unlisted sources get
+    rate 0.
+    """
+    from dw_etl_spark.functions.text import stable_hash64  # noqa: F401 (parity w/ quota)
+
+    w = (
+        (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    totals = {
+        r["g"]: float(r["w"])
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(w.cast("double")).alias("w"))
+        .collect()
+    }
+    grand = sum(totals.values())
+    if grand <= 0:
+        return df.filter(F.lit(False))
+    # r* caps the most over-demanded listed source at keep-rate 1
+    demands = {
+        g: (target_fractions[g] / (totals[g] / grand))
+        for g in target_fractions
+        if g in totals and totals[g] > 0 and target_fractions[g] > 0
+    }
+    if not demands:
+        return df.filter(F.lit(False))
+    r_star = 1.0 / max(demands.values())
+    rates = {g: min(1.0, d * r_star) for g, d in demands.items()}
+    b = hash_bucket(id_col, salt)
+    expr = None
+    for g, rate in sorted(rates.items()):
+        cond = F.col(group_col).eqNullSafe(F.lit(g))
+        thr = F.lit(int(round(rate * BUCKETS)))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    threshold = expr.otherwise(F.lit(0))
+    return df.filter(b < threshold)

@@ -1515,3 +1515,100 @@ def test_remove_duplicated_spans_strips_planted_boilerplate(spark):
     assert stats[100]["dup_token_fraction"] == 0.0
     assert stats[101]["n_dup_tokens"] == 0  # shorter than the window
     assert stats[0]["n_dup_tokens"] == 13  # the full shared prefix
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing: per-group quotas + mixture weights (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _py_bucket(value, salt):
+    import hashlib
+
+    h = hashlib.md5(f"{salt}|{value}".encode()).hexdigest()[:15]
+    return int(h, 16) % 10_000
+
+
+def test_quota_sample_caps_groups_and_matches_hash_oracle(spark):
+    from dw_etl_spark.operators.sampling import quota_sample
+
+    rows = [(i, f"src{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = quota_sample(df, "source", "doc_id", per_group=10).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 10 for v in by_src.values())
+
+    # sequential oracle: per group, the 10 smallest (md5 rank, id)
+    import hashlib
+
+    def rank(i):
+        return (int(hashlib.md5(f"quota|{i}".encode()).hexdigest()[:15], 16), i)
+
+    for s in range(3):
+        ids = [i for i in range(200) if i % 3 == s]
+        want = set(sorted(ids, key=rank)[:10])
+        assert set(by_src[f"src{s}"]) == want
+
+    # small groups pass through whole; partitioning-independent
+    small = quota_sample(
+        df.filter(F.col("doc_id") < 5).repartition(7), "source", "doc_id", 10
+    )
+    assert small.count() == 5
+
+
+def test_mix_corpora_hits_target_mixture_without_upsampling(spark):
+    from dw_etl_spark.operators.sampling import mix_corpora
+
+    # 8000 web / 1500 books / 500 code; target 50/30/20
+    rows = (
+        [(i, "web") for i in range(8000)]
+        + [(10_000 + i, "books") for i in range(1500)]
+        + [(20_000 + i, "code") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    target = {"web": 0.5, "books": 0.3, "code": 0.2}
+    kept = mix_corpora(df, "source", "doc_id", target).collect()
+    counts = {}
+    for r in kept:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+
+    # most over-demanded source (code: 20% target from 5% share) keeps all
+    assert counts["code"] == 500
+    total = sum(counts.values())
+    for s, t in target.items():
+        assert abs(counts[s] / total - t) < 0.03, (s, counts, total)
+
+    # exact python replay of rates + hash thresholds
+    totals = {"web": 8000.0, "books": 1500.0, "code": 500.0}
+    grand = sum(totals.values())
+    demands = {g: target[g] / (totals[g] / grand) for g in target}
+    r_star = 1.0 / max(demands.values())
+    want = set()
+    for i, src in rows:
+        thr = int(round(min(1.0, demands[src] * r_star) * 10_000))
+        if _py_bucket(i, "mix") < thr:
+            want.add(i)
+    assert {r["doc_id"] for r in kept} == want
+
+
+def test_mix_corpora_token_weighted_and_unlisted_sources_drop(spark):
+    from dw_etl_spark.operators.sampling import mix_corpora
+
+    rows = [(i, "a", 10) for i in range(300)] + [
+        (1000 + i, "b", 90) for i in range(300)
+    ] + [(2000 + i, "junk", 50) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    kept = mix_corpora(
+        df, "source", "doc_id", {"a": 0.5, "b": 0.5}, weight_col="n_tokens"
+    )
+    got = kept.groupBy("source").agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    by = {r["source"]: r for r in got}
+    assert "junk" not in by  # unlisted source fully dropped
+    # token-weighted 50/50: source a (under-represented in tokens) keeps all
+    assert by["a"]["n"] == 300
+    ratio = by["a"]["tok"] / (by["a"]["tok"] + by["b"]["tok"])
+    assert abs(ratio - 0.5) < 0.06, ratio
