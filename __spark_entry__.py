@@ -817,8 +817,13 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = embedding_dup_pairs(
         corpus, dim=64, n_planes=planes, min_cosine=0.99
     ).withColumn("method", F.lit("lsh"))
+    # SemDeDup's scaling rule: clusters grow with the corpus so the
+    # within-cluster pair work stays ~n·(mean cluster size)/2, not
+    # n²/k. 1000 gate vectors → 16 (what the oracle inlines); the
+    # sf0.1 bench corpus (4000) → 62 clusters, ~4× fewer pairs.
+    n_cents = max(16, (2 * emb.count()) // 64)
     sem = semantic_dedup_pairs(
-        corpus, threshold=0.99, n_centroids=16
+        corpus, threshold=0.99, n_centroids=n_cents
     ).withColumn("method", F.lit("semantic"))
     return lsh.unionByName(sem)
 

@@ -200,3 +200,75 @@ class ManifestParquetStreamWriter(DataSourceStreamWriter):
                 continue
             with contextlib.suppress(FileNotFoundError):
                 os.remove(os.path.join(self.path, ".staging", m.filename))
+
+
+def neardup_filter_stream_writer(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_name: str,
+    out_path: str,
+    checkpoint_dir: str,
+    min_jaccard: float = 0.5,
+    trigger_available_now: bool = True,
+):
+    """Streaming ingest with incremental near-dup filtering: each
+    micro-batch is (1) deduped within itself (keep-min-id over LSH
+    pairs), (2) probed against the persisted ``neardup_index`` tables
+    — only batch rows shuffle; history stays bucketed — (3) survivors
+    are appended to ``out_path`` parquet AND merged into the index, so
+    the NEXT epoch sees this epoch's documents.
+
+    Exactly-once: delegated to checkpoint + idempotent replay — step
+    (0) anti-joins the batch against the ids already in the index's
+    shingle table, so a replayed epoch's survivors (merged before the
+    crash) are dropped wholesale and the replay appends nothing. Ids
+    must therefore be unique across epochs (e.g. carry the
+    event/offset id), which the near-dup probe needs anyway.
+
+    Returns the started StreamingQuery; callers awaitTermination().
+    """
+    from dw_etl_spark.operators.neardup_index import (
+        merge_into_neardup_index,
+        query_neardup_index,
+    )
+    from dw_etl_spark.operators.text_dedup import minhash_lsh_pairs
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        # (0) replay guard: an id already indexed was committed by a
+        # previous run of this epoch — drop it before any scoring
+        seen = spark.table(f"{index_name}_shingles").select(
+            F.col("id").alias(id_col)
+        )
+        batch = batch.join(seen, id_col, "left_anti").localCheckpoint(
+            eager=True  # pin: consumed 4×
+        )
+        if batch.isEmpty():
+            return
+        # (1) within-batch near-dup keep-min-id
+        pairs = minhash_lsh_pairs(
+            batch, text_col, id_col, min_jaccard=min_jaccard
+        )
+        inner_drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        batch = batch.join(inner_drops, id_col, "left_anti")
+        # (2) drop anything matching the persisted history
+        hits = query_neardup_index(
+            batch, text_col, id_col, index_name, min_jaccard
+        )
+        index_drops = hits.select(F.col("batch_id").alias(id_col)).distinct()
+        survivors = batch.join(index_drops, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        # (3) emit + grow the index
+        survivors.write.mode("append").parquet(out_path)
+        merge_into_neardup_index(survivors, text_col, id_col, index_name)
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

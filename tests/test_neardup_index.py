@@ -104,3 +104,70 @@ def test_merge_grows_the_index(spark, tmp_path):
         r["index_id"] for r in before
     }
     drop_neardup_index(spark, "ndi_grow")
+
+
+def test_neardup_filter_stream_drops_dups_across_epochs(spark, tmp_path):
+    """Two file-stream epochs through the foreachBatch near-dup sink:
+    epoch-2 near-copies of epoch-1 docs (and of the seed corpus) are
+    dropped, novel docs survive, and the index has grown."""
+    import json
+
+    from dw_etl_spark.streaming.sinks import neardup_filter_stream_writer
+
+    corpus, _ = _corpus_and_batch(spark)
+    drop_neardup_index(spark, "ndi_stream")
+    build_neardup_index(corpus, "text", "doc_id", "ndi_stream", n_buckets=4)
+
+    base = {
+        r["doc_id"]: r["text"]
+        for r in corpus.filter(F.col("doc_id") < 6).collect()
+    }
+    src = tmp_path / "docs"
+    src.mkdir()
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("pathGlobFilter", "*.json")
+            .json(str(src))
+        )
+        q = neardup_filter_stream_writer(
+            stream, "text", "doc_id", "ndi_stream", out, ckpt
+        )
+        q.awaitTermination()
+
+    # epoch 1: a near-copy of seed doc 0 (drop), a novel doc (keep),
+    # and an in-batch dup pair (keep-min only)
+    novel1 = "completely new prose about synthetic benchmarks " * 4
+    (src / "e1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 50000, "text": base[0] + " qq"},
+                {"doc_id": 50001, "text": novel1},
+                {"doc_id": 50002, "text": novel1 + " tail"},
+            ]
+        )
+    )
+    run()
+    kept1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept1 == {50001}, kept1
+
+    # epoch 2: near-copy of the epoch-1 survivor (drop — the index
+    # grew), plus a fresh novel doc (keep)
+    novel2 = "another genuinely distinct document about parquet layouts " * 4
+    (src / "e2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 60000, "text": novel1 + " zz"},
+                {"doc_id": 60001, "text": novel2},
+            ]
+        )
+    )
+    run()
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept2 == {50001, 60001}, kept2
+    drop_neardup_index(spark, "ndi_stream")
