@@ -27,7 +27,7 @@ from dw_etl_spark.operators.neardup_index import (
     merge_into_neardup_index,
     query_neardup_index,
 )
-from dw_etl_spark.operators.packing import pack_into_shards, write_training_shards
+from dw_etl_spark.operators.packing import chunk_documents, pack_into_shards, write_training_shards
 from dw_etl_spark.operators.sampling import (
     deterministic_sample,
     deterministic_shuffle,
@@ -86,6 +86,7 @@ __all__ = [
     "bloom_prefilter_anti_join",
     "build_bloom",
     "build_neardup_index",
+    "chunk_documents",
     "cluster_dedup",
     "compact_parquet",
     "connected_components",

@@ -123,3 +123,61 @@ def write_training_shards(
         .option("maxRecordsPerFile", records_per_file)
         .parquet(path)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    out_col: str = "chunk",
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk): each document's token stream
+    cut into windows of ``chunk_tokens`` with ``overlap`` tokens
+    carried between consecutive chunks — the per-document
+    context-window prep that precedes ``pack_into_shards``'s
+    cross-document stream layout.
+
+    Start positions step by ``chunk_tokens − overlap``; a start past
+    the first is emitted only while it still contributes ≥ 1 UNSEEN
+    token (no trailing chunk that is pure overlap). The final chunk
+    may be short; an empty doc yields no chunks. chunk_id is the
+    0-based window ordinal, so (id, chunk_id) is a total key and the
+    output is engine/partition-independent.
+
+    Scale shape: one narrow map — starts are built per row with
+    ``sequence``/``filter`` and exploded; no shuffle, no UDF. Output
+    rows ≈ n_tokens/(chunk_tokens−overlap) per doc.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from dw_etl_spark.functions.text import tokens
+
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts"))
+    starts = F.filter(
+        F.when(
+            F.size("ts") > 0,
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("ts") - 1, F.lit(0)),
+                F.lit(stride),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+        lambda s: (s == 0) | (s + F.lit(overlap) < F.size("ts")),
+    )
+    return toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.slice(F.col("ts"), s + F.lit(1), F.lit(chunk_tokens)),
+            )
+        ).alias("chunk_id", "__ct"),
+    ).select(
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("__ct").cast("long").alias("n_tokens"),
+        F.array_join("__ct", " ").alias(out_col),
+    )

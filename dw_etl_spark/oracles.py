@@ -721,3 +721,23 @@ kept AS (
 SELECT dt.id, coalesce(kept.cleaned, '') AS cleaned
 FROM dt LEFT JOIN kept USING (id)
 """
+
+
+def chunk_documents_sql(chunk_tokens: int = 512, overlap: int = 0) -> str:
+    """Twin of operators/packing.py:chunk_documents on the documents
+    table — same stride, same pure-overlap trailing-chunk rule."""
+    stride = chunk_tokens - overlap
+    toks = tokens("text")
+    return f"""
+WITH dt AS (SELECT doc_id AS id, {toks} AS ts FROM documents),
+starts AS (
+  SELECT id, ts, s, CAST(row_number() OVER (
+           PARTITION BY id ORDER BY s) - 1 AS BIGINT) AS chunk_id
+  FROM dt, unnest(range(0, len(ts), {stride})) AS r(s)
+  WHERE s = 0 OR s + {overlap} < len(ts)
+)
+SELECT id, chunk_id,
+       CAST(len(ts[s + 1 : s + {chunk_tokens}]) AS BIGINT) AS n_tokens,
+       array_to_string(ts[s + 1 : s + {chunk_tokens}], ' ') AS chunk
+FROM starts
+"""

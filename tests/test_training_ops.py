@@ -1612,3 +1612,66 @@ def test_mix_corpora_token_weighted_and_unlisted_sources_drop(spark):
     assert by["a"]["n"] == 300
     ratio = by["a"]["tok"] / (by["a"]["tok"] + by["b"]["tok"])
     assert abs(ratio - 0.5) < 0.06, ratio
+
+
+# ---------------------------------------------------------------------------
+# document chunking (context-window prep, round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_matches_duckdb_twin(spark):
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.packing import chunk_documents
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = chunk_documents(docs, "text", "doc_id", chunk_tokens=20, overlap=5)
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(
+        got, con, oracles.chunk_documents_sql(chunk_tokens=20, overlap=5)
+    )
+    con.close()
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Overlap carries exactly `overlap` tokens; chunks reconstruct
+    the doc; no trailing pure-overlap chunk; empty docs vanish."""
+    from dw_etl_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(23))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, "   ")], ["doc_id", "text"]
+    )
+    got = chunk_documents(df, "text", "doc_id", chunk_tokens=10, overlap=3)
+    rows = sorted(
+        [(r["id"], r["chunk_id"], r["chunk"]) for r in got.collect()]
+    )
+    d1 = [c for i, _, c in rows if i == 1]
+    # stride 7: starts 0,7,14,21 — but 21+3 >= 23 drops the last
+    assert len(d1) == 3
+    assert d1[0].split() == [f"t{i}" for i in range(10)]
+    assert d1[1].split() == [f"t{i}" for i in range(7, 17)]
+    assert d1[2].split() == [f"t{i}" for i in range(14, 23)]
+    # consecutive chunks share exactly `overlap` tokens
+    assert d1[0].split()[-3:] == d1[1].split()[:3]
+    # stitching chunks minus overlaps reconstructs the doc
+    stitched = d1[0].split() + d1[1].split()[3:] + d1[2].split()[3:]
+    assert stitched == text.split()
+
+    d2 = [c for i, _, c in rows if i == 2]
+    assert d2 == ["a b c"]  # shorter than one chunk
+    assert not [c for i, _, c in rows if i == 3]  # empty doc
+
+    # partitioning independence
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(
+        map(
+            tuple,
+            chunk_documents(
+                df.repartition(5), "text", "doc_id", chunk_tokens=10, overlap=3
+            ).collect(),
+        )
+    )
+    assert a == b
