@@ -54,6 +54,7 @@ from dw_etl_spark.operators.scale import (
     zorder_by,
 )
 from dw_etl_spark.operators.similarity import (
+    ann_recall,
     cosine_topk,
     embedding_dup_pairs,
     ivf_topk,
@@ -82,6 +83,7 @@ from dw_etl_spark.operators.text_dedup import (
 )
 
 __all__ = [
+    "ann_recall",
     "bigram_logppl",
     "bloom_prefilter_anti_join",
     "build_bloom",

@@ -420,3 +420,50 @@ def test_read_pruned_equals_naive_filter_and_skips_files(spark, tmp_path):
     empty = read_pruned(spark, out, "o_totalprice", -2.0, -1.0)
     assert empty.count() == 0
     assert empty.schema == naive.schema
+
+
+def test_plan_summary_counts_known_shapes(spark):
+    """plan_summary's counters agree with the invariants the suite
+    already pins by string-grep: the star fact build is broadcast-only
+    with pushed filters, and a filtered parquet scan pushes down."""
+    from dw_etl_spark.plans.audit import plan_summary
+    from dw_etl_spark.plans.star_schema import build_fact
+
+    s = plan_summary(build_fact(spark, SF_SMOKE), finalize=True)
+    assert s["joins"].get("BroadcastHashJoin", 0) >= 3
+    assert "SortMergeJoin" not in s["joins"]
+    assert "CartesianProduct" not in s["joins"]
+    assert s["broadcasts"] >= 3
+    assert s["scans"] >= 4
+    assert s["wholestage_spans"] >= 1
+
+    filt = read_table(spark, SF_SMOKE, "part").filter(
+        F.col("p_retailprice") > 1500
+    ).select("p_partkey")
+    sf = plan_summary(filt)
+    assert sf["pushed_filters"] == 1
+    assert sf["wholestage_spans"] == 1
+    assert sf["exchanges"] == 0 and sf["joins"] == {}
+
+
+def test_plan_summary_sees_bucketed_scans(spark, tmp_path):
+    from dw_etl_spark.operators.scale import write_bucketed
+    from dw_etl_spark.plans.audit import plan_summary
+
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "ps_li", ["l_orderkey"], n_buckets=4)
+    write_bucketed(orders, "ps_o", ["o_orderkey"], n_buckets=4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("ps_li").join(
+            spark.table("ps_o"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        s = plan_summary(j)
+        assert s["bucketed_scans"] == 2
+        assert s["exchanges"] == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS ps_li")
+        spark.sql("DROP TABLE IF EXISTS ps_o")

@@ -1675,3 +1675,34 @@ def test_chunk_documents_window_semantics(spark):
         )
     )
     assert a == b
+
+
+def test_ann_recall_harness(spark):
+    """Full-probe IVF scores recall 1.0; a query with no approx rows
+    scores 0; hand-checkable small case matches."""
+    import random
+
+    from dw_etl_spark.operators.similarity import ann_recall, cosine_topk, ivf_topk
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id") < 4)
+
+    exact = cosine_topk(qs, df, k=5)
+    full = ivf_topk(qs, df, dim=8, k=5, n_centroids=8, nprobe=8)
+    r = ann_recall(full, exact).collect()
+    assert len(r) == 4 and all(row["recall"] == 1.0 for row in r)
+
+    # drop one query's approx rows entirely → recall 0 for it
+    partial = full.filter(F.col("query_id") != 0)
+    r0 = {row["query_id"]: row["recall"] for row in ann_recall(partial, exact).collect()}
+    assert r0[0] == 0.0 and all(v == 1.0 for q, v in r0.items() if q != 0)
+
+    # hand case: 3 of 5 exact hit
+    a = spark.createDataFrame([(1, n) for n in [10, 11, 12, 90, 91]],
+                              ["query_id", "neighbor_id"])
+    e = spark.createDataFrame([(1, n) for n in [10, 11, 12, 13, 14]],
+                              ["query_id", "neighbor_id"])
+    got = ann_recall(a, e).collect()[0]
+    assert got["n_hits"] == 3 and got["n_exact"] == 5 and got["recall"] == 0.6
