@@ -393,3 +393,73 @@ def test_line_dedup_matches_sequential_oracle(spark, corpus):
         for r in remove_duplicate_lines(df, "text", "doc_id", min_docs).collect()
     }
     assert got_clean == want_clean
+
+
+@st.composite
+def chunk_cases(draw):
+    n_docs = draw(st.integers(1, 6))
+    docs = draw(
+        st.lists(
+            st.lists(
+                st.text(alphabet="abcdefg", min_size=1, max_size=4),
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=n_docs,
+            max_size=n_docs,
+        )
+    )
+    chunk = draw(st.integers(2, 12))
+    overlap = draw(st.integers(0, chunk - 1))
+    return docs, chunk, overlap
+
+
+@SLOW
+@given(chunk_cases())
+def test_chunk_documents_matches_sequential_oracle(spark, case):
+    """Any doc/chunk/overlap mix must equal the obvious sequential
+    chunker: starts step by (chunk−overlap), a non-first start is kept
+    only while it contributes an unseen token."""
+    from dw_etl_spark.operators.packing import chunk_documents
+
+    docs, chunk, overlap = case
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["id"], r["chunk_id"], r["n_tokens"], r["chunk"])
+        for r in chunk_documents(
+            df, "text", "doc_id", chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    )
+
+    want = []
+    stride = chunk - overlap
+    for i, toks in enumerate(docs):
+        cid = 0
+        for s in range(0, len(toks), stride):
+            if s > 0 and s + overlap >= len(toks):
+                continue
+            piece = toks[s : s + chunk]
+            want.append((i, cid, len(piece), " ".join(piece)))
+            cid += 1
+    assert got == sorted(want)
+
+
+@SLOW
+@given(st.integers(2, 40), st.floats(0.05, 1.0), st.integers(2, 8))
+def test_semantic_dedup_threshold_monotone(spark, n, thresh, k):
+    """Raising the cosine threshold can only shrink the pair set, and
+    every reported pair carries a cosine >= the threshold."""
+    import random
+
+    from dw_etl_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = random.Random(n * 1000 + k)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(n)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    lo = semantic_dedup_pairs(df, threshold=thresh * 0.5, n_centroids=k).collect()
+    hi = semantic_dedup_pairs(df, threshold=thresh, n_centroids=k).collect()
+    lo_set = {(r["id_a"], r["id_b"]) for r in lo}
+    hi_set = {(r["id_a"], r["id_b"]) for r in hi}
+    assert hi_set <= lo_set
+    assert all(r["cos_sim"] >= thresh for r in hi)

@@ -467,3 +467,31 @@ def test_plan_summary_sees_bucketed_scans(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS ps_li")
         spark.sql("DROP TABLE IF EXISTS ps_o")
+
+
+def test_no_gate_query_plans_a_cartesian_product(spark, tmp_path):
+    """Global guard: none of the 50 declared gate queries may plan a
+    CartesianProduct, and any BroadcastNestedLoopJoin must be one of
+    the documented tiny-build-side cases (PLANS.md invariant table).
+    Plan-only — no query is executed."""
+    import __spark_entry__ as e
+    from dw_etl_spark.plans.audit import plan_summary
+
+    allowed_bnlj = {
+        # documented: build side tiny by construction
+        "range_join", "fuzzy_top1_join", "profile_metrics",
+        "cosine_topk", "ivf_topk", "lsh_topk", "dedup_clusters",
+        "embedding_dup_pairs", "text_features", "approx_profile",
+        "corpus_pipeline", "contamination", "media_stats",
+        "quality_filters", "repetition_stats", "shard_packing",
+        "describe_stats", "token_freq",
+    }
+    for name, fn in e.queries().items():
+        if name in {"warehouse_roundtrip", "jdbc_roundtrip", "csv_roundtrip",
+                    "rest_indicators", "dbf_scan", "scd2_apply",
+                    "media_decode"}:
+            continue  # side-effecting builders (write/DDL/tempdirs)
+        s = plan_summary(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in s["joins"], (name, s)
+        if "BroadcastNestedLoopJoin" in s["joins"]:
+            assert name in allowed_bnlj, (name, s["joins"])
