@@ -13,11 +13,13 @@ from dw_etl_spark.operators.pivot import pivot_wide
 from dw_etl_spark.operators.profile import (
     iqr_outlier_count,
     profile_columns,
+    standardize,
     top_k_values,
+    winsorize,
 )
 from dw_etl_spark.operators.project import project_rename
 from dw_etl_spark.operators.qcut import ntile_buckets, qcut_by_group
-from dw_etl_spark.operators.scd import scd2_apply, scd2_current
+from dw_etl_spark.operators.scd import scd1_apply, scd2_apply, scd2_current
 from dw_etl_spark.operators.graph import cluster_dedup, connected_components
 from dw_etl_spark.operators.ir import hashed_embedding, tfidf_top_terms
 from dw_etl_spark.operators.lm import bigram_logppl, unigram_logppl
@@ -37,6 +39,7 @@ from dw_etl_spark.operators.sampling import (
     train_val_test_split,
     weighted_sample,
 )
+from dw_etl_spark.operators.expectations import check_expectations, expect
 from dw_etl_spark.operators.sketches import (
     distinct_sketch,
     merge_distinct_sketches,
@@ -88,6 +91,7 @@ __all__ = [
     "bloom_prefilter_anti_join",
     "build_bloom",
     "build_neardup_index",
+    "check_expectations",
     "chunk_documents",
     "cluster_dedup",
     "compact_parquet",
@@ -103,6 +107,7 @@ __all__ = [
     "pack_into_shards",
     "query_neardup_index",
     "quota_sample",
+    "scd1_apply",
     "pq_encode",
     "pq_topk",
     "pq_train_codebooks",
@@ -111,6 +116,7 @@ __all__ = [
     "remove_duplicate_lines",
     "remove_duplicated_spans",
     "semantic_dedup",
+    "standardize",
     "semantic_dedup_pairs",
     "stratified_sample",
     "suggest_lsh_params",
@@ -118,6 +124,7 @@ __all__ = [
     "train_val_test_split",
     "unigram_logppl",
     "weighted_sample",
+    "winsorize",
     "write_training_shards",
     "zorder_by",
     "add_sequential_id",
@@ -131,6 +138,7 @@ __all__ = [
     "drop_neardup_index",
     "duplicated_span_stats",
     "exact_dedup",
+    "expect",
     "file_zone_map",
     "extract_features",
     "fuzzy_top1_join",

@@ -332,3 +332,59 @@ def iqr_outlier_count(
         )
         .agg(F.sum("is_outlier").alias("n_outliers"))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    columns: list[str],
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Clip each column to its exact [p_lo, p_hi] percentile interval —
+    outlier capping for numeric features before scaling/aggregation
+    (the destructive complement of ``iqr_outlier_count``'s report).
+
+    Bounds come from ``bracketed_exact_percentiles`` (two narrow
+    passes, constant-memory tasks) and land as literals — the clip is a
+    pure narrow map. NULLs pass through; an all-NULL column is
+    returned unchanged.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    bounds = bracketed_exact_percentiles(df, columns, [p_lo, p_hi])
+    out = df
+    for c in columns:
+        lo, hi = bounds[c]
+        if lo is None or hi is None:
+            continue
+        out = out.withColumn(
+            c, F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi))
+        )
+    return out
+
+
+def standardize(
+    df: DataFrame, columns: list[str], out_suffix: str = "_z"
+) -> DataFrame:
+    """Append z-scored copies (``<col>_z``, rounded to 6) of numeric
+    columns: (x − mean)/stddev_samp, NULL when the column is constant
+    or empty (no scale to divide by). One agg pass collects all
+    means/stds (driver-side: 2·|columns| scalars); the scaling itself
+    is a narrow map with literal coefficients — at 100 TB the data is
+    touched twice, shuffled never.
+    """
+    aggs = []
+    for c in columns:
+        aggs += [F.avg(c).alias(f"__m_{c}"), F.stddev_samp(c).alias(f"__s_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    out = df
+    for c in columns:
+        m, s = row[f"__m_{c}"], row[f"__s_{c}"]
+        if m is None or s is None or s == 0.0:
+            out = out.withColumn(c + out_suffix, F.lit(None).cast("double"))
+        else:
+            out = out.withColumn(
+                c + out_suffix,
+                F.round((F.col(c) - F.lit(float(m))) / F.lit(float(s)), 6),
+            )
+    return out

@@ -131,3 +131,61 @@ def scd2_apply(
 def scd2_current(dim: DataFrame) -> DataFrame:
     """The current version of every key (valid_to IS NULL)."""
     return dim.filter(F.col(VALID_TO).isNull())
+
+
+def scd1_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: list[str],
+    attrs: list[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """SCD Type 1 (overwrite-in-place upsert): the MERGE complement of
+    ``scd2_apply`` for dimensions that keep no history — an update row
+    replaces the current attributes of its key; a new key inserts.
+    Non-attr columns of ``dim`` (surrogate ids, audit fields) are
+    preserved on update, NULL on brand-new keys (assign ids downstream
+    via ``keys.add_unique_id`` over the inserts).
+
+    Shape: one left join dim⟕updates (broadcast when the batch is
+    small — zero shuffles of the dimension) + an anti-join for the
+    inserts. Update batches are deduplicated per key exactly like
+    ``scd2_apply`` so a replayed batch is idempotent: re-applying
+    yields a byte-identical dimension.
+    """
+    u = updates.select(
+        *[F.col(k).alias(f"__u_{k}") for k in key],
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+    ).dropDuplicates([f"__u_{k}" for k in key]).withColumn(
+        "__u_hit", F.lit(True)  # NULL-key-safe match indicator
+    )
+    if broadcast_updates:
+        u = F.broadcast(u)
+    cond = [F.col(k).eqNullSafe(F.col(f"__u_{k}")) for k in key]
+    other_cols = [c for c in dim.columns if c not in key + attrs]
+    updated = dim.join(u, cond, "left").select(
+        *key,
+        *[
+            F.when(F.col("__u_hit"), F.col(f"__u_{a}"))
+            .otherwise(F.col(a))
+            .alias(a)
+            for a in attrs
+        ],
+        *other_cols,
+    )
+    inserts = (
+        u.join(
+            dim.select(*[F.col(k).alias(f"__d_{k}") for k in key]),
+            [
+                F.col(f"__u_{k}").eqNullSafe(F.col(f"__d_{k}"))
+                for k in key
+            ],
+            "left_anti",
+        )
+        .select(
+            *[F.col(f"__u_{k}").alias(k) for k in key],
+            *[F.col(f"__u_{a}").alias(a) for a in attrs],
+            *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in other_cols],
+        )
+    )
+    return updated.unionByName(inserts)

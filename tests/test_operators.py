@@ -561,3 +561,141 @@ def test_fuzzy_top1_join_guards_high_cardinality_left(spark):
     # explicit opt-in still works
     out = fuzzy_top1_join(left, "t", domain, "name", max_left_distinct=None)
     assert out.count() == 50
+
+
+# ---------------------------------------------------------------------------
+# SCD1 upsert, expectations, winsorize/standardize (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_scd1_apply_upserts_and_is_idempotent(spark):
+    from dw_etl_spark.operators.scd import scd1_apply
+
+    dim = spark.createDataFrame(
+        [("PL", 100.0, 1), ("DE", 200.0, 2), ("FR", 300.0, 3)],
+        ["country", "gdp", "dim_id"],
+    )
+    updates = spark.createDataFrame(
+        [("PL", 150.0), ("ES", 50.0), ("ES", 51.0)], ["country", "gdp"]
+    )
+    out = scd1_apply(dim, updates, key=["country"], attrs=["gdp"])
+    got = {r["country"]: (r["gdp"], r["dim_id"]) for r in out.collect()}
+    assert got["PL"] == (150.0, 1)      # updated, id preserved
+    assert got["DE"] == (200.0, 2)      # untouched
+    assert got["FR"] == (300.0, 3)
+    assert got["ES"][0] in (50.0, 51.0) and got["ES"][1] is None  # insert
+    assert len(got) == 4
+
+    # replay idempotence: applying the same batch again changes nothing
+    again = scd1_apply(out, updates, key=["country"], attrs=["gdp"])
+    key = lambda r: (r["country"], r["gdp"], r["dim_id"])
+    first = sorted(map(key, out.collect()))
+    second = sorted(map(key, again.collect()))
+    # ES id stays NULL both times; the deterministic dedup keeps the
+    # same ES row, so the state is stable
+    assert first == second
+
+
+def test_expect_counts_match_duckdb(spark):
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    from dw_etl_spark.operators.expectations import expect
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    rep = expect(orders, {
+        "price_positive": F.col("o_totalprice") > 0,
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_not_null": F.col("o_orderpriority").isNotNull(),
+    })
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(rep, con, """
+        WITH n AS (SELECT count(*) AS n_rows FROM orders),
+        f AS (
+          SELECT
+            count(*) FILTER (NOT coalesce(o_totalprice > 0, FALSE)) AS price_positive,
+            count(*) FILTER (NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)) AS status_known,
+            count(*) FILTER (o_orderpriority IS NULL) AS priority_not_null
+          FROM orders
+        )
+        SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_failed AS BIGINT) AS n_failed,
+               round(CAST(n_failed AS DOUBLE) / greatest(n_rows, 1), 6) AS fail_frac
+        FROM (
+          SELECT 'price_positive' AS rule, n_rows, price_positive AS n_failed FROM n, f
+          UNION ALL SELECT 'status_known', n_rows, status_known FROM n, f
+          UNION ALL SELECT 'priority_not_null', n_rows, priority_not_null FROM n, f
+        )
+    """)
+    con.close()
+
+
+def test_check_expectations_raises_on_breach(spark):
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    import pytest as _pytest
+
+    from dw_etl_spark.operators.expectations import check_expectations
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    # passes: keys are never null
+    rep = check_expectations(orders, {"key": F.col("o_orderkey").isNotNull()})
+    assert rep.collect()[0]["n_failed"] == 0
+    # breaches: not every order has totalprice > 100000
+    with _pytest.raises(ValueError, match="expectations breached"):
+        check_expectations(
+            orders, {"rich": F.col("o_totalprice") > 100_000}
+        )
+    # NULL predicate counts as failure
+    withnull = spark.createDataFrame([(1,), (None,)], "x int")
+    bad = check_expectations(
+        withnull, {"pos": F.col("x") > 0}, max_fail_frac=0.6
+    )
+    assert {r["rule"]: r["n_failed"] for r in bad.collect()} == {"pos": 1}
+
+
+def test_winsorize_matches_duckdb_quantiles(spark):
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    from dw_etl_spark.operators.profile import winsorize
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    orders = read_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    got = winsorize(orders, ["o_totalprice"], 0.05, 0.95)
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(got, con, """
+        WITH b AS (
+          SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+                 quantile_cont(o_totalprice, 0.95) AS hi
+          FROM orders
+        )
+        SELECT o_orderkey, least(greatest(o_totalprice, lo), hi) AS o_totalprice
+        FROM orders, b
+    """)
+    con.close()
+
+
+def test_standardize_zscores(spark):
+    import math
+
+    from dw_etl_spark.operators.profile import standardize
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)], ["id", "v"]
+    )
+    out = {r["id"]: r["v_z"] for r in standardize(df, ["v"]).collect()}
+    vals = [10.0, 20.0, 30.0]
+    m = sum(vals) / 3
+    s = math.sqrt(sum((x - m) ** 2 for x in vals) / 2)
+    assert math.isclose(out[1], round((10 - m) / s, 6), abs_tol=1e-9)
+    assert math.isclose(out[3], round((30 - m) / s, 6), abs_tol=1e-9)
+    assert out[4] is None
+    # constant column → NULL z-scores, no crash
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["id", "v"])
+    z = {r["id"]: r["v_z"] for r in standardize(const, ["v"]).collect()}
+    assert z == {1: None, 2: None}
