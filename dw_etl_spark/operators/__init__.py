@@ -39,7 +39,12 @@ from dw_etl_spark.operators.sampling import (
     train_val_test_split,
     weighted_sample,
 )
-from dw_etl_spark.operators.expectations import check_expectations, expect
+from dw_etl_spark.operators.expectations import (
+    check_expectations,
+    expect,
+    expectation_report,
+    observe_expectations,
+)
 from dw_etl_spark.operators.sketches import (
     distinct_sketch,
     merge_distinct_sketches,
@@ -139,6 +144,7 @@ __all__ = [
     "duplicated_span_stats",
     "exact_dedup",
     "expect",
+    "expectation_report",
     "file_zone_map",
     "extract_features",
     "fuzzy_top1_join",
@@ -150,6 +156,7 @@ __all__ = [
     "merge_distinct_sketches",
     "merge_into_neardup_index",
     "mix_corpora",
+    "observe_expectations",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "ntile_buckets",

@@ -83,3 +83,53 @@ def check_expectations(
     return df.sparkSession.createDataFrame(
         report, "rule string, n_rows long, n_failed long, fail_frac double"
     )
+
+
+def observe_expectations(
+    df: DataFrame, rules: dict[str, Column], name: str = "expectations"
+):
+    """The zero-extra-pass form of ``expect``: attach the per-rule
+    failure counters to whatever action the caller runs next (a sink
+    write, usually) via ``DataFrame.observe`` — at 100 TB the quality
+    report comes out of the SAME scan that wrote the data, not a
+    second one.
+
+        out, obs = observe_expectations(df, rules)
+        out.write.parquet(path)          # the one real action
+        report = expectation_report(obs.get)
+        # → [{"rule": ..., "n_rows": ..., "n_failed": ..., "fail_frac": ...}]
+
+    Same NULL-counts-as-failed semantics as ``expect`` (pytest pins the
+    two paths equal). Returns (instrumented df, Observation handle).
+    """
+    from pyspark.sql import Observation
+
+    if not rules:
+        raise ValueError("observe_expectations() needs at least one rule")
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for rname, cond in rules.items():
+        metrics.append(
+            F.count_if(~F.coalesce(cond, F.lit(False))).alias(f"fail_{rname}")
+        )
+    return df.observe(obs, *metrics), obs
+
+
+def expectation_report(metrics: dict) -> list[dict]:
+    """Shape an ``Observation.get`` dict from ``observe_expectations``
+    into the same records ``expect`` emits."""
+    n = int(metrics["n_rows"])
+    out = []
+    for k, v in metrics.items():
+        if not k.startswith("fail_"):
+            continue
+        failed = int(v)
+        out.append(
+            {
+                "rule": k[len("fail_"):],
+                "n_rows": n,
+                "n_failed": failed,
+                "fail_frac": round(failed / max(n, 1), 6),
+            }
+        )
+    return out

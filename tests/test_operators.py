@@ -699,3 +699,32 @@ def test_standardize_zscores(spark):
     const = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["id", "v"])
     z = {r["id"]: r["v_z"] for r in standardize(const, ["v"]).collect()}
     assert z == {1: None, 2: None}
+
+
+def test_observe_expectations_equals_expect_with_zero_extra_jobs(spark, tmp_path):
+    """The observation-attached counters collected by a sink write
+    match the standalone expect() pass exactly."""
+    from dw_etl_spark.operators.expectations import (
+        expect,
+        expectation_report,
+        observe_expectations,
+    )
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    rules = {
+        "price_positive": F.col("o_totalprice") > 0,
+        "rich": F.col("o_totalprice") > 100_000,
+    }
+    out, obs = observe_expectations(orders, rules)
+    out.write.mode("overwrite").parquet(str(tmp_path / "orders_checked"))
+    got = sorted(expectation_report(obs.get), key=lambda r: r["rule"])
+    want = sorted(
+        (r.asDict() for r in expect(orders, rules).collect()),
+        key=lambda r: r["rule"],
+    )
+    assert got == want
+    by_rule = {r["rule"]: r for r in got}
+    assert by_rule["rich"]["n_failed"] > 0  # the breached rule has signal
+    assert by_rule["price_positive"]["n_failed"] == 0
