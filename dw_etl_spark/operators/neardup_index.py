@@ -167,3 +167,52 @@ def merge_into_neardup_index(
         .bucketBy(p["n_buckets"], "id")
         .saveAsTable(f"{name}_shingles")
     )
+
+
+def compact_neardup_index(spark: SparkSession, name: str) -> tuple[int, int]:
+    """Rewrite the index tables to one file per bucket, preserving the
+    bucket layout. Every ``merge_into_neardup_index`` appends its own
+    file per bucket, so after many epochs each bucket is a pile of
+    small files and probe-side scans pay per-file open cost — the
+    bucketed-table analogue of ``scale.compact_parquet`` (which cannot
+    be used here: a plain rewrite would drop the bucket metadata the
+    exchange-free probe depends on).
+
+    Staging: each table is rewritten under ``{name}__compact_*`` with
+    the SAME (keys, n_buckets) spec, the old table is dropped, and the
+    staging table takes its name via ``ALTER TABLE RENAME`` — readers
+    started mid-compaction keep their snapshot; the swap is
+    catalog-atomic per table. Returns (files_before, files_after)
+    summed over both tables.
+    """
+    import glob
+    import os
+
+    p = _params(spark, name)
+
+    def count_files(table: str) -> int:
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        )
+        path = loc.removeprefix("file:")
+        return len(glob.glob(os.path.join(path, "*"), recursive=False))
+
+    specs = {
+        f"{name}_bands": ["band", "key"],
+        f"{name}_shingles": ["id"],
+    }
+    before = sum(count_files(t) for t in specs)
+    for table, keys in specs.items():
+        staged = f"{table}__compact"
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        df = spark.table(table).repartition(p["n_buckets"], *keys)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(p["n_buckets"], *keys)
+            .saveAsTable(staged)
+        )
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    return before, sum(count_files(t) for t in specs)

@@ -171,3 +171,46 @@ def test_neardup_filter_stream_drops_dups_across_epochs(spark, tmp_path):
     kept2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept2 == {50001, 60001}, kept2
     drop_neardup_index(spark, "ndi_stream")
+
+
+def test_compact_index_shrinks_files_and_preserves_results(spark, tmp_path):
+    """After several merge epochs, compaction reduces the file count
+    while probe results stay byte-identical and the plan still reads
+    both index scans bucketed."""
+    from dw_etl_spark.operators.neardup_index import compact_neardup_index
+
+    corpus, batch = _corpus_and_batch(spark)
+    drop_neardup_index(spark, "ndi_cmp")
+    build_neardup_index(corpus, "text", "doc_id", "ndi_cmp", n_buckets=4)
+    try:
+        # three merge epochs of disjoint-id slices -> small-file piles
+        for i in range(3):
+            part = batch.select(
+                (F.col("doc_id") + 1_000_000 * (i + 1)).alias("doc_id"), "text"
+            )
+            merge_into_neardup_index(part, "text", "doc_id", "ndi_cmp")
+
+        probe = batch.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+        key = lambda r: (r["index_id"], r["batch_id"], r["jaccard"])
+        before_rows = sorted(
+            map(key, query_neardup_index(probe, "text", "doc_id", "ndi_cmp").collect())
+        )
+        files_before, files_after = compact_neardup_index(spark, "ndi_cmp")
+        assert files_after < files_before, (files_before, files_after)
+
+        after_q = query_neardup_index(probe, "text", "doc_id", "ndi_cmp")
+        assert sorted(map(key, after_q.collect())) == before_rows
+
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = after_q._sc._jvm.PythonSQLUtils.explainString(
+                query_neardup_index(probe, "text", "doc_id", "ndi_cmp")
+                ._jdf.queryExecution(),
+                "formatted",
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        assert plan.count("Bucketed: true") >= 2
+    finally:
+        drop_neardup_index(spark, "ndi_cmp")
