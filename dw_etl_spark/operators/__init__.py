@@ -40,6 +40,7 @@ from dw_etl_spark.operators.sampling import (
     train_val_test_split,
     weighted_sample,
 )
+from dw_etl_spark.operators.drift import ks_statistic, token_shift
 from dw_etl_spark.operators.expectations import (
     check_expectations,
     expect,
@@ -110,6 +111,7 @@ __all__ = [
     "ivf_topk",
     "ivf_train_centroids",
     "ivfpq_topk",
+    "ks_statistic",
     "normalize_unicode",
     "pack_into_shards",
     "query_neardup_index",
@@ -128,6 +130,7 @@ __all__ = [
     "stratified_sample",
     "suggest_lsh_params",
     "tfidf_top_terms",
+    "token_shift",
     "train_val_test_split",
     "unigram_logppl",
     "weighted_sample",

@@ -1,0 +1,172 @@
+"""Distribution-drift monitoring between corpus snapshots.
+
+A recurring ingest wants to know when the data CHANGED: a crawl source
+shifts domains, a schema upstream starts emitting garbage, a locale
+mix drifts. Two exact, engine-portable detectors:
+
+  token_shift   — lexical drift: per-token probability delta between
+                  two text corpora over the union vocabulary, plus the
+                  Jensen-Shannon divergence as the headline scalar
+                  (symmetric, bounded [0, ln 2], defined even for
+                  disjoint vocabularies — unlike raw KL).
+  ks_statistic  — numeric drift: the exact two-sample
+                  Kolmogorov-Smirnov D = max |F_a(x) − F_b(x)|,
+                  evaluated at every distinct value of either side.
+
+Scale shape: token_shift is two token-count shuffles + a full outer
+join on the token (vocabulary-sized, never corpus-sized rows past the
+counts); ks_statistic is one (value, side)-count shuffle + one
+range-sort for the running CDFs — the standard distributed sort, no
+single-reducer pass. Both are deterministic closed-form arithmetic,
+DuckDB-parity-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dw_etl_spark.functions.text import tokens
+
+
+def _token_probs(df: DataFrame, text_col: str, side: str) -> DataFrame:
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("s"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("c") / F.col("s")).alias(f"p_{side}")
+    )
+
+
+def token_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k drifted tokens by |p_a − p_b| plus one 'total' row
+    carrying the corpus-level JS divergence.
+
+    Output (kind, token, p_a, p_b, delta): kind='token' rows rank the
+    movers (delta DESC, token ASC — total order); the kind='total' row
+    has token='', p_a=p_b=NULL and delta=JSD rounded to 6. A token
+    absent from one side contributes p=0 there (the JS mixture keeps
+    every term finite).
+    """
+    pa = _token_probs(df_a, text_col, "a")
+    pb = _token_probs(df_b, text_col, "b")
+    joined = (
+        pa.join(pb, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("p_a", F.lit(0.0)).alias("p_a"),
+            F.coalesce("p_b", F.lit(0.0)).alias("p_b"),
+        )
+        .localCheckpoint(eager=False)  # consumed by movers AND the JSD agg
+    )
+    m = (F.col("p_a") + F.col("p_b")) / 2
+    term = F.when(
+        F.col("p_a") > 0, F.col("p_a") * F.log(F.col("p_a") / m) / 2
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("p_b") > 0, F.col("p_b") * F.log(F.col("p_b") / m) / 2
+    ).otherwise(F.lit(0.0))
+    jsd = joined.agg(F.round(F.sum(term), 6).alias("delta")).select(
+        F.lit("total").alias("kind"),
+        F.lit("").alias("token"),
+        F.lit(None).cast("double").alias("p_a"),
+        F.lit(None).cast("double").alias("p_b"),
+        "delta",
+    )
+    w = Window.orderBy(F.desc("delta"), F.asc("token"))
+    movers = (
+        joined.select(
+            F.lit("token").alias("kind"),
+            "token",
+            F.round("p_a", 6).alias("p_a"),
+            F.round("p_b", 6).alias("p_b"),
+            F.round(F.abs(F.col("p_a") - F.col("p_b")), 6).alias("delta"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    return movers.unionByName(jsd)
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    num_partitions: int | None = None,
+) -> float:
+    """Exact two-sample KS statistic over a numeric column (NULLs
+    excluded). Computed at every distinct value of either sample via
+    running counts, so ties and disjoint supports are handled exactly;
+    returns 0.0 when either side is empty (no evidence of drift).
+
+    The running CDFs use the same two-phase prefix-sum shape as
+    ``pack_into_shards`` — range partition on the value, per-partition
+    running sums, per-partition totals broadcast as offsets — never an
+    unpartitioned global-order window (a single-reducer sort over the
+    distinct values). The eager pin freezes the range partitioning so
+    the offsets job and the max job read one snapshot (PLANS.md #4).
+    """
+    a = df_a.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    b = df_b.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    na, nb = a.count(), b.count()
+    if na == 0 or nb == 0:
+        return 0.0
+    counts = (
+        a.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+        .join(
+            b.groupBy("v").agg(F.count(F.lit(1)).alias("cb")),
+            "v",
+            "full_outer",
+        )
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    parts = (
+        num_partitions
+        or counts.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = (
+        counts.repartitionByRange(parts, "v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["__pid"]: (int(r["ta"]), int(r["tb"]))
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .collect()
+    }
+    off_a, off_b, run_a, run_b = {}, {}, 0, 0
+    for pid in sorted(totals):
+        off_a[pid], off_b[pid] = run_a, run_b
+        run_a += totals[pid][0]
+        run_b += totals[pid][1]
+    oa = F.create_map(
+        *[F.lit(x) for kv in off_a.items() for x in kv]
+    )[F.col("__pid")]
+    ob = F.create_map(
+        *[F.lit(x) for kv in off_b.items() for x in kv]
+    )[F.col("__pid")]
+    w = Window.partitionBy("__pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = ranged.select(
+        F.abs(
+            (F.sum("ca").over(w) + oa) / F.lit(float(na))
+            - (F.sum("cb").over(w) + ob) / F.lit(float(nb))
+        ).alias("d")
+    ).agg(F.max("d").alias("ks"))
+    out = float(d.collect()[0]["ks"])
+    ranged.unpersist()
+    return out

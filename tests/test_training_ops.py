@@ -1706,3 +1706,107 @@ def test_ann_recall_harness(spark):
                               ["query_id", "neighbor_id"])
     got = ann_recall(a, e).collect()[0]
     assert got["n_hits"] == 3 and got["n_exact"] == 5 and got["recall"] == 0.6
+
+
+# ---------------------------------------------------------------------------
+# distribution drift: token shift + KS (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_token_shift_matches_duckdb_twin(spark):
+    """Mover rows match DuckDB exactly; the JSD total matches within
+    float-summation tolerance (partial-sum order differs by engine)."""
+    import duckdb
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.drift import token_shift
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    a = docs.filter(F.col("doc_id") < 250)
+    b = docs.filter(F.col("doc_id") >= 250)
+    got = token_shift(a, b, "text", k=15).collect()
+
+    toks = oracles.tokens("text")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.execute(f"""
+        WITH ta AS (
+          SELECT t AS token, count(*) AS c FROM (
+            SELECT unnest({toks}) AS t FROM documents WHERE doc_id < 250
+          ) GROUP BY t
+        ),
+        tb AS (
+          SELECT t AS token, count(*) AS c FROM (
+            SELECT unnest({toks}) AS t FROM documents WHERE doc_id >= 250
+          ) GROUP BY t
+        ),
+        j AS (
+          SELECT coalesce(ta.token, tb.token) AS token,
+                 coalesce(CAST(ta.c AS DOUBLE) / (SELECT sum(c) FROM ta), 0) AS p_a,
+                 coalesce(CAST(tb.c AS DOUBLE) / (SELECT sum(c) FROM tb), 0) AS p_b
+          FROM ta FULL OUTER JOIN tb ON ta.token = tb.token
+        )
+        SELECT token, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+               round(abs(p_a - p_b), 6) AS delta
+        FROM j
+        ORDER BY abs(p_a - p_b) DESC, token ASC
+        LIMIT 15
+    """).fetchall()
+    con.close()
+
+    movers = sorted(
+        [(r["token"], r["p_a"], r["p_b"], r["delta"]) for r in got if r["kind"] == "token"]
+    )
+    # duckdb ORDER BY pre-round delta vs engine post-round — compare sets
+    assert movers == sorted(want)
+
+    jsd = [r["delta"] for r in got if r["kind"] == "total"][0]
+    assert 0.0 <= jsd <= math.log(2) + 1e-9
+    # identical corpora → JSD 0
+    same = token_shift(a, a, "text", k=5).collect()
+    assert [r["delta"] for r in same if r["kind"] == "total"][0] == 0.0
+    assert all(r["delta"] == 0.0 for r in same if r["kind"] == "token")
+
+
+def test_ks_statistic_exact_and_edge_cases(spark):
+    from dw_etl_spark.operators.drift import ks_statistic
+    from dw_etl_spark.sources.files import read_table
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    got = ks_statistic(a, b, "o_totalprice")
+
+    # sequential oracle over collected values
+    va = sorted(r["o_totalprice"] for r in a.select("o_totalprice").collect())
+    vb = sorted(r["o_totalprice"] for r in b.select("o_totalprice").collect())
+    grid = sorted(set(va) | set(vb))
+    import bisect
+
+    want = max(
+        abs(
+            bisect.bisect_right(va, x) / len(va)
+            - bisect.bisect_right(vb, x) / len(vb)
+        )
+        for x in grid
+    )
+    assert math.isclose(got, want, abs_tol=1e-12)
+    assert 0.0 < got < 0.2  # same generator → small but nonzero
+
+    # identical → 0, disjoint → 1, empty side → 0
+    assert ks_statistic(a, a, "o_totalprice") == 0.0
+    lo = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    hi = spark.createDataFrame([(1000.0 + i,) for i in range(50)], "v double")
+    assert ks_statistic(lo, hi, "v") == 1.0
+    empty = lo.filter(F.lit(False))
+    assert ks_statistic(lo, empty, "v") == 0.0
+
+    # partitioning independence
+    assert math.isclose(
+        ks_statistic(a.repartition(7), b.repartition(3), "o_totalprice", num_partitions=5),
+        want, abs_tol=1e-12,
+    )
