@@ -1196,9 +1196,12 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data operators COMPOSED end-to-end, the way a corpus
     build actually runs: documents → quality/lang features → quality
     filter → exact dedup (corpus ∪ exact copies, keep-min-id) →
-    deterministic split assignment → per-(lang, split) counts + mean
-    quality. Every stage has an exact SQL twin, so the whole composed
-    lineage sits in the hard gate."""
+    deterministic split assignment → context-window chunking
+    (``chunk_documents``, 40-token windows / 5 overlap — r5) →
+    per-(lang, split) counts, mean quality, and chunk/token totals.
+    Every stage has an exact SQL twin, so the whole composed lineage
+    sits in the hard gate."""
+    from dw_etl_spark.operators.packing import chunk_documents
     from dw_etl_spark.operators.sampling import hash_bucket
     from dw_etl_spark.operators.text_dedup import exact_dedup
 
@@ -1209,7 +1212,17 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id("text").alias("lang"),
         quality_score("text").cast("double").alias("quality"),
     ).filter(F.col("quality") >= 0.5)
-    deduped = exact_dedup(featured, "text", "doc_id")
+    deduped = exact_dedup(featured, "text", "doc_id").localCheckpoint(
+        eager=False  # consumed by the chunker and the aggregate
+    )
+    cstats = (
+        chunk_documents(deduped, "text", "doc_id", chunk_tokens=40, overlap=5)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("__nc"),
+            F.sum("n_tokens").alias("__ct"),
+        )
+    )
     b = hash_bucket("doc_id")
     split = (
         F.when(b < 1000, F.lit("val"))
@@ -1217,11 +1230,16 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
     )
     return (
-        deduped.withColumn("split", split)
+        deduped.join(cstats, deduped.doc_id == cstats.id, "left")
+        .withColumn("split", split)
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum(F.coalesce("__nc", F.lit(0))).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce("__ct", F.lit(0)))
+            .cast("long")
+            .alias("n_chunk_tokens"),
         )
     )
 
@@ -1246,14 +1264,25 @@ deduped AS (
     SELECT *, min(doc_id) OVER (PARTITION BY {fp}) AS __keeper
     FROM filtered
   ) WHERE doc_id = __keeper
+),
+chunkstats AS (
+  SELECT id, count(*) AS nc, sum(least(40, n - s)) AS ct
+  FROM (
+    SELECT doc_id AS id, len({oracles.tokens('text')}) AS n, r.s
+    FROM deduped, unnest(range(0, len({oracles.tokens('text')}), 35)) AS r(s)
+  )
+  WHERE s = 0 OR s + 5 < n
+  GROUP BY id
 )
 SELECT lang,
        CASE WHEN {bucket} < 1000 THEN 'val'
             WHEN {bucket} < 2000 THEN 'test'
             ELSE 'train' END AS split,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(quality), 6) AS avg_quality
-FROM deduped
+       round(avg(quality), 6) AS avg_quality,
+       CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(sum(ct), 0) AS BIGINT) AS n_chunk_tokens
+FROM deduped LEFT JOIN chunkstats ON deduped.doc_id = chunkstats.id
 GROUP BY 1, 2
 """
 
