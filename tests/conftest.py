@@ -26,7 +26,20 @@ TABLES = [
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="dw_etl_spark_tests", master="local[4]", shuffle_partitions=4)
+    """Session fixture. SPARK_GRAFT_TEST_CORES / SPARK_GRAFT_TEST_SHUFFLE
+    override the defaults so the whole suite can be swept under a
+    different parallelism/partitioning (partition-independence is a
+    correctness claim here — sweeping the fixture is how it's audited
+    suite-wide, beyond the per-operator repartition tests)."""
+    import os
+
+    cores = int(os.environ.get("SPARK_GRAFT_TEST_CORES", "4"))
+    shuffle = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "4"))
+    spark = get_spark(
+        app_name="dw_etl_spark_tests",
+        master=f"local[{cores}]",
+        shuffle_partitions=shuffle,
+    )
     yield spark
     spark.stop()
 
