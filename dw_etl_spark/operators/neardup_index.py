@@ -41,6 +41,19 @@ from dw_etl_spark.operators.text_dedup import (
 )
 
 
+def _check_name(name: str) -> str:
+    """Index names become catalog identifiers inside DDL strings —
+    restrict to plain identifiers so a stray quote/semicolon cannot
+    reach ``spark.sql``."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"index name must be a plain SQL identifier, got {name!r}"
+        )
+    return name
+
+
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int, shingle: str):
     return df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n, shingle).alias("sh")
@@ -62,6 +75,7 @@ def build_neardup_index(
     / ``{name}_meta``. The LSH parameters are frozen into the meta table
     — queries and merges read them back, so probe-side hashing can
     never drift from what is stored."""
+    _check_name(name)
     spark = df.sparkSession
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle)
     write_bucketed(
@@ -84,11 +98,13 @@ def build_neardup_index(
 
 def drop_neardup_index(spark: SparkSession, name: str) -> None:
     """Drop the three index tables (managed tables — data included)."""
+    _check_name(name)
     for suffix in ("_bands", "_shingles", "_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
 
 
 def _params(spark: SparkSession, name: str):
+    _check_name(name)
     return spark.table(f"{name}_meta").collect()[0]
 
 

@@ -214,3 +214,14 @@ def test_compact_index_shrinks_files_and_preserves_results(spark, tmp_path):
         assert plan.count("Bucketed: true") >= 2
     finally:
         drop_neardup_index(spark, "ndi_cmp")
+
+
+def test_index_name_must_be_plain_identifier(spark):
+    import pytest as _pytest
+
+    corpus, _ = _corpus_and_batch(spark)
+    for bad in ("x; DROP TABLE y", "a.b", "has space", "quo'te", ""):
+        with _pytest.raises(ValueError, match="plain SQL identifier"):
+            build_neardup_index(corpus, "text", "doc_id", bad)
+        with _pytest.raises(ValueError, match="plain SQL identifier"):
+            drop_neardup_index(spark, bad)
