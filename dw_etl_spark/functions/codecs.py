@@ -121,3 +121,49 @@ def wav_feature(payload: bytes, dim: int) -> list[float]:
         round(float(np.sqrt(np.mean(np.square(c)))) if c.size else 0.0, 6)
         for c in chunks
     ]
+
+
+def wav_spectral_feature(
+    payload: bytes, dim: int, frame: int = 256, hop: int = 128
+) -> list[float]:
+    """Real FREQUENCY-domain audio feature (numpy only): log10 power in
+    ``dim`` equal bands of the Welch-averaged periodogram — Hann-
+    windowed ``frame``-sample windows every ``hop`` samples, |rFFT|²
+    averaged across windows, band-averaged, log-compressed. The
+    spectral sibling of ``wav_feature``'s time-domain RMS profile: a
+    440 Hz tone lights up exactly one band instead of every window.
+
+    Deterministic per payload (pure numpy arithmetic); clips shorter
+    than one frame are zero-padded to a single frame; an empty clip
+    returns all-floor values (log10 of the 1e-12 floor).
+    """
+    _, samples = decode_wav(payload)
+    if samples.size < frame:
+        samples = np.pad(samples, (0, frame - samples.size))
+    win = np.hanning(frame).astype(np.float32)
+    n_frames = 1 + (samples.size - frame) // hop
+    psd = np.zeros(frame // 2 + 1, dtype=np.float64)
+    for i in range(n_frames):
+        seg = samples[i * hop : i * hop + frame] * win
+        psd += np.abs(np.fft.rfft(seg)) ** 2
+    psd /= max(n_frames, 1)
+    bands = np.array_split(psd, dim)
+    return [
+        round(float(np.log10(np.mean(b) + 1e-12)), 6) for b in bands
+    ]
+
+
+def bmp_color_feature(payload: bytes, bins_per_channel: int = 8) -> list[float]:
+    """Real color feature: concatenated per-channel (R, G, B)
+    normalized histograms — 3 × ``bins_per_channel`` floats. The color
+    sibling of ``bmp_feature``'s grayscale histogram (a pure-red and a
+    pure-blue image hash identically in grayscale; not here)."""
+    img = decode_bmp(payload)
+    out: list[float] = []
+    n = max(img.shape[0] * img.shape[1], 1)
+    for ch in range(3):
+        hist, _ = np.histogram(
+            img[..., ch], bins=bins_per_channel, range=(0, 256)
+        )
+        out.extend(round(float(x) / n, 6) for x in hist)
+    return out

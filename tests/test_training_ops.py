@@ -1810,3 +1810,103 @@ def test_ks_statistic_exact_and_edge_cases(spark):
         ks_statistic(a.repartition(7), b.repartition(3), "o_totalprice", num_partitions=5),
         want, abs_tol=1e-12,
     )
+
+
+# ---------------------------------------------------------------------------
+# real spectral-audio + color-image features (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_spectral_feature_localizes_tones(spark):
+    """A pure tone concentrates power in exactly the band containing
+    its frequency; two tones light two bands; the time-domain RMS
+    profile cannot tell the tones apart (same energy) but the spectrum
+    can."""
+    import numpy as np
+
+    from dw_etl_spark.functions.codecs import (
+        encode_wav,
+        wav_feature,
+        wav_spectral_feature,
+    )
+
+    rate, dim, frame = 16_000, 16, 256
+    t = np.arange(rate) / rate  # 1 second
+    band_hz = (rate / 2) / dim  # 500 Hz per band
+
+    def tone(hz):
+        return encode_wav((np.sin(2 * np.pi * hz * t) * 20000).astype("<i2"), rate)
+
+    low = wav_spectral_feature(tone(700), dim, frame)   # band 1
+    high = wav_spectral_feature(tone(5200), dim, frame)  # band 10
+    assert low.index(max(low)) == int(700 // band_hz) == 1
+    assert high.index(max(high)) == int(5200 // band_hz) == 10
+
+    # equal-energy tones: time-domain RMS identical, spectrum differs
+    rms_low = wav_feature(tone(700), dim)
+    rms_high = wav_feature(tone(5200), dim)
+    assert rms_low == pytest.approx(rms_high, abs=1e-3)
+    assert low.index(max(low)) != high.index(max(high))
+
+    two = wav_spectral_feature(
+        encode_wav(
+            ((np.sin(2 * np.pi * 700 * t) + np.sin(2 * np.pi * 5200 * t)) * 10000)
+            .astype("<i2"),
+            rate,
+        ),
+        dim,
+        frame,
+    )
+    top2 = sorted(range(dim), key=lambda i: -two[i])[:2]
+    assert set(top2) == {1, 10}
+
+    # short + empty clips don't crash and are deterministic
+    short = encode_wav(np.zeros(10, dtype="<i2"), rate)
+    assert wav_spectral_feature(short, dim) == wav_spectral_feature(short, dim)
+
+
+def test_bmp_color_feature_separates_channels(spark):
+    import numpy as np
+
+    from dw_etl_spark.functions.codecs import (
+        bmp_color_feature,
+        bmp_feature,
+        encode_bmp,
+    )
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8); red[..., 0] = 250
+    blue = np.zeros((8, 8, 3), dtype=np.uint8); blue[..., 2] = 250
+    fr = bmp_color_feature(encode_bmp(red), 8)
+    fb = bmp_color_feature(encode_bmp(blue), 8)
+    # grayscale histogram cannot separate them; color can
+    assert bmp_feature(encode_bmp(red), 8) == bmp_feature(encode_bmp(blue), 8)
+    assert fr != fb
+    assert fr[7] == 1.0 and fr[8] == 1.0 and fr[16] == 1.0   # R hot, G/B cold
+    assert fb[0] == 1.0 and fb[8] == 1.0 and fb[23] == 1.0   # B hot
+
+
+def test_spectral_feature_through_extract_features_executors(spark):
+    """The spectral decoder runs executor-side through the real
+    mapInPandas plumbing and round-trips the expected band peak."""
+    import numpy as np
+
+    from dw_etl_spark.functions.codecs import encode_wav, wav_spectral_feature
+    from dw_etl_spark.operators.multimodal import extract_features
+
+    rate = 16_000
+    t = np.arange(rate) / rate
+    rows = [
+        (i, "audio",
+         bytearray(encode_wav((np.sin(2 * np.pi * hz * t) * 20000).astype("<i2"), rate)))
+        for i, hz in enumerate([700, 5200, 2600])
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).withColumn("n_bytes", F.length("payload").cast("long"))
+    feats = extract_features(
+        media, dim=16, decode_fn=lambda p, d: wav_spectral_feature(p, d)
+    ).collect()
+    got = {r["media_id"]: list(r["feature"]) for r in feats}
+    assert got[0].index(max(got[0])) == 1
+    assert got[1].index(max(got[1])) == 10
+    assert got[2].index(max(got[2])) == 5
