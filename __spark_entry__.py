@@ -1591,11 +1591,14 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     them on executors via the ``mapInPandas`` plumbing
     (``extract_features`` + ``bmp_feature``/``wav_feature``,
     functions/codecs.py), emit grayscale-histogram / RMS-window
-    features as scalar columns. Oracle = the same codec functions run
+    features as scalar columns, plus (r5) the SECOND feature family —
+    frequency-domain band log-powers for audio
+    (``wav_spectral_feature``) and the R-channel color histogram for
+    images (``bmp_color_feature`` head) — concatenated into the same
+    executor-decoded vector. Oracle = the same codec functions run
     driver-side into a VALUES table (the ``rest_indicators`` fixture
     pattern). Features pass through the float32 feature schema, so both
     sides round to 4 dp after an explicit float32 round-trip."""
-    from dw_etl_spark.functions.codecs import bmp_feature, wav_feature
     from dw_etl_spark.operators.multimodal import extract_features
 
     rows = [
@@ -1603,15 +1606,9 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for mid, kind, payload in _media_decode_fixture()
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
-
-    def route(payload: bytes, dim: int) -> list[float]:
-        # one decode_fn for the union: BMP magic routes to the image
-        # codec, everything else is WAV
-        if payload[:2] == b"BM":
-            return bmp_feature(payload, dim)
-        return wav_feature(payload, dim)
-
-    feats = extract_features(media, dim=_MEDIA_DECODE_DIM, decode_fn=route)
+    feats = extract_features(
+        media, dim=2 * _MEDIA_DECODE_DIM, decode_fn=_media_decode_route
+    )
     return feats.select(
         "media_id",
         "kind",
@@ -1620,20 +1617,38 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("feature", i + 1).cast("double"), 4).alias(
                 f"f{i}"
             )
-            for i in range(_MEDIA_DECODE_DIM)
+            for i in range(2 * _MEDIA_DECODE_DIM)
         ],
     )
+
+
+def _media_decode_route(payload: bytes, dim: int) -> list[float]:
+    """One decode_fn for the gate union: BMP magic routes to the image
+    codecs, everything else is WAV. First half = base feature
+    (grayscale histogram / RMS windows), second half = the r5 family
+    (R-channel color histogram / spectral band log-powers). Shared by
+    the engine query AND the driver-side oracle so both sides run the
+    identical code path."""
+    from dw_etl_spark.functions.codecs import (
+        bmp_color_feature,
+        bmp_feature,
+        wav_feature,
+        wav_spectral_feature,
+    )
+
+    half = dim // 2
+    if payload[:2] == b"BM":
+        return bmp_feature(payload, half) + bmp_color_feature(payload, half)[:half]
+    return wav_feature(payload, half) + wav_spectral_feature(payload, half)
 
 
 def _media_decode_sql() -> str:
     import numpy as np
 
-    from dw_etl_spark.functions.codecs import bmp_feature, wav_feature
-
+    width = 2 * _MEDIA_DECODE_DIM
     rows = []
     for mid, kind, payload in _media_decode_fixture():
-        fn = bmp_feature if kind == "image" else wav_feature
-        feat = fn(payload, _MEDIA_DECODE_DIM)
+        feat = _media_decode_route(bytes(payload), width)
         # mirror the engine's precision path: round6 (codec) → float32
         # (FEATURE_SCHEMA) → double → round4 (contract edge)
         vals = [round(float(np.float32(x)), 4) for x in feat]
@@ -1642,11 +1657,11 @@ def _media_decode_sql() -> str:
             + ", ".join(repr(v) for v in vals)
             + ")"
         )
-    cols = ", ".join(f"f{i}" for i in range(_MEDIA_DECODE_DIM))
+    cols = ", ".join(f"f{i}" for i in range(width))
     return f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, kind,
        CAST(n_bytes AS BIGINT) AS n_bytes,
-       {", ".join(f"CAST(f{i} AS DOUBLE) AS f{i}" for i in range(_MEDIA_DECODE_DIM))}
+       {", ".join(f"CAST(f{i} AS DOUBLE) AS f{i}" for i in range(width))}
 FROM (VALUES {", ".join(rows)}) AS t(media_id, kind, n_bytes, {cols})
 """
 
