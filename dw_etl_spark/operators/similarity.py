@@ -1050,3 +1050,44 @@ def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 6
         ).alias("recall"),
     )
+
+
+def embedding_profile(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """One-row sanity profile of an embedding column BEFORE building an
+    ANN index over it: (n_rows, n_null, n_wrong_dim, n_zero_norm,
+    norm_mean, norm_min, norm_max, dim). Catches the classic index
+    poisoners — NULL vectors, ragged dimensions from a bad upstream
+    merge, unnormalized or zero vectors (cosine is undefined on the
+    latter; ``semantic_dedup``/``lsh_topk`` would quietly misrank).
+
+    ``expected_dim`` defaults to the dimension of the first non-null
+    vector (reported back in ``dim``). One narrow agg pass — the norm
+    folds run per row, nothing shuffles but the final scalars.
+    """
+    if expected_dim is None:
+        probe = (
+            corpus.select(F.size(vec_col).alias("d"))
+            .filter(F.col("d") >= 0)
+            .limit(1)
+            .collect()
+        )
+        expected_dim = int(probe[0]["d"]) if probe else 0
+    v = F.col(vec_col)
+    nrm = l2_norm(_as_double(v))
+    ok = v.isNotNull() & (F.size(v) == expected_dim)
+    return corpus.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(v.isNull()).alias("n_null"),
+        F.count_if(v.isNotNull() & (F.size(v) != expected_dim)).alias(
+            "n_wrong_dim"
+        ),
+        F.count_if(ok & (nrm == 0.0)).alias("n_zero_norm"),
+        F.round(F.avg(F.when(ok, nrm)), 6).alias("norm_mean"),
+        F.round(F.min(F.when(ok, nrm)), 6).alias("norm_min"),
+        F.round(F.max(F.when(ok, nrm)), 6).alias("norm_max"),
+        F.lit(expected_dim).cast("int").alias("dim"),
+    )

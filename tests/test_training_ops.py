@@ -1910,3 +1910,28 @@ def test_spectral_feature_through_extract_features_executors(spark):
     assert got[0].index(max(got[0])) == 1
     assert got[1].index(max(got[1])) == 10
     assert got[2].index(max(got[2])) == 5
+
+
+def test_embedding_profile_flags_index_poisoners(spark):
+    from dw_etl_spark.operators.similarity import embedding_profile
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 2.0, 0.0, 0.0]),
+        (2, None),
+        (3, [1.0, 1.0]),            # ragged
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_profile(df).collect()[0]
+    assert (r["n_rows"], r["n_null"], r["n_wrong_dim"], r["n_zero_norm"]) == (5, 1, 1, 1)
+    assert r["dim"] == 4
+    assert (r["norm_min"], r["norm_max"]) == (0.0, 2.0)
+    assert r["norm_mean"] == 1.0  # mean of 1, 2, 0 over the 3 well-formed
+
+    from dw_etl_spark.sources.files import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    clean = embedding_profile(emb).collect()[0]
+    assert clean["n_null"] == clean["n_wrong_dim"] == clean["n_zero_norm"] == 0
+    assert clean["dim"] == 64 and clean["norm_min"] > 0
