@@ -198,6 +198,7 @@ def qcut_by_group_expr(
     n: int = 3,
     labels: list[str] | None = None,
     out_col: str | list[str] | None = None,
+    max_literal_groups: int = 1024,
 ) -> DataFrame:
     """pandas-``qcut`` semantics as pure JVM expressions — no Python in
     the data path (the ``applyInPandas`` twin ``qcut_by_group`` pays an
@@ -210,9 +211,17 @@ def qcut_by_group_expr(
     codegen'd, zero joins, zero extra scans. duplicates='drop' happens
     driver-side (dedup edges, shrink the label set like _qcut_labels).
 
-    Fallback (histogram over the cap — high-cardinality doubles):
-    grouped ``percentile`` agg broadcast-joined back, bucket index via
-    unrolled comparisons (no HOF lambdas — Spark interprets those).
+    Fallback (histogram over the cap — high-cardinality doubles — OR
+    more than ``max_literal_groups`` groups): grouped ``percentile``
+    agg broadcast-joined back, bucket index via unrolled comparisons
+    (no HOF lambdas — Spark interprets those). The group-count gate
+    exists because the fast path inlines one ``when(group-key …)``
+    branch per group: at 100k groups that is a 100k-branch expression
+    tree — a plan-size bomb (same failure class as broadcasting k-means
+    centroids as k column literals, see similarity.py). Both paths use
+    EXACT-RANK edge arithmetic (numpy lerp ≡ ``percentile``), so
+    routing is invisible in results — pinned by
+    ``test_qcut_expr_fast_and_fallback_paths_agree``.
 
     Semantics note: edges follow EXACT-RANK arithmetic (``percentile``/
     ``quantile_cont``). pandas qcut routes quantiles through
@@ -231,6 +240,8 @@ def qcut_by_group_expr(
     labels = labels or DEFAULT_LABELS
 
     edge_map = _group_quantile_edges(df, group_by, value_cols, n)
+    if edge_map is not None and len(edge_map) > max_literal_groups:
+        edge_map = None  # too many groups for a literal CASE — join instead
     if edge_map is not None:
         out = df
         for vc, oc in zip(value_cols, out_cols):

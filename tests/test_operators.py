@@ -544,6 +544,56 @@ def test_qcut_expr_group_keys_exact_past_double_precision(spark):
         assert labels == {"Low", "Medium", "High"}, (g, labels)
 
 
+def test_qcut_expr_plan_stays_bounded_at_high_group_count(spark):
+    """The literal-CASE fast path inlines one when() branch per group —
+    a plan-size bomb at high group cardinality (same failure class as
+    plan-literal IVF centroids). Above ``max_literal_groups`` the
+    operator must route to the broadcast-join fallback, so the
+    optimized-plan string stays bounded as groups go 10→5,000."""
+    from dw_etl_spark.operators.qcut import qcut_by_group_expr
+
+    plans = {}
+    for n_groups in (10, 5000):
+        df = spark.range(n_groups * 4).select(
+            (F.col("id") % n_groups).alias("g"),
+            (F.col("id") * 7 % 101).cast("double").alias("v"),
+        )
+        out = qcut_by_group_expr(df, ["g"], "v", n=3, out_col="b")
+        plans[n_groups] = len(
+            out._jdf.queryExecution().optimizedPlan().toString()
+        )
+    # 500x the groups must NOT mean ~500x the plan: the fallback's plan
+    # is O(1) in group count (one percentile agg + one broadcast join)
+    assert plans[5000] < plans[10] * 5, plans
+    assert plans[5000] < 100_000, plans
+
+
+def test_qcut_expr_fast_and_fallback_paths_agree(spark):
+    """Both edge paths use exact-rank arithmetic, so forcing the
+    fallback (max_literal_groups=0) must reproduce the fast path
+    row-for-row on a many-group input — routing is invisible."""
+    from dw_etl_spark.operators.qcut import qcut_by_group_expr
+
+    df = spark.range(600).select(
+        (F.col("id") % 37).alias("g"),
+        F.col("id").alias("rid"),
+        # vary distribution per group; leave some NULLs in
+        F.when(F.col("id") % 11 != 0, (F.col("id") * 13 % 97).cast("double"))
+        .alias("v"),
+    )
+    fast = {
+        (r["g"], r["rid"]): r["b"]
+        for r in qcut_by_group_expr(df, ["g"], "v", n=3, out_col="b").collect()
+    }
+    slow = {
+        (r["g"], r["rid"]): r["b"]
+        for r in qcut_by_group_expr(
+            df, ["g"], "v", n=3, out_col="b", max_literal_groups=0
+        ).collect()
+    }
+    assert fast == slow
+
+
 def test_fuzzy_top1_join_guards_high_cardinality_left(spark):
     """SURVEY §4.4 guardrail: a free-text left column over the distinct
     cap refuses to build the crossJoin grid; raising the cap (or
