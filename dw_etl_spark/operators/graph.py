@@ -34,6 +34,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    on_nonconverged: str = "warn",
 ) -> DataFrame:
     """(node id → component id) for every node appearing in ``edges``;
     the component id is the minimum node id of the component.
@@ -46,7 +47,20 @@ def connected_components(
     mode and short jobs keep the default; long iterative runs on a
     1000-executor cluster, where an executor loss mid-iteration is
     routine, should pass a durable path.
+
+    Non-convergence is NEVER silent: a component whose label diameter
+    exceeds ``max_iter`` (a pathological long chain — near-dup graphs
+    are stars/cliques, so this means the input is not a near-dup
+    graph) would come back with split components. When the fixpoint is
+    not reached within ``max_iter`` rounds the operator raises
+    (``on_nonconverged='raise'``) or warns (default ``'warn'``), and
+    either way stamps the outcome into the ``component`` column's
+    metadata: ``{'converged': bool, 'iterations': int}`` — callers
+    that swallow warnings can still check
+    ``df.schema['component'].metadata``.
     """
+    if on_nonconverged not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_nonconverged: {on_nonconverged!r}")
 
     def _pin(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
@@ -70,7 +84,9 @@ def connected_components(
     )
 
     prev_sig = None
-    for _ in range(max_iter):
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
         msgs = labels.join(sym, labels["id"] == sym["a"]).select(
             F.col("b").alias("id"), F.col("component")
         )
@@ -84,9 +100,25 @@ def connected_components(
         ).first()
         labels = new_labels
         if prev_sig == (sig["s"], sig["n"]):
+            converged = True
             break
         prev_sig = (sig["s"], sig["n"])
-    return labels
+    if not converged:
+        msg = (
+            f"connected_components did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds — labels may split long-chain "
+            f"components; raise max_iter (graph diameter bounds the "
+            f"rounds needed)"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return labels.withMetadata(
+        "component", {"converged": converged, "iterations": rounds}
+    )
 
 
 def cluster_dedup(

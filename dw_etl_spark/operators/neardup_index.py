@@ -194,16 +194,21 @@ def compact_neardup_index(spark: SparkSession, name: str) -> tuple[int, int]:
     be used here: a plain rewrite would drop the bucket metadata the
     exchange-free probe depends on).
 
-    Staging: each table is rewritten under ``{name}__compact_*`` with
-    the SAME (keys, n_buckets) spec, the old table is dropped, and the
-    staging table takes its name via ``ALTER TABLE RENAME`` — readers
-    started mid-compaction keep their snapshot; the swap is
-    catalog-atomic per table. Returns (files_before, files_after)
-    summed over both tables.
+    Staging: each table is rewritten under ``{name}__compact`` with
+    the SAME (keys, n_buckets) spec, then swapped in via a
+    rename-aside sequence: live → ``__old``, staged → live, drop
+    ``__old``. No step destroys state before its replacement is in
+    place, so a crash at ANY point is recoverable (either the live
+    name still resolves, or the previous table survives under
+    ``{table}__old`` and one ``ALTER TABLE RENAME`` restores it). The
+    swap is NOT atomic — a concurrent query resolving the name in the
+    instant between the two renames sees a transient table-not-found
+    and should retry; what it can never see is lost data or a
+    half-written table. Returns (files_before, files_after) data-file
+    counts summed over both tables, computed through the Hadoop
+    FileSystem API so the diagnostic works on HDFS/S3 locations, not
+    just ``file:`` ones.
     """
-    import glob
-    import os
-
     p = _params(spark, name)
 
     def count_files(table: str) -> int:
@@ -212,8 +217,15 @@ def compact_neardup_index(spark: SparkSession, name: str) -> tuple[int, int]:
             .filter(F.col("col_name") == "Location")
             .collect()[0]["data_type"]
         )
-        path = loc.removeprefix("file:")
-        return len(glob.glob(os.path.join(path, "*"), recursive=False))
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return sum(
+            1
+            for st in fs.listStatus(hpath)
+            if st.isFile()
+            and not st.getPath().getName().startswith(("_", "."))
+        )
 
     specs = {
         f"{name}_bands": ["band", "key"],
@@ -221,14 +233,16 @@ def compact_neardup_index(spark: SparkSession, name: str) -> tuple[int, int]:
     }
     before = sum(count_files(t) for t in specs)
     for table, keys in specs.items():
-        staged = f"{table}__compact"
+        staged, backup = f"{table}__compact", f"{table}__old"
         spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        spark.sql(f"DROP TABLE IF EXISTS {backup}")
         df = spark.table(table).repartition(p["n_buckets"], *keys)
         (
             df.write.mode("overwrite")
             .bucketBy(p["n_buckets"], *keys)
             .saveAsTable(staged)
         )
-        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
         spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+        spark.sql(f"DROP TABLE {backup}")
     return before, sum(count_files(t) for t in specs)

@@ -631,6 +631,36 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert found, "no checkpoint files written to checkpoint_dir"
 
 
+def test_connected_components_surfaces_nonconvergence(spark):
+    """A path graph longer than max_iter can propagate must NOT come
+    back silently split: default mode warns, 'raise' raises, and the
+    outcome is stamped into the component column metadata either way.
+    A converged run stamps converged=True."""
+    import pytest
+
+    from dw_etl_spark.operators.graph import connected_components
+
+    # 40-node path: label 0 moves ~1 hop/round after seeding, so
+    # max_iter=3 is far short of the ~38-round fixpoint
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    with pytest.warns(RuntimeWarning, match="did not reach a fixpoint"):
+        out = connected_components(chain, max_iter=3)
+    meta = out.schema["component"].metadata
+    assert meta["converged"] is False and meta["iterations"] == 3
+    # unconverged labels really are split (the hazard being surfaced)
+    assert out.select("component").distinct().count() > 1
+
+    with pytest.raises(RuntimeError, match="max_iter=3"):
+        connected_components(chain, max_iter=3, on_nonconverged="raise")
+
+    star = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"])
+    ok = connected_components(star, max_iter=20)
+    meta = ok.schema["component"].metadata
+    assert meta["converged"] is True and meta["iterations"] < 20
+
+
 def test_cluster_dedup_removes_minhash_duplicates(spark):
     """End-to-end: corpus ∪ perturbed copies → minhash pairs → cluster
     dedup keeps exactly one doc per near-dup cluster."""
