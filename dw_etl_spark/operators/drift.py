@@ -80,7 +80,11 @@ def token_shift(
         F.lit(None).cast("double").alias("p_b"),
         "delta",
     )
-    w = Window.orderBy(F.desc("delta"), F.asc("token"))
+    # top-k via orderBy().limit(k): Spark plans TakeOrderedAndProject —
+    # per-partition heaps + a k-row driver merge, never the
+    # single-reducer sort an unpartitioned row_number window costs over
+    # the full union vocabulary (delta DESC, token ASC is still a total
+    # order, so the kept set is deterministic)
     movers = (
         joined.select(
             F.lit("token").alias("kind"),
@@ -89,9 +93,8 @@ def token_shift(
             F.round("p_b", 6).alias("p_b"),
             F.round(F.abs(F.col("p_a") - F.col("p_b")), 6).alias("delta"),
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+        .orderBy(F.desc("delta"), F.asc("token"))
+        .limit(k)
     )
     return movers.unionByName(jsd)
 

@@ -146,6 +146,7 @@ def quota_sample(
     id_col: str,
     per_group: int,
     salt: str = "quota",
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Keep at most ``per_group`` rows per group, chosen by hash rank —
     the deterministic form of per-source capping ("no more than N docs
@@ -155,16 +156,39 @@ def quota_sample(
     group only ever swaps members in/out at the hash boundary, never
     reshuffles wholesale.
 
-    One shuffle keyed on the group (the ranking window); skew caveat:
-    a single monster group serializes in one task — cap such groups
-    upstream via ``stratified_sample`` or salt-split them if a group
-    can exceed a task's memory.
+    One shuffle keyed on the group (the ranking window). Skew:
+    ``num_shards=S`` turns it into a two-phase top-N so a single
+    monster group no longer serializes one task — phase 1 ranks within
+    (group, hash-shard) and caps each shard at ``per_group`` (S
+    parallel tasks per group, each seeing ~1/S of it), phase 2
+    re-ranks the ≤ S·per_group survivors exactly. The global
+    top-``per_group`` rows of a group each have shard-rank ≤ their
+    group rank, so phase 1 can never evict a true survivor — the
+    salted result is row-identical to the unsalted one (pytest-pinned
+    by hash-oracle equality). Default ``None`` keeps the single-window
+    plan (right when groups are known-bounded).
     """
     from dw_etl_spark.functions.text import stable_hash64
 
     key = stable_hash64(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
     )
+    if num_shards is not None and num_shards > 1:
+        shard = F.pmod(
+            stable_hash64(
+                F.concat(F.lit(salt + "#shard|"), F.col(id_col).cast("string"))
+            ),
+            F.lit(num_shards),
+        )
+        w1 = Window.partitionBy(group_col, "__qshard").orderBy(
+            key.asc(), F.col(id_col).asc()
+        )
+        df = (
+            df.withColumn("__qshard", shard)
+            .withColumn("__qr1", F.row_number().over(w1))
+            .filter(F.col("__qr1") <= per_group)
+            .drop("__qshard", "__qr1")
+        )
     w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__qr", F.row_number().over(w))

@@ -463,3 +463,100 @@ def test_semantic_dedup_threshold_monotone(spark, n, thresh, k):
     hi_set = {(r["id_a"], r["id_b"]) for r in hi}
     assert hi_set <= lo_set
     assert all(r["cos_sim"] >= thresh for r in hi)
+
+
+# ------------------------------------------------- drift under adversarial partitioning
+
+_DRIFT = settings(
+    max_examples=24,  # ≥20 seeds: the add_unique_id AQE hazard (PLANS.md
+    # note 4) was only caught by exactly this kind of partitioning sweep
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_DRIFT
+@given(seed=st.integers(0, 1_000_000))
+def test_ks_statistic_partition_independent_matches_bisect(spark, seed):
+    """Exact two-sample KS vs a sequential bisect oracle, under
+    randomized sizes, heavy ties, NULLs, and adversarial input/range
+    partition counts — the two-phase prefix-sum must be invariant to
+    all of them."""
+    import bisect
+    import random
+
+    from dw_etl_spark.operators.drift import ks_statistic
+
+    rng = random.Random(seed)
+    support = [float(x) for x in range(rng.randint(2, 8))]  # heavy ties
+    va = [rng.choice(support) for _ in range(rng.randint(1, 60))]
+    vb = [rng.choice(support) for _ in range(rng.randint(1, 60))]
+    a = spark.createDataFrame(
+        [(v,) for v in va] + [(None,)] * rng.randint(0, 3), "v double"
+    ).repartition(rng.randint(1, 9))
+    b = spark.createDataFrame(
+        [(v,) for v in vb] + [(None,)] * rng.randint(0, 3), "v double"
+    ).repartition(rng.randint(1, 9))
+    got = ks_statistic(a, b, "v", num_partitions=rng.randint(1, 7))
+
+    sa, sb = sorted(va), sorted(vb)
+    want = max(
+        abs(
+            bisect.bisect_right(sa, x) / len(sa)
+            - bisect.bisect_right(sb, x) / len(sb)
+        )
+        for x in set(va) | set(vb)
+    )
+    assert math.isclose(got, want, abs_tol=1e-12), (got, want, seed)
+
+
+@_DRIFT
+@given(seed=st.integers(0, 1_000_000))
+def test_token_shift_partition_independent_matches_counter(spark, seed):
+    """token_shift vs a sequential Counter oracle under randomized
+    corpora and input partitionings; k is set above the vocabulary so
+    every union-vocab token must come back with exact probabilities,
+    and the JSD total must match the closed form."""
+    import random
+    from collections import Counter
+
+    from dw_etl_spark.operators.drift import token_shift
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+
+    def corpus(n):
+        return [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+            for _ in range(n)
+        ]
+
+    ta, tb = corpus(rng.randint(1, 25)), corpus(rng.randint(1, 25))
+    a = spark.createDataFrame([(t,) for t in ta], "text string").repartition(
+        rng.randint(1, 7)
+    )
+    b = spark.createDataFrame([(t,) for t in tb], "text string").repartition(
+        rng.randint(1, 7)
+    )
+    rows = token_shift(a, b, "text", k=10_000).collect()
+
+    ca = Counter(w for t in ta for w in t.split())
+    cb = Counter(w for t in tb for w in t.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    union = set(ca) | set(cb)
+    got_tokens = {r["token"]: r for r in rows if r["kind"] == "token"}
+    assert set(got_tokens) == union
+    jsd = 0.0
+    for w in union:
+        pa, pb = ca[w] / na, cb[w] / nb
+        r = got_tokens[w]
+        assert math.isclose(r["p_a"], pa, abs_tol=1e-6), (w, seed)
+        assert math.isclose(r["p_b"], pb, abs_tol=1e-6), (w, seed)
+        assert math.isclose(r["delta"], abs(pa - pb), abs_tol=1e-6), (w, seed)
+        m = (pa + pb) / 2
+        jsd += (pa * math.log(pa / m) / 2 if pa else 0.0) + (
+            pb * math.log(pb / m) / 2 if pb else 0.0
+        )
+    total = [r for r in rows if r["kind"] == "total"]
+    assert len(total) == 1
+    assert math.isclose(total[0]["delta"], jsd, abs_tol=1e-6), seed

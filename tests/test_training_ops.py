@@ -1588,6 +1588,39 @@ def test_quota_sample_caps_groups_and_matches_hash_oracle(spark):
     assert small.count() == 5
 
 
+def test_quota_sample_salt_split_equals_unsalted(spark):
+    """num_shards two-phase top-N must be row-identical to the
+    single-window path (phase 1 can never evict a true survivor) —
+    swept over shard counts and input partitionings, including a
+    monster group that is the feature's whole point."""
+    from dw_etl_spark.operators.sampling import quota_sample
+
+    # one monster group (1500 rows), one medium, one tiny (< per_group)
+    rows = (
+        [(i, "monster") for i in range(1500)]
+        + [(10_000 + i, "medium") for i in range(60)]
+        + [(20_000 + i, "tiny") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    want = sorted(
+        (r["source"], r["doc_id"])
+        for r in quota_sample(df, "source", "doc_id", per_group=25).collect()
+    )
+    for shards in (2, 7, 64):
+        for parts in (1, 5):
+            got = sorted(
+                (r["source"], r["doc_id"])
+                for r in quota_sample(
+                    df.repartition(parts),
+                    "source",
+                    "doc_id",
+                    per_group=25,
+                    num_shards=shards,
+                ).collect()
+            )
+            assert got == want, (shards, parts)
+
+
 def test_mix_corpora_hits_target_mixture_without_upsampling(spark):
     from dw_etl_spark.operators.sampling import mix_corpora
 
