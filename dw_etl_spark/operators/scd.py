@@ -30,6 +30,26 @@ VALID_FROM = "valid_from"
 VALID_TO = "valid_to"
 
 
+def _dedup_updates(u: DataFrame, key_cols: list[str], attr_cols: list[str]) -> DataFrame:
+    """One row per natural key, deterministically: smallest attr tuple
+    wins (NULLs first). ``dropDuplicates`` keeps a partition-order-
+    dependent row, so a replayed batch carrying CONFLICTING duplicate
+    keys could land different attribute values run-to-run — this
+    ranked dedup makes the pick a pure function of the data. Ties
+    beyond (key, attrs) are byte-identical rows, so any pick is the
+    same row."""
+    if not attr_cols:
+        return u.dropDuplicates(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(a).asc_nulls_first() for a in attr_cols]
+    )
+    return (
+        u.withColumn("__dedup_rn", F.row_number().over(w))
+        .filter(F.col("__dedup_rn") == 1)
+        .drop("__dedup_rn")
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     updates: DataFrame,
@@ -49,15 +69,20 @@ def scd2_apply(
 
     ``updates`` must be unique per natural key — duplicate keys in one
     batch have no well-defined version order. Deterministically
-    deduplicated here (keep-first by attr order) so retried batches
-    produce identical output; pre-dedup with a real tiebreaker if the
-    batch may carry genuine duplicates.
+    deduplicated here (smallest attr tuple wins, see
+    ``_dedup_updates``) so retried batches produce identical output;
+    pre-dedup with a real tiebreaker if the batch may carry genuine
+    duplicates.
     """
     eff = F.lit(effective).cast("date")
-    u = updates.select(
-        *[F.col(k).alias(f"__u_{k}") for k in key],
-        *[F.col(a).alias(f"__u_{a}") for a in attrs],
-    ).dropDuplicates([f"__u_{k}" for k in key])
+    u = _dedup_updates(
+        updates.select(
+            *[F.col(k).alias(f"__u_{k}") for k in key],
+            *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        ),
+        [f"__u_{k}" for k in key],
+        [f"__u_{a}" for a in attrs],
+    )
     if broadcast_updates:
         u = F.broadcast(u)
 
@@ -153,10 +178,14 @@ def scd1_apply(
     ``scd2_apply`` so a replayed batch is idempotent: re-applying
     yields a byte-identical dimension.
     """
-    u = updates.select(
-        *[F.col(k).alias(f"__u_{k}") for k in key],
-        *[F.col(a).alias(f"__u_{a}") for a in attrs],
-    ).dropDuplicates([f"__u_{k}" for k in key]).withColumn(
+    u = _dedup_updates(
+        updates.select(
+            *[F.col(k).alias(f"__u_{k}") for k in key],
+            *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        ),
+        [f"__u_{k}" for k in key],
+        [f"__u_{a}" for a in attrs],
+    ).withColumn(
         "__u_hit", F.lit(True)  # NULL-key-safe match indicator
     )
     if broadcast_updates:

@@ -219,12 +219,23 @@ def neardup_filter_stream_writer(
     are appended to ``out_path`` parquet AND merged into the index, so
     the NEXT epoch sees this epoch's documents.
 
-    Exactly-once: delegated to checkpoint + idempotent replay — step
-    (0) anti-joins the batch against the ids already in the index's
-    shingle table, so a replayed epoch's survivors (merged before the
-    crash) are dropped wholesale and the replay appends nothing. Ids
-    must therefore be unique across epochs (e.g. carry the
-    event/offset id), which the near-dup probe needs anyway.
+    Exactly-once: delegated to checkpoint + idempotent replay, closed
+    at BOTH ends of the emit-then-merge pair:
+
+    - step (0) anti-joins the batch against the ids already in the
+      index's shingle table, so a replayed epoch whose merge DID
+      commit is dropped wholesale and appends nothing;
+    - the parquet emit writes to ``out_path/epoch=<epoch_id>/`` with
+      ``mode('overwrite')``, so a replayed epoch whose merge did NOT
+      commit (crash between emit and merge — the guard cannot see
+      those ids) recomputes the same survivor set against the
+      unchanged index state and OVERWRITES its own epoch directory
+      instead of appending a duplicate copy.
+
+    Ids must be unique across epochs (e.g. carry the event/offset
+    id), which the near-dup probe needs anyway. Read the output as
+    partitioned parquet rooted at ``out_path`` (``epoch`` arrives as a
+    partition column).
 
     Returns the started StreamingQuery; callers awaitTermination().
     """
@@ -262,8 +273,13 @@ def neardup_filter_stream_writer(
         survivors = batch.join(index_drops, id_col, "left_anti").localCheckpoint(
             eager=True
         )
-        # (3) emit + grow the index
-        survivors.write.mode("append").parquet(out_path)
+        # (3) emit + grow the index. Epoch-scoped overwrite makes the
+        # emit idempotent: a replay after a crash between these two
+        # statements rewrites the same rows into the same directory
+        # rather than appending them a second time.
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path}/epoch={int(epoch_id)}"
+        )
         merge_into_neardup_index(survivors, text_col, id_col, index_name)
 
     writer = stream.writeStream.foreachBatch(_apply).option(

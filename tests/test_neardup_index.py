@@ -173,6 +173,51 @@ def test_neardup_filter_stream_drops_dups_across_epochs(spark, tmp_path):
     drop_neardup_index(spark, "ndi_stream")
 
 
+def test_neardup_filter_stream_replay_overwrites_not_appends(spark, tmp_path):
+    """Crash-window idempotence: if an epoch's survivors landed in
+    out_path but the index merge never committed, the replay guard
+    cannot drop them — the epoch-scoped overwrite must replace the
+    half-committed output instead of appending a second copy."""
+    import json
+
+    from dw_etl_spark.streaming.sinks import neardup_filter_stream_writer
+
+    corpus, _ = _corpus_and_batch(spark)
+    drop_neardup_index(spark, "ndi_replay")
+    build_neardup_index(corpus, "text", "doc_id", "ndi_replay", n_buckets=4)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    out = str(tmp_path / "kept")
+    novel = "fresh prose that matches nothing in the seed corpus " * 4
+    (src / "e1.json").write_text(json.dumps({"doc_id": 70001, "text": novel}))
+
+    # simulate the crashed first attempt: survivors written to epoch=0,
+    # index merge lost (the id is NOT in ndi_replay_shingles)
+    spark.createDataFrame([(70001, novel)], "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/epoch=0")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "*.json")
+        .json(str(src))
+    )
+    q = neardup_filter_stream_writer(
+        stream, "text", "doc_id", "ndi_replay", out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    rows = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in rows] == [70001], rows  # ONE copy, not two
+    # and this time the merge committed
+    idx_ids = {
+        r["id"] for r in spark.table("ndi_replay_shingles").select("id").collect()
+    }
+    assert 70001 in idx_ids
+    drop_neardup_index(spark, "ndi_replay")
+
+
 def test_compact_index_shrinks_files_and_preserves_results(spark, tmp_path):
     """After several merge epochs, compaction reduces the file count
     while probe results stay byte-identical and the plan still reads

@@ -100,3 +100,28 @@ def test_scd2_dedups_duplicate_update_keys(spark):
     out = scd2_apply(dim, dup, ["country"], ["gdp"], "2024-06-01")
     current_pl = scd2_current(out).filter("country = 'PL'").collect()
     assert len(current_pl) == 1
+
+
+def test_scd_dedup_of_conflicting_keys_is_partition_independent(spark):
+    """A batch carrying CONFLICTING duplicate keys must land the SAME
+    winner on every run and partitioning (dropDuplicates keeps a
+    partition-order-dependent row; the ranked dedup keeps the smallest
+    attr tuple, NULLs first) — for both SCD2 and SCD1."""
+    from dw_etl_spark.operators.scd import scd1_apply
+
+    dim = _dim(spark)
+    rows = [("PL", 130.0), ("PL", 110.0), ("PL", None), ("ES", 50.0)]
+    for parts in (1, 3, 7):
+        dup = spark.createDataFrame(
+            rows, "country string, gdp double"
+        ).repartition(parts)
+        out2 = scd2_apply(dim, dup, ["country"], ["gdp"], "2024-06-01")
+        cur = {
+            r["country"]: r["gdp"] for r in scd2_current(out2).collect()
+        }
+        # NULL sorts first -> the NULL-gdp row wins the PL conflict
+        assert cur["PL"] is None and cur["ES"] == 50.0, (parts, cur)
+
+        out1 = scd1_apply(dim, dup, key=["country"], attrs=["gdp"])
+        got = {r["country"]: r["gdp"] for r in out1.collect()}
+        assert got["PL"] is None and got["ES"] == 50.0, (parts, got)
