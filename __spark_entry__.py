@@ -819,9 +819,10 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("method", F.lit("lsh"))
     # SemDeDup's scaling rule: clusters grow with the corpus so the
     # within-cluster pair work stays ~n·(mean cluster size)/2, not
-    # n²/k. 1000 gate vectors → 16 (what the oracle inlines); the
-    # sf0.1 bench corpus (4000) → 62 clusters, ~4× fewer pairs.
-    n_cents = max(16, (2 * emb.count()) // 64)
+    # n²/k. 1000 gate vectors → 16 (what the oracle computes from the
+    # SAME _suggest_centroids rule); the sf0.1 bench corpus (4000) →
+    # 62 clusters, ~4× fewer pairs.
+    n_cents = _suggest_centroids(2 * emb.count())
     sem = semantic_dedup_pairs(
         corpus, threshold=0.99, n_centroids=n_cents
     ).withColumn("method", F.lit("semantic"))
@@ -1103,8 +1104,14 @@ def _q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation (every 3rd key soft-deleted), apply a deterministic update
     batch (every 2nd key, region bumped on every 4th, plus one brand-new
     key), return the merged dimension state. Covers close / open /
-    passthrough / revive-closed-key / brand-new in one result."""
-    from dw_etl_spark.operators.scd import scd2_apply
+    passthrough / revive-closed-key / brand-new in one result.
+
+    r6 rode-along (previously pytest-only): the SCD Type-1
+    overwrite-in-place upsert runs on the same key space under
+    grp='scd1' — including a CONFLICTING duplicate update key
+    (ATLANTIS ×2), so the deterministic smallest-attr-wins dedup is
+    itself under the hash compare."""
+    from dw_etl_spark.operators.scd import scd1_apply, scd2_apply
 
     nation = read_table(spark, sf_dir, "nation")
     dim = nation.select(
@@ -1127,14 +1134,34 @@ def _q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scd2_apply(
         dim, updates, key=["country"], attrs=["region"], effective="2024-06-01"
     )
+    # SCD1 section: plain (country, region) dim, same update batch PLUS
+    # a conflicting ATLANTIS duplicate — region 50 must beat 99
+    # (smallest attr tuple wins) on every run and partitioning
+    dim1 = nation.select(
+        F.col("n_name").alias("country"),
+        F.col("n_regionkey").cast("int").alias("region"),
+    )
+    updates1 = updates.unionByName(
+        spark.createDataFrame([("ATLANTIS", 50)], "country string, region int")
+    )
+    s1 = scd1_apply(dim1, updates1, key=["country"], attrs=["region"])
     # dates → timestamps at the contract edge: Spark DATE collects as
     # python objects (None for null) while the oracle's DATE lands as
     # datetime64 (NaT) — timestamp columns canonicalize identically.
     return out.select(
+        F.lit("scd2").alias("grp"),
         "country",
         "region",
         F.col("valid_from").cast("timestamp").alias("valid_from"),
         F.col("valid_to").cast("timestamp").alias("valid_to"),
+    ).unionByName(
+        s1.select(
+            F.lit("scd1").alias("grp"),
+            "country",
+            "region",
+            F.lit(None).cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
     )
 
 
@@ -1177,11 +1204,42 @@ opened AS (
   WHERE hc.country IS NULL          -- brand-new key
      OR hc.has_cur = 0              -- revive a fully-closed key
      OR (hc.has_cur = 1 AND cur.region IS DISTINCT FROM u.region)
+),
+dim1 AS (
+  SELECT n_name AS country, CAST(n_regionkey AS INTEGER) AS region
+  FROM nation
+),
+u1raw AS (
+  SELECT country, region FROM u
+  UNION ALL SELECT 'ATLANTIS', CAST(50 AS INTEGER)
+),
+u1 AS (  -- deterministic dedup: smallest attr tuple wins, NULLs first
+  SELECT country, region FROM (
+    SELECT country, region,
+           row_number() OVER (PARTITION BY country
+                              ORDER BY region ASC NULLS FIRST) AS rn
+    FROM u1raw
+  ) WHERE rn = 1
+),
+scd1 AS (
+  SELECT d.country,
+         CASE WHEN u1.country IS NOT NULL THEN u1.region ELSE d.region END
+           AS region
+  FROM dim1 d LEFT JOIN u1 ON d.country = u1.country
+  UNION ALL
+  SELECT u1.country, u1.region
+  FROM u1 LEFT JOIN dim1 d ON u1.country = d.country
+  WHERE d.country IS NULL
 )
-SELECT country, region,
+SELECT 'scd2' AS grp, country, region,
        CAST(valid_from AS TIMESTAMP) AS valid_from,
        CAST(valid_to AS TIMESTAMP) AS valid_to
 FROM (SELECT * FROM closed UNION ALL SELECT * FROM opened)
+UNION ALL
+SELECT 'scd1' AS grp, country, region,
+       CAST(NULL AS TIMESTAMP) AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to
+FROM scd1
 """
 
 
@@ -1294,11 +1352,16 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-based 80/10/10 train/val/test split (run-, engine- and
     partition-independent — the reproducibility a training pipeline
     needs for stable eval sets) AND per-stratum downsampling (BUILDING
-    at 10%, MACHINERY at 50%, everything else kept whole). ``grp`` is
-    'split:<name>' for the split rows, 'stratum:<segment>' for the
-    stratified rows; the oracle replays the identical md5 arithmetic
-    for both."""
+    at 10%, MACHINERY at 50%, everything else kept whole) AND (r6
+    rode-alongs, previously pytest-only) per-group quota capping via
+    the salt-split two-phase top-N (``num_shards=8`` — the skew-proof
+    path is the one under the hash compare) and deterministic corpus
+    mixing to 50/30/20 target shares. ``grp`` is 'split:<name>' /
+    'stratum:<segment>' / 'quota:<segment>' / 'mix:<segment>'; the
+    oracle replays the identical md5 arithmetic for all four."""
     from dw_etl_spark.operators.sampling import (
+        mix_corpora,
+        quota_sample,
         stratified_sample,
         train_val_test_split,
     )
@@ -1331,7 +1394,35 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_acctbal",
         )
     )
-    return out.unionByName(strat_agg)
+
+    def seg_agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            )
+            .select(
+                F.concat(F.lit(tag), F.col("c_mktsegment")).alias("grp"),
+                "n",
+                "total_acctbal",
+            )
+        )
+
+    quota = quota_sample(
+        cust, "c_mktsegment", "c_custkey", per_group=100, num_shards=8
+    )
+    mixed = mix_corpora(
+        cust,
+        "c_mktsegment",
+        "c_custkey",
+        {"BUILDING": 0.5, "MACHINERY": 0.3, "AUTOMOBILE": 0.2},
+    )
+    return (
+        out.unionByName(strat_agg)
+        .unionByName(seg_agg(quota, "quota:"))
+        .unionByName(seg_agg(mixed, "mix:"))
+    )
 
 
 _SAMPLING_BUCKET = (
@@ -1339,7 +1430,38 @@ _SAMPLING_BUCKET = (
     " AS BIGINT) % 10000"
 )
 
+_QUOTA_KEY = (
+    "CAST('0x' || substr(md5('quota|' || CAST(c_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+_MIX_BUCKET = (
+    "CAST('0x' || substr(md5('mix|' || CAST(c_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 10000"
+)
+
+# mix CTEs replay mix_corpora's rate arithmetic exactly: every operand
+# is an integer count (exact in float64), so t/(w/grand), 1/max(d) and
+# floor(rate*10000 + 0.5) are bit-identical across engines
 _SAMPLING_SPLITS_SQL = f"""
+WITH mix_totals AS (
+  SELECT c_mktsegment AS g, CAST(count(*) AS DOUBLE) AS w
+  FROM customer GROUP BY c_mktsegment
+),
+mix_demand AS (
+  SELECT g,
+         (CASE g WHEN 'BUILDING' THEN 0.5 WHEN 'MACHINERY' THEN 0.3
+                 WHEN 'AUTOMOBILE' THEN 0.2 END)
+           / (w / (SELECT sum(w) FROM mix_totals)) AS d
+  FROM mix_totals
+  WHERE g IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE') AND w > 0
+),
+mix_rates AS (
+  SELECT g,
+         CAST(floor(least(1.0, d * (1.0 / (SELECT max(d) FROM mix_demand)))
+                    * 10000 + 0.5) AS BIGINT) AS thr
+  FROM mix_demand
+)
 SELECT 'split:' || split AS grp, CAST(count(*) AS BIGINT) AS n,
        round(sum(c_acctbal), 2) AS total_acctbal
 FROM (
@@ -1359,6 +1481,25 @@ WHERE {_SAMPLING_BUCKET} < CASE c_mktsegment
          WHEN 'MACHINERY' THEN 5000
          ELSE 10000 END
 GROUP BY c_mktsegment
+UNION ALL
+SELECT 'quota:' || c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY {_QUOTA_KEY} ASC, c_custkey ASC
+         ) AS rn
+  FROM customer
+)
+WHERE rn <= 100
+GROUP BY c_mktsegment
+UNION ALL
+SELECT 'mix:' || c.c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer c JOIN mix_rates r ON c.c_mktsegment = r.g
+WHERE {_MIX_BUCKET} < r.thr
+GROUP BY c.c_mktsegment
 """
 
 
@@ -2330,6 +2471,16 @@ def _suggest_planes(n: int) -> int:
     return suggest_lsh_params(n)["n_planes"]
 
 
+def _suggest_centroids(n: int) -> int:
+    """SemDeDup cluster-count rule — the ONE definition both the
+    engine query (live corpus count) and the oracle (the documented
+    1000-vector doubled gate corpus, see TESTDATA.md / memory: 500
+    embeddings at sf0.001 and sf0.01) must share, so a fixture-size
+    change breaks loudly at this callsite instead of silently
+    hash-mismatching."""
+    return max(16, n // 64)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dim_date": _DIM_DATE_SQL,
@@ -2388,7 +2539,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM ("
             + oracles.semantic_dedup_pairs_sql(
                 threshold=0.99,
-                n_centroids=16,
+                # 2×500-row gate embeddings fixture, same rule as the
+                # engine side (_q_embedding_dups) — grows with fixture
+                n_centroids=_suggest_centroids(1000),
                 source=(
                     "(SELECT vec_id, embedding FROM embeddings UNION ALL "
                     "SELECT vec_id + 100000 AS vec_id, embedding "

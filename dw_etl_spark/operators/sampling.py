@@ -19,6 +19,8 @@ run-, engine- and partition-independent splits:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -255,7 +257,10 @@ def mix_corpora(
     expr = None
     for g, rate in sorted(rates.items()):
         cond = F.col(group_col).eqNullSafe(F.lit(g))
-        thr = F.lit(int(round(rate * BUCKETS)))
+        # HALF_UP, not Python's banker's round: SQL engines round half
+        # away from zero, and the DuckDB oracle twin recomputes these
+        # thresholds — the two must agree at an exact .5
+        thr = F.lit(int(math.floor(rate * BUCKETS + 0.5)))
         expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
     threshold = expr.otherwise(F.lit(0))
     return df.filter(b < threshold)
