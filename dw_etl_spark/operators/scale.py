@@ -455,3 +455,60 @@ def read_pruned(
     if not keep:  # schema-preserving empty frame
         return spark.read.parquet(path).filter(F.lit(False))
     return spark.read.parquet(*keep).filter(pred)
+
+
+def save_zone_map(df: DataFrame, cols: list[str], table: str) -> None:
+    """Persist ``file_zone_map`` output as a catalog table — the
+    amortized form: compute the per-file stats once after each write/
+    compaction instead of on every pruned read, and enable the
+    join-based pruning path (``read_pruned_via_table``) whose driver
+    footprint is zero file paths."""
+    file_zone_map(df, cols).write.mode("overwrite").saveAsTable(table)
+
+
+def read_pruned_via_table(
+    spark, path: str, col: str, lo, hi, zone_map_table: str
+) -> DataFrame:
+    """``read_pruned`` against a PERSISTED zone map, with the file
+    pruning expressed as a plan-side semi-join on
+    ``_metadata.file_path`` instead of a driver-collected path list —
+    the >10⁶-files shape the ``read_pruned`` docstring points at.
+
+    The overlap predicate filters the zone-map table distributed; the
+    survivors broadcast (one path string per surviving file) into a
+    left-semi hash join against the scan's hidden ``_metadata``
+    column, so the driver never materializes a single path and the
+    frame stays valid however many files survive. Trade vs
+    ``read_pruned``: the scan still lists and opens every footer (the
+    join is row-level, not listing-level), so this prunes DECODE work
+    and join/shuffle input, not file opens — when the surviving list
+    is known-small, ``read_pruned``'s literal path list is the
+    stronger prune; at unbounded file counts it is the one that still
+    runs. Results are row-identical to the naive filter either way
+    (pytest-pinned against ``read_pruned`` and the full scan).
+
+    The zone map is a snapshot: files written to ``path`` after
+    ``save_zone_map`` are absent from it and would be silently
+    unpruned-but-also-unmatched (semi-join drops them) — refresh the
+    table after every write/compaction of ``path``.
+    """
+    keep = (
+        spark.table(zone_map_table)
+        .filter(
+            F.col(f"{col}_min").isNotNull()
+            & (F.col(f"{col}_max") >= lo)
+            & (F.col(f"{col}_min") <= hi)
+        )
+        .select("file_path")
+    )
+    scan = spark.read.parquet(path)
+    return (
+        scan.withColumn("__zm_fp", F.col("_metadata.file_path"))
+        .join(
+            F.broadcast(keep.withColumnRenamed("file_path", "__zm_fp")),
+            "__zm_fp",
+            "left_semi",
+        )
+        .drop("__zm_fp")
+        .filter(F.col(col).between(lo, hi))
+    )

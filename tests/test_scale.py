@@ -422,6 +422,44 @@ def test_read_pruned_equals_naive_filter_and_skips_files(spark, tmp_path):
     assert empty.schema == naive.schema
 
 
+def test_read_pruned_via_table_matches_read_pruned(spark, tmp_path):
+    """The persisted-zone-map semi-join path must return exactly the
+    rows of read_pruned (and of the naive filter) — including the
+    zero-survivor predicate — without collecting any path list."""
+    from dw_etl_spark.operators.scale import (
+        read_pruned,
+        read_pruned_via_table,
+        save_zone_map,
+    )
+
+    out = str(tmp_path / "orders_ranged")
+    (
+        read_table(spark, SF_SMOKE, "orders")
+        .repartitionByRange(8, "o_totalprice")
+        .write.parquet(out)
+    )
+    spark.sql("DROP TABLE IF EXISTS zm_orders_test")
+    save_zone_map(spark.read.parquet(out), ["o_totalprice"], "zm_orders_test")
+    try:
+        lo, hi = 1000.0, 2000.0
+        via = read_pruned_via_table(
+            spark, out, "o_totalprice", lo, hi, "zm_orders_test"
+        )
+        direct = read_pruned(spark, out, "o_totalprice", lo, hi)
+        key = lambda r: tuple(str(v) for v in r)
+        assert sorted(map(key, via.collect())) == sorted(
+            map(key, direct.collect())
+        )
+        assert via.schema == spark.read.parquet(out).schema
+
+        empty = read_pruned_via_table(
+            spark, out, "o_totalprice", -2.0, -1.0, "zm_orders_test"
+        )
+        assert empty.count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS zm_orders_test")
+
+
 def test_plan_summary_counts_known_shapes(spark):
     """plan_summary's counters agree with the invariants the suite
     already pins by string-grep: the star fact build is broadcast-only
