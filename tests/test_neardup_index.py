@@ -270,3 +270,129 @@ def test_index_name_must_be_plain_identifier(spark):
             build_neardup_index(corpus, "text", "doc_id", bad)
         with _pytest.raises(ValueError, match="plain SQL identifier"):
             drop_neardup_index(spark, bad)
+
+
+def test_incremental_corpus_story_end_to_end(spark):
+    """The incremental ingest stack COMPOSED: Bloom exact layer
+    (scale.bloom_prefilter_anti_join) + persisted MinHash-LSH index
+    (build/query/merge) over 3 daily batches, with per-day HLL
+    fingerprint sketches rolled up (sketches.py) and a drift check
+    (drift.py) on the way out. The final kept set must equal the
+    one-shot dedup (exact_dedup + minhash keep-min) on the
+    concatenation — batch-sized work, corpus-identical answer."""
+    from dw_etl_spark.functions.text import fingerprint
+    from dw_etl_spark.operators.drift import ks_statistic, token_shift
+    from dw_etl_spark.operators.scale import bloom_prefilter_anti_join
+    from dw_etl_spark.operators.sketches import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+    from dw_etl_spark.operators.text_dedup import exact_dedup, minhash_lsh_pairs
+
+    def vocab(g):
+        return [f"w{g}x{i}" for i in range(20)]
+
+    def doc(words):
+        return " ".join(words)
+
+    seed_rows = [(i, doc(vocab(i))) for i in range(6)]
+    b1 = [
+        (100, doc(vocab(0))),                 # exact copy of seed 0 → bloom drop
+        (101, doc(vocab(1)[:-1] + ["zz"])),   # near-copy of seed 1 → index drop
+        (102, doc(vocab(50))),                # novel → keep
+        (103, doc(vocab(51))),                # novel → keep
+        (104, doc(vocab(50)[:-1] + ["yy"])),  # near-copy of 102 → in-batch drop
+    ]
+    b2 = [
+        (200, doc(vocab(51)[:-1] + ["qq"])),  # near-copy of kept 103 → index drop
+        (201, doc(vocab(50))),                # exact copy of kept 102 → bloom drop
+        (202, doc(vocab(60))),                # novel → keep
+        (203, doc(vocab(1)[:-1] + ["zz"])),   # exact copy of DROPPED 101 → near-dups seed 1 → drop
+    ]
+    b3 = [
+        (300, doc(vocab(60)[:-1] + ["rr"])),  # near-copy of kept 202 → index drop
+        (301, doc(vocab(70))),                # novel → keep
+    ]
+
+    # ---- one-shot reference on the concatenation
+    concat = spark.createDataFrame(
+        seed_rows + b1 + b2 + b3, ["doc_id", "text"]
+    )
+    ex = exact_dedup(concat, "text", "doc_id")
+    drops = (
+        minhash_lsh_pairs(ex, "text", "doc_id", min_jaccard=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    oneshot = {
+        r["doc_id"] for r in ex.join(drops, "doc_id", "left_anti").collect()
+    }
+
+    # ---- incremental: seed index, then stream the 3 batches
+    seed = spark.createDataFrame(seed_rows, ["doc_id", "text"])
+    drop_neardup_index(spark, "ndi_e2e")
+    build_neardup_index(seed, "text", "doc_id", "ndi_e2e", n_buckets=4)
+    kept = seed
+    seen_fp = seed.select(fingerprint("text").alias("fp"))
+    day_sketches = [
+        distinct_sketch(
+            seed.select(F.lit(0).alias("day"), fingerprint("text").alias("fp")),
+            "fp",
+            by=["day"],
+        )
+    ]
+    for day, rows in enumerate((b1, b2, b3), start=1):
+        batch = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+            "fp", fingerprint("text")
+        )
+        day_sketches.append(
+            distinct_sketch(batch.withColumn("day", F.lit(day)), "fp", by=["day"])
+        )
+        fresh = bloom_prefilter_anti_join(batch, seen_fp, "fp", num_bits=1 << 16)
+        fresh = exact_dedup(fresh, "text", "doc_id")
+        inner = (
+            minhash_lsh_pairs(fresh, "text", "doc_id", min_jaccard=0.5)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        fresh = fresh.join(inner, "doc_id", "left_anti")
+        hits = (
+            query_neardup_index(fresh, "text", "doc_id", "ndi_e2e", 0.5)
+            .select(F.col("batch_id").alias("doc_id"))
+            .distinct()
+        )
+        survivors = fresh.join(hits, "doc_id", "left_anti").localCheckpoint()
+        merge_into_neardup_index(survivors, "text", "doc_id", "ndi_e2e")
+        kept = kept.unionByName(survivors.select("doc_id", "text"))
+        seen_fp = seen_fp.unionByName(survivors.select("fp"))
+
+    incremental = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert incremental == oneshot, (sorted(incremental), sorted(oneshot))
+    assert incremental == {0, 1, 2, 3, 4, 5, 102, 103, 202, 301}
+
+    # ---- HLL rollup of the per-day sketches ≡ one-pass full rescan
+    all_days = day_sketches[0]
+    for sk in day_sketches[1:]:
+        all_days = all_days.unionByName(sk)
+    roll = merge_distinct_sketches(all_days, by=None).collect()[0][
+        "approx_distinct"
+    ]
+    full = merge_distinct_sketches(
+        distinct_sketch(
+            concat.select(fingerprint("text").alias("fp")), "fp"
+        ),
+        by=None,
+    ).collect()[0]["approx_distinct"]
+    assert roll == full  # register-max merge is order/grouping-independent
+    assert abs(roll - 14) <= 1  # 14 distinct texts across all days
+
+    # ---- drift between the seed day and the final kept corpus
+    ks = ks_statistic(
+        seed.select(F.length("text").alias("v")),
+        kept.select(F.length("text").alias("v")),
+        "v",
+    )
+    assert 0.0 <= ks <= 1.0
+    shift = token_shift(seed, kept, "text", k=5).collect()
+    assert sum(r["kind"] == "total" for r in shift) == 1
+    drop_neardup_index(spark, "ndi_e2e")
