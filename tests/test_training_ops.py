@@ -1650,7 +1650,9 @@ def test_mix_corpora_hits_target_mixture_without_upsampling(spark):
     r_star = 1.0 / max(demands.values())
     want = set()
     for i, src in rows:
-        thr = int(round(min(1.0, demands[src] * r_star) * 10_000))
+        # HALF_UP like the engine (and SQL round) — this fixture lands
+        # web EXACTLY on 1562.5, where banker's round would disagree
+        thr = int(math.floor(min(1.0, demands[src] * r_star) * 10_000 + 0.5))
         if _py_bucket(i, "mix") < thr:
             want.add(i)
     assert {r["doc_id"] for r in kept} == want
