@@ -670,17 +670,32 @@ def simhash_pairs(
 
 
 def _dup_window_positions(
-    df: DataFrame, text_col: str, id_col: str, window: int, min_count: int
+    df: DataFrame, text_col: str, id_col: str, window: int, min_count: int,
+    unit: str = "word",
 ):
-    """(tok frame, duplicated token positions) shared by the span
+    """(unit frame, duplicated unit positions) shared by the span
     stats and the span remover. Windows are hashed (one 64-bit digest
     per window), counted corpus-globally, and windows whose gram
-    occurs >= min_count times anywhere mark every token position they
-    cover. The hashed-window frame is lazily localCheckpoint-pinned:
+    occurs >= min_count times anywhere mark every unit position they
+    cover. ``unit`` picks the granularity: 'word' (whitespace tokens —
+    the production default) or 'char' (every character offset — the
+    full-fidelity Lee et al. ExactSubstr granularity, ~5× the rows).
+    The hashed-window frame is lazily localCheckpoint-pinned:
     the global count and the per-doc mark join both consume it, and
     without the pin the tokenize→window→digest map runs twice
     (measured 2.5→1.9 s at sf0.1 in the repetition_stats gate row)."""
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts"))
+    if unit == "word":
+        seq, sep = tokens(text_col), " "
+    elif unit == "char":
+        # split('') → one array element per character
+        c = F.col(text_col)
+        seq = F.when(c.isNotNull(), F.split(c, "")).otherwise(
+            F.array().cast("array<string>")
+        )
+        sep = ""
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    toks = df.select(F.col(id_col).alias("id"), seq.alias("ts"))
     wins = toks.select(
         "id",
         F.posexplode(
@@ -691,7 +706,7 @@ def _dup_window_positions(
                     lambda i: stable_hash64(
                         F.array_join(
                             F.slice(F.col("ts"), i + F.lit(1), F.lit(window)),
-                            " ",
+                            sep,
                         )
                     ),
                 ),
@@ -723,23 +738,32 @@ def duplicated_span_stats(
     id_col: str,
     window: int = 10,
     min_count: int = 2,
+    unit: str = "word",
 ) -> DataFrame:
     """(id, n_tokens, n_dup_tokens, dup_token_fraction): how much of
-    each doc sits inside a corpus-globally repeated ``window``-token
-    gram — the word-level approximation of suffix-array ExactSubstr
-    dedup (Lee et al. 2021, "Deduplicating Training Data Makes
-    Language Models Better"): any repeat of length >= window chars out
-    as overlapping windows, shorter repeats are ignored by design.
+    each doc sits inside a corpus-globally repeated ``window``-unit
+    gram — suffix-array ExactSubstr dedup semantics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    repeat of length >= window units falls out as overlapping
+    windows; shorter repeats are ignored by design.
+
+    ``unit='word'`` (default) is the production compromise — windows
+    slide over whitespace tokens, ~5× fewer positions than
+    characters. ``unit='char'`` is the full-fidelity granularity of
+    the paper (window = characters, e.g. 50): sub-token repeats and
+    repeats that straddle tokenization now count; the column names
+    keep saying *token* but count the chosen unit. Both are the same
+    plan shape — one (gram-hash) shuffle of n_units rows per doc.
 
     Counting is by total occurrence (a doc repeating its own header
     counts), matching the corpus-global ExactSubstr rule. Work is one
-    (gram-hash) shuffle of n_tokens rows per doc — each window is ONE
+    (gram-hash) shuffle of n_units rows per doc — each window is ONE
     64-bit digest, never the gram text — plus a window-factor-bounded
     explode of only the duplicated windows. Docs shorter than
-    ``window`` tokens contribute no windows and get fraction 0.
+    ``window`` units contribute no windows and get fraction 0.
     """
     toks, dup_pos = _dup_window_positions(
-        df, text_col, id_col, window, min_count
+        df, text_col, id_col, window, min_count, unit
     )
     per_doc = dup_pos.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_dup_tokens")
@@ -769,22 +793,26 @@ def remove_duplicated_spans(
     window: int = 10,
     min_count: int = 2,
     out_col: str = "cleaned",
+    unit: str = "word",
 ) -> DataFrame:
-    """(id, cleaned): each doc with every token covered by a
-    corpus-globally repeated ``window``-token gram removed — the
+    """(id, cleaned): each doc with every unit covered by a
+    corpus-globally repeated ``window``-unit gram removed — the
     destructive complement of ``duplicated_span_stats`` (same marking
     pass), for stripping license blocks/navigation chrome/templated
     boilerplate that whole-doc dedup cannot touch because the
     SURROUNDING text differs.
 
-    The rebuild concatenates surviving tokens in position order with
-    single spaces (token-level semantics: original inter-token
-    whitespace is already normalized away by ``tokens``). A fully
-    boilerplate doc comes back as '' — filter on
-    ``duplicated_span_stats`` first if you'd rather drop such docs.
+    With ``unit='word'`` the rebuild concatenates surviving tokens in
+    position order with single spaces (token-level semantics:
+    original inter-token whitespace is already normalized away by
+    ``tokens``); with ``unit='char'`` surviving characters rejoin
+    with no separator, so untouched text comes back byte-identical —
+    the full-fidelity Lee et al. ExactSubstr cut. A fully boilerplate
+    doc comes back as '' — filter on ``duplicated_span_stats`` first
+    if you'd rather drop such docs.
     """
     toks, dup_pos = _dup_window_positions(
-        df, text_col, id_col, window, min_count
+        df, text_col, id_col, window, min_count, unit
     )
     kept = (
         toks.select("id", F.posexplode("ts").alias("pos", "tok"))
@@ -796,7 +824,7 @@ def remove_duplicated_spans(
                     F.array_sort(F.collect_list(F.struct("pos", "tok"))),
                     lambda s: s["tok"],
                 ),
-                " ",
+                " " if unit == "word" else "",
             ).alias(out_col)
         )
     )

@@ -1547,6 +1547,81 @@ def test_remove_duplicated_spans_strips_planted_boilerplate(spark):
     assert stats[0]["n_dup_tokens"] == 13  # the full shared prefix
 
 
+def test_duplicated_spans_char_unit_matches_sequential_oracle(spark):
+    """unit='char' is the full-fidelity ExactSubstr granularity: every
+    character offset windows, so SUB-TOKEN repeats (invisible to the
+    word mode) are caught, marked spans rejoin byte-identically, and
+    both stats and removal match a sequential substring-count
+    oracle."""
+    from dw_etl_spark.operators.text_dedup import (
+        duplicated_span_stats,
+        remove_duplicated_spans,
+    )
+
+    w = 12
+    boiler = "COPYRIGHT-HEADER-XYZ"  # repeats across docs mid-token
+    rows = [
+        (0, f"alpha{boiler}omega first body"),
+        (1, f"prefix one {boiler} tail two"),
+        (2, "completely different text with nothing shared"),
+        (3, "short"),
+    ]
+    texts = dict(rows)
+
+    # sequential oracle: corpus-global w-char window counts
+    from collections import Counter
+
+    counts = Counter(
+        t[i : i + w] for t in texts.values() for i in range(len(t) - w + 1)
+    )
+    marked = {}
+    for did, t in texts.items():
+        m = [False] * len(t)
+        for i in range(len(t) - w + 1):
+            if counts[t[i : i + w]] >= 2:
+                for j in range(i, i + w):
+                    m[j] = True
+        marked[did] = m
+    want_stats = {
+        did: sum(m) for did, m in marked.items()
+    }
+    want_clean = {
+        did: "".join(c for c, flag in zip(texts[did], marked[did]) if not flag)
+        for did in texts
+    }
+    assert want_stats[0] > 0 and want_stats[2] == 0  # oracle sanity
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = {
+        r["id"]: r
+        for r in duplicated_span_stats(
+            df, "text", "doc_id", window=w, min_count=2, unit="char"
+        ).collect()
+    }
+    for did, t in texts.items():
+        assert stats[did]["n_tokens"] == len(t), did
+        assert stats[did]["n_dup_tokens"] == want_stats[did], did
+
+    cleaned = {
+        r["id"]: r["cleaned"]
+        for r in remove_duplicated_spans(
+            df, "text", "doc_id", window=w, min_count=2, unit="char"
+        ).collect()
+    }
+    assert cleaned == want_clean
+    # untouched docs come back byte-identical (no token renormalization)
+    assert cleaned[2] == texts[2] and cleaned[3] == texts[3]
+    # the word mode cannot see this boilerplate at any window size —
+    # the repeat straddles token boundaries with differing neighbors
+    word_stats = {
+        r["id"]: r["n_dup_tokens"]
+        for r in duplicated_span_stats(
+            df, "text", "doc_id", window=2, min_count=2, unit="word"
+        ).collect()
+    }
+    assert word_stats[0] == 0
+
+
 # ---------------------------------------------------------------------------
 # corpus mixing: per-group quotas + mixture weights (round 5)
 # ---------------------------------------------------------------------------
