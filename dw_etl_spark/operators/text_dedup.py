@@ -673,11 +673,13 @@ def _dup_window_positions(
     df: DataFrame, text_col: str, id_col: str, window: int, min_count: int,
     unit: str = "word",
 ):
-    """(unit frame, duplicated unit positions) shared by the span
-    stats and the span remover. Windows are hashed (one 64-bit digest
-    per window), counted corpus-globally, and windows whose gram
-    occurs >= min_count times anywhere mark every unit position they
-    cover. ``unit`` picks the granularity: 'word' (whitespace tokens —
+    """(unit frame, all duplicated unit positions, non-first
+    duplicated unit positions) shared by the span stats and the span
+    remover — the third frame excludes each gram's corpus-global
+    first occurrence, for the keep-one-copy policy. Windows are
+    hashed (one 64-bit digest per window), counted corpus-globally,
+    and windows whose gram occurs >= min_count times anywhere mark
+    every unit position they cover. ``unit`` picks the granularity: 'word' (whitespace tokens —
     the production default) or 'char' (every character offset — the
     full-fidelity Lee et al. ExactSubstr granularity, ~5× the rows).
     The hashed-window frame is lazily localCheckpoint-pinned:
@@ -715,12 +717,30 @@ def _dup_window_positions(
     ).localCheckpoint(eager=False)
     dup_g = (
         wins.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            # corpus-global first occurrence of the gram — one extra
+            # agg column in the SAME shuffle, consumed only by the
+            # keep='first' remover
+            F.min(F.struct("id", "wpos")).alias("__first"),
+        )
         .filter(F.col("__c") >= min_count)
-        .select("g")
+        .select("g", "__first")
     )
-    dup_pos = (
-        wins.join(dup_g, "g")
+    occ = wins.join(dup_g, "g")
+    dup_pos_all = occ.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("wpos"), F.col("wpos") + F.lit(window - 1))
+        ).alias("pos"),
+    ).distinct()
+    dup_pos_nonfirst = (
+        occ.filter(
+            ~(
+                (F.col("id") == F.col("__first.id"))
+                & (F.col("wpos") == F.col("__first.wpos"))
+            )
+        )
         .select(
             "id",
             F.explode(
@@ -729,7 +749,7 @@ def _dup_window_positions(
         )
         .distinct()
     )
-    return toks, dup_pos
+    return toks, dup_pos_all, dup_pos_nonfirst
 
 
 def duplicated_span_stats(
@@ -762,7 +782,7 @@ def duplicated_span_stats(
     explode of only the duplicated windows. Docs shorter than
     ``window`` units contribute no windows and get fraction 0.
     """
-    toks, dup_pos = _dup_window_positions(
+    toks, dup_pos, _ = _dup_window_positions(
         df, text_col, id_col, window, min_count, unit
     )
     per_doc = dup_pos.groupBy("id").agg(
@@ -794,6 +814,7 @@ def remove_duplicated_spans(
     min_count: int = 2,
     out_col: str = "cleaned",
     unit: str = "word",
+    keep: str = "none",
 ) -> DataFrame:
     """(id, cleaned): each doc with every unit covered by a
     corpus-globally repeated ``window``-unit gram removed — the
@@ -801,6 +822,17 @@ def remove_duplicated_spans(
     pass), for stripping license blocks/navigation chrome/templated
     boilerplate that whole-doc dedup cannot touch because the
     SURROUNDING text differs.
+
+    ``keep`` picks the ExactSubstr policy: ``'none'`` (default)
+    removes every occurrence of a duplicated span — the boilerplate-
+    strip reading; ``'first'`` retains the corpus-global FIRST
+    occurrence (min (doc id, position)) and removes only the others —
+    the Lee et al. keep-one-copy reading, so the corpus keeps exactly
+    one copy of each repeated span instead of zero. Every window of a
+    long repeated span picks the same first document, so the whole
+    span survives there contiguously. Same plan either way — the
+    first-occurrence pick is one extra agg column in the gram-count
+    shuffle, not an extra pass.
 
     With ``unit='word'`` the rebuild concatenates surviving tokens in
     position order with single spaces (token-level semantics:
@@ -811,9 +843,12 @@ def remove_duplicated_spans(
     doc comes back as '' — filter on ``duplicated_span_stats`` first
     if you'd rather drop such docs.
     """
-    toks, dup_pos = _dup_window_positions(
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    toks, dup_pos_all, dup_pos_nonfirst = _dup_window_positions(
         df, text_col, id_col, window, min_count, unit
     )
+    dup_pos = dup_pos_all if keep == "none" else dup_pos_nonfirst
     kept = (
         toks.select("id", F.posexplode("ts").alias("pos", "tok"))
         .join(dup_pos, ["id", "pos"], "left_anti")

@@ -1547,6 +1547,48 @@ def test_remove_duplicated_spans_strips_planted_boilerplate(spark):
     assert stats[0]["n_dup_tokens"] == 13  # the full shared prefix
 
 
+def test_remove_duplicated_spans_keep_first_retains_one_copy(spark):
+    """keep='first' is the Lee et al. ExactSubstr policy: the
+    corpus-global first occurrence (min doc id, then position) of a
+    repeated span survives contiguously; every other copy is removed
+    — including a within-doc self-repeat, where the earlier position
+    wins. keep='none' (default) removes all copies."""
+    from dw_etl_spark.operators.text_dedup import remove_duplicated_spans
+
+    header = "licensed under the apache license version two zero see notice"
+    rows = [
+        (3, f"{header} body of the later document"),
+        (1, f"{header} body of the earliest document"),
+        (7, f"unique prose then {header} trailing words"),
+        # within-doc self-repeat: the SAME 10-token run twice
+        (9, "r0 r1 r2 r3 r4 r5 r6 r7 r8 r9 middle r0 r1 r2 r3 r4 r5 r6 r7 r8 r9"),
+        (5, "entirely distinct text with no ten token repeat anywhere"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    first = {
+        r["id"]: r["cleaned"]
+        for r in remove_duplicated_spans(
+            df, "text", "doc_id", window=10, min_count=2, keep="first"
+        ).collect()
+    }
+    # min doc id (1) keeps the full header; 3 and 7 lose it
+    assert first[1].startswith(header)
+    assert header not in first[3] and header not in first[7]
+    assert "unique prose then" in first[7]
+    # self-repeat: earlier run survives, later one removed
+    assert first[9] == "r0 r1 r2 r3 r4 r5 r6 r7 r8 r9 middle"
+    assert first[5] == rows[4][1]
+
+    none = {
+        r["id"]: r["cleaned"]
+        for r in remove_duplicated_spans(
+            df, "text", "doc_id", window=10, min_count=2, keep="none"
+        ).collect()
+    }
+    assert all(header not in none[i] for i in (1, 3, 7))
+    assert none[9] == "middle"
+
+
 def test_duplicated_spans_char_unit_matches_sequential_oracle(spark):
     """unit='char' is the full-fidelity ExactSubstr granularity: every
     character offset windows, so SUB-TOKEN repeats (invisible to the
