@@ -150,26 +150,32 @@ def ks_statistic(
         .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
         .collect()
     }
-    off_a, off_b, run_a, run_b = {}, {}, 0, 0
+    off_rows, run_a, run_b = [], 0, 0
     for pid in sorted(totals):
-        off_a[pid], off_b[pid] = run_a, run_b
+        off_rows.append((pid, run_a, run_b))
         run_a += totals[pid][0]
         run_b += totals[pid][1]
-    oa = F.create_map(
-        *[F.lit(x) for kv in off_a.items() for x in kv]
-    )[F.col("__pid")]
-    ob = F.create_map(
-        *[F.lit(x) for kv in off_b.items() for x in kv]
-    )[F.col("__pid")]
+    # offsets ride in as ONE broadcast #partitions-row frame, not as
+    # per-partition create_map literals — at a 32k-task parallelism
+    # the literal map is an O(parts) plan-size bomb (same failure
+    # class as plan-literal IVF centroids / group-CASE qcut); the
+    # join form is the shape pack_into_shards already uses
+    offsets = ranged.sparkSession.createDataFrame(
+        off_rows, "__pid int, __oa long, __ob long"
+    )
     w = Window.partitionBy("__pid").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    d = ranged.select(
-        F.abs(
-            (F.sum("ca").over(w) + oa) / F.lit(float(na))
-            - (F.sum("cb").over(w) + ob) / F.lit(float(nb))
-        ).alias("d")
-    ).agg(F.max("d").alias("ks"))
+    d = (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .select(
+            F.abs(
+                (F.sum("ca").over(w) + F.col("__oa")) / F.lit(float(na))
+                - (F.sum("cb").over(w) + F.col("__ob")) / F.lit(float(nb))
+            ).alias("d")
+        )
+        .agg(F.max("d").alias("ks"))
+    )
     out = float(d.collect()[0]["ks"])
     ranged.unpersist()
     return out
