@@ -86,3 +86,23 @@ def plan_summary(df: DataFrame, finalize: bool = False) -> dict:
         "windows": plain.count("Window ["),
         "aggregates": plain.count("HashAggregate"),
     }
+
+
+def logical_plan_size(df: DataFrame) -> int:
+    """Length of the optimized LOGICAL plan string — the counter the
+    plan-literal regression pins assert on.
+
+    Data smuggled into the plan as literals (k-means centroids as
+    column literals, one CASE branch per group, one map entry per
+    partition offset) shows up here as growth proportional to a DATA
+    dimension — the failure class that makes a query planner, not the
+    executors, the bottleneck at scale. The engine's rule: anything
+    sized by data rides as a broadcast relation (one plan node at any
+    cardinality); a bounded literal (label lists, bin edges, bounded
+    group CASE under ``max_literal_groups``) may inline. Pin the rule
+    with ``assert logical_plan_size(big) < logical_plan_size(small) *
+    slack`` while sweeping the data dimension — see
+    ``test_ivf_topk_plan_stays_bounded_at_256_centroids`` and
+    ``test_qcut_expr_plan_stays_bounded_at_high_group_count``.
+    """
+    return len(df._jdf.queryExecution().optimizedPlan().toString())

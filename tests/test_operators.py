@@ -551,6 +551,7 @@ def test_qcut_expr_plan_stays_bounded_at_high_group_count(spark):
     operator must route to the broadcast-join fallback, so the
     optimized-plan string stays bounded as groups go 10→5,000."""
     from dw_etl_spark.operators.qcut import qcut_by_group_expr
+    from dw_etl_spark.plans.audit import logical_plan_size
 
     plans = {}
     for n_groups in (10, 5000):
@@ -559,9 +560,7 @@ def test_qcut_expr_plan_stays_bounded_at_high_group_count(spark):
             (F.col("id") * 7 % 101).cast("double").alias("v"),
         )
         out = qcut_by_group_expr(df, ["g"], "v", n=3, out_col="b")
-        plans[n_groups] = len(
-            out._jdf.queryExecution().optimizedPlan().toString()
-        )
+        plans[n_groups] = logical_plan_size(out)
     # 500x the groups must NOT mean ~500x the plan: the fallback's plan
     # is O(1) in group count (one percentile agg + one broadcast join)
     assert plans[5000] < plans[10] * 5, plans

@@ -804,6 +804,7 @@ def test_ivf_topk_plan_stays_bounded_at_256_centroids(spark):
     import random
 
     from dw_etl_spark.operators.similarity import ivf_topk
+    from dw_etl_spark.plans.audit import logical_plan_size
 
     rng = random.Random(5)
     vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)]
@@ -813,9 +814,7 @@ def test_ivf_topk_plan_stays_bounded_at_256_centroids(spark):
     plans = {}
     for k_cent in (16, 256):
         out = ivf_topk(qs, df, dim=16, k=3, n_centroids=k_cent, nprobe=2)
-        plans[k_cent] = len(
-            out._jdf.queryExecution().optimizedPlan().toString()
-        )
+        plans[k_cent] = logical_plan_size(out)
         assert out.count() > 0  # still executes and returns neighbors
     # plan growth must be O(1)-ish, not O(n_centroids·dim): allow slack
     # for join-size hints but nothing near the 16x literal blowup
@@ -1987,9 +1986,15 @@ def test_ks_statistic_exact_and_edge_cases(spark):
     empty = lo.filter(F.lit(False))
     assert ks_statistic(lo, empty, "v") == 0.0
 
-    # partitioning independence
+    # partitioning independence — including a partition count far above
+    # the data parallelism (empty range partitions get zero offsets;
+    # the offsets ride as ONE broadcast frame, not 2·parts map literals)
     assert math.isclose(
         ks_statistic(a.repartition(7), b.repartition(3), "o_totalprice", num_partitions=5),
+        want, abs_tol=1e-12,
+    )
+    assert math.isclose(
+        ks_statistic(a, b, "o_totalprice", num_partitions=64),
         want, abs_tol=1e-12,
     )
 
