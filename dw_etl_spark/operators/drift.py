@@ -12,12 +12,16 @@ mix drifts. Two exact, engine-portable detectors:
   ks_statistic  — numeric drift: the exact two-sample
                   Kolmogorov-Smirnov D = max |F_a(x) − F_b(x)|,
                   evaluated at every distinct value of either side.
+  psi           — numeric drift with per-region attribution: the
+                  Population Stability Index over reference-decile
+                  bins, the production monitoring standard.
 
 Scale shape: token_shift is two token-count shuffles + a full outer
 join on the token (vocabulary-sized, never corpus-sized rows past the
 counts); ks_statistic is one (value, side)-count shuffle + one
 range-sort for the running CDFs — the standard distributed sort, no
-single-reducer pass. Both are deterministic closed-form arithmetic,
+single-reducer pass; psi is two narrow binning passes + bin-count
+shuffles. All deterministic closed-form arithmetic,
 DuckDB-parity-tested.
 """
 
@@ -179,3 +183,130 @@ def ks_statistic(
     out = float(d.collect()[0]["ks"])
     ranged.unpersist()
     return out
+
+
+def psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    edges: list[float] | None = None,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index over a numeric column — the
+    production drift scalar between a reference snapshot (``df_a``)
+    and a current one (``df_b``):
+
+        PSI = Σ_bins (p_b − p_a) · ln(p_b / p_a)
+
+    with proportions floored at ``eps`` so empty bins stay finite (the
+    standard industry convention; <0.1 stable, 0.1–0.25 drifting,
+    >0.25 shifted). Complements ``ks_statistic`` (exact, but one
+    number with no per-region attribution): PSI's per-bin terms say
+    WHERE the mass moved.
+
+    ``edges`` are the interior bin edges; when omitted they come from
+    the REFERENCE side's exact deciles (``percentile`` — exact-rank,
+    engine-portable), which is the textbook setup: bins hold ~equal
+    reference mass, so current-side imbalance is pure drift signal.
+    Rows outside the edges fall into the open first/last bins; NULLs
+    are excluded.
+
+    Output: one row per bin (bin, lo, hi, p_a, p_b, psi_term, all
+    rounded to 6) plus a ('total', NULL, NULL, NULL, NULL, PSI) row —
+    the same tall sectioned shape as ``token_shift``. Scale: two
+    narrow binning passes + two bin-keyed count shuffles (bin count
+    rows); the edges, when derived, are one ``percentile`` agg over
+    the reference — never a sort of either corpus.
+    """
+    a = df_a.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    b = df_b.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    if edges is None:
+        qs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+        got = a.agg(
+            F.expr(f"percentile(v, array({qs}))").alias("e")
+        ).collect()[0]["e"]
+        edges = [] if got is None else [float(x) for x in got]
+    # dedup (constant columns collapse edges) while preserving order
+    edges = sorted(set(edges))
+
+    def bin_of(v):
+        # bucket = #{edges e : v > e} — same unrolled-comparison shape
+        # as qcut_by_group_expr's fallback, fully codegen'd
+        idx = F.lit(0)
+        for e in edges:
+            idx = idx + F.when(v > F.lit(e), 1).otherwise(0)
+        return idx
+
+    def binned(df, side):
+        return (
+            df.select(bin_of(F.col("v")).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    na, nb = a.count(), b.count()
+    if na == 0 or nb == 0:
+        spark = df_a.sparkSession
+        return spark.createDataFrame(
+            [],
+            "bin string, lo double, hi double, p_a double, p_b double, "
+            "psi_term double",
+        )
+    # materialize every bin 0..len(edges) so empty bins get the eps
+    # floor on BOTH sides (a missing row would silently drop its term)
+    spark = df_a.sparkSession
+    all_bins = spark.createDataFrame(
+        [
+            (
+                i,
+                edges[i - 1] if i > 0 else None,
+                edges[i] if i < len(edges) else None,
+            )
+            for i in range(len(edges) + 1)
+        ],
+        "bin int, lo double, hi double",
+    )
+    joined = (
+        all_bins.join(binned(a, "a"), "bin", "left")
+        .join(binned(b, "b"), "bin", "left")
+        .select(
+            "bin",
+            "lo",
+            "hi",
+            F.greatest(
+                F.coalesce(F.col("c_a"), F.lit(0)) / F.lit(float(na)),
+                F.lit(eps),
+            ).alias("p_a"),
+            F.greatest(
+                F.coalesce(F.col("c_b"), F.lit(0)) / F.lit(float(nb)),
+                F.lit(eps),
+            ).alias("p_b"),
+        )
+        .withColumn(
+            "psi_term",
+            (F.col("p_b") - F.col("p_a")) * F.log(F.col("p_b") / F.col("p_a")),
+        )
+        .localCheckpoint(eager=False)  # rows AND the total both read it
+    )
+    rows = joined.select(
+        F.col("bin").cast("string").alias("bin"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_b", 6).alias("p_b"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+    total = joined.agg(F.round(F.sum("psi_term"), 6).alias("psi_term")).select(
+        F.lit("total").alias("bin"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+        F.lit(None).cast("double").alias("p_a"),
+        F.lit(None).cast("double").alias("p_b"),
+        "psi_term",
+    )
+    return rows.unionByName(total)

@@ -2122,3 +2122,76 @@ def test_embedding_profile_flags_index_poisoners(spark):
     clean = embedding_profile(emb).collect()[0]
     assert clean["n_null"] == clean["n_wrong_dim"] == clean["n_zero_norm"] == 0
     assert clean["dim"] == 64 and clean["norm_min"] > 0
+
+
+def test_psi_matches_duckdb_twin_and_edge_cases(spark):
+    """PSI over reference-decile bins vs a full DuckDB replay (edges
+    from quantile_cont ≡ percentile, correlated bin-of counts, eps
+    floor, per-bin terms + total). Identical sides → ~0; disjoint
+    supports → large; empty side → empty frame."""
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark.operators.drift import psi
+    from dw_etl_spark.sources.files import read_table
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    got = psi(a, b, "o_totalprice", n_bins=10)
+
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    sql = f"""
+WITH a AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+           WHERE o_orderkey % 2 = 0),
+b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderkey % 2 = 1),
+eo AS (SELECT e, row_number() OVER (ORDER BY e) AS r FROM (
+         SELECT DISTINCT unnest(quantile_cont(v, [{qs}])) AS e FROM a)),
+bins AS (SELECT 0 AS bin UNION ALL SELECT CAST(r AS INTEGER) FROM eo),
+lohi AS (SELECT bin,
+                (SELECT e FROM eo WHERE r = bin) AS lo,
+                (SELECT e FROM eo WHERE r = bin + 1) AS hi
+         FROM bins),
+ca AS (SELECT bin, count(*) AS c FROM (
+         SELECT (SELECT count(*) FROM eo WHERE eo.e < a.v) AS bin FROM a)
+       GROUP BY bin),
+cb AS (SELECT bin, count(*) AS c FROM (
+         SELECT (SELECT count(*) FROM eo WHERE eo.e < b.v) AS bin FROM b)
+       GROUP BY bin),
+terms AS (
+  SELECT l.bin, l.lo, l.hi,
+         greatest(coalesce(ca.c, 0) / CAST((SELECT count(*) FROM a) AS DOUBLE),
+                  1e-6) AS p_a,
+         greatest(coalesce(cb.c, 0) / CAST((SELECT count(*) FROM b) AS DOUBLE),
+                  1e-6) AS p_b
+  FROM lohi l LEFT JOIN ca ON l.bin = ca.bin LEFT JOIN cb ON l.bin = cb.bin)
+SELECT CAST(bin AS VARCHAR) AS bin, round(lo, 6) AS lo, round(hi, 6) AS hi,
+       round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+       round((p_b - p_a) * ln(p_b / p_a), 6) AS psi_term
+FROM terms
+UNION ALL
+SELECT 'total', NULL, NULL, NULL, NULL,
+       round(sum((p_b - p_a) * ln(p_b / p_a)), 6)
+FROM terms
+"""
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(got, con, sql)
+    con.close()
+
+    total = {r["bin"]: r["psi_term"] for r in got.collect()}["total"]
+    assert 0.0 <= total < 0.25  # same generator → stable-ish
+
+    # identical sides → every floored term 0
+    same = {r["bin"]: r["psi_term"] for r in psi(a, a, "o_totalprice").collect()}
+    assert same["total"] == 0.0
+
+    # disjoint supports → mass fully migrates, PSI far over the 0.25 bar
+    lo_df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    hi_df = spark.createDataFrame([(1000.0 + i,) for i in range(100)], "v double")
+    disj = {r["bin"]: r["psi_term"] for r in psi(lo_df, hi_df, "v").collect()}
+    assert disj["total"] > 1.0
+
+    # empty side → empty frame, schema preserved
+    empty = psi(lo_df, lo_df.filter(F.lit(False)), "v")
+    assert empty.count() == 0
+    assert "psi_term" in empty.columns
