@@ -2195,3 +2195,77 @@ FROM terms
     empty = psi(lo_df, lo_df.filter(F.lit(False)), "v")
     assert empty.count() == 0
     assert "psi_term" in empty.columns
+
+
+# ---------------------------------------------------------------------------
+# real BPE: train merges + corpus-scale encode (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_train_bpe_reproduces_sennrich_example(spark):
+    """The canonical corpus from Sennrich et al. 2016 must learn the
+    canonical merge sequence (deterministic tie-break: count DESC,
+    pair lexicographic ASC)."""
+    from dw_etl_spark.operators.bpe import train_bpe
+
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    df = spark.createDataFrame(rows, "text string")
+    merges = train_bpe(df, "text", num_merges=5, min_freq=1)
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+
+
+def test_bpe_encode_matches_per_word_oracle_and_reassembles(spark):
+    """Encoding with learned merges: the famous 'lowest' → [low,
+    est</w>] segmentation; per-word pieces always concatenate back to
+    word+</w>; per-doc arrays preserve word order; empty docs get
+    empty arrays; result is partition-independent."""
+    from dw_etl_spark.operators.bpe import (
+        END,
+        _encode_word,
+        bpe_encode,
+        train_bpe,
+    )
+
+    corpus = spark.createDataFrame(
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3,
+        "text string",
+    )
+    merges = train_bpe(corpus, "text", num_merges=5, min_freq=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _encode_word("lowest", ranks) == ["low", "est</w>"]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "lowest newest"),
+            (2, "the widest low"),
+            (3, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    for parts in (1, 4):
+        got = {
+            r["id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+            for r in bpe_encode(
+                docs.repartition(parts), "text", merges
+            ).collect()
+        }
+        want1 = _encode_word("lowest", ranks) + _encode_word("newest", ranks)
+        want2 = (
+            _encode_word("the", ranks)
+            + _encode_word("widest", ranks)
+            + _encode_word("low", ranks)
+        )
+        assert got[1] == (want1, len(want1)), parts
+        assert got[2] == (want2, len(want2)), parts
+        assert got[3] == ([], 0), parts
+    # reassembly invariant: pieces concat back to word + END marker
+    for w in ("lowest", "newest", "widest", "the", "zzz"):
+        assert "".join(_encode_word(w, ranks)) == w + END
