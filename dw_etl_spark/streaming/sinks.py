@@ -288,3 +288,75 @@ def neardup_filter_stream_writer(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_monitor_stream_writer(
+    stream: DataFrame,
+    reference: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str | None = None,
+    numeric_col: str | None = None,
+    psi_edges: list[float] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming drift monitor: each micro-batch is compared against a
+    pinned REFERENCE snapshot and one metrics row per detector lands
+    in ``out_path/epoch=<epoch_id>/`` — the ingest-pipeline tripwire
+    ("did today's crawl change?") as a sink instead of an ad-hoc job.
+
+    Detectors (each optional): ``text_col`` → corpus JSD
+    (``token_shift`` total row); ``numeric_col`` → exact two-sample KS
+    and PSI (``psi_edges`` pins the bins; default: reference deciles,
+    recomputed per epoch — pass edges explicitly on a big reference).
+    Every epoch also records ``n_rows``. Output schema:
+    (metric string, value double) partitioned by epoch.
+
+    Exactly-once: the epoch-scoped ``mode('overwrite')`` write makes
+    replays idempotent (same pattern as
+    ``neardup_filter_stream_writer``); the reference frame is
+    persisted once here and reused across epochs, so the per-epoch
+    cost is batch-sized plus a reference scan from cache.
+
+    Alerting is the caller's policy: read ``out_path`` as partitioned
+    parquet and threshold (PSI > 0.25, JSD > ~0.1·ln 2, KS per your
+    sample sizes).
+    """
+    from dw_etl_spark.operators.drift import ks_statistic, psi, token_shift
+
+    reference = reference.persist()
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)  # consumed per detector
+        rows = [("n_rows", float(batch.count()))]
+        if text_col is not None:
+            total = (
+                token_shift(reference, batch, text_col, k=1)
+                .filter(F.col("kind") == "total")
+                .collect()
+            )
+            rows.append(
+                ("jsd", float(total[0]["delta"]) if total else 0.0)
+            )
+        if numeric_col is not None:
+            rows.append(
+                ("ks", ks_statistic(reference, batch, numeric_col))
+            )
+            p = {
+                r["bin"]: r["psi_term"]
+                for r in psi(
+                    reference, batch, numeric_col, edges=psi_edges
+                ).collect()
+            }
+            rows.append(("psi", float(p.get("total", 0.0))))
+        spark.createDataFrame(rows, "metric string, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{out_path}/epoch={int(epoch_id)}")
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -309,3 +309,57 @@ def test_manifest_parquet_sink_two_phase_commit(spark, tmp_path):
         r["event_id"]
         for r in read_table(spark, SF_SMOKE, "events").collect()
     )
+
+
+def test_drift_monitor_stream_writer_flags_shifted_epoch(spark, tmp_path):
+    """Two file-stream epochs against a pinned reference: the
+    same-distribution epoch reads stable (KS small, PSI under the 0.25
+    bar), the shifted epoch trips every detector (disjoint numeric
+    support → KS=1, PSI deep in 'shifted'; new vocabulary → JSD up);
+    n_rows lands per epoch and metrics are epoch-partitioned."""
+    import json
+
+    from dw_etl_spark.streaming.sinks import drift_monitor_stream_writer
+
+    ref = spark.createDataFrame(
+        [(f"alpha beta gamma tok{i % 7}", float(i % 100)) for i in range(400)],
+        "text string, v double",
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("text string, v double").json(str(src))
+        q = drift_monitor_stream_writer(
+            stream, ref, out, ckpt, text_col="text", numeric_col="v"
+        )
+        q.awaitTermination()
+
+    # epoch 0: same generator → no drift
+    (src / "e0.json").write_text(
+        "\n".join(
+            json.dumps({"text": f"alpha beta gamma tok{i % 7}", "v": float(i % 100)})
+            for i in range(200)
+        )
+    )
+    run()
+    # epoch 1: disjoint numeric support + new vocabulary
+    (src / "e1.json").write_text(
+        "\n".join(
+            json.dumps({"text": f"omega psi chi new{i % 5}", "v": 5000.0 + i})
+            for i in range(200)
+        )
+    )
+    run()
+
+    rows = spark.read.parquet(out).collect()
+    m = {}
+    for r in rows:
+        m.setdefault(int(r["epoch"]), {})[r["metric"]] = r["value"]
+    assert set(m) == {0, 1}
+    assert m[0]["n_rows"] == 200.0 and m[1]["n_rows"] == 200.0
+    assert m[0]["ks"] < 0.1 and m[0]["psi"] < 0.25
+    assert m[1]["ks"] == 1.0 and m[1]["psi"] > 1.0
+    assert m[1]["jsd"] > m[0]["jsd"]
