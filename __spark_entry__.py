@@ -257,11 +257,48 @@ _DESCRIBE_PCTS = (0.01, 0.05, 0.5, 0.95, 0.99)
 
 
 def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 describe-percentiles profile (reference raw_analysis stats)."""
+    """A10 describe-percentiles profile (reference raw_analysis stats).
+
+    r6 rode-alongs (previously pytest-only): the drift family joins the
+    hard gate as extra (col_name='drift:…', metric, value) rows —
+    exact two-sample KS and PSI between the even/odd-orderkey halves
+    of orders, and corpus JSD between the even/odd halves of
+    documents. The oracle replays each in closed-form SQL."""
+    from dw_etl_spark.operators.drift import ks_statistic, psi, token_shift
+
     out = describe_numeric(
         read_table(spark, sf_dir, "lineitem"), _DESCRIBE_COLS, _DESCRIBE_PCTS
     )
-    return out.select("col_name", "metric", F.round("value", 6).alias("value"))
+    base = out.select("col_name", "metric", F.round("value", 6).alias("value"))
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    ks = round(ks_statistic(a, b, "o_totalprice"), 6)
+    p_total = {
+        r["bin"]: r["psi_term"]
+        for r in psi(a, b, "o_totalprice", n_bins=10).collect()
+    }["total"]
+    docs = read_table(spark, sf_dir, "documents")
+    jsd = (
+        token_shift(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            "text",
+            k=1,
+        )
+        .filter(F.col("kind") == "total")
+        .collect()[0]["delta"]
+    )
+    drift_rows = spark.createDataFrame(
+        [
+            ("drift:o_totalprice", "ks", float(ks)),
+            ("drift:o_totalprice", "psi", float(p_total)),
+            ("drift:documents_text", "jsd", float(jsd)),
+        ],
+        "col_name string, metric string, value double",
+    )
+    return base.unionByName(drift_rows)
 
 
 def _describe_stats_sql() -> str:
@@ -279,6 +316,72 @@ def _describe_stats_sql() -> str:
                 f"SELECT '{c}', 'p{int(p * 100):02d}', "
                 f"quantile_cont({c}, {p}) FROM lineitem"
             )
+    # drift rode-alongs: KS via running CDFs at every distinct value,
+    # PSI over reference-decile bins, JSD over the union vocabulary —
+    # each a closed-form replay of operators/drift.py
+    blocks.append(
+        """SELECT 'drift:o_totalprice', 'ks', (
+  WITH oa AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+              WHERE o_orderkey % 2 = 0),
+  ob AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+         WHERE o_orderkey % 2 = 1),
+  pts AS (SELECT v, sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS cb
+          FROM (SELECT v, 'a' AS s FROM oa
+                UNION ALL SELECT v, 'b' AS s FROM ob)
+          GROUP BY v),
+  cdf AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+                 sum(cb) OVER (ORDER BY v) AS cum_b FROM pts)
+  SELECT max(abs(cum_a / CAST((SELECT count(*) FROM oa) AS DOUBLE)
+              - cum_b / CAST((SELECT count(*) FROM ob) AS DOUBLE)))
+  FROM cdf)"""
+    )
+    psi_qs = ", ".join(str(i / 10) for i in range(1, 10))
+    blocks.append(
+        f"""SELECT 'drift:o_totalprice', 'psi', (
+  WITH pa AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+              WHERE o_orderkey % 2 = 0),
+  pb AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+         WHERE o_orderkey % 2 = 1),
+  eo AS (SELECT e, row_number() OVER (ORDER BY e) AS r FROM (
+           SELECT DISTINCT unnest(quantile_cont(v, [{psi_qs}])) AS e
+           FROM pa)),
+  bins AS (SELECT 0 AS bin UNION ALL SELECT CAST(r AS INTEGER) FROM eo),
+  ca AS (SELECT bin, count(*) AS c FROM (
+           SELECT (SELECT count(*) FROM eo WHERE eo.e < pa.v) AS bin
+           FROM pa) GROUP BY bin),
+  cb AS (SELECT bin, count(*) AS c FROM (
+           SELECT (SELECT count(*) FROM eo WHERE eo.e < pb.v) AS bin
+           FROM pb) GROUP BY bin),
+  terms AS (SELECT
+      greatest(coalesce(ca.c, 0)
+               / CAST((SELECT count(*) FROM pa) AS DOUBLE), 1e-6) AS p_a,
+      greatest(coalesce(cb.c, 0)
+               / CAST((SELECT count(*) FROM pb) AS DOUBLE), 1e-6) AS p_b
+    FROM bins LEFT JOIN ca ON bins.bin = ca.bin
+              LEFT JOIN cb ON bins.bin = cb.bin)
+  SELECT sum((p_b - p_a) * ln(p_b / p_a)) FROM terms)"""
+    )
+    tok = oracles.tokens("text")
+    blocks.append(
+        f"""SELECT 'drift:documents_text', 'jsd', (
+  WITH ta AS (SELECT unnest({tok}) AS token FROM documents
+              WHERE doc_id % 2 = 0),
+  tb AS (SELECT unnest({tok}) AS token FROM documents
+         WHERE doc_id % 2 = 1),
+  ca AS (SELECT token, count(*) AS c FROM ta GROUP BY token),
+  cb AS (SELECT token, count(*) AS c FROM tb GROUP BY token),
+  j AS (SELECT
+      coalesce(ca.c, 0) / CAST((SELECT sum(c) FROM ca) AS DOUBLE) AS p_a,
+      coalesce(cb.c, 0) / CAST((SELECT sum(c) FROM cb) AS DOUBLE) AS p_b
+    FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
+  SELECT sum(
+      CASE WHEN p_a > 0
+           THEN p_a * ln(p_a / ((p_a + p_b) / 2)) / 2 ELSE 0 END
+    + CASE WHEN p_b > 0
+           THEN p_b * ln(p_b / ((p_a + p_b) / 2)) / 2 ELSE 0 END)
+  FROM j)"""
+    )
     inner = " UNION ALL ".join(blocks)
     return (
         f"SELECT col_name, metric, round(v, 6) AS value FROM ({inner})"
