@@ -270,7 +270,14 @@ def qcut_by_group_expr(
                 out = out.withColumn(oc, F.when(v.isNotNull(), expr))
         return out
 
-    # fallback: grouped percentile agg + broadcast join
+    # fallback: grouped percentile agg joined back. No broadcast HINT:
+    # this path runs exactly when the group count is large or unknown
+    # (histogram overflow / over max_literal_groups), so forcing the
+    # edges frame driver-side could itself blow the broadcast limit at
+    # e.g. 10M groups — AQE converts to broadcast at runtime whenever
+    # the aggregated edges frame is actually small, and keys the
+    # shuffle on the group otherwise (the co-partitioned-with-the-agg
+    # case).
     qs = ", ".join(repr(i / n) for i in range(n + 1))
     edges = df.groupBy(*group_by).agg(
         *[
@@ -278,7 +285,7 @@ def qcut_by_group_expr(
             for c in value_cols
         ]
     )
-    out = df.join(F.broadcast(edges), group_by)
+    out = df.join(edges, group_by)
     for vc, oc in zip(value_cols, out_cols):
         uniq = F.array_distinct(F.col(f"__edges_{vc}"))
         sz = F.size(uniq)
