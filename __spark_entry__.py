@@ -263,8 +263,13 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard gate as extra (col_name='drift:…', metric, value) rows —
     exact two-sample KS and PSI between the even/odd-orderkey halves
     of orders, and corpus JSD between the even/odd halves of
-    documents. The oracle replays each in closed-form SQL."""
+    documents — plus the numeric-preprocessing pair: winsorized
+    mean/min/max ('winsor:…' — the clip bounds ARE the exact 1%/99%
+    percentiles, so the min/max rows pin bracketed_exact_percentiles
+    against quantile_cont) and z-score extrema ('zscore:…'). The
+    oracle replays each in closed-form SQL."""
     from dw_etl_spark.operators.drift import ks_statistic, psi, token_shift
+    from dw_etl_spark.operators.profile import standardize, winsorize
 
     out = describe_numeric(
         read_table(spark, sf_dir, "lineitem"), _DESCRIBE_COLS, _DESCRIBE_PCTS
@@ -298,7 +303,34 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "col_name string, metric string, value double",
     )
-    return base.unionByName(drift_rows)
+
+    li = read_table(spark, sf_dir, "lineitem")
+    wrow = (
+        winsorize(li.select("l_extendedprice"), ["l_extendedprice"], 0.01, 0.99)
+        .agg(
+            F.round(F.avg("l_extendedprice"), 6).alias("mean"),
+            F.round(F.min("l_extendedprice"), 6).alias("min"),
+            F.round(F.max("l_extendedprice"), 6).alias("max"),
+        )
+        .selectExpr(
+            "stack(3, 'mean', mean, 'min', min, 'max', max) AS (metric, value)"
+        )
+        .select(
+            F.lit("winsor:l_extendedprice").alias("col_name"), "metric", "value"
+        )
+    )
+    zrow = (
+        standardize(li.select("l_extendedprice"), ["l_extendedprice"])
+        .agg(
+            F.round(F.min("l_extendedprice_z"), 6).alias("min"),
+            F.round(F.max("l_extendedprice_z"), 6).alias("max"),
+        )
+        .selectExpr("stack(2, 'min', min, 'max', max) AS (metric, value)")
+        .select(
+            F.lit("zscore:l_extendedprice").alias("col_name"), "metric", "value"
+        )
+    )
+    return base.unionByName(drift_rows).unionByName(wrow).unionByName(zrow)
 
 
 def _describe_stats_sql() -> str:
@@ -381,6 +413,26 @@ def _describe_stats_sql() -> str:
     + CASE WHEN p_b > 0
            THEN p_b * ln(p_b / ((p_a + p_b) / 2)) / 2 ELSE 0 END)
   FROM j)"""
+    )
+    blocks.append(
+        """SELECT 'winsor:l_extendedprice', m.metric, m.v FROM (
+  WITH wb AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                     quantile_cont(l_extendedprice, 0.99) AS hi
+              FROM lineitem),
+  wv AS (SELECT least(greatest(l_extendedprice, (SELECT lo FROM wb)),
+                      (SELECT hi FROM wb)) AS v FROM lineitem)
+  SELECT 'mean' AS metric, avg(v) AS v FROM wv
+  UNION ALL SELECT 'min', min(v) FROM wv
+  UNION ALL SELECT 'max', max(v) FROM wv) m"""
+    )
+    blocks.append(
+        """SELECT 'zscore:l_extendedprice', m.metric, m.v FROM (
+  WITH zs AS (SELECT avg(l_extendedprice) AS mu,
+                     stddev_samp(l_extendedprice) AS sd FROM lineitem),
+  zv AS (SELECT round((l_extendedprice - (SELECT mu FROM zs))
+                      / (SELECT sd FROM zs), 6) AS z FROM lineitem)
+  SELECT 'min' AS metric, min(z) AS v FROM zv
+  UNION ALL SELECT 'max', max(z) FROM zv) m"""
     )
     inner = " UNION ALL ".join(blocks)
     return (
@@ -749,8 +801,34 @@ def _docs_with_copies(spark, sf_dir: str, perturb: str | None) -> DataFrame:
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A: keep-min-id exact dedup on the corpus ∪ exact copies.
+
+    r6 rode-along (previously pytest-only): the Bloom-prefilter
+    incremental exact-dedup layer (``scale.bloom_prefilter_anti_join``,
+    exact mode) runs under via='bloom' — a shifted-id batch of every
+    document probed against the ⅔ of the corpus playing the seen
+    history; survivors must equal the plain anti-join the oracle
+    replays (Bloom has no false negatives, and exact mode verifies
+    hits), putting the bitset path itself under the hash compare."""
+    from dw_etl_spark.functions.text import fingerprint
+    from dw_etl_spark.operators.scale import bloom_prefilter_anti_join
+
     corpus = _docs_with_copies(spark, sf_dir, None)
-    return exact_dedup(corpus, "text", "doc_id").select("doc_id")
+    base = exact_dedup(corpus, "text", "doc_id").select(
+        F.lit("groupby").alias("via"), "doc_id"
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 != 0).select(
+        fingerprint("text").alias("fp")
+    )
+    batch = docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        fingerprint("text").alias("fp"),
+    )
+    fresh = bloom_prefilter_anti_join(batch, seen, "fp", num_bits=1 << 17).select(
+        F.lit("bloom").alias("via"), "doc_id"
+    )
+    return base.unionByName(fresh)
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2621,7 +2699,22 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "repetition_stats": _repetition_stats_sql(),
-        "exact_dedup": oracles.exact_dedup_sql(),
+        "exact_dedup": (
+            "SELECT 'groupby' AS via, doc_id FROM ("
+            + oracles.exact_dedup_sql()
+            + ") UNION ALL SELECT 'bloom' AS via, b.doc_id FROM "
+            "(SELECT doc_id + 500000 AS doc_id, "
+            + oracles.h64(
+                "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+            )
+            + " AS fp FROM documents) b LEFT JOIN "
+            "(SELECT DISTINCT "
+            + oracles.h64(
+                "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+            )
+            + " AS fp FROM documents WHERE doc_id % 3 <> 0) s "
+            "ON b.fp = s.fp WHERE s.fp IS NULL"
+        ),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(max_bucket_size=3),
