@@ -560,3 +560,55 @@ def test_token_shift_partition_independent_matches_counter(spark, seed):
     total = [r for r in rows if r["kind"] == "total"]
     assert len(total) == 1
     assert math.isclose(total[0]["delta"], jsd, abs_tol=1e-6), seed
+
+
+# ------------------------------------------------- BPE invariants
+
+@SLOW
+@given(seed=st.integers(0, 100_000))
+def test_bpe_roundtrip_and_training_consistency(spark, seed):
+    """Random corpora: (a) merges are deterministic across input
+    partitionings; (b) every encoded word concatenates back to
+    word+</w>; (c) encoding a TRAINING word with the learned ranks
+    reproduces the trainer's own final segmentation (the classic BPE
+    apply/train consistency invariant)."""
+    import random
+
+    from dw_etl_spark.operators.bpe import (
+        END,
+        _encode_word,
+        train_bpe,
+    )
+
+    rng = random.Random(seed)
+    alphabet = "abcdef"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(rng.randint(3, 12))
+    ]
+    rows = [(w,) for w in words for _ in range(rng.randint(1, 4))]
+    df = spark.createDataFrame(rows, "text string")
+    n_merges = rng.randint(1, 8)
+    merges = train_bpe(df, "text", num_merges=n_merges, min_freq=1)
+    assert merges == train_bpe(
+        df.repartition(5), "text", num_merges=n_merges, min_freq=1
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in set(words):
+        assert "".join(_encode_word(w, ranks)) == w + END
+
+    # trainer-side final segmentation, replayed sequentially
+    vocab = {w: list(w) + [END] for w in set(words)}
+    for a, b in merges:
+        for w, pieces in vocab.items():
+            out, i = [], 0
+            while i < len(pieces):
+                if i + 1 < len(pieces) and pieces[i] == a and pieces[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            vocab[w] = out
+    for w, want in vocab.items():
+        assert _encode_word(w, ranks) == want, (seed, w)
