@@ -121,6 +121,123 @@ def connected_components(
     )
 
 
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "warn",
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contractions (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — same output contract as
+    ``connected_components`` (node id → component min, convergence
+    stamped in metadata), different convergence physics: rounds scale
+    with log of the component size, NOT its diameter, so a
+    1M-node chain finishes in ~a dozen rounds where min-label
+    propagation needs a million. Use this when the pair graph is not
+    guaranteed to be near-dup-shaped (stars/cliques); label
+    propagation remains the cheaper default for those.
+
+    Per round: large-star hangs every node's larger neighbors off the
+    neighborhood min (one groupBy + join over the symmetrized edges),
+    small-star re-hangs the smaller ones (one groupBy + join over the
+    to-smaller directed edges) — ~4 node-keyed shuffles per round, and
+    the edge set can only shrink toward the final star forest.
+    Convergence = edge-set signature (count + xxhash XOR) stable
+    across a round; the signature is a 64-bit XOR over distinct edges,
+    so a false stop needs a hash collision (~2⁻⁶⁴, non-adversarial
+    ids).
+    """
+    if on_nonconverged not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_nonconverged: {on_nonconverged!r}")
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        return df.checkpoint()
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    nodes = _pin(
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    # directed child>parent form; self-loops contribute the node only
+    e = _pin(
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def signature(df: DataFrame):
+        # bit_xor, not sum: a LongType sum of 64-bit hashes overflows
+        # under ANSI mode; XOR is closed over int64 and order-free
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sig = signature(e)
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.col("a"), F.min("b")).alias("m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        joined = large.join(smins, "a")
+        small = (
+            joined.filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select("a", F.col("m").alias("b")))
+            .distinct()
+        )
+        e = _pin(small)
+        sig = signature(e)
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        msg = (
+            f"connected_components_two_phase did not stabilize within "
+            f"max_iter={max_iter} rounds — raise max_iter (rounds grow "
+            f"with log component size, so this indicates a very large "
+            f"component or a pathological id distribution)"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    labels = nodes.join(
+        e.select(F.col("a").alias("id"), F.col("b").alias("component")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("component", F.col("id")).alias("component"))
+    return labels.withMetadata(
+        "component", {"converged": converged, "iterations": rounds}
+    )
+
+
 def cluster_dedup(
     corpus: DataFrame,
     pairs: DataFrame,

@@ -2269,3 +2269,47 @@ def test_bpe_encode_matches_per_word_oracle_and_reassembles(spark):
     # reassembly invariant: pieces concat back to word + END marker
     for w in ("lowest", "newest", "widest", "the", "zzz"):
         assert "".join(_encode_word(w, ranks)) == w + END
+
+
+def test_two_phase_cc_equals_label_propagation_and_handles_chains(spark):
+    """Kiveris large-star/small-star must agree with min-label
+    propagation on random sparse graphs, AND converge on a 300-node
+    chain within rounds ~log(n) — the regime where label propagation
+    would need ~n rounds (it reports non-converged at the same
+    budget)."""
+    import random
+
+    import pytest
+
+    from dw_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ] + [(i, i) for i in range(0, n, 7)]  # some self-loops
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        want = {
+            r["id"]: r["component"]
+            for r in connected_components(df, max_iter=60).collect()
+        }
+        got_df = connected_components_two_phase(df, max_iter=30)
+        got = {r["id"]: r["component"] for r in got_df.collect()}
+        assert got == want, seed
+        assert got_df.schema["component"].metadata["converged"] is True
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["id_a", "id_b"]
+    )
+    out = connected_components_two_phase(chain, max_iter=15)
+    labels = {r["id"]: r["component"] for r in out.collect()}
+    assert set(labels.values()) == {0} and len(labels) == 301
+    meta = out.schema["component"].metadata
+    assert meta["converged"] is True and meta["iterations"] <= 15
+    # same budget, label propagation rightly reports non-convergence
+    with pytest.warns(RuntimeWarning):
+        connected_components(chain, max_iter=15)
