@@ -245,15 +245,25 @@ def cluster_dedup(
     src: str = "id_a",
     dst: str = "id_b",
     checkpoint_dir: str | None = None,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Keep one document per near-duplicate cluster (the minimum id),
     plus every document with no near-dup pair. ``pairs`` is any of the
     near-dup pair frames (minhash/simhash/embedding).
-    ``checkpoint_dir`` is forwarded to ``connected_components``.
+    ``checkpoint_dir`` is forwarded to the components pass.
+    ``algorithm``: 'label' (min-label propagation — cheapest on the
+    star/clique shapes near-dup graphs actually have) or 'two_phase'
+    (Kiveris large-star/small-star — log-round convergence on ANY
+    shape, the safe choice when chains are possible).
     """
-    comp = connected_components(
-        pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
+    if algorithm not in ("label", "two_phase"):
+        raise ValueError(f"algorithm: {algorithm!r}")
+    cc = (
+        connected_components
+        if algorithm == "label"
+        else connected_components_two_phase
     )
+    comp = cc(pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir)
     # the survivor of each cluster IS its component id (the min node id)
     dropped = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
