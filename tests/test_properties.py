@@ -612,3 +612,66 @@ def test_bpe_roundtrip_and_training_consistency(spark, seed):
             vocab[w] = out
     for w, want in vocab.items():
         assert _encode_word(w, ranks) == want, (seed, w)
+
+
+@_DRIFT
+@given(seed=st.integers(0, 1_000_000))
+def test_psi_partition_independent_matches_numpy(spark, seed):
+    """PSI vs a sequential numpy replay (lerp percentiles ≡ Spark
+    `percentile`), under random sizes, ties, explicit-vs-derived
+    edges, and adversarial partitionings."""
+    import math as m
+    import random
+
+    import numpy as np
+
+    from dw_etl_spark.operators.drift import psi
+
+    rng = random.Random(seed)
+    support = [float(x) for x in range(rng.randint(3, 10))]
+    va = [rng.choice(support) for _ in range(rng.randint(5, 80))]
+    vb = [rng.choice(support) for _ in range(rng.randint(5, 80))]
+    n_bins = rng.randint(2, 6)
+    a = spark.createDataFrame([(v,) for v in va], "v double").repartition(
+        rng.randint(1, 7)
+    )
+    b = spark.createDataFrame([(v,) for v in vb], "v double").repartition(
+        rng.randint(1, 7)
+    )
+    explicit = rng.random() < 0.5
+    edges = (
+        sorted({rng.choice(support) for _ in range(n_bins)})
+        if explicit
+        else None
+    )
+    got = {
+        r["bin"]: r
+        for r in psi(a, b, "v", edges=edges, n_bins=n_bins).collect()
+    }
+
+    eo = (
+        sorted(set(edges))
+        if explicit
+        else sorted(
+            {
+                float(np.percentile(va, 100 * i / n_bins))
+                for i in range(1, n_bins)
+            }
+        )
+    )
+    def bin_of(v):
+        return sum(v > e for e in eo)
+
+    terms = []
+    for i in range(len(eo) + 1):
+        pa = max(sum(bin_of(v) == i for v in va) / len(va), 1e-6)
+        pb = max(sum(bin_of(v) == i for v in vb) / len(vb), 1e-6)
+        terms.append((i, pa, pb, (pb - pa) * m.log(pb / pa)))
+    for i, pa, pb, t in terms:
+        r = got[str(i)]
+        assert m.isclose(r["p_a"], pa, abs_tol=1e-6), (seed, i)
+        assert m.isclose(r["p_b"], pb, abs_tol=1e-6), (seed, i)
+        assert m.isclose(r["psi_term"], t, abs_tol=1e-6), (seed, i)
+    assert m.isclose(
+        got["total"]["psi_term"], sum(t for *_, t in terms), abs_tol=1e-5
+    ), seed
