@@ -376,3 +376,52 @@ def strip_control_chars(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
     c = F.regexp_replace(c, "[​‌‍﻿]", "")
     return F.regexp_replace(c, r"\n{3,}", "\n\n")
+
+
+def fold_punctuation(col: Column | str) -> Column:
+    """Fold typographic punctuation to ASCII: curly/angle quotes →
+    straight quotes, the dash family → '-', ellipsis → '...', and the
+    non-breaking-space family → ' '. Composes with
+    ``strip_control_chars`` as the standard crawl-text canonicalization
+    (dedup fingerprints and n-gram stats shouldn't split on a
+    typesetter's choice of quote). Pure JVM translate/regexp chain,
+    narrow map.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    singles = "\u2018\u2019\u201a\u201b\u00b4\u0060"
+    doubles = "\u201c\u201d\u201e\u201f\u00ab\u00bb"
+    spaces = "\u00a0\u2007\u202f"  # nbsp / figure space / narrow nbsp
+    c = F.translate(
+        c,
+        singles + doubles + spaces,
+        "'" * len(singles) + '"' * len(doubles) + " " * len(spaces),
+    )
+    # hyphen/dash family (incl. minus sign) -> ASCII hyphen
+    c = F.regexp_replace(c, "[\u2010-\u2015\u2212]", "-")
+    return F.regexp_replace(c, "\u2026", "...")
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization (é as one codepoint, not e+◌́ — the
+    same text must fingerprint identically however the crawler
+    composed it). Spark SQL has no normalizer builtin, so this is the
+    one Arrow-batched Python scalar pass in this module — pay it once
+    at ingest, before fingerprints/shingles, not per metric. DuckDB
+    twin: ``nfc_normalize()`` (parity-tested).
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form, not decorator: this module uses postponed annotation
+    # evaluation, so `pd.Series` hints arrive as unresolvable strings
+    # and pandas_udf's hint inference rejects them; an unannotated
+    # callable takes the scalar eval type directly
+    _nfc = pandas_udf(
+        lambda s: s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        ),
+        "string",
+    )
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)

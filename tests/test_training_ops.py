@@ -2313,3 +2313,78 @@ def test_two_phase_cc_equals_label_propagation_and_handles_chains(spark):
     # same budget, label propagation rightly reports non-convergence
     with pytest.warns(RuntimeWarning):
         connected_components(chain, max_iter=15)
+
+
+def test_fold_punctuation_and_nfc_normalize(spark):
+    """Typographic folding matches a sequential str.translate oracle;
+    NFC matches DuckDB's nfc_normalize (independent implementation);
+    composed text fingerprints identically however the source composed
+    its accents or chose its quotes."""
+    import unicodedata
+
+    import duckdb
+
+    from dw_etl_spark.functions.text import (
+        fingerprint,
+        fold_punctuation,
+        nfc_normalize,
+    )
+
+    rows = [
+        (0, "“Hello” — it’s a ‘test’…"),
+        (1, "non‑breaking space and minus − 5"),
+        (2, "plain ascii stays untouched - 'quotes' \"too\""),
+        (3, "café composed vs café"),  # NFD vs NFC é
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+
+    folded = {
+        r["id"]: r["f"]
+        for r in df.select("id", fold_punctuation("text").alias("f")).collect()
+    }
+    tr = str.maketrans(
+        {
+            **{c: "'" for c in "‘’‚‛´`"},
+            **{c: '"' for c in "“”„‟«»"},
+            **{c: " " for c in "   "},
+            **{c: "-" for c in "‐‑‒–—―−"},
+            "…": "...",
+        }
+    )
+    for i, t in rows:
+        assert folded[i] == (None if t is None else t.translate(tr)), i
+    assert folded[0] == "\"Hello\" - it's a 'test'..."
+
+    nfc = {
+        r["id"]: r["n"]
+        for r in df.select("id", nfc_normalize("text").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in rows:
+        if t is None:
+            assert nfc[i] is None
+            continue
+        want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert nfc[i] == want == unicodedata.normalize("NFC", t), i
+    con.close()
+
+    # the point of the pass: NFD and NFC spellings fingerprint equal
+    fps = {
+        r["id"]: r["fp"]
+        for r in df.filter(F.col("id") == 3)
+        .select("id", fingerprint(nfc_normalize("text")).alias("fp"))
+        .collect()
+    }
+    t = rows[3][1]
+    lhs, rhs = t.split(" composed vs ")
+    two = spark.createDataFrame([(0, lhs), (1, rhs)], ["id", "t"])
+    got = [
+        r["fp"]
+        for r in two.select("id", fingerprint(nfc_normalize("t")).alias("fp"))
+        .orderBy("id")
+        .collect()
+    ]
+    assert got[0] == got[1]  # café ≡ café after NFC
+    assert fps  # smoke: the combined row computed
