@@ -1825,10 +1825,26 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
     )
     counts = pii_counts(synth)
+    # r6 rode-along: text canonicalization under the hash gate — a
+    # deterministic typographic garnish (guillemets, em dash, NFD
+    # 'cafe'+combining-acute, ellipsis, NBSP) is NFC-normalized and
+    # punctuation-folded; the oracle replays with DuckDB's own
+    # nfc_normalize + translate/regexp built from the SAME fold tables
+    from dw_etl_spark.functions.text import fold_punctuation, nfc_normalize
+
+    punct = F.concat(
+        # NFD caf\u00e9 (e + combining acute) that NFC must collapse,
+        # guillemets/em-dash/ellipsis the fold flattens, NBSP -> space
+        F.lit(
+            "\u00ab he\u0301ader \u00bb \u2014 cafe\u0301 \u2026\u00a0"
+        ),
+        did.cast("string"),
+    )
     return docs.select(
         "doc_id",
         *[counts[k].alias(f"n_{k}") for k in counts],
         redact_pii(synth).alias("redacted"),
+        fold_punctuation(nfc_normalize(punct)).alias("normalized"),
     )
 
 
@@ -1853,11 +1869,36 @@ def _pii_scrub_sql() -> str:
     red = "synth"
     for name, pat in PII_PATTERNS.items():
         red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    # normalization rode-along: DuckDB's own nfc_normalize + the fold
+    # tables imported from functions/text.py (single source of truth)
+    from dw_etl_spark.functions.text import (
+        FOLD_DASH_CLASS,
+        FOLD_DOUBLES,
+        FOLD_SINGLES,
+        FOLD_SPACES,
+    )
+
+    fold_from = FOLD_SINGLES + FOLD_DOUBLES + FOLD_SPACES
+    fold_to = (
+        "'" * len(FOLD_SINGLES)
+        + '"' * len(FOLD_DOUBLES)
+        + " " * len(FOLD_SPACES)
+    ).replace("'", "''")
+    punct = (
+        "'\u00ab he\u0301ader \u00bb \u2014 cafe\u0301 \u2026\u00a0'"
+        " || CAST(doc_id AS VARCHAR)"
+    )
+    normalized = (
+        f"replace(regexp_replace(translate(nfc_normalize({punct}), "
+        f"'{fold_from}', '{fold_to}'), '{FOLD_DASH_CLASS}', '-', 'g'), "
+        f"'…', '...')"
+    )
     return f"""
 WITH s AS (SELECT doc_id, {synth} AS synth FROM documents)
 SELECT doc_id,
        {counts},
-       {red} AS redacted
+       {red} AS redacted,
+       {normalized} AS normalized
 FROM s
 """
 

@@ -28,6 +28,14 @@ from pyspark.sql import functions as F
 #: no 64-bit overflow in Spark OR DuckDB (which raises on overflow).
 MINHASH_P = 2147483647
 
+#: fold_punctuation tables — shared with the DuckDB oracle builder so
+#: the two can never drift: quote family -> ' or ", nbsp family -> ' ',
+#: dash family (regex class) -> '-'
+FOLD_SINGLES = "\u2018\u2019\u201a\u201b\u00b4\u0060"
+FOLD_DOUBLES = "\u201c\u201d\u201e\u201f\u00ab\u00bb"
+FOLD_SPACES = "\u00a0\u2007\u202f"
+FOLD_DASH_CLASS = "[\u2010-\u2015\u2212]"
+
 # Small built-in stopword lists for the language-ID heuristic.
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
@@ -388,16 +396,15 @@ def fold_punctuation(col: Column | str) -> Column:
     narrow map.
     """
     c = F.col(col) if isinstance(col, str) else col
-    singles = "\u2018\u2019\u201a\u201b\u00b4\u0060"
-    doubles = "\u201c\u201d\u201e\u201f\u00ab\u00bb"
-    spaces = "\u00a0\u2007\u202f"  # nbsp / figure space / narrow nbsp
     c = F.translate(
         c,
-        singles + doubles + spaces,
-        "'" * len(singles) + '"' * len(doubles) + " " * len(spaces),
+        FOLD_SINGLES + FOLD_DOUBLES + FOLD_SPACES,
+        "'" * len(FOLD_SINGLES)
+        + '"' * len(FOLD_DOUBLES)
+        + " " * len(FOLD_SPACES),
     )
     # hyphen/dash family (incl. minus sign) -> ASCII hyphen
-    c = F.regexp_replace(c, "[\u2010-\u2015\u2212]", "-")
+    c = F.regexp_replace(c, FOLD_DASH_CLASS, "-")
     return F.regexp_replace(c, "\u2026", "...")
 
 
