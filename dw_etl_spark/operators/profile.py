@@ -388,3 +388,69 @@ def standardize(
                 F.round((F.col(c) - F.lit(float(m))) / F.lit(float(s)), 6),
             )
     return out
+
+
+def key_skew_profile(
+    df: DataFrame, keys: list[str], k: int = 10
+) -> DataFrame:
+    """Pre-join skew diagnostic: the top-k heaviest key groups plus a
+    'total' summary row — the measurement that decides between a plain
+    shuffle join, ``scale.salted_join``, and AQE's skew-join handling
+    BEFORE the 100 TB shuffle is launched, not after one straggler
+    task has been running for an hour.
+
+    Output (kind, key, n, frac, rows, distinct_keys):
+      kind='key'   — top-k groups by count (n DESC, key ASC — total
+                     order), with frac = n/rows.
+      kind='total' — key='', n = max group count, frac = top-1 share,
+                     plus the table row count and distinct key count.
+
+    Rules of thumb the numbers feed: top-1 share >~ 1/shuffle-partitions
+    means one task owns that key's whole group; max-group rows x row
+    width >~ executor memory means salting (or AQE skew split) is
+    mandatory. Scale shape: one key-count shuffle (map-side combined),
+    then TakeOrdered for the top-k and a tiny agg for the summary —
+    the profiled table streams through once. NULL key parts render as
+    the sentinel '<null>' and count as a real group (joins drop them,
+    but they still skew the shuffle write).
+    """
+    counts = (
+        df.groupBy(
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                    for c in keys
+                ],
+            ).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # consumed by top-k AND summary
+    )
+    total = counts.agg(
+        F.sum("n").alias("rows"),
+        F.max("n").alias("mx"),
+        F.count(F.lit(1)).alias("dk"),
+    )
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.lit("key").alias("kind"),
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("rows"), 6).alias("frac"),
+            F.col("rows").cast("long").alias("rows"),
+            F.col("dk").cast("long").alias("distinct_keys"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(k)
+    )
+    summary = total.select(
+        F.lit("total").alias("kind"),
+        F.lit("").alias("key"),
+        F.col("mx").alias("n"),
+        F.round(F.col("mx") / F.col("rows"), 6).alias("frac"),
+        F.col("rows").cast("long").alias("rows"),
+        F.col("dk").cast("long").alias("distinct_keys"),
+    )
+    return top.unionByName(summary)

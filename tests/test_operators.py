@@ -777,3 +777,48 @@ def test_observe_expectations_equals_expect_with_zero_extra_jobs(spark, tmp_path
     by_rule = {r["rule"]: r for r in got}
     assert by_rule["rich"]["n_failed"] > 0  # the breached rule has signal
     assert by_rule["price_positive"]["n_failed"] == 0
+
+
+def test_key_skew_profile_matches_duckdb_and_flags_monster_key(spark):
+    """Top-k heavy keys + summary vs a DuckDB replay on a deliberately
+    skewed frame; NULL keys count under the sentinel; the summary's
+    top-1 share flags the monster key."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark.operators.profile import key_skew_profile
+
+    rows = (
+        [(0, "hot") for _ in range(500)]
+        + [(i, f"k{i % 37}") for i in range(300)]
+        + [(900 + i, None) for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, ["rid", "dom"])
+    got = key_skew_profile(df, ["dom"], k=5)
+
+    import pandas as pd
+
+    con = duckdb_conn(SF_SMOKE)
+    con.register("tpdf", pd.DataFrame(rows, columns=["rid", "dom"]))
+    sql = """
+WITH c AS (SELECT coalesce(CAST(dom AS VARCHAR), '<null>') AS key,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM tpdf GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS rows,
+             CAST(max(n) AS BIGINT) AS mx,
+             CAST(count(*) AS BIGINT) AS dk FROM c)
+SELECT * FROM (
+  SELECT 'key' AS kind, key, n, round(n / CAST(t.rows AS DOUBLE), 6) AS frac,
+         t.rows AS rows, t.dk AS distinct_keys
+  FROM c, t ORDER BY n DESC, key ASC LIMIT 5)
+UNION ALL
+SELECT 'total', '', mx, round(mx / CAST(rows AS DOUBLE), 6), rows, dk FROM t
+"""
+    assert_matches_oracle(got, con, sql)
+    con.close()
+
+    summary = got.filter(F.col("kind") == "total").collect()[0]
+    assert summary["n"] == 500 and summary["rows"] == 825
+    assert summary["frac"] > 0.5  # the monster key is unmissable
+    tops = got.filter(F.col("kind") == "key").collect()
+    assert tops[0]["key"] == "hot" and tops[0]["n"] == 500
+    assert any(r["key"] == "<null>" for r in tops)
