@@ -276,10 +276,16 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = out.select("col_name", "metric", F.round("value", 6).alias("value"))
 
+    # deterministic 1/10 (orders) and 1/4 (documents) slices: the row
+    # checks the metric arithmetic, not corpus scale — full-table drift
+    # pushed this row 1.5 s -> 8 s at sf0.1 for no extra coverage
     orders = read_table(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderkey") % 2 == 0)
-    b = orders.filter(F.col("o_orderkey") % 2 == 1)
-    ks = round(ks_statistic(a, b, "o_totalprice"), 6)
+    a = orders.filter(F.col("o_orderkey") % 10 == 0)
+    b = orders.filter(F.col("o_orderkey") % 10 == 1)
+    # num_partitions=8: the two-phase CDF is partition-independent
+    # (property-pinned); fewer range partitions = fewer fixed-overhead
+    # jobs for this 15k-row slice
+    ks = round(ks_statistic(a, b, "o_totalprice", num_partitions=8), 6)
     p_total = {
         r["bin"]: r["psi_term"]
         for r in psi(a, b, "o_totalprice", n_bins=10).collect()
@@ -287,8 +293,8 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     jsd = (
         token_shift(
-            docs.filter(F.col("doc_id") % 2 == 0),
-            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 4 == 0),
+            docs.filter(F.col("doc_id") % 4 == 1),
             "text",
             k=1,
         )
@@ -304,7 +310,12 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name string, metric string, value double",
     )
 
-    li = read_table(spark, sf_dir, "lineitem")
+    # same slicing rationale as the drift sections: winsorize pays two
+    # full percentile passes — a deterministic 1/10 slice checks the
+    # identical arithmetic at a tenth the scan cost
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    )
     wrow = (
         winsorize(li.select("l_extendedprice"), ["l_extendedprice"], 0.01, 0.99)
         .agg(
@@ -354,9 +365,9 @@ def _describe_stats_sql() -> str:
     blocks.append(
         """SELECT 'drift:o_totalprice', 'ks', (
   WITH oa AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-              WHERE o_orderkey % 2 = 0),
+              WHERE o_orderkey % 10 = 0),
   ob AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-         WHERE o_orderkey % 2 = 1),
+         WHERE o_orderkey % 10 = 1),
   pts AS (SELECT v, sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS ca,
                  sum(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS cb
           FROM (SELECT v, 'a' AS s FROM oa
@@ -372,9 +383,9 @@ def _describe_stats_sql() -> str:
     blocks.append(
         f"""SELECT 'drift:o_totalprice', 'psi', (
   WITH pa AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-              WHERE o_orderkey % 2 = 0),
+              WHERE o_orderkey % 10 = 0),
   pb AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-         WHERE o_orderkey % 2 = 1),
+         WHERE o_orderkey % 10 = 1),
   eo AS (SELECT e, row_number() OVER (ORDER BY e) AS r FROM (
            SELECT DISTINCT unnest(quantile_cont(v, [{psi_qs}])) AS e
            FROM pa)),
@@ -398,9 +409,9 @@ def _describe_stats_sql() -> str:
     blocks.append(
         f"""SELECT 'drift:documents_text', 'jsd', (
   WITH ta AS (SELECT unnest({tok}) AS token FROM documents
-              WHERE doc_id % 2 = 0),
+              WHERE doc_id % 4 = 0),
   tb AS (SELECT unnest({tok}) AS token FROM documents
-         WHERE doc_id % 2 = 1),
+         WHERE doc_id % 4 = 1),
   ca AS (SELECT token, count(*) AS c FROM ta GROUP BY token),
   cb AS (SELECT token, count(*) AS c FROM tb GROUP BY token),
   j AS (SELECT
@@ -416,21 +427,23 @@ def _describe_stats_sql() -> str:
     )
     blocks.append(
         """SELECT 'winsor:l_extendedprice', m.metric, m.v FROM (
-  WITH wb AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
-                     quantile_cont(l_extendedprice, 0.99) AS hi
-              FROM lineitem),
+  WITH wl AS (SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 10 = 0),
+  wb AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                quantile_cont(l_extendedprice, 0.99) AS hi
+         FROM wl),
   wv AS (SELECT least(greatest(l_extendedprice, (SELECT lo FROM wb)),
-                      (SELECT hi FROM wb)) AS v FROM lineitem)
+                      (SELECT hi FROM wb)) AS v FROM wl)
   SELECT 'mean' AS metric, avg(v) AS v FROM wv
   UNION ALL SELECT 'min', min(v) FROM wv
   UNION ALL SELECT 'max', max(v) FROM wv) m"""
     )
     blocks.append(
         """SELECT 'zscore:l_extendedprice', m.metric, m.v FROM (
-  WITH zs AS (SELECT avg(l_extendedprice) AS mu,
-                     stddev_samp(l_extendedprice) AS sd FROM lineitem),
+  WITH zl AS (SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 10 = 0),
+  zs AS (SELECT avg(l_extendedprice) AS mu,
+                stddev_samp(l_extendedprice) AS sd FROM zl),
   zv AS (SELECT round((l_extendedprice - (SELECT mu FROM zs))
-                      / (SELECT sd FROM zs), 6) AS z FROM lineitem)
+                      / (SELECT sd FROM zs), 6) AS z FROM zl)
   SELECT 'min' AS metric, min(z) AS v FROM zv
   UNION ALL SELECT 'max', max(z) FROM zv) m"""
     )
