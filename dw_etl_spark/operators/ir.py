@@ -130,3 +130,66 @@ def hashed_embedding(
             F.array_repeat(F.lit(0.0), dim),
         ).alias(out_col),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    ks: list[int] = (1_000, 10_000, 50_000),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each k, the fraction of all token
+    OCCURRENCES covered by the k most frequent token types — the
+    go/no-go number for sizing a tokenizer vocabulary (or the OOV rate
+    a fixed vocab will eat) before training it on the full corpus.
+
+    Output (k, coverage, distinct_types, total_tokens), one row per
+    requested k; ties at the k-boundary break by token ASC so the
+    curve is engine-deterministic (DuckDB-twin-tested). Scale shape:
+    ONE corpus-wide token-count shuffle (map-side combined), then a
+    TakeOrdered of max(ks) (count, token) pairs to the driver — the
+    driver holds max(ks) longs, never corpus rows — and the prefix
+    sums are trivial there.
+    """
+    from dw_etl_spark.functions.text import tokens
+
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] <= 0:
+        raise ValueError("ks must be positive ints")
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # totals + top-k both read it
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("types")
+    ).first()
+    total, types = int(tot["total"] or 0), int(tot["types"])
+    spark = df.sparkSession
+    if total == 0:
+        return spark.createDataFrame(
+            [(k, None, 0, 0) for k in ks],
+            "k int, coverage double, distinct_types long, total_tokens long",
+        )
+    top = [
+        int(r["n"])
+        for r in counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(ks[-1])
+        .collect()
+    ]
+    cum, run = [], 0
+    for n in top:
+        run += n
+        cum.append(run)
+    rows = [
+        (
+            k,
+            round((cum[min(k, len(cum)) - 1] if cum else 0) / total, 6),
+            types,
+            total,
+        )
+        for k in ks
+    ]
+    return spark.createDataFrame(
+        rows, "k int, coverage double, distinct_types long, total_tokens long"
+    )

@@ -868,3 +868,53 @@ def remove_duplicated_spans(
         .join(kept, "id", "left")
         .select("id", F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
     )
+
+
+def dedup_eval(
+    found_pairs: DataFrame,
+    truth_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Precision/recall/F1 of a near-dup pair detector against a
+    ground-truth pair set — the ``ann_recall`` analogue for the text
+    dedup family, for tuning (bands, shingle size, threshold) on a
+    labeled sample BEFORE a 100 TB sweep commits to a configuration.
+
+    Pairs are canonicalized to (min, max) so orientation never
+    miscounts; duplicates within either side collapse. Output is one
+    row: (n_found, n_truth, n_hit, precision, recall, f1) — empty
+    truth yields NULL metrics rather than a division error. Scale:
+    two distinct-pair shuffles + one join, all pair-set-sized (the
+    labeled sample, not the corpus).
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        ).distinct()
+
+    f, t = canon(found_pairs), canon(truth_pairs)
+    hit = f.join(t, ["a", "b"], "left_semi")
+    row = (
+        f.agg(F.count(F.lit(1)).alias("n_found"))
+        .crossJoin(t.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    prec = F.when(
+        F.col("n_found") > 0, F.col("n_hit") / F.col("n_found")
+    )
+    rec = F.when(F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return row.select(
+        "n_found",
+        "n_truth",
+        "n_hit",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

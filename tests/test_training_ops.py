@@ -2388,3 +2388,91 @@ def test_fold_punctuation_and_nfc_normalize(spark):
     ]
     assert got[0] == got[1]  # café ≡ café after NFC
     assert fps  # smoke: the combined row computed
+
+
+def test_dedup_eval_precision_recall(spark):
+    """dedup_eval vs hand-computed sets: orientation-canonicalized,
+    dup-collapsed, empty-truth guarded."""
+    from dw_etl_spark.operators.text_dedup import dedup_eval
+
+    found = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6)], ["id_a", "id_b"]  # (1,2) twice
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (4, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    r = dedup_eval(found, truth).collect()[0]
+    # found={12,34,56} truth={12,34,78} hit={12,34}
+    assert (r["n_found"], r["n_truth"], r["n_hit"]) == (3, 3, 2)
+    assert r["precision"] == round(2 / 3, 6) and r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(2 / 3, 6)
+
+    empty = truth.filter(F.lit(False))
+    r2 = dedup_eval(found, empty).collect()[0]
+    assert r2["n_truth"] == 0 and r2["recall"] is None and r2["f1"] is None
+
+
+def test_dedup_eval_scores_minhash_against_planted_truth(spark):
+    """End-to-end: plant exact near-dup pairs in a corpus, run
+    minhash_lsh_pairs, score with dedup_eval — precision must be 1.0
+    (verified Jaccard can't false-positive) and recall high."""
+    from dw_etl_spark.operators.text_dedup import dedup_eval, minhash_lsh_pairs
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).limit(100)
+    copies = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat("text", F.lit(" qq")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    found = minhash_lsh_pairs(corpus, "text", "doc_id", min_jaccard=0.5).select(
+        "id_a", "id_b"
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 10_000).alias("id_b"),
+    )
+    r = dedup_eval(found, truth).collect()[0]
+    assert r["precision"] is not None and r["recall"] is not None
+    assert r["recall"] >= 0.9, r  # banding may miss a band-unlucky pair
+    # "false positives" here are REAL near-dups the fixture already
+    # contains beyond the planted ones (each is exact-Jaccard-verified
+    # >= 0.5 by the detector) — the planted set must still dominate
+    assert r["precision"] >= 0.8, r
+
+
+def test_vocab_coverage_matches_duckdb(spark):
+    """Coverage curve vs a DuckDB window replay on the documents
+    fixture + closed-form sanity (k >= vocab → 1.0; monotone in k)."""
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark.operators.ir import vocab_coverage
+    from dw_etl_spark import oracles
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = vocab_coverage(docs, "text", ks=[5, 50, 1_000_000])
+    tok = oracles.tokens("text")
+    sql = f"""
+WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT unnest({tok}) AS token FROM documents) GROUP BY token),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS types FROM c),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk,
+             sum(n) OVER (ORDER BY n DESC, token ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c)
+SELECT CAST(k AS INTEGER) AS k,
+       round((SELECT max(cum) FROM r WHERE rk <= k)
+             / CAST(t.total AS DOUBLE), 6) AS coverage,
+       t.types AS distinct_types, t.total AS total_tokens
+FROM (VALUES (5), (50), (1000000)) v(k), t
+"""
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(got, con, sql)
+    con.close()
+    rows = {r["k"]: r["coverage"] for r in got.collect()}
+    assert rows[1_000_000] == 1.0
+    assert rows[5] <= rows[50] <= rows[1_000_000]
