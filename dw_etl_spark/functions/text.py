@@ -412,8 +412,14 @@ def nfc_normalize(col: Column | str) -> Column:
     """Unicode NFC normalization (é as one codepoint, not e+◌́ — the
     same text must fingerprint identically however the crawler
     composed it). Spark SQL has no normalizer builtin, so this is the
-    one Arrow-batched Python scalar pass in this module — pay it once
-    at ingest, before fingerprints/shingles, not per metric. DuckDB
+    one Arrow-batched Python scalar pass in this module (a
+    ``pandas_udf`` COLUMN, composable inside any select — the
+    column-expression sibling of
+    ``operators.text_dedup.normalize_unicode``, which normalizes a
+    whole frame via ``mapInPandas`` and is the right shape for the
+    bulk ingest pass; use this one when a single expression needs NFC
+    inline, e.g. the oracle-checked gate rows). Pay it once at
+    ingest, before fingerprints/shingles, not per metric. DuckDB
     twin: ``nfc_normalize()`` (parity-tested).
     """
     import unicodedata
