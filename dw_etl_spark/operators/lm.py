@@ -108,3 +108,67 @@ def bigram_logppl(
         .agg(F.round(-F.avg(lp), 4).alias(out_col))
     )
     return df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
+
+
+def kn_bigram_logppl(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "logppl_kn",
+    discount: float = 0.75,
+) -> DataFrame:
+    """(id, logppl_kn): −mean ln p_KN(tok | prev) under an interpolated
+    Kneser-Ney bigram LM fitted on the corpus itself — the smoothing
+    CCNet's KenLM models actually use, one order down:
+
+        p_KN(b|a) = max(c(a,b) − D, 0)/c(a,·)
+                    + D·N1+(a,·)/c(a,·) · N1+(·,b)/N1+(·,·)
+
+    The continuation probability N1+(·,b)/N1+(·,·) ranks tokens by how
+    many DISTINCT contexts they follow, not raw frequency — the
+    classic "San Francisco" fix: 'Francisco' is frequent but
+    continuation-poor, so templated/boilerplate collocations score
+    differently than under the raw-count interpolation of
+    ``bigram_logppl``. Scoring the fitting corpus itself keeps every
+    probability positive (every scored pair exists, so N1+(·,b) ≥ 1
+    and c(a,·) ≥ 1); docs with fewer than two tokens get NULL.
+
+    Scale shape mirrors ``bigram_logppl``: every statistic (context
+    totals, distinct-continuation counts, distinct-history counts,
+    bigram-type total) derives from the ONE (a, b, c2) pair table —
+    one extra groupBy over pair TYPES per statistic, never a second
+    corpus pass — then token-keyed joins back onto the exploded pairs
+    and a doc-keyed mean, rounded to 4.
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts"))
+    bi = toks.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    c2 = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = c2.localCheckpoint(eager=False)  # 4 statistics read it
+    ctx = c2.groupBy("a").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1a")
+    )
+    cont = c2.groupBy("b").agg(F.count(F.lit(1)).alias("n1b"))
+    types = c2.agg(F.count(F.lit(1)).alias("tt"))
+    d = F.lit(float(discount))
+    lp = F.log(
+        F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("c1")
+        + d * F.col("n1a") / F.col("c1") * F.col("n1b") / F.col("tt")
+    )
+    per_doc = (
+        bi.join(c2, ["a", "b"])
+        .join(ctx, "a")
+        .join(cont, "b")
+        .crossJoin(F.broadcast(types))
+        .groupBy("id")
+        .agg(F.round(-F.avg(lp), 4).alias(out_col))
+    )
+    return df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")

@@ -2476,3 +2476,69 @@ FROM (VALUES (5), (50), (1000000)) v(k), t
     rows = {r["k"]: r["coverage"] for r in got.collect()}
     assert rows[1_000_000] == 1.0
     assert rows[5] <= rows[50] <= rows[1_000_000]
+
+
+def test_kn_bigram_logppl_matches_sequential_oracle(spark):
+    """Kneser-Ney bigram scoring vs a faithful sequential replay
+    (absolute discount, continuation counts over distinct histories),
+    partition-independent, NULL below two tokens; the continuation
+    semantics visibly separates a frequent-but-context-poor
+    collocation from an equally-frequent versatile token."""
+    import math
+    from collections import Counter, defaultdict
+
+    from dw_etl_spark.operators.lm import kn_bigram_logppl
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "san francisco san francisco san francisco"),
+        (3, "the cat"),
+        (4, "one"),        # 1 token -> NULL
+        (5, "   "),        # 0 tokens -> NULL
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    D = 0.75
+
+    # sequential oracle
+    bigrams = []
+    per_doc_pairs = {}
+    for did, t in rows:
+        ts = t.split()
+        ps = list(zip(ts, ts[1:]))
+        per_doc_pairs[did] = ps
+        bigrams += ps
+    c2 = Counter(bigrams)
+    c1, n1a = Counter(), defaultdict(set)
+    n1b = defaultdict(set)
+    for (a, b), c in c2.items():
+        c1[a] += c
+        n1a[a].add(b)
+        n1b[b].add(a)
+    tt = len(c2)
+
+    def p_kn(a, b):
+        return max(c2[(a, b)] - D, 0) / c1[a] + D * len(n1a[a]) / c1[a] * len(
+            n1b[b]
+        ) / tt
+
+    want = {}
+    for did, ps in per_doc_pairs.items():
+        if not ps:
+            want[did] = None
+        else:
+            want[did] = round(
+                -sum(math.log(p_kn(a, b)) for a, b in ps) / len(ps), 4
+            )
+
+    for parts in (1, 5):
+        got = {
+            r["id"]: r["logppl_kn"]
+            for r in kn_bigram_logppl(
+                df.repartition(parts), "text", "doc_id", discount=D
+            ).collect()
+        }
+        assert got == want, (parts, got, want)
+
+    # the repetitive doc is far more predictable than prose
+    assert want[2] < want[0] < 10.0
