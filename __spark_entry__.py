@@ -691,9 +691,15 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text features; r5 adds the CCNet-style corpus-unigram
     perplexity (``operators/lm.unigram_logppl``) and the interpolated
     bigram perplexity (``operators/lm.bigram_logppl`` — the
-    token-ORDER-sensitive signal) as rode-along columns so both
-    LM-scoring operators are oracle-checked here."""
-    from dw_etl_spark.operators.lm import bigram_logppl, unigram_logppl
+    token-ORDER-sensitive signal) as rode-along columns; r6 completes
+    the LM family with Kneser-Ney bigram scoring
+    (``kn_bigram_logppl`` — absolute discount + continuation counts),
+    so all three scorers are oracle-checked here."""
+    from dw_etl_spark.operators.lm import (
+        bigram_logppl,
+        kn_bigram_logppl,
+        unigram_logppl,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     feats = docs.select(
@@ -711,7 +717,12 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppl2 = bigram_logppl(docs, "text", "doc_id").withColumnRenamed(
         "id", "doc_id"
     )
-    return feats.join(ppl, "doc_id").join(ppl2, "doc_id")
+    pplkn = kn_bigram_logppl(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    return (
+        feats.join(ppl, "doc_id").join(ppl2, "doc_id").join(pplkn, "doc_id")
+    )
 
 
 def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2743,8 +2754,10 @@ def oracle_sql() -> dict[str, str]:
         "event_time_windows": _EVENT_TIME_WINDOWS_SQL,
         "json_extract": _JSON_EXTRACT_SQL,
         "text_features": (
-            f"SELECT t.*, b.logppl2 FROM ({oracles.text_features_sql()}) t "
-            f"JOIN ({oracles.bigram_logppl_sql()}) b ON t.doc_id = b.id"
+            f"SELECT t.*, b.logppl2, k.logppl_kn "
+            f"FROM ({oracles.text_features_sql()}) t "
+            f"JOIN ({oracles.bigram_logppl_sql()}) b ON t.doc_id = b.id "
+            f"JOIN ({oracles.kn_bigram_logppl_sql()}) k ON t.doc_id = k.id"
         ),
         "quality_filters": oracles.quality_filters_sql(),
         "shard_packing": _SHARD_PACKING_SQL_TEMPLATE.format(

@@ -611,6 +611,40 @@ FROM documents LEFT JOIN ppl ON documents.doc_id = ppl.id
 """
 
 
+def kn_bigram_logppl_sql(discount: float = 0.75) -> str:
+    """Twin of operators/lm.py:kn_bigram_logppl on the documents table
+    — absolute discount, continuation counts over distinct histories,
+    every statistic derived from the one (a, b, c2) pair table."""
+    toks = tokens("text")
+    return f"""
+WITH doc_toks AS (
+  SELECT doc_id AS id, {toks} AS ts FROM documents
+),
+bi AS (
+  SELECT id, ts[i] AS a, ts[i + 1] AS b
+  FROM doc_toks, unnest(range(1, len(ts))) AS r(i)
+),
+c2 AS (SELECT a, b, count(*) AS c2 FROM bi GROUP BY a, b),
+ctx AS (SELECT a, sum(c2) AS c1, count(*) AS n1a FROM c2 GROUP BY a),
+cont AS (SELECT b, count(*) AS n1b FROM c2 GROUP BY b),
+tt AS (SELECT count(*) AS tt FROM c2),
+scored AS (
+  SELECT bi.id,
+         ln(greatest(CAST(c2.c2 AS DOUBLE) - {discount}, 0.0) / ctx.c1
+            + {discount} * ctx.n1a / ctx.c1
+              * CAST(cont.n1b AS DOUBLE) / tt.tt) AS lp
+  FROM bi
+  JOIN c2 USING (a, b)
+  JOIN ctx USING (a)
+  JOIN cont USING (b)
+  CROSS JOIN tt
+),
+ppl AS (SELECT id, round(-avg(lp), 4) AS logppl_kn FROM scored GROUP BY id)
+SELECT doc_id AS id, logppl_kn
+FROM documents LEFT JOIN ppl ON documents.doc_id = ppl.id
+"""
+
+
 def tfidf_top_terms_sql(k: int = 5) -> str:
     """Twin of operators/ir.py:tfidf_top_terms on the documents table."""
     toks = tokens("text")
