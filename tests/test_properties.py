@@ -620,10 +620,9 @@ def test_psi_partition_independent_matches_numpy(spark, seed):
     """PSI vs a sequential numpy replay (lerp percentiles ≡ Spark
     `percentile`), under random sizes, ties, explicit-vs-derived
     edges, and adversarial partitionings."""
+    import math
     import math as m
     import random
-
-    import numpy as np
 
     from dw_etl_spark.operators.drift import psi
 
@@ -649,15 +648,22 @@ def test_psi_partition_independent_matches_numpy(spark, seed):
         for r in psi(a, b, "v", edges=edges, n_bins=n_bins).collect()
     }
 
+    # direct-fraction exact-rank lerp, NOT np.percentile: numpy's
+    # x100/:100 percentage round-trip lands 1 ulp off (np.percentile
+    # gave 4.0000000000000036 where percentile(v, 2/3) is exactly 4.0
+    # — the same divergence qcut.py documents for pandas), and a data
+    # point sitting exactly on the edge then flips bins
+    def lerp_q(vals, q):
+        sv = sorted(vals)
+        h = (len(sv) - 1) * q
+        fl = math.floor(h)
+        hi = min(fl + 1, len(sv) - 1)
+        return sv[fl] + (sv[hi] - sv[fl]) * (h - fl)
+
     eo = (
         sorted(set(edges))
         if explicit
-        else sorted(
-            {
-                float(np.percentile(va, 100 * i / n_bins))
-                for i in range(1, n_bins)
-            }
-        )
+        else sorted({lerp_q(va, i / n_bins) for i in range(1, n_bins)})
     )
     def bin_of(v):
         return sum(v > e for e in eo)
