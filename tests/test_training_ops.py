@@ -2271,6 +2271,140 @@ def test_bpe_encode_matches_per_word_oracle_and_reassembles(spark):
         assert "".join(_encode_word(w, ranks)) == w + END
 
 
+def _naive_learn_merges(word_freqs, num_merges):
+    """The textbook Sennrich loop (full vocab rescan per merge) —
+    the reference semantics ``learn_merges``'s incremental-pair-stats
+    formulation must reproduce merge-for-merge."""
+    from dw_etl_spark.operators.bpe import END
+
+    vocab = {tuple(list(w) + [END]): int(f) for w, f in word_freqs}
+    merges = []
+    for _ in range(num_merges):
+        pair_counts = {}
+        for pieces, freq in vocab.items():
+            for i in range(len(pieces) - 1):
+                p = (pieces[i], pieces[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + freq
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for pieces, freq in vocab.items():
+            out, i = [], 0
+            while i < len(pieces):
+                if (
+                    i + 1 < len(pieces)
+                    and pieces[i] == best[0]
+                    and pieces[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def test_learn_merges_equals_naive_loop_across_seeds():
+    """Incremental-pair-stats trainer vs the naive full-rescan loop:
+    exact merge-table equality over 25 seeded random corpora (skewed
+    freqs, repeated chars to exercise overlapping-pair edge cases like
+    'aaaa', deep merge budgets that exhaust the corpus)."""
+    import random
+
+    from dw_etl_spark.operators.bpe import learn_merges
+
+    for seed in range(25):
+        rng = random.Random(seed)
+        alphabet = "ab" if seed % 3 == 0 else "abcde"
+        wf = [
+            (
+                "".join(
+                    rng.choice(alphabet) for _ in range(rng.randint(1, 8))
+                ),
+                rng.randint(1, 50),
+            )
+            for _ in range(rng.randint(2, 40))
+        ]
+        # collapse duplicate words the way a word-freq table would
+        agg = {}
+        for w, f in wf:
+            agg[w] = agg.get(w, 0) + f
+        wf = sorted(agg.items())
+        n_merges = rng.choice([1, 3, 10, 1000])
+        got = learn_merges(wf, n_merges)
+        want = _naive_learn_merges(wf, n_merges)
+        assert got == want, (seed, n_merges)
+
+
+def test_learn_merges_scales_to_large_vocab():
+    """Complexity pin for the incremental trainer: 100k distinct words
+    x 1k merges finishes in seconds on the driver — the naive rescan
+    loop is O(merges x vocab x len) (~10^9 piece ops) at this setting
+    and visibly does not. Sanity: merges are well-formed and start
+    with the corpus's dominant pair."""
+    import random
+    import time
+
+    from dw_etl_spark.operators.bpe import learn_merges
+
+    rng = random.Random(7)
+    words = {
+        "".join(rng.choice("abcdefgh") for _ in range(rng.randint(3, 12)))
+        for _ in range(110_000)
+    }
+    wf = sorted((w, rng.randint(1, 100)) for w in list(words)[:100_000])
+    t0 = time.monotonic()
+    merges = learn_merges(wf, 1000)
+    elapsed = time.monotonic() - t0
+    assert len(merges) == 1000
+    assert all(
+        isinstance(a, str) and isinstance(b, str) for a, b in merges
+    )
+    # generous wall bound: the point is the complexity class, not the box
+    assert elapsed < 120, f"incremental trainer took {elapsed:.1f}s"
+
+
+def test_bpe_encode_broadcast_gate_paths_row_equal(spark):
+    """The encode-side join-strategy gate: under ``max_broadcast_words``
+    the word→pieces map carries a broadcast hint, above it the hint is
+    dropped (AQE decides) — and both paths produce identical rows
+    (the unbounded-small-side guard family: fuzzy max_left_distinct,
+    qcut group-count gate, KS offset join)."""
+    from dw_etl_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest"),
+            (2, "newest widest low"),
+            (3, "the cat sat"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = train_bpe(docs, "text", num_merges=6, min_freq=1)
+
+    hinted = bpe_encode(docs, "text", merges, max_broadcast_words=10_000)
+    unhinted = bpe_encode(docs, "text", merges, max_broadcast_words=0)
+    analyzed_hinted = hinted._jdf.queryExecution().analyzed().toString()
+    analyzed_unhinted = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in analyzed_hinted.lower()
+    assert "broadcast" not in analyzed_unhinted.lower()
+
+    key = lambda r: r["id"]  # noqa: E731
+    got_h = sorted((r.asDict() for r in hinted.collect()), key=key)
+    got_u = sorted((r.asDict() for r in unhinted.collect()), key=key)
+    assert got_h == got_u
+    assert got_h[0]["bpe_tokens"]  # non-degenerate
+
+
 def test_two_phase_cc_equals_label_propagation_and_handles_chains(spark):
     """Kiveris large-star/small-star must agree with min-label
     propagation on random sparse graphs, AND converge on a 300-node
