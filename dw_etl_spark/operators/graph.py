@@ -228,11 +228,17 @@ def connected_components_two_phase(
             import warnings
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    labels = nodes.join(
-        e.select(F.col("a").alias("id"), F.col("b").alias("component")),
-        "id",
-        "left",
-    ).select("id", F.coalesce("component", F.col("id")).alias("component"))
+    # one row per node even on the warn/ignore non-converged path: a
+    # not-yet-stable edge set can hold multiple parents per child, and
+    # joining it raw would duplicate those ids — collapse to the min
+    # parent first (a no-op once converged: the star forest has exactly
+    # one parent per non-root)
+    parents = e.groupBy(F.col("a").alias("id")).agg(
+        F.min("b").alias("component")
+    )
+    labels = nodes.join(parents, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
     return labels.withMetadata(
         "component", {"converged": converged, "iterations": rounds}
     )

@@ -315,8 +315,14 @@ def drift_monitor_stream_writer(
     Exactly-once: the epoch-scoped ``mode('overwrite')`` write makes
     replays idempotent (same pattern as
     ``neardup_filter_stream_writer``); the reference frame is
-    persisted once here and reused across epochs, so the per-epoch
-    cost is batch-sized plus a reference scan from cache.
+    persisted once here, reused across epochs, and UNPERSISTED
+    automatically when the query terminates (a query-termination
+    listener scoped to this query's id — long-lived sessions that
+    start monitors sequentially never accumulate pinned reference
+    snapshots; pytest-pinned). An EMPTY micro-batch records only its
+    n_rows=0 row — no drift metrics — rather than letting
+    zero-token/zero-count detectors report maximal or NULL divergence
+    against the reference.
 
     Alerting is the caller's policy: read ``out_path`` as partitioned
     parquet and threshold (PSI > 0.25, JSD > ~0.1·ln 2, KS per your
@@ -329,17 +335,18 @@ def drift_monitor_stream_writer(
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)  # consumed per detector
-        rows = [("n_rows", float(batch.count()))]
-        if text_col is not None:
+        n = batch.count()
+        rows = [("n_rows", float(n))]
+        if n > 0 and text_col is not None:
             total = (
                 token_shift(reference, batch, text_col, k=1)
                 .filter(F.col("kind") == "total")
                 .collect()
             )
-            rows.append(
-                ("jsd", float(total[0]["delta"]) if total else 0.0)
-            )
-        if numeric_col is not None:
+            jsd = total[0]["delta"] if total else None
+            # both sides tokenizing empty leaves the JSD agg NULL
+            rows.append(("jsd", float(jsd) if jsd is not None else 0.0))
+        if n > 0 and numeric_col is not None:
             rows.append(
                 ("ks", ks_statistic(reference, batch, numeric_col))
             )
@@ -349,7 +356,10 @@ def drift_monitor_stream_writer(
                     reference, batch, numeric_col, edges=psi_edges
                 ).collect()
             }
-            rows.append(("psi", float(p.get("total", 0.0))))
+            total_term = p.get("total")
+            rows.append(
+                ("psi", float(total_term) if total_term is not None else 0.0)
+            )
         spark.createDataFrame(rows, "metric string, value double").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{out_path}/epoch={int(epoch_id)}")
@@ -359,4 +369,49 @@ def drift_monitor_stream_writer(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+    _unpersist_on_termination(stream.sparkSession, query, reference)
+    return query
+
+
+def _unpersist_on_termination(
+    spark: SparkSession, query, frame: DataFrame
+) -> None:
+    """Release ``frame``'s cached blocks when ``query`` terminates.
+
+    A StreamingQueryListener scoped to the query id; it removes itself
+    after firing so sequential monitors in one session never stack
+    listeners. Races are benign: ``unpersist`` is idempotent, and the
+    post-registration ``isActive`` probe covers a query that finished
+    before the listener was attached (availableNow triggers can)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    qid = str(query.id)
+
+    class _Unpersist(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            pass
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            if str(event.id) != qid:
+                return
+            frame.unpersist()
+            try:
+                spark.streams.removeListener(self)
+            except Exception:
+                pass  # already removed / session tearing down
+
+    listener = _Unpersist()
+    spark.streams.addListener(listener)
+    if not query.isActive:  # terminated before the listener attached
+        frame.unpersist()
+        try:
+            spark.streams.removeListener(listener)
+        except Exception:
+            pass

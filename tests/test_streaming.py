@@ -363,3 +363,70 @@ def test_drift_monitor_stream_writer_flags_shifted_epoch(spark, tmp_path):
     assert m[0]["ks"] < 0.1 and m[0]["psi"] < 0.25
     assert m[1]["ks"] == 1.0 and m[1]["psi"] > 1.0
     assert m[1]["jsd"] > m[0]["jsd"]
+
+
+def _await_not_cached(df, timeout_s: float = 15.0) -> bool:
+    """The termination listener fires on its own thread — poll."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        lvl = df.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            return True
+        time.sleep(0.2)
+    return False
+
+
+def test_drift_monitor_unpersists_reference_and_guards_empty_batch(
+    spark, tmp_path
+):
+    """(a) The pinned reference is released when the query terminates —
+    two sequential monitors on the same session never accumulate
+    cached snapshots; (b) an all-empty micro-batch records ONLY
+    n_rows=0 (no maximal-JSD artifact, no NULL-delta TypeError)."""
+    import json
+
+    from dw_etl_spark.streaming.sinks import drift_monitor_stream_writer
+
+    ref = spark.createDataFrame(
+        [(f"alpha beta tok{i % 5}", float(i % 50)) for i in range(100)],
+        "text string, v double",
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("text string, v double").json(
+            str(src)
+        )
+        q = drift_monitor_stream_writer(
+            stream, ref, out, ckpt, text_col="text", numeric_col="v"
+        )
+        q.awaitTermination()
+
+    # epoch 0: an EMPTY file -> a zero-row micro-batch
+    (src / "e0.json").write_text("")
+    run()
+    assert _await_not_cached(ref), "reference still pinned after stop"
+
+    # epoch 1: real rows; the monitor re-persists and re-releases
+    (src / "e1.json").write_text(
+        "\n".join(
+            json.dumps({"text": f"alpha beta tok{i % 5}", "v": float(i % 50)})
+            for i in range(100)
+        )
+    )
+    run()
+    assert _await_not_cached(ref), "second monitor left the reference pinned"
+
+    rows = spark.read.parquet(out).collect()
+    m = {}
+    for r in rows:
+        m.setdefault(int(r["epoch"]), {})[r["metric"]] = r["value"]
+    assert m[0] == {"n_rows": 0.0}  # empty epoch: no drift metrics
+    assert m[1]["n_rows"] == 100.0
+    assert {"jsd", "ks", "psi"} <= set(m[1])
+    assert m[1]["ks"] < 0.1  # same generator as the reference

@@ -2449,6 +2449,28 @@ def test_two_phase_cc_equals_label_propagation_and_handles_chains(spark):
         connected_components(chain, max_iter=15)
 
 
+def test_two_phase_cc_nonconverged_still_one_row_per_node(spark):
+    """Starved of rounds (max_iter=1, warn mode), the two-phase pass
+    can stop with multiple parents per child in its working edge set —
+    the output contract must STILL be one row per node id (min-parent
+    collapse), matching what the label-propagation variant keeps."""
+    import pytest
+
+    from dw_etl_spark.operators.graph import connected_components_two_phase
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    with pytest.warns(RuntimeWarning):
+        out = connected_components_two_phase(chain, max_iter=1)
+    rows = out.collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 201  # exactly one row per node
+    assert out.schema["component"].metadata["converged"] is False
+    # labels are still valid upper approximations: component <= id
+    assert all(r["component"] <= r["id"] for r in rows)
+
+
 def test_fold_punctuation_and_nfc_normalize(spark):
     """Typographic folding matches a sequential str.translate oracle;
     NFC matches DuckDB's nfc_normalize (independent implementation);
