@@ -267,31 +267,106 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/min/max ('winsor:…' — the clip bounds ARE the exact 1%/99%
     percentiles, so the min/max rows pin bracketed_exact_percentiles
     against quantile_cont) and z-score extrema ('zscore:…'). The
-    oracle replays each in closed-form SQL."""
-    from dw_etl_spark.operators.drift import ks_statistic, psi, token_shift
+    oracle replays each in closed-form SQL.
+
+    Fused (r7): the sections land through ONE materialization instead
+    of ~6 driver round-trips — KS is the lazy ``ks_statistic_df``
+    frame, PSI/JSD are lazy filters on their operators' total rows,
+    and winsor+zscore share one eagerly-pinned slice and ONE combined
+    agg pass (standardize layers the _z column, winsorize clips the
+    original — both narrow maps over the same cached slice). The only
+    remaining eager steps are the operators' own parameter fits (the
+    describe percentile bracket, PSI reference deciles, winsor clip
+    bounds, z mean/std) — three INDEPENDENT fit chains, so they are
+    submitted from concurrent driver threads (the standard
+    multi-job-submission pattern; Spark's scheduler interleaves the
+    tiny jobs) instead of serializing ~3 s of fixed job latencies."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dw_etl_spark.operators.drift import ks_statistic_df, psi, token_shift
     from dw_etl_spark.operators.profile import standardize, winsorize
 
-    out = describe_numeric(
-        read_table(spark, sf_dir, "lineitem"), _DESCRIBE_COLS, _DESCRIBE_PCTS
+    # one cached lineitem projection feeds the describe fits (3 passes)
+    # AND the winsor/z slice below — one parquet scan total
+    li_full = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", *_DESCRIBE_COLS)
+        .persist()
     )
-    base = out.select("col_name", "metric", F.round("value", 6).alias("value"))
-
-    # deterministic 1/10 (orders) and 1/4 (documents) slices: the row
-    # checks the metric arithmetic, not corpus scale — full-table drift
-    # pushed this row 1.5 s -> 8 s at sf0.1 for no extra coverage
     orders = read_table(spark, sf_dir, "orders")
     a = orders.filter(F.col("o_orderkey") % 10 == 0)
     b = orders.filter(F.col("o_orderkey") % 10 == 1)
+    docs = read_table(spark, sf_dir, "documents")
+
+    def build_base() -> DataFrame:
+        out = describe_numeric(li_full, _DESCRIBE_COLS, _DESCRIBE_PCTS)
+        return out.select(
+            "col_name", "metric", F.round("value", 6).alias("value")
+        )
+
+    def build_psi() -> DataFrame:
+        # deterministic 1/10 orders slices: the row checks the metric
+        # arithmetic, not corpus scale — full-table drift pushed this
+        # row 1.5 s -> 8 s at sf0.1 for no extra coverage
+        return (
+            psi(a, b, "o_totalprice", n_bins=10)
+            .filter(F.col("bin") == "total")
+            .select(
+                F.lit("drift:o_totalprice").alias("col_name"),
+                F.lit("psi").alias("metric"),
+                F.col("psi_term").alias("value"),
+            )
+        )
+
+    def build_wz() -> DataFrame:
+        # same slicing rationale as the drift sections: winsorize pays
+        # two percentile passes — the 1/10 slice reads the cached
+        # projection and is pinned so both operators' fits touch ~6k
+        # cached rows, not parquet
+        li = (
+            li_full.filter(F.col("l_orderkey") % 10 == 0)
+            .select("l_extendedprice")
+            .localCheckpoint(eager=True)
+        )
+        wz = winsorize(
+            standardize(li, ["l_extendedprice"]),
+            ["l_extendedprice"],
+            0.01,
+            0.99,
+        )
+        return wz.agg(
+            F.round(F.avg("l_extendedprice"), 6).alias("wmean"),
+            F.round(F.min("l_extendedprice"), 6).alias("wmin"),
+            F.round(F.max("l_extendedprice"), 6).alias("wmax"),
+            # _z is rounded per-row inside standardize; min/max commute
+            # with the monotone rounding, so no re-round is needed
+            F.min("l_extendedprice_z").alias("zmin"),
+            F.max("l_extendedprice_z").alias("zmax"),
+        ).selectExpr(
+            "stack(5, "
+            "'winsor:l_extendedprice', 'mean', wmean, "
+            "'winsor:l_extendedprice', 'min', wmin, "
+            "'winsor:l_extendedprice', 'max', wmax, "
+            "'zscore:l_extendedprice', 'min', zmin, "
+            "'zscore:l_extendedprice', 'max', zmax) "
+            "AS (col_name, metric, value)"
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_base = pool.submit(build_base)
+        f_psi = pool.submit(build_psi)
+        f_wz = pool.submit(build_wz)
+        base, psi_row, wzrow = f_base.result(), f_psi.result(), f_wz.result()
+
     # num_partitions=8: the two-phase CDF is partition-independent
     # (property-pinned); fewer range partitions = fewer fixed-overhead
-    # jobs for this 15k-row slice
-    ks = round(ks_statistic(a, b, "o_totalprice", num_partitions=8), 6)
-    p_total = {
-        r["bin"]: r["psi_term"]
-        for r in psi(a, b, "o_totalprice", n_bins=10).collect()
-    }["total"]
-    docs = read_table(spark, sf_dir, "documents")
-    jsd = (
+    # tasks for this 15k-row slice. Fully lazy — rides the final job.
+    ks_row = ks_statistic_df(a, b, "o_totalprice", num_partitions=8).select(
+        F.lit("drift:o_totalprice").alias("col_name"),
+        F.lit("ks").alias("metric"),
+        F.round("ks", 6).alias("value"),
+    )
+    jsd_row = (
         token_shift(
             docs.filter(F.col("doc_id") % 4 == 0),
             docs.filter(F.col("doc_id") % 4 == 1),
@@ -299,49 +374,18 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=1,
         )
         .filter(F.col("kind") == "total")
-        .collect()[0]["delta"]
-    )
-    drift_rows = spark.createDataFrame(
-        [
-            ("drift:o_totalprice", "ks", float(ks)),
-            ("drift:o_totalprice", "psi", float(p_total)),
-            ("drift:documents_text", "jsd", float(jsd)),
-        ],
-        "col_name string, metric string, value double",
-    )
-
-    # same slicing rationale as the drift sections: winsorize pays two
-    # full percentile passes — a deterministic 1/10 slice checks the
-    # identical arithmetic at a tenth the scan cost
-    li = read_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 10 == 0
-    )
-    wrow = (
-        winsorize(li.select("l_extendedprice"), ["l_extendedprice"], 0.01, 0.99)
-        .agg(
-            F.round(F.avg("l_extendedprice"), 6).alias("mean"),
-            F.round(F.min("l_extendedprice"), 6).alias("min"),
-            F.round(F.max("l_extendedprice"), 6).alias("max"),
-        )
-        .selectExpr(
-            "stack(3, 'mean', mean, 'min', min, 'max', max) AS (metric, value)"
-        )
         .select(
-            F.lit("winsor:l_extendedprice").alias("col_name"), "metric", "value"
+            F.lit("drift:documents_text").alias("col_name"),
+            F.lit("jsd").alias("metric"),
+            F.col("delta").alias("value"),
         )
     )
-    zrow = (
-        standardize(li.select("l_extendedprice"), ["l_extendedprice"])
-        .agg(
-            F.round(F.min("l_extendedprice_z"), 6).alias("min"),
-            F.round(F.max("l_extendedprice_z"), 6).alias("max"),
-        )
-        .selectExpr("stack(2, 'min', min, 'max', max) AS (metric, value)")
-        .select(
-            F.lit("zscore:l_extendedprice").alias("col_name"), "metric", "value"
-        )
+    return (
+        base.unionByName(ks_row)
+        .unionByName(psi_row)
+        .unionByName(jsd_row)
+        .unionByName(wzrow)
     )
-    return base.unionByName(drift_rows).unionByName(wrow).unionByName(zrow)
 
 
 def _describe_stats_sql() -> str:
@@ -552,19 +596,42 @@ def _q_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tall (metric, value) table. The two branches are deliberately
     built with SWAPPED column orders and merged by ``unionByName`` —
     the position-independent union the standalone union_by_name query
-    used to demonstrate."""
+    used to demonstrate.
+
+    r7 rode-along (previously pytest-only): the pre-join skew
+    diagnostic (``profile.key_skew_profile``) joins the gate as
+    'skew:…' rows over the (l_returnflag, l_linestatus) composite key
+    — top-3 heaviest groups plus the summary (top-1 share, table
+    rows, distinct keys). Values are DOUBLE throughout so counts and
+    fractions share one tall schema."""
+    from dw_etl_spark.operators.profile import key_skew_profile
+
     li = read_table(spark, sf_dir, "lineitem")
     dup = li.agg(
         (
             F.count(F.lit(1))
             - F.countDistinct("l_returnflag", "l_linestatus", "l_quantity")
-        ).alias("value")
+        )
+        .cast("double")
+        .alias("value")
     ).select(F.lit("dup_rows").alias("metric"), "value")
     iqr = iqr_outlier_count(li, "l_extendedprice").select(
-        F.col("n_outliers").alias("value"),
+        F.col("n_outliers").cast("double").alias("value"),
         F.lit("iqr_outliers_extendedprice").alias("metric"),
     )
-    return dup.unionByName(iqr)
+    sk = key_skew_profile(li, ["l_returnflag", "l_linestatus"], k=3)
+    sk_top = sk.filter(F.col("kind") == "key").select(
+        F.concat(F.lit("skew:key:"), F.col("key")).alias("metric"),
+        F.col("n").cast("double").alias("value"),
+    )
+    sk_sum = sk.filter(F.col("kind") == "total").selectExpr(
+        "stack(3, "
+        "'skew:top1_frac', frac, "
+        "'skew:rows', CAST(rows AS DOUBLE), "
+        "'skew:distinct_keys', CAST(distinct_keys AS DOUBLE)) "
+        "AS (metric, value)"
+    )
+    return dup.unionByName(iqr).unionByName(sk_top).unionByName(sk_sum)
 
 
 # ---- window functions (W-series + lead/lag/running) -----------------------
@@ -615,18 +682,26 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r5) the top-20 terms by docs-with-this-#1-TF-IDF-term — running
     the full ``operators/ir.tfidf_top_terms`` pipeline under the hash
     compare. Ordering inside each section is total (n DESC, token ASC)
-    so both engines pick identical top-20 sets."""
+    so both engines pick identical top-20 sets.
+
+    r7 rode-along (previously pytest-only): the tokenizer-sizing
+    coverage curve (``ir.vocab_coverage``) joins the gate as
+    kind='vocab:<k>' rows (n = total token occurrences, v = fraction
+    covered by the k most frequent types) plus a 'vocab:types' row
+    carrying the distinct-type count; the freq/tfidf sections carry
+    v=NULL. The oracle replays the curve with a window prefix sum."""
     from dw_etl_spark.functions.text import tokens
-    from dw_etl_spark.operators.ir import tfidf_top_terms
+    from dw_etl_spark.operators.ir import tfidf_top_terms, vocab_coverage
 
     docs = read_table(spark, sf_dir, "documents")
+    novalue = F.lit(None).cast("double").alias("v")
     freq = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
-        .select(F.lit("freq").alias("kind"), "token", "n")
+        .select(F.lit("freq").alias("kind"), "token", "n", novalue)
     )
     top1 = (
         tfidf_top_terms(docs, "text", "doc_id", k=1)
@@ -634,9 +709,24 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
-        .select(F.lit("tfidf_top1").alias("kind"), "token", "n")
+        .select(F.lit("tfidf_top1").alias("kind"), "token", "n", novalue)
     )
-    return freq.unionByName(top1)
+    vc = vocab_coverage(docs, "text", ks=[10, 100, 1_000_000])
+    vocab_rows = vc.select(
+        F.concat(F.lit("vocab:"), F.col("k").cast("string")).alias("kind"),
+        F.lit("").alias("token"),
+        F.col("total_tokens").alias("n"),
+        F.col("coverage").alias("v"),
+    )
+    types_row = vc.agg(F.max("distinct_types").alias("n")).select(
+        F.lit("vocab:types").alias("kind"),
+        F.lit("").alias("token"),
+        "n",
+        novalue,
+    )
+    return (
+        freq.unionByName(top1).unionByName(vocab_rows).unionByName(types_row)
+    )
 
 
 # ---- event-time windows (streaming surface, batch twin) -------------------
@@ -856,10 +946,47 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, plus (r7, previously pytest-only)
+    the ``text_dedup.dedup_eval`` precision/recall harness scored
+    against the PLANTED truth (doc, doc+100000) right inside the gate
+    row: section='pair' rows are the detector output, 'eval:…' rows
+    carry found/truth/hit counts and precision/recall/F1 (the
+    detector also finds the fixture's organic near-dups, so precision
+    is a real measurement, not 1.0 by construction). The pair frame
+    is cached once — the output section and the eval's three
+    aggregates all read it from cache."""
+    from dw_etl_spark.operators.text_dedup import dedup_eval
+
     corpus = _docs_with_copies(spark, sf_dir, " qq")
-    return minhash_lsh_pairs(
+    pairs = minhash_lsh_pairs(
         corpus, "text", "doc_id", n=2, num_hashes=32, bands=8, min_jaccard=0.5
+    ).persist()
+    pair_rows = pairs.select(
+        F.lit("pair").alias("section"), "id_a", "id_b", "jaccard"
     )
+    truth = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    )
+    ev_rows = (
+        dedup_eval(pairs, truth)
+        .selectExpr(
+            "stack(6, "
+            "'eval:n_found', CAST(n_found AS DOUBLE), "
+            "'eval:n_truth', CAST(n_truth AS DOUBLE), "
+            "'eval:n_hit', CAST(n_hit AS DOUBLE), "
+            "'eval:precision', precision, "
+            "'eval:recall', recall, "
+            "'eval:f1', f1) AS (section, jaccard)"
+        )
+        .select(
+            "section",
+            F.lit(None).cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return pair_rows.unionByName(ev_rows)
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,26 +1044,91 @@ LEFT JOIN hits USING (id)
 """
 
 
+def _minhash_eval_sql() -> str:
+    """section='pair': the minhash pair replay. section='eval:…': the
+    ``dedup_eval`` closed form — canonicalized found/truth/hit counts
+    and precision/recall/F1 (computed from the UNROUNDED fractions,
+    then rounded 6, exactly as the operator does)."""
+    return f"""
+WITH pairs AS ({oracles.minhash_lsh_pairs_sql()}),
+f AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM pairs),
+t AS (SELECT DISTINCT doc_id AS a, doc_id + 100000 AS b FROM documents),
+hit AS (SELECT f.a, f.b FROM f JOIN t USING (a, b)),
+c AS (SELECT (SELECT count(*) FROM f) AS n_found,
+             (SELECT count(*) FROM t) AS n_truth,
+             (SELECT count(*) FROM hit) AS n_hit),
+m AS (SELECT n_found, n_truth, n_hit,
+             CASE WHEN n_found > 0
+                  THEN n_hit / CAST(n_found AS DOUBLE) END AS p,
+             CASE WHEN n_truth > 0
+                  THEN n_hit / CAST(n_truth AS DOUBLE) END AS r
+      FROM c)
+SELECT 'pair' AS section, id_a, id_b, jaccard FROM pairs
+UNION ALL
+SELECT ev.section, CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       ev.jaccard
+FROM m, LATERAL (VALUES
+  ('eval:n_found', CAST(n_found AS DOUBLE)),
+  ('eval:n_truth', CAST(n_truth AS DOUBLE)),
+  ('eval:n_hit', CAST(n_hit AS DOUBLE)),
+  ('eval:precision', round(p, 6)),
+  ('eval:recall', round(r, 6)),
+  ('eval:f1', round(CASE WHEN p IS NOT NULL AND r IS NOT NULL
+                          AND p + r > 0
+                         THEN 2 * p * r / (p + r) END, 6))
+) ev(section, jaccard)
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: minhash pairs → connected
     components (iterative min-label propagation) → every doc labeled
     with its cluster id (its own id when it has no near-dup). The
     transitive-closure step a real corpus dedup needs on top of LSH;
-    oracle = recursive-CTE closure over the same pairs."""
-    from dw_etl_spark.operators.graph import connected_components
+    oracle = recursive-CTE closure over the same pairs.
+
+    r7 rode-along (previously pytest-only): the log-round two-phase
+    variant (``graph.connected_components_two_phase``, Kiveris
+    large-star/small-star) runs under the hash gate too — algo='cc2'
+    rows label a deliberately chain-shaped edge set (doc→doc+1 over
+    doc_id<200, broken every 50 ids), the adversarial diameter regime
+    label propagation cannot finish in log rounds; the oracle is the
+    closed-form segment floor. The minhash clusters keep algo='label'.
+    """
+    from dw_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
 
     corpus = _docs_with_copies(spark, sf_dir, " qq")
     pairs = minhash_lsh_pairs(
         corpus, "text", "doc_id", n=2, num_hashes=32, bands=8, min_jaccard=0.5
     )
     comp = connected_components(pairs)
-    return (
+    label_rows = (
         corpus.select("doc_id")
         .join(comp, corpus["doc_id"] == comp["id"], "left")
         .select(
-            "doc_id", F.coalesce("component", "doc_id").alias("component")
+            F.lit("label").alias("algo"),
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
         )
     )
+    chain = (
+        read_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 199) & (F.col("doc_id") % 50 != 49))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    cc2_rows = connected_components_two_phase(chain).select(
+        F.lit("cc2").alias("algo"),
+        F.col("id").alias("doc_id"),
+        "component",
+    )
+    return label_rows.unionByName(cc2_rows)
 
 
 def _dedup_clusters_sql() -> str:
@@ -959,8 +1151,15 @@ corpus AS (
   UNION ALL
   SELECT doc_id + 100000 FROM documents
 )
-SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component
+SELECT 'label' AS algo, c.doc_id,
+       coalesce(p.component, c.doc_id) AS component
 FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
+UNION ALL
+-- cc2 section: the chain doc->doc+1 over doc_id<200 broken every 50
+-- ids has the closed-form components floor(id/50)*50 (ids are
+-- contiguous 0..n-1 in the fixture, n >= 500 at every gate SF)
+SELECT 'cc2' AS algo, doc_id, doc_id - doc_id % 50 AS component
+FROM documents WHERE doc_id < 200
 """
 
 
@@ -2586,18 +2785,39 @@ WITH q AS (
   SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
          quantile_cont(l_extendedprice, 0.75) AS q3
   FROM lineitem
+),
+sk AS (
+  SELECT coalesce(CAST(l_returnflag AS VARCHAR), '<null>') || '|'
+      || coalesce(CAST(l_linestatus AS VARCHAR), '<null>') AS key,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+skt AS (
+  SELECT CAST(sum(n) AS BIGINT) AS rows, CAST(max(n) AS BIGINT) AS mx,
+         CAST(count(*) AS BIGINT) AS dk
+  FROM sk
 )
 SELECT 'dup_rows' AS metric,
-       CAST(count(*) AS BIGINT)
-     - CAST(count(DISTINCT (l_returnflag, l_linestatus, l_quantity)) AS BIGINT)
-       AS value
+       CAST(count(*)
+            - count(DISTINCT (l_returnflag, l_linestatus, l_quantity))
+            AS DOUBLE) AS value
 FROM lineitem
 UNION ALL
 SELECT 'iqr_outliers_extendedprice' AS metric,
        CAST(sum(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1)
                        OR l_extendedprice > q3 + 1.5 * (q3 - q1)
-                THEN 1 ELSE 0 END) AS BIGINT) AS value
+                THEN 1 ELSE 0 END) AS DOUBLE) AS value
 FROM lineitem, q
+UNION ALL
+SELECT * FROM (
+  SELECT 'skew:key:' || key AS metric, CAST(n AS DOUBLE) AS value
+  FROM sk ORDER BY n DESC, key ASC LIMIT 3)
+UNION ALL
+SELECT 'skew:top1_frac', round(mx / CAST(rows AS DOUBLE), 6) FROM skt
+UNION ALL
+SELECT 'skew:rows', CAST(rows AS DOUBLE) FROM skt
+UNION ALL
+SELECT 'skew:distinct_keys', CAST(dk AS DOUBLE) FROM skt
 """
 
 # decimal accumulation: exact and summation-order-free (DuckDB's
@@ -2626,7 +2846,10 @@ WINDOW w AS (PARTITION BY l_suppkey
 def _token_freq_sql() -> str:
     """kind='freq': top-20 corpus token frequencies. kind='tfidf_top1'
     (r5): top-20 terms by how many docs have them as their #1 TF-IDF
-    term — the aggregate face of ``operators/ir.tfidf_top_terms``."""
+    term — the aggregate face of ``operators/ir.tfidf_top_terms``.
+    kind='vocab:…' (r7): the ``ir.vocab_coverage`` curve replayed with
+    a (n DESC, token ASC) window prefix sum — same tie-break as the
+    engine's TakeOrdered."""
     return f"""
 WITH toks AS (
   SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
@@ -2634,19 +2857,48 @@ WITH toks AS (
   FROM documents
 ),
 freq AS (
-  SELECT 'freq' AS kind, token, CAST(count(*) AS BIGINT) AS n
+  SELECT 'freq' AS kind, token, CAST(count(*) AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS v
   FROM toks GROUP BY token
   ORDER BY n DESC, token ASC
   LIMIT 20
 ),
 top1 AS (
-  SELECT 'tfidf_top1' AS kind, term AS token, CAST(count(*) AS BIGINT) AS n
+  SELECT 'tfidf_top1' AS kind, term AS token, CAST(count(*) AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS v
   FROM ({oracles.tfidf_top_terms_sql(k=1)})
   GROUP BY term
   ORDER BY n DESC, token ASC
   LIMIT 20
+),
+vcounts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+),
+vtot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS types
+  FROM vcounts
+),
+vrank AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk,
+         sum(n) OVER (ORDER BY n DESC, token ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vcounts
+),
+vocab AS (
+  SELECT 'vocab:' || CAST(k AS VARCHAR) AS kind, '' AS token,
+         vtot.total AS n,
+         round((SELECT max(cum) FROM vrank WHERE rk <= k)
+               / CAST(vtot.total AS DOUBLE), 6) AS v
+  FROM (VALUES (10), (100), (1000000)) ks(k), vtot
+),
+vtypes AS (
+  SELECT 'vocab:types' AS kind, '' AS token, types AS n,
+         CAST(NULL AS DOUBLE) AS v
+  FROM vtot
 )
 SELECT * FROM freq UNION ALL SELECT * FROM top1
+UNION ALL SELECT * FROM vocab UNION ALL SELECT * FROM vtypes
 """
 
 # merged streaming-surface twin (r5): tumbling windows ∪ sessions
@@ -2782,7 +3034,7 @@ def oracle_sql() -> dict[str, str]:
             + " AS fp FROM documents WHERE doc_id % 3 <> 0) s "
             "ON b.fp = s.fp WHERE s.fp IS NULL"
         ),
-        "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
+        "minhash_lsh_pairs": _minhash_eval_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(max_bucket_size=3),
         "contamination": _contamination_sql(),

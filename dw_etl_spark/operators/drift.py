@@ -69,7 +69,8 @@ def token_shift(
             F.coalesce("p_a", F.lit(0.0)).alias("p_a"),
             F.coalesce("p_b", F.lit(0.0)).alias("p_b"),
         )
-        .localCheckpoint(eager=False)  # consumed by movers AND the JSD agg
+        .persist()  # consumed by movers AND the JSD agg (lazy cache: a
+        # lazy localCheckpoint still physical-plans eagerly at build)
     )
     m = (F.col("p_a") + F.col("p_b")) / 2
     term = F.when(
@@ -103,29 +104,37 @@ def token_shift(
     return movers.unionByName(jsd)
 
 
-def ks_statistic(
+def ks_statistic_df(
     df_a: DataFrame,
     df_b: DataFrame,
     col: str,
     num_partitions: int | None = None,
-) -> float:
-    """Exact two-sample KS statistic over a numeric column (NULLs
-    excluded). Computed at every distinct value of either sample via
-    running counts, so ties and disjoint supports are handled exactly;
-    returns 0.0 when either side is empty (no evidence of drift).
+) -> DataFrame:
+    """Exact two-sample KS statistic as a LAZY one-row frame
+    ``(ks double)`` — zero driver actions, so callers can union it
+    into a larger report plan and pay one materialization for the
+    whole report (the ``describe_stats`` gate row does exactly that).
+    ``ks_statistic`` is the eager float wrapper.
+
+    Same exact semantics as the float form: evaluated at every
+    distinct value of either sample via running counts (ties and
+    disjoint supports exact), 0.0 when either side is empty — the
+    empty-side divisions go through ``try_divide`` (NULL, not an
+    ANSI divide-by-zero error) and the final max coalesces to 0.0.
 
     The running CDFs use the same two-phase prefix-sum shape as
     ``pack_into_shards`` — range partition on the value, per-partition
-    running sums, per-partition totals broadcast as offsets — never an
-    unpartitioned global-order window (a single-reducer sort over the
-    distinct values). The eager pin freezes the range partitioning so
-    the offsets job and the max job read one snapshot (PLANS.md #4).
+    running sums, per-partition totals turned into offsets — never an
+    unpartitioned global-order window OVER THE DATA (the only
+    unpartitioned window here runs over the #partitions-row totals
+    frame, which is bounded by ``num_partitions``). The offsets and
+    grand totals ride back in as broadcast joins, keeping the plan
+    O(1) in both data size and partition count; the lazy pin on the
+    ranged frame makes the totals branch and the CDF branch read one
+    snapshot inside the single materialization.
     """
     a = df_a.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
     b = df_b.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
-    na, nb = a.count(), b.count()
-    if na == 0 or nb == 0:
-        return 0.0
     counts = (
         a.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
         .join(
@@ -138,6 +147,11 @@ def ks_statistic(
             F.coalesce("ca", F.lit(0)).alias("ca"),
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
+        # range partitioning samples its child to fit bounds — cache
+        # so the sample pass materializes the join once and the real
+        # shuffle re-reads it (persist, not localCheckpoint: the lazy
+        # checkpoint's toRdd would run the sampling at BUILD time)
+        .persist()
     )
     parts = (
         num_partitions
@@ -146,43 +160,55 @@ def ks_statistic(
     ranged = (
         counts.repartitionByRange(parts, "v")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .persist()  # totals AND CDF read one snapshot
     )
-    totals = {
-        r["__pid"]: (int(r["ta"]), int(r["tb"]))
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
-        .collect()
-    }
-    off_rows, run_a, run_b = [], 0, 0
-    for pid in sorted(totals):
-        off_rows.append((pid, run_a, run_b))
-        run_a += totals[pid][0]
-        run_b += totals[pid][1]
-    # offsets ride in as ONE broadcast #partitions-row frame, not as
-    # per-partition create_map literals — at a 32k-task parallelism
-    # the literal map is an O(parts) plan-size bomb (same failure
-    # class as plan-literal IVF centroids / group-CASE qcut); the
-    # join form is the shape pack_into_shards already uses
-    offsets = ranged.sparkSession.createDataFrame(
-        off_rows, "__pid int, __oa long, __ob long"
+    totals = ranged.groupBy("__pid").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    # prefix-sum the per-partition totals into offsets: the window is
+    # unpartitioned but runs over ≤ num_partitions rows — bounded by a
+    # parameter, not by data (the data-sized windows stay __pid-local)
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("ta").over(woff), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("tb").over(woff), F.lit(0)).alias("__ob"),
+    )
+    grand = totals.agg(
+        F.sum("ta").cast("double").alias("__na"),
+        F.sum("tb").cast("double").alias("__nb"),
     )
     w = Window.partitionBy("__pid").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    d = (
+    return (
         ranged.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(grand))
         .select(
             F.abs(
-                (F.sum("ca").over(w) + F.col("__oa")) / F.lit(float(na))
-                - (F.sum("cb").over(w) + F.col("__ob")) / F.lit(float(nb))
+                F.try_divide(F.sum("ca").over(w) + F.col("__oa"), F.col("__na"))
+                - F.try_divide(
+                    F.sum("cb").over(w) + F.col("__ob"), F.col("__nb")
+                )
             ).alias("d")
         )
-        .agg(F.max("d").alias("ks"))
+        .agg(F.coalesce(F.max("d"), F.lit(0.0)).alias("ks"))
     )
-    out = float(d.collect()[0]["ks"])
-    ranged.unpersist()
-    return out
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    num_partitions: int | None = None,
+) -> float:
+    """Eager float form of ``ks_statistic_df`` (see there for the plan
+    shape): one materialization, 0.0 when either side is empty."""
+    return float(
+        ks_statistic_df(df_a, df_b, col, num_partitions).first()["ks"]
+    )
 
 
 def psi(
@@ -217,7 +243,11 @@ def psi(
     the same tall sectioned shape as ``token_shift``. Scale: two
     narrow binning passes + two bin-keyed count shuffles (bin count
     rows); the edges, when derived, are one ``percentile`` agg over
-    the reference — never a sort of either corpus.
+    the reference — never a sort of either corpus. The side totals
+    ride in as a lazy broadcast 1-row frame (an empty side nulls its
+    proportions and the output collapses to the empty frame), so the
+    ONLY eager step is the optional edge fit — the returned frame can
+    union into a larger report plan for a single materialization.
     """
     a = df_a.select(F.col(col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
@@ -249,14 +279,6 @@ def psi(
             .agg(F.count(F.lit(1)).alias(f"c_{side}"))
         )
 
-    na, nb = a.count(), b.count()
-    if na == 0 or nb == 0:
-        spark = df_a.sparkSession
-        return spark.createDataFrame(
-            [],
-            "bin string, lo double, hi double, p_a double, p_b double, "
-            "psi_term double",
-        )
     # materialize every bin 0..len(edges) so empty bins get the eps
     # floor on BOTH sides (a missing row would silently drop its term)
     spark = df_a.sparkSession
@@ -271,27 +293,41 @@ def psi(
         ],
         "bin int, lo double, hi double",
     )
+    # side totals as a lazy broadcast 1-row frame; a zero side leaves
+    # its proportions NULL (the when-guard, not a divide error) and the
+    # NULL-filter below collapses the output to the documented empty
+    # frame — no eager count round-trips
+    tot = (
+        a.agg(F.count(F.lit(1)).alias("__na"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("__nb")))
+    )
+
+    def prop(c: str, n: str):
+        return F.when(
+            F.col(n) > 0,
+            F.greatest(
+                F.try_divide(F.coalesce(F.col(c), F.lit(0)), F.col(n)),
+                F.lit(eps),
+            ),
+        )
+
     joined = (
         all_bins.join(binned(a, "a"), "bin", "left")
         .join(binned(b, "b"), "bin", "left")
+        .crossJoin(F.broadcast(tot))
         .select(
             "bin",
             "lo",
             "hi",
-            F.greatest(
-                F.coalesce(F.col("c_a"), F.lit(0)) / F.lit(float(na)),
-                F.lit(eps),
-            ).alias("p_a"),
-            F.greatest(
-                F.coalesce(F.col("c_b"), F.lit(0)) / F.lit(float(nb)),
-                F.lit(eps),
-            ).alias("p_b"),
+            prop("c_a", "__na").alias("p_a"),
+            prop("c_b", "__nb").alias("p_b"),
         )
+        .filter(F.col("p_a").isNotNull() & F.col("p_b").isNotNull())
         .withColumn(
             "psi_term",
             (F.col("p_b") - F.col("p_a")) * F.log(F.col("p_b") / F.col("p_a")),
         )
-        .localCheckpoint(eager=False)  # rows AND the total both read it
+        .persist()  # rows AND the total both read it
     )
     rows = joined.select(
         F.col("bin").cast("string").alias("bin"),
@@ -301,12 +337,16 @@ def psi(
         F.round("p_b", 6).alias("p_b"),
         F.round("psi_term", 6).alias("psi_term"),
     )
-    total = joined.agg(F.round(F.sum("psi_term"), 6).alias("psi_term")).select(
-        F.lit("total").alias("bin"),
-        F.lit(None).cast("double").alias("lo"),
-        F.lit(None).cast("double").alias("hi"),
-        F.lit(None).cast("double").alias("p_a"),
-        F.lit(None).cast("double").alias("p_b"),
-        "psi_term",
+    total = (
+        joined.agg(F.round(F.sum("psi_term"), 6).alias("psi_term"))
+        .filter(F.col("psi_term").isNotNull())  # empty input → no row
+        .select(
+            F.lit("total").alias("bin"),
+            F.lit(None).cast("double").alias("lo"),
+            F.lit(None).cast("double").alias("hi"),
+            F.lit(None).cast("double").alias("p_a"),
+            F.lit(None).cast("double").alias("p_b"),
+            "psi_term",
+        )
     )
     return rows.unionByName(total)

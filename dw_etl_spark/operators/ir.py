@@ -159,7 +159,7 @@ def vocab_coverage(
         df.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)  # totals + top-k both read it
+        .persist()  # totals + top-k both read it
     )
     tot = counts.agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("types")
@@ -181,10 +181,18 @@ def vocab_coverage(
     for n in top:
         run += n
         cum.append(run)
+
+    def _round6(x: float) -> float:
+        # HALF_UP, not Python's banker's round — SQL engines (and the
+        # DuckDB oracle twin) round half away from zero
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     rows = [
         (
             k,
-            round((cum[min(k, len(cum)) - 1] if cum else 0) / total, 6),
+            _round6((cum[min(k, len(cum)) - 1] if cum else 0) / total),
             types,
             total,
         )

@@ -425,7 +425,7 @@ def key_skew_profile(
             ).alias("key")
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)  # consumed by top-k AND summary
+        .persist()  # consumed by top-k AND summary
     )
     total = counts.agg(
         F.sum("n").alias("rows"),
