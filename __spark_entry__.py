@@ -1092,9 +1092,13 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (``graph.connected_components_two_phase``, Kiveris
     large-star/small-star) runs under the hash gate too — algo='cc2'
     rows label a deliberately chain-shaped edge set (doc→doc+1 over
-    doc_id<200, broken every 50 ids), the adversarial diameter regime
+    doc_id<64, broken every 8 ids: diameter 8, converges in 4
+    two-phase rounds where label propagation needs 8), the regime
     label propagation cannot finish in log rounds; the oracle is the
-    closed-form segment floor. The minhash clusters keep algo='label'.
+    closed-form segment floor. Segments are kept short to bound gate
+    cost (~0.55 s/round is fixed stage overhead at this scale — see
+    PLANS.md #34); the 300-node-chain pytest pins the deep case. The
+    minhash clusters keep algo='label'.
     """
     from dw_etl_spark.operators.graph import (
         connected_components,
@@ -1117,7 +1121,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chain = (
         read_table(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") < 199) & (F.col("doc_id") % 50 != 49))
+        .filter((F.col("doc_id") < 63) & (F.col("doc_id") % 8 != 7))
         .select(
             F.col("doc_id").alias("id_a"),
             (F.col("doc_id") + 1).alias("id_b"),
@@ -1155,11 +1159,11 @@ SELECT 'label' AS algo, c.doc_id,
        coalesce(p.component, c.doc_id) AS component
 FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
 UNION ALL
--- cc2 section: the chain doc->doc+1 over doc_id<200 broken every 50
--- ids has the closed-form components floor(id/50)*50 (ids are
+-- cc2 section: the chain doc->doc+1 over doc_id<64 broken every 8
+-- ids has the closed-form components floor(id/8)*8 (ids are
 -- contiguous 0..n-1 in the fixture, n >= 500 at every gate SF)
-SELECT 'cc2' AS algo, doc_id, doc_id - doc_id % 50 AS component
-FROM documents WHERE doc_id < 200
+SELECT 'cc2' AS algo, doc_id, doc_id - doc_id % 8 AS component
+FROM documents WHERE doc_id < 64
 """
 
 

@@ -87,6 +87,12 @@ def main() -> None:
     qs = entrymod.queries()
     for _ in range(k):
         for name, fn in qs.items():
+            # operators pin plan-shared frames with lazy persist();
+            # the cache manager dedupes by canonicalized plan, so a
+            # repeat run would silently reuse the previous run's cache
+            # — clear (untimed) so every timed run pays its own
+            # materializations and only WITHIN-query reuse counts
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.setdefault(name, []).append(time.perf_counter() - t0)

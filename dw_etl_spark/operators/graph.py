@@ -67,6 +67,13 @@ def connected_components(
             return df.localCheckpoint()
         return df.checkpoint()
 
+    def _pin_lazy(df: DataFrame) -> DataFrame:
+        # plan truncates now; data materializes on the signature action
+        # below — ONE job per round instead of pin + signature
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=False)
+        return df.checkpoint(eager=False)
+
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     sym = _pin(
@@ -90,7 +97,7 @@ def connected_components(
         msgs = labels.join(sym, labels["id"] == sym["a"]).select(
             F.col("b").alias("id"), F.col("component")
         )
-        new_labels = _pin(
+        new_labels = _pin_lazy(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
@@ -149,6 +156,16 @@ def connected_components_two_phase(
     across a round; the signature is a 64-bit XOR over distinct edges,
     so a false stop needs a hash collision (~2⁻⁶⁴, non-adversarial
     ids).
+
+    Iteration plumbing (the cost that actually dominates at small
+    scale is jobs-per-round, not tasks): each round's edge set is
+    LAZILY checkpointed — the DataFrame plan truncates to a
+    LogicalRDD immediately (so analysis stays bounded: ``e`` feeds
+    the next round TWICE via the symmetrize union, and an untruncated
+    plan would double per round — measured exponential analysis blowup
+    with plain ``persist``) — and the signature agg is the action that
+    materializes it, so each round costs ONE job instead of an eager
+    pin job plus the signature job.
     """
     if on_nonconverged not in ("warn", "raise", "ignore"):
         raise ValueError(f"on_nonconverged: {on_nonconverged!r}")
@@ -158,10 +175,17 @@ def connected_components_two_phase(
             return df.localCheckpoint()
         return df.checkpoint()
 
+    def _pin_lazy(df: DataFrame) -> DataFrame:
+        # plan truncates now; the data materializes on the next action
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=False)
+        return df.checkpoint(eager=False)
+
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    nodes = _pin(
+    # lazy: consumed once, by the final labels join
+    nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
@@ -178,7 +202,9 @@ def connected_components_two_phase(
 
     def signature(df: DataFrame):
         # bit_xor, not sum: a LongType sum of 64-bit hashes overflows
-        # under ANSI mode; XOR is closed over int64 and order-free
+        # under ANSI mode; XOR is closed over int64 and order-free.
+        # Running this agg is also what materializes the round's
+        # persist — the one job per round.
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(a, b))").alias("h"),
@@ -209,8 +235,8 @@ def connected_components_two_phase(
             .unionByName(smins.select("a", F.col("m").alias("b")))
             .distinct()
         )
-        e = _pin(small)
-        sig = signature(e)
+        e = _pin_lazy(small)
+        sig = signature(e)  # the one job: materializes the pin + aggs
         if sig == prev_sig:
             converged = True
             break

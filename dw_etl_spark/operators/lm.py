@@ -152,7 +152,7 @@ def kn_bigram_logppl(
         ).alias("p"),
     ).select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     c2 = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
-    c2 = c2.localCheckpoint(eager=False)  # 4 statistics read it
+    c2 = c2.persist()  # 4 statistics read it
     ctx = c2.groupBy("a").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1a")
     )

@@ -246,7 +246,7 @@ def bloom_prefilter_anti_join(
     # pinned: the fresh and candidates branches both consume this frame
     # — without the pin the Arrow probe (and the upstream batch scan)
     # would execute twice
-    probed = probed.localCheckpoint(eager=False)
+    probed = probed.persist()
     fresh = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     candidates = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     verified = candidates.join(

@@ -186,7 +186,7 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim).
 
-    ``pin_buckets`` (default on) lazily ``localCheckpoint``s the
+    ``pin_buckets`` (default on) lazily ``persist``s the
     (id, vector, bucket) frame: the self-join consumes the
     n_planes×dim hyperplane-projection folds on BOTH sides and Spark
     does not reuse the exchange under a broadcast join — the pin
@@ -212,7 +212,7 @@ def embedding_dup_pairs(
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     if pin_buckets:
-        b = b.localCheckpoint(eager=False)
+        b = b.persist()
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(
@@ -596,7 +596,7 @@ def pq_train_codebooks(
     books: list[list[list[float]]] = [[None] * k for _ in range(m)]
     for r in seed_rows:
         books[r["sub"]][r["cid"]] = [float(x) for x in r["sv"]]
-    subs = subs.localCheckpoint(eager=False)  # reused every iteration
+    subs = subs.persist()  # reused every iteration
     for _ in range(iters):
         book_df = corpus.sparkSession.createDataFrame(
             [
@@ -921,7 +921,7 @@ def semantic_dedup_pairs(
     al. 2023): cluster the embedding space, then compare ONLY vectors
     that share a cluster — never all pairs.
 
-    ``pin_assignments`` (default on) lazily ``localCheckpoint``s the
+    ``pin_assignments`` (default on) lazily ``persist``s the
     (id, vector, cid) frame: both self-join sides consume the
     n_centroids-way ranking fold, and Spark does not reuse it under a
     broadcast join — the pin halves assignment work, and the per-row
@@ -963,7 +963,7 @@ def semantic_dedup_pairs(
         .withColumn("nv", l2_norm(F.col("v")))
     )
     if pin_assignments:
-        assigned = assigned.localCheckpoint(eager=False)
+        assigned = assigned.persist()
     a = assigned.select(
         F.col("cid"),
         F.col("id").alias("id_a"),

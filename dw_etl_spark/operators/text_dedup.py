@@ -87,9 +87,11 @@ def ngram_jaccard_pairs(
     (id, shingles) frame, which both modes consume twice (the inverted
     index's a/b sides; the verifier's sh_a/sh_b joins) — without the
     pin the tokenize→shingle map runs 2× (measured 3.4→2.0 s warm at
-    sf0.1). The pinned payload is the shingle arrays (~text-sized,
-    MEMORY_AND_DISK); pass ``False`` when re-deriving beats storing or
-    on preemptible clusters.
+    sf0.1; checkpoint, not persist: the self-join re-analyzes an
+    unpinned subtree per side and downstream unions double it again —
+    plan truncation is the point, PLANS.md #31). The pinned payload is
+    the shingle arrays (~text-sized, MEMORY_AND_DISK); pass ``False``
+    when re-deriving beats storing or on preemptible clusters.
 
     Without ``candidates`` (requires ``min_jaccard > 0``): an
     inverted-index join — explode shingles, equi-join on the shingle,
@@ -222,7 +224,8 @@ def minhash_lsh_pairs(
     signature frame: the banded self-join consumes the shingle→hash→
     k-min aggregation on both sides and Spark does not reuse the
     exchange under a broadcast join, so the pin halves the signature
-    work. num_hashes longs per doc (~256 B at k=32) — negligible at
+    work — and TRUNCATES the plan, which persist would not (PLANS.md
+    #31). num_hashes longs per doc (~256 B at k=32) — negligible at
     any scale; a lost executor fails the job instead of recomputing
     (pass ``False`` on preemptible clusters).
 
@@ -597,11 +600,11 @@ def simhash_pairs(
     (id, sh) frame: the self-join consumes the signature pipeline
     (explode → hash → 64 bit-vote aggregates) on BOTH sides and Spark
     does not reuse the exchange under a broadcast join, so without the
-    pin the most expensive stage runs 2-3×. The pinned frame is 16
+    pin the most expensive stage runs 2-3× (checkpoint, not persist —
+    plan truncation, PLANS.md #31). The pinned frame is 16
     bytes/doc — negligible at any corpus scale — and is GC-cleaned
     with the DataFrame. Trade-off: a lost executor fails the job
-    instead of recomputing (standard localCheckpoint semantics); pass
-    ``False`` on preemptible clusters.
+    instead of recomputing; pass ``False`` on preemptible clusters.
     """
     if bands * bits_per_band != 64:
         raise ValueError(

@@ -523,6 +523,8 @@ def test_no_gate_query_plans_a_cartesian_product(spark, tmp_path):
         "corpus_pipeline", "contamination", "media_stats",
         "quality_filters", "repetition_stats", "shard_packing",
         "describe_stats", "token_freq",
+        # r7: dedup_eval rode-along crossJoins three 1-row count aggs
+        "minhash_lsh_pairs",
     }
     for name, fn in e.queries().items():
         if name in {"warehouse_roundtrip", "jdbc_roundtrip", "csv_roundtrip",
