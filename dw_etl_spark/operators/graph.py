@@ -62,11 +62,6 @@ def connected_components(
     if on_nonconverged not in ("warn", "raise", "ignore"):
         raise ValueError(f"on_nonconverged: {on_nonconverged!r}")
 
-    def _pin(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is None:
-            return df.localCheckpoint()
-        return df.checkpoint()
-
     def _pin_lazy(df: DataFrame) -> DataFrame:
         # plan truncates now; data materializes on the signature action
         # below — ONE job per round instead of pin + signature
@@ -76,7 +71,9 @@ def connected_components(
 
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    sym = _pin(
+    # lazy pins: plans truncate now; round 1's signature job is what
+    # materializes sym and the seed labels (one job, not three)
+    sym = _pin_lazy(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
@@ -84,7 +81,7 @@ def connected_components(
     # seed with min(id, min neighbor) — one agg instead of the first
     # propagation round; stars and pairs (the common near-dup shapes)
     # are already converged after this
-    labels = _pin(
+    labels = _pin_lazy(
         sym.groupBy(F.col("a").alias("id"))
         .agg(F.min("b").alias("__mn"))
         .select("id", F.least("id", "__mn").alias("component"))
@@ -170,11 +167,6 @@ def connected_components_two_phase(
     if on_nonconverged not in ("warn", "raise", "ignore"):
         raise ValueError(f"on_nonconverged: {on_nonconverged!r}")
 
-    def _pin(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is None:
-            return df.localCheckpoint()
-        return df.checkpoint()
-
     def _pin_lazy(df: DataFrame) -> DataFrame:
         # plan truncates now; the data materializes on the next action
         if checkpoint_dir is None:
@@ -190,8 +182,9 @@ def connected_components_two_phase(
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
     )
-    # directed child>parent form; self-loops contribute the node only
-    e = _pin(
+    # directed child>parent form; self-loops contribute the node only.
+    # Lazy pin: the initial signature below is the materializing job.
+    e = _pin_lazy(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
             F.least(F.col(src), F.col(dst)).alias("b"),
