@@ -1245,14 +1245,29 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     required-column validation + empty-input guard, then aggregate per
     price bin. Oracle = the same aggregate straight off the parquet —
     the CSV round-trip must be lossless. Reference resources.py:192-201,
-    raw_analysis/main.py:27-38."""
+    raw_analysis/main.py:27-38.
+
+    r7 rode-along: the quarantine ingest path
+    (``read_csv_with_quarantine`` — PERMISSIVE split instead of
+    FAILFAST death, the web-scale contract) runs on a copy of the same
+    CSV with three planted malformed lines (bad long, wrong arity, bad
+    double). The '__quarantine' row pins: exactly the 3 planted lines
+    quarantined (n + min raw line verbatim) AND the clean side still
+    sums to the full part total (recovery is lossless)."""
+    import glob
+    import os
+    import shutil
     import tempfile
 
     from pyspark.sql import types as T
 
     from dw_etl_spark.operators.bins import bin_numeric
     from dw_etl_spark.plans.star_schema import PRICE_EDGES
-    from dw_etl_spark.sources.files import read_csv, write_csv
+    from dw_etl_spark.sources.files import (
+        read_csv,
+        read_csv_with_quarantine,
+        write_csv,
+    )
 
     out = tempfile.mkdtemp(prefix="dwetl_csv_rt_")
     part = read_table(spark, sf_dir, "part").select(
@@ -1275,7 +1290,7 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # second grouping key: the synthetic price range fits one bin, and a
     # 1-row aggregate would round-trip-check almost nothing
-    return (
+    agg = (
         back.select(
             bin_numeric("p_retailprice", PRICE_EDGES).alias("PriceCategory"),
             F.pmod(F.col("p_partkey"), F.lit(7)).alias("key_bucket"),
@@ -1289,6 +1304,34 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_name").alias("first_name"),
         )
     )
+
+    dirty_dir = tempfile.mkdtemp(prefix="dwetl_csv_q_")
+    dirty = os.path.join(dirty_dir, "dirty.csv")
+    shutil.copy(glob.glob(os.path.join(out, "*.csv"))[0], dirty)
+    with open(dirty, "a") as f:
+        f.write(
+            'notakey,"zz",1.0\n'
+            '"1","too","few","fields"\n'
+            '99,"ok",notaprice\n'
+        )
+    clean_q, quar = read_csv_with_quarantine(spark, dirty, schema)
+    qrow = (
+        clean_q.agg(F.round(F.sum("p_retailprice"), 2).alias("total_price"))
+        .crossJoin(
+            quar.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("raw_record").alias("first_name"),
+            )
+        )
+        .select(
+            F.lit("__quarantine").alias("PriceCategory"),
+            F.lit(-1).cast("long").alias("key_bucket"),
+            "n",
+            "total_price",
+            "first_name",
+        )
+    )
+    return agg.unionByName(qrow)
 
 
 def _q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2955,6 +2998,16 @@ SELECT {_PRICE_CASE} AS PriceCategory,
        min(p_name) AS first_name
 FROM part
 GROUP BY 1, 2
+UNION ALL
+-- quarantine section: 3 planted malformed lines; the min raw line is
+-- the arity-breaker (leading '"' sorts below digits/letters); clean
+-- recovery must still sum to the full part total
+SELECT '__quarantine' AS PriceCategory,
+       CAST(-1 AS BIGINT) AS key_bucket,
+       CAST(3 AS BIGINT) AS n,
+       round(sum(p_retailprice), 2) AS total_price,
+       '"1","too","few","fields"' AS first_name
+FROM part
 """
 
 _MEDIA_STATS_SQL = """

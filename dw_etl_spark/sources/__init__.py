@@ -1,5 +1,7 @@
 from dw_etl_spark.sources.files import (
     read_csv,
+    read_csv_with_quarantine,
+    read_jsonl_with_quarantine,
     read_parquet,
     read_table,
     validate_required_columns,
@@ -8,6 +10,8 @@ from dw_etl_spark.sources.rest import PaginatedJsonSource, rest_to_dataframe
 
 __all__ = [
     "read_csv",
+    "read_csv_with_quarantine",
+    "read_jsonl_with_quarantine",
     "read_parquet",
     "read_table",
     "validate_required_columns",

@@ -109,6 +109,122 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
+def _corrupt_schema(
+    schema: T.StructType, corrupt_col: str
+) -> T.StructType:
+    if corrupt_col in schema.fieldNames():
+        raise SchemaValidationError(
+            f"schema already declares {corrupt_col!r}"
+        )
+    return T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+
+
+def _split_parsed(
+    parsed: DataFrame, data_cols: list[str], corrupt_col: str
+) -> tuple[DataFrame, DataFrame]:
+    # a NULL struct (input the parser could not even begin on) is
+    # corrupt too — without the isNotNull guard it would slip into
+    # clean as an all-NULL row
+    ok = (
+        F.col("__parsed").isNotNull()
+        & F.col("__parsed")[corrupt_col].isNull()
+    )
+    clean = parsed.filter(ok).select(
+        *[F.col("__parsed")[c].alias(c) for c in data_cols]
+    )
+    quarantine = parsed.filter(~ok).select(
+        F.col("value").alias("raw_record"),
+        *[F.col("__parsed")[c].alias(c) for c in data_cols],
+    )
+    return clean, quarantine
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+    header: bool = True,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV scan that SPLITS instead of failing: returns
+    ``(clean, quarantine)``.
+
+    The FAILFAST scans (``read_csv``) are the right contract for
+    curated warehouse inputs; a web-scale ingest cannot die on row
+    3,000,000,001 of a 100 TB drop. ``clean`` carries exactly the
+    declared schema; ``quarantine`` carries ``raw_record`` (the
+    verbatim line) plus the partially-parsed columns — the triage
+    signal for WHICH field broke.
+
+    Shape: a ``text`` scan + per-line ``from_csv`` in PERMISSIVE mode
+    with a corrupt-record field — deliberately NOT the CSV
+    datasource's own corrupt column. The datasource form determines
+    corruptness from only the COLUMNS THE QUERY REFERENCES (that is
+    why Spark hard-errors corrupt-column-only queries like a bare
+    quarantine ``count()`` — [QUERY_ONLY_CORRUPT_RECORD_COLUMN]);
+    the expression form parses the full declared schema per line, so
+    the corrupt verdict is consistent under any downstream pruning
+    and every aggregate works. Both frames stay lazy scans of the
+    same files — nothing cached, any input size; pipelines wanting
+    one physical pass should write clean+quarantine in one job
+    (union with a validity column, partitioned by it).
+
+    ``header=True`` drops lines equal to the schema's rendered header
+    (quoted or bare). Limitation: line-oriented, so multiLine records
+    (quoted embedded newlines) are out of scope — the datasource
+    FAILFAST path handles those.
+    """
+    full = _corrupt_schema(schema, corrupt_col)
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": corrupt_col,
+        **options,
+    }
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
+    )
+    raw = spark.read.text(path)
+    if header:
+        names = [f.name for f in schema.fields]
+        sep = opts.get("sep", opts.get("delimiter", ","))
+        bare = sep.join(names)
+        quoted = sep.join(f'"{n}"' for n in names)
+        raw = raw.filter(~F.col("value").isin(bare, quoted))
+    parsed = raw.select(
+        "value", F.from_csv(F.col("value"), ddl, opts).alias("__parsed")
+    )
+    return _split_parsed(parsed, schema.fieldNames(), corrupt_col)
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines twin of ``read_csv_with_quarantine`` — malformed
+    JSON (syntax errors, type mismatches under the declared schema)
+    lands in ``quarantine.raw_record`` instead of failing the scan.
+    Same shape: ``text`` scan + per-line ``from_json`` with a corrupt
+    field, so the corrupt verdict is pruning-independent and bare
+    aggregates over the quarantine work."""
+    full = _corrupt_schema(schema, corrupt_col)
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": corrupt_col,
+        **options,
+    }
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        "value", F.from_json(F.col("value"), full, opts).alias("__parsed")
+    )
+    return _split_parsed(parsed, schema.fieldNames(), corrupt_col)
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """CSV sink (S5): quoted, UTF-8 (reference raw_analysis/main.py:27-38).
 

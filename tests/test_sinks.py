@@ -242,6 +242,109 @@ def test_jsonl_roundtrip_preserves_rows_and_types(spark, tmp_path):
     ) == [(1, "a\nb", 1.5, ("x", "y")), (2, None, -0.25, ())]
 
 
+def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
+    """PERMISSIVE quarantine scan: clean rows carry exactly the
+    declared schema; wrong-field-count and failed-cast rows land in
+    quarantine with the verbatim line + partial parses; the split is
+    exhaustive (clean + quarantine = input lines); a clean file yields
+    an empty quarantine; a schema already declaring the corrupt column
+    is rejected."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from dw_etl_spark.sources.files import (
+        SchemaValidationError,
+        read_csv_with_quarantine,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "a,b,c\n"
+        "1,x,2.5\n"
+        "bad,y,notanum\n"     # cast failure in two fields
+        "2,z,3.5\n"
+        ",,,too,many,fields\n"  # wrong arity
+        "3,w,oops\n"            # cast failure in one field
+    )
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    clean, quarantine = read_csv_with_quarantine(spark, str(p), schema)
+    assert clean.columns == ["a", "b", "c"]
+    assert sorted((r["a"], r["b"], r["c"]) for r in clean.collect()) == [
+        (1, "x", 2.5),
+        (2, "z", 3.5),
+    ]
+    q = quarantine.collect()
+    assert quarantine.columns == ["raw_record", "a", "b", "c"]
+    assert sorted(r["raw_record"] for r in q) == [
+        ",,,too,many,fields",
+        "3,w,oops",
+        "bad,y,notanum",
+    ]
+    # partial parses survive for triage: the row whose only bad field
+    # was c still has a and b parsed
+    by_raw = {r["raw_record"]: r for r in q}
+    assert by_raw["3,w,oops"]["a"] == 3 and by_raw["3,w,oops"]["b"] == "w"
+    assert by_raw["3,w,oops"]["c"] is None
+
+    # bare aggregates over the quarantine must WORK (the expression-
+    # parse design exists exactly because the datasource corrupt
+    # column hard-errors on corrupt-only queries)
+    assert quarantine.count() == 3
+    assert clean.count() + quarantine.count() == 5  # exhaustive split
+
+    ok = tmp_path / "ok.csv"
+    ok.write_text("a,b,c\n7,q,1.0\n")
+    clean2, quarantine2 = read_csv_with_quarantine(spark, str(ok), schema)
+    assert clean2.count() == 1 and quarantine2.count() == 0
+
+    with _pytest.raises(SchemaValidationError):
+        read_csv_with_quarantine(
+            spark,
+            str(ok),
+            T.StructType(
+                [T.StructField("_corrupt_record", T.StringType())]
+            ),
+        )
+
+
+def test_jsonl_quarantine_splits_malformed_rows(spark, tmp_path):
+    """JSONL twin: syntax errors and schema-type mismatches quarantine;
+    valid lines parse; the clean frame drops the corrupt column."""
+    from pyspark.sql import types as T
+
+    from dw_etl_spark.sources.files import read_jsonl_with_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "txt": "ok"}\n'
+        "{not json at all\n"
+        '{"id": "seven", "txt": "bad id type"}\n'
+        '{"id": 2, "txt": null}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("txt", T.StringType()),
+        ]
+    )
+    clean, quarantine = read_jsonl_with_quarantine(spark, str(p), schema)
+    assert sorted((r["id"], r["txt"]) for r in clean.collect()) == [
+        (1, "ok"),
+        (2, None),
+    ]
+    raws = sorted(r["raw_record"] for r in quarantine.collect())
+    assert raws == [
+        '{"id": "seven", "txt": "bad id type"}',
+        "{not json at all",
+    ]
+
+
 def test_orc_roundtrip_and_required_columns(spark, tmp_path):
     from dw_etl_spark.sources.files import read_orc, write_orc, SchemaValidationError
     import pytest as _pytest
