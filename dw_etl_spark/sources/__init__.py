@@ -4,6 +4,7 @@ from dw_etl_spark.sources.files import (
     read_jsonl_with_quarantine,
     read_parquet,
     read_table,
+    split_malformed,
     validate_required_columns,
 )
 from dw_etl_spark.sources.rest import PaginatedJsonSource, rest_to_dataframe
@@ -14,6 +15,7 @@ __all__ = [
     "read_jsonl_with_quarantine",
     "read_parquet",
     "read_table",
+    "split_malformed",
     "validate_required_columns",
     "PaginatedJsonSource",
     "rest_to_dataframe",

@@ -121,12 +121,44 @@ def _corrupt_schema(
     )
 
 
-def _split_parsed(
-    parsed: DataFrame, data_cols: list[str], corrupt_col: str
+def split_malformed(
+    lines: DataFrame,
+    schema: T.StructType,
+    fmt: str = "csv",
+    value_col: str = "value",
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
 ) -> tuple[DataFrame, DataFrame]:
-    # a NULL struct (input the parser could not even begin on) is
-    # corrupt too — without the isNotNull guard it would slip into
-    # clean as an all-NULL row
+    """Split a frame of raw text lines into ``(clean, quarantine)``
+    under a declared schema — the format-agnostic core behind
+    ``read_csv_with_quarantine`` / ``read_jsonl_with_quarantine``.
+
+    Works on ANY frame with a string ``value_col`` — including a
+    STREAMING one (``spark.readStream.text(...)``): the parse is a
+    per-line ``from_csv``/``from_json`` expression, fully stateless,
+    so both outputs are valid streaming frames (route them to two
+    sinks, or split inside one ``foreachBatch`` for a single pass).
+    A NULL parse struct (input the parser could not even begin on)
+    is corrupt too; clean rows carry exactly the declared schema,
+    quarantine rows carry ``raw_record`` + the partial parses.
+    """
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"fmt must be 'csv' or 'json', got {fmt!r}")
+    full = _corrupt_schema(schema, corrupt_col)
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": corrupt_col,
+        **options,
+    }
+    if fmt == "csv":
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
+        )
+        parse = F.from_csv(F.col(value_col), ddl, opts)
+    else:
+        parse = F.from_json(F.col(value_col), full, opts)
+    parsed = lines.select(F.col(value_col), parse.alias("__parsed"))
+    data_cols = schema.fieldNames()
     ok = (
         F.col("__parsed").isNotNull()
         & F.col("__parsed")[corrupt_col].isNull()
@@ -135,7 +167,7 @@ def _split_parsed(
         *[F.col("__parsed")[c].alias(c) for c in data_cols]
     )
     quarantine = parsed.filter(~ok).select(
-        F.col("value").alias("raw_record"),
+        F.col(value_col).alias("raw_record"),
         *[F.col("__parsed")[c].alias(c) for c in data_cols],
     )
     return clean, quarantine
@@ -177,26 +209,16 @@ def read_csv_with_quarantine(
     (quoted embedded newlines) are out of scope — the datasource
     FAILFAST path handles those.
     """
-    full = _corrupt_schema(schema, corrupt_col)
-    opts = {
-        "mode": "PERMISSIVE",
-        "columnNameOfCorruptRecord": corrupt_col,
-        **options,
-    }
-    ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
-    )
     raw = spark.read.text(path)
     if header:
         names = [f.name for f in schema.fields]
-        sep = opts.get("sep", opts.get("delimiter", ","))
+        sep = options.get("sep", options.get("delimiter", ","))
         bare = sep.join(names)
         quoted = sep.join(f'"{n}"' for n in names)
         raw = raw.filter(~F.col("value").isin(bare, quoted))
-    parsed = raw.select(
-        "value", F.from_csv(F.col("value"), ddl, opts).alias("__parsed")
+    return split_malformed(
+        raw, schema, fmt="csv", corrupt_col=corrupt_col, **options
     )
-    return _split_parsed(parsed, schema.fieldNames(), corrupt_col)
 
 
 def read_jsonl_with_quarantine(
@@ -212,17 +234,13 @@ def read_jsonl_with_quarantine(
     Same shape: ``text`` scan + per-line ``from_json`` with a corrupt
     field, so the corrupt verdict is pruning-independent and bare
     aggregates over the quarantine work."""
-    full = _corrupt_schema(schema, corrupt_col)
-    opts = {
-        "mode": "PERMISSIVE",
-        "columnNameOfCorruptRecord": corrupt_col,
+    return split_malformed(
+        spark.read.text(path),
+        schema,
+        fmt="json",
+        corrupt_col=corrupt_col,
         **options,
-    }
-    raw = spark.read.text(path)
-    parsed = raw.select(
-        "value", F.from_json(F.col("value"), full, opts).alias("__parsed")
     )
-    return _split_parsed(parsed, schema.fieldNames(), corrupt_col)
 
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:

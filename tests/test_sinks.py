@@ -345,6 +345,55 @@ def test_jsonl_quarantine_splits_malformed_rows(spark, tmp_path):
     ]
 
 
+def test_split_malformed_works_on_streaming_lines(spark, tmp_path):
+    """The split is a stateless per-line expression, so it runs
+    unchanged on a STREAMING text source: clean and quarantine route
+    to two sinks and every input line lands in exactly one of them."""
+    from pyspark.sql import types as T
+
+    from dw_etl_spark.sources.files import split_malformed
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "batch0.jsonl").write_text(
+        '{"id": 1, "txt": "ok"}\n'
+        "{broken\n"
+        '{"id": 2, "txt": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("txt", T.StringType()),
+        ]
+    )
+    lines = spark.readStream.text(str(src))
+    clean, quarantine = split_malformed(lines, schema, fmt="json")
+    assert clean.isStreaming and quarantine.isStreaming
+    out_c, out_q = str(tmp_path / "clean"), str(tmp_path / "quar")
+    q1 = (
+        clean.writeStream.format("parquet")
+        .option("path", out_c)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        quarantine.writeStream.format("parquet")
+        .option("path", out_q)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+    got_clean = sorted(
+        (r["id"], r["txt"]) for r in spark.read.parquet(out_c).collect()
+    )
+    assert got_clean == [(1, "ok"), (2, "also ok")]
+    got_q = spark.read.parquet(out_q).collect()
+    assert [r["raw_record"] for r in got_q] == ["{broken"]
+
+
 def test_orc_roundtrip_and_required_columns(spark, tmp_path):
     from dw_etl_spark.sources.files import read_orc, write_orc, SchemaValidationError
     import pytest as _pytest
