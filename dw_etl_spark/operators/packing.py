@@ -125,6 +125,88 @@ def write_training_shards(
     )
 
 
+def write_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str,
+    key_col: str,
+    members: dict[str, str],
+    shard_name: str = "shard-{:06d}.tar",
+) -> None:
+    """Export samples as WebDataset-convention tar shards: one
+    ``shard-NNNNNN.tar`` per distinct ``shard_col`` value, each sample
+    a group of members named ``{key}.{ext}`` — the layout
+    sequential-read training loaders (WebDataset et al.) consume
+    directly, with multimodal payloads (``binary`` columns) and
+    metadata (string/JSON columns) side by side.
+
+    ``members`` maps member EXTENSION → source column; ``binary``
+    columns are written verbatim, strings as UTF-8. Rows with a NULL
+    member column skip that member (sparse modalities); a NULL key or
+    shard raises — silent drops would corrupt the sample/shard
+    accounting.
+
+    Scale shape: hash-repartition on ``shard_col`` puts each shard's
+    rows on exactly one task; ``sortWithinPartitions(shard, key)``
+    plus zeroed tar metadata (mtime/uid/gid) makes every shard
+    BYTE-deterministic for any input partitioning (pytest-pinned by
+    file hash). A task may own several shards (hash collisions are
+    fine — one open handle per shard, sequential writes); a shard is
+    never split across tasks. ``out_dir`` must be task-writable
+    storage (local/NFS/FUSE mount — the standard WebDataset serving
+    arrangement); pair with ``pack_into_shards`` (token budgets) or
+    ``ntile``-style row budgets to assign ``shard_col``.
+    """
+    import io
+    import os
+    import tarfile
+
+    cols = [shard_col, key_col] + list(members.values())
+    exts = dict(members)
+
+    def _write_partition(rows) -> None:
+        handles: dict[int, tarfile.TarFile] = {}
+        try:
+            for row in rows:
+                sid, key = row[shard_col], row[key_col]
+                if sid is None or key is None:
+                    raise ValueError(
+                        f"NULL {shard_col!r}/{key_col!r} in tar export"
+                    )
+                sid = int(sid)
+                tar = handles.get(sid)
+                if tar is None:
+                    tar = tarfile.open(
+                        os.path.join(out_dir, shard_name.format(sid)), "w"
+                    )
+                    handles[sid] = tar
+                for ext, col in exts.items():
+                    data = row[col]
+                    if data is None:
+                        continue
+                    if isinstance(data, str):
+                        data = data.encode("utf-8")
+                    else:
+                        data = bytes(data)
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0  # determinism: no wall-clock in bytes
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+        finally:
+            for tar in handles.values():
+                tar.close()
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        df.select(*cols)
+        .repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, key_col)
+        .foreachPartition(_write_partition)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

@@ -1051,6 +1051,120 @@ def test_write_training_shards_bounded_files_and_stable_order(spark, tmp_path):
     assert sorted(a) == sorted(b) == list(range(5000))
 
 
+def test_write_tar_shards_webdataset_layout_and_determinism(spark, tmp_path):
+    """Tar-shard export: one tar per shard id, members named
+    {key}.{ext} in sorted sample order, binary payloads verbatim and
+    strings UTF-8; NULL member columns skip that member; shard bytes
+    are IDENTICAL across input partitionings (zeroed tar metadata +
+    in-partition sort); NULL keys raise."""
+    import glob
+    import hashlib
+    import os
+    import tarfile
+
+    import pytest
+
+    from dw_etl_spark.operators.packing import write_tar_shards
+
+    rows = [
+        (i, i // 4, f"doc{i:03d}", bytes([i, i + 1, 255 - i]),
+         '{"lang": "en", "i": %d}' % i if i % 3 else None)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, shard long, key string, payload binary, meta string"
+    )
+    members = {"bin": "payload", "json": "meta"}
+
+    def run(frame, d):
+        out = str(tmp_path / d)
+        write_tar_shards(frame, out, "shard", "key", members)
+        return out
+
+    out = run(df, "a")
+    tars = sorted(os.path.basename(p) for p in glob.glob(out + "/*.tar"))
+    assert tars == ["shard-000000.tar", "shard-000001.tar", "shard-000002.tar"]
+    with tarfile.open(os.path.join(out, "shard-000000.tar")) as t:
+        names = t.getnames()
+        # doc000's meta is NULL -> no .json member; order is key-sorted
+        assert names == [
+            "doc000.bin",
+            "doc001.bin", "doc001.json",
+            "doc002.bin", "doc002.json",
+            "doc003.bin",
+        ]
+        assert t.extractfile("doc001.bin").read() == bytes([1, 2, 254])
+        assert (
+            t.extractfile("doc002.json").read().decode()
+            == '{"lang": "en", "i": 2}'
+        )
+
+    # byte determinism across partitionings
+    out2 = run(df.repartition(7, "rid"), "b")
+    for name in tars:
+        h1 = hashlib.sha256(
+            open(os.path.join(out, name), "rb").read()
+        ).hexdigest()
+        h2 = hashlib.sha256(
+            open(os.path.join(out2, name), "rb").read()
+        ).hexdigest()
+        assert h1 == h2, name
+
+    bad = spark.createDataFrame(
+        [(0, None, b"x", "{}")],
+        "shard long, key string, payload binary, meta string",
+    )
+    with pytest.raises(Exception, match="NULL"):
+        write_tar_shards(bad, str(tmp_path / "c"), "shard", "key", members)
+
+
+def test_pack_then_tar_export_composes(spark, tmp_path):
+    """The token-budget layout feeds the tar export: documents →
+    pack_into_shards (shard ids from token prefix sums) →
+    write_tar_shards; every doc lands in exactly one tar, in its
+    assigned shard."""
+    import glob
+    import os
+    import tarfile
+
+    from dw_etl_spark.functions.text import token_count
+    from dw_etl_spark.operators.packing import (
+        pack_into_shards,
+        write_tar_shards,
+    )
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            F.format_string("doc%05d", F.col("doc_id")).alias("key"),
+            "text",
+            token_count("text").alias("n_tokens"),
+        )
+    )
+    packed = pack_into_shards(
+        docs, "n_tokens", order_by=["doc_id"], shard_tokens=500
+    )
+    out = str(tmp_path / "tars")
+    write_tar_shards(
+        packed, out, "shard_id", "key", {"txt": "text"}
+    )
+    want = {
+        r["key"]: int(r["shard_id"])
+        for r in packed.select("key", "shard_id").collect()
+    }
+    got = {}
+    for p in glob.glob(out + "/*.tar"):
+        sid = int(os.path.basename(p)[6:12])
+        with tarfile.open(p) as t:
+            for n in t.getnames():
+                got[n.removesuffix(".txt")] = sid
+    assert got == want  # exactly one tar per doc, the assigned one
+
+
 def test_corpus_ops_compose_end_to_end(spark):
     """Integration: clean -> line dedup -> quality gate -> exact dedup
     -> bloom-incremental second batch, chained as one lineage."""
