@@ -2199,12 +2199,15 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_decode_fixture() -> list[tuple]:
-    """Deterministic BMP + WAV payloads (no RNG): gradient images and
-    integer-tone audio, sized differently per id so every feature row
-    is distinct. Shared by the Spark query and its VALUES oracle."""
+    """Deterministic BMP + PNG + WAV payloads (no RNG): gradient
+    images (each in BOTH container formats — the decode route must
+    give format-specific handling but identical features for identical
+    pixels) and integer-tone audio, sized differently per id so every
+    feature row is distinct. Shared by the Spark query and its VALUES
+    oracle."""
     import numpy as np
 
-    from dw_etl_spark.functions.codecs import encode_bmp, encode_wav
+    from dw_etl_spark.functions.codecs import encode_bmp, encode_png, encode_wav
 
     rows = []
     for i in range(3):
@@ -2219,6 +2222,7 @@ def _media_decode_fixture() -> list[tuple]:
             axis=2,
         ).astype(np.uint8)
         rows.append((i, "image", encode_bmp(px)))
+        rows.append((200 + i, "image", encode_png(px)))
     for i in range(3):
         n = 1600 + 400 * i
         j = np.arange(n)
@@ -2268,15 +2272,19 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_decode_route(payload: bytes, dim: int) -> list[float]:
-    """One decode_fn for the gate union: BMP magic routes to the image
-    codecs, everything else is WAV. First half = base feature
+    """One decode_fn for the gate union: BMP/PNG magics route to their
+    image codecs (r7: PNG is a REAL stdlib-zlib codec, not a stub),
+    everything else is WAV. First half = base feature
     (grayscale histogram / RMS windows), second half = the r5 family
     (R-channel color histogram / spectral band log-powers). Shared by
     the engine query AND the driver-side oracle so both sides run the
     identical code path."""
     from dw_etl_spark.functions.codecs import (
+        PNG_SIG,
         bmp_color_feature,
         bmp_feature,
+        png_color_feature,
+        png_feature,
         wav_feature,
         wav_spectral_feature,
     )
@@ -2284,6 +2292,8 @@ def _media_decode_route(payload: bytes, dim: int) -> list[float]:
     half = dim // 2
     if payload[:2] == b"BM":
         return bmp_feature(payload, half) + bmp_color_feature(payload, half)[:half]
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return png_feature(payload, half) + png_color_feature(payload, half)[:half]
     return wav_feature(payload, half) + wav_spectral_feature(payload, half)
 
 

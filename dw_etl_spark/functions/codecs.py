@@ -167,3 +167,144 @@ def bmp_color_feature(payload: bytes, bins_per_channel: int = 8) -> list[float]:
         )
         out.extend(round(float(x) / n, 6) for x in hist)
     return out
+
+
+# ----------------------------------------------------------------- PNG
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 RGB(A) → PNG bytes — dependency-free: PNG's
+    compression IS stdlib ``zlib`` (DEFLATE), so only the container
+    (chunks + CRCs) and scanline filtering are hand-rolled. Encoding
+    uses filter 0 on every scanline and a fixed compression level, so
+    output bytes are deterministic for a given array."""
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
+        raise ValueError("encode_png expects an (h, w, 3|4) uint8 array")
+    h, w, ch = pixels.shape
+    color_type = 2 if ch == 3 else 6
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3|4) uint8 array. Supports the formats a
+    pipeline actually normalizes to: 8-bit, color types 2 (RGB) and
+    6 (RGBA), non-interlaced, any number of IDAT chunks, all five
+    scanline filters (None/Sub/Up/Average/Paeth — the unfilter loop is
+    the spec's reconstruction, vectorized per scanline where the
+    filter allows). Chunk CRCs are verified; palette/16-bit/interlaced
+    variants raise (normalize upstream)."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type})"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.uint16)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry left-pixel state
+            cur = np.zeros(stride, dtype=np.uint16)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (int(a) + int(b)) // 2
+                elif f == 4:
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"unknown PNG filter {f}")
+                cur[x] = (int(line[x]) + int(pred)) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """Decode → nearest-neighbor resample → re-encode (filter-0)."""
+    img = decode_png(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_png(img[np.ix_(ys, xs)])
+
+
+def png_feature(payload: bytes, dim: int) -> list[float]:
+    """``dim``-bin normalized grayscale histogram (alpha ignored) —
+    the PNG sibling of ``bmp_feature``."""
+    img = decode_png(payload)[..., :3]
+    gray = img.astype(np.float32).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=dim, range=(0.0, 255.0))
+    total = max(int(hist.sum()), 1)
+    return [round(float(x) / total, 6) for x in hist]
+
+
+def png_color_feature(payload: bytes, bins_per_channel: int = 8) -> list[float]:
+    """Concatenated per-channel RGB histograms — the PNG sibling of
+    ``bmp_color_feature``."""
+    img = decode_png(payload)[..., :3]
+    out: list[float] = []
+    n = max(img.shape[0] * img.shape[1], 1)
+    for ch in range(3):
+        hist, _ = np.histogram(
+            img[..., ch], bins=bins_per_channel, range=(0, 256)
+        )
+        out.extend(round(float(x) / n, 6) for x in hist)
+    return out
