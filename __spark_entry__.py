@@ -2199,15 +2199,25 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_decode_fixture() -> list[tuple]:
-    """Deterministic BMP + PNG + WAV payloads (no RNG): gradient
-    images (each in BOTH container formats — the decode route must
-    give format-specific handling but identical features for identical
-    pixels) and integer-tone audio, sized differently per id so every
-    feature row is distinct. Shared by the Spark query and its VALUES
-    oracle."""
+    """Deterministic BMP + PNG + JPEG + WAV payloads (no RNG):
+    gradient images (each in all three container formats — the decode
+    route must give format-specific handling; BMP/PNG features are
+    identical for identical pixels, JPEG's differ by its lossy
+    quantization, which both gate sides share since the oracle runs
+    the same codec) and integer-tone audio, sized differently per id
+    so every feature row is distinct. Shared by the Spark query and
+    its VALUES oracle. JPEG alternates 4:4:4 / 4:2:0 sampling and
+    exercises a restart interval on the last row, so the gate pins
+    the subsampled and DRI decode paths, not just the simplest
+    stream."""
     import numpy as np
 
-    from dw_etl_spark.functions.codecs import encode_bmp, encode_png, encode_wav
+    from dw_etl_spark.functions.codecs import (
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+    )
 
     rows = []
     for i in range(3):
@@ -2223,6 +2233,18 @@ def _media_decode_fixture() -> list[tuple]:
         ).astype(np.uint8)
         rows.append((i, "image", encode_bmp(px)))
         rows.append((200 + i, "image", encode_png(px)))
+        rows.append(
+            (
+                300 + i,
+                "image",
+                encode_jpeg(
+                    px,
+                    quality=90,
+                    subsample=(i % 2 == 1),
+                    restart_interval=2 if i == 2 else 0,
+                ),
+            )
+        )
     for i in range(3):
         n = 1600 + 400 * i
         j = np.arange(n)
@@ -2272,17 +2294,20 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_decode_route(payload: bytes, dim: int) -> list[float]:
-    """One decode_fn for the gate union: BMP/PNG magics route to their
-    image codecs (r7: PNG is a REAL stdlib-zlib codec, not a stub),
-    everything else is WAV. First half = base feature
-    (grayscale histogram / RMS windows), second half = the r5 family
-    (R-channel color histogram / spectral band log-powers). Shared by
-    the engine query AND the driver-side oracle so both sides run the
-    identical code path."""
+    """One decode_fn for the gate union: BMP/PNG/JPEG magics route to
+    their image codecs (r7: PNG and baseline JPEG are REAL hand-rolled
+    codecs — stdlib zlib / numpy DCT + Huffman — not stubs), everything
+    else is WAV. First half = base feature (grayscale histogram / RMS
+    windows), second half = the r5 family (R-channel color histogram /
+    spectral band log-powers). Shared by the engine query AND the
+    driver-side oracle so both sides run the identical code path."""
     from dw_etl_spark.functions.codecs import (
+        JPEG_SIG,
         PNG_SIG,
         bmp_color_feature,
         bmp_feature,
+        jpeg_color_feature,
+        jpeg_feature,
         png_color_feature,
         png_feature,
         wav_feature,
@@ -2294,6 +2319,11 @@ def _media_decode_route(payload: bytes, dim: int) -> list[float]:
         return bmp_feature(payload, half) + bmp_color_feature(payload, half)[:half]
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return png_feature(payload, half) + png_color_feature(payload, half)[:half]
+    if payload[: len(JPEG_SIG)] == JPEG_SIG:
+        return (
+            jpeg_feature(payload, half)
+            + jpeg_color_feature(payload, half)[:half]
+        )
     return wav_feature(payload, half) + wav_spectral_feature(payload, half)
 
 

@@ -4,11 +4,11 @@ Training-data pipelines carry image/audio/video as ``binary`` columns
 with a metadata struct alongside. The Spark-side plumbing — schema,
 partition sizing, Arrow-batched UDF signatures, batch shapes — is real
 and tested. Codecs: ``functions/codecs.py`` provides REAL,
-dependency-free decoders for uncompressed 24-bit BMP (decode / resize /
-histogram features) and PCM WAV (decode / RMS features) — inject them
-as ``decode_fn=bmp_feature`` / ``resize_fn=resize_bmp`` /
-``decode_fn=wav_feature``. Compressed formats (JPEG/PNG/MP4) need
-libraries this container lacks; for those, ``decode_fn=None`` uses a
+dependency-free decoders for uncompressed 24-bit BMP, PCM WAV, PNG
+(stdlib zlib) and baseline JPEG (numpy DCT + hand-rolled Huffman) —
+inject them as ``decode_fn=bmp_feature`` / ``resize_fn=resize_jpeg`` /
+``decode_fn=wav_feature`` etc. Video containers (MP4) need libraries
+this container lacks; for those, ``decode_fn=None`` uses a
 deterministic fake, and a real decoder drops in unchanged.
 
 Scale notes:

@@ -872,6 +872,95 @@ def test_png_codec_roundtrip_all_filters_and_features(spark):
     assert len(png_color_feature(encode_png(rgb), 8)) == 24
 
 
+def test_jpeg_codec_roundtrip_psnr_and_features(spark):
+    """The hand-rolled baseline JPEG codec (functions/codecs.py):
+    lossy, so the roundtrip contract is PSNR over every (quality,
+    sampling, restart) combination plus exact checks where the math
+    allows (DCT-matrix orthogonality; a uniform image is DC-only and
+    reconstructs exactly), byte determinism, the 4:2:0 and grayscale
+    decode branches, the same mapInPandas plumbing as BMP/PNG, and
+    loud failure on non-JPEG / progressive streams."""
+    import numpy as np
+    import pytest
+
+    from dw_etl_spark.functions.codecs import (
+        _DCT,
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_color_feature,
+        jpeg_feature,
+        resize_jpeg,
+    )
+    from dw_etl_spark.operators.multimodal import extract_features, resize_images
+
+    assert np.allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255.0**2 / mse) if mse else np.inf
+
+    # smooth gradient (JPEG's favorable case) at odd, non-multiple-of-
+    # 16 dims so the pad/crop path is always exercised
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    for quality, subsample, rst, floor in [
+        (95, False, 0, 50.0),
+        (90, False, 3, 47.0),
+        (90, True, 0, 40.0),
+        (75, True, 5, 38.0),
+    ]:
+        data = encode_jpeg(
+            img, quality=quality, subsample=subsample, restart_interval=rst
+        )
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+        assert psnr(img, out) > floor, (quality, subsample, rst)
+
+    # uniform image → DC-only blocks → exact reconstruction
+    uni = np.full((16, 24, 3), 137, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(uni, quality=90)), uni)
+
+    # white noise (the unfavorable case) still clears a sane floor at
+    # high quality — and the bytes are deterministic
+    rng = np.random.default_rng(23)
+    noisy = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    assert psnr(noisy, decode_jpeg(encode_jpeg(noisy, quality=95))) > 30.0
+    assert encode_jpeg(img, 90) == encode_jpeg(img, 90)
+
+    # grayscale stream: one component, replicated to 3 channels, close
+    # to the source luma
+    g = decode_jpeg(encode_jpeg(img, quality=92, grayscale=True))
+    assert g.shape == (h, w, 3)
+    assert np.array_equal(g[..., 0], g[..., 1])
+    luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    assert np.abs(g[..., 0].astype(np.float64) - luma).max() < 6.0
+
+    # failure modes are loud
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BM123456")
+    progressive = bytearray(encode_jpeg(img))
+    sof = progressive.find(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2  # flip SOF0 → SOF2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(progressive))
+
+    # same mapInPandas plumbing as BMP/PNG
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(encode_jpeg(img, 90)))],
+        "media_id long, kind string, payload binary",
+    ).withColumn("n_bytes", F.length("payload").cast("long")).withColumn(
+        "mime", F.lit("image/jpeg")
+    )
+    resized = resize_images(media, 6, 6, resize_fn=resize_jpeg).collect()
+    assert decode_jpeg(bytes(resized[0]["payload"])).shape == (6, 6, 3)
+    feats = extract_features(media, dim=8, decode_fn=jpeg_feature).collect()
+    assert abs(sum(feats[0]["feature"]) - 1.0) < 1e-4
+    assert len(jpeg_color_feature(encode_jpeg(img), 8)) == 24
+
+
 def test_wav_codec_roundtrip_feature(spark):
     import numpy as np
 
