@@ -2209,12 +2209,15 @@ def _media_decode_fixture() -> list[tuple]:
     its VALUES oracle. JPEG alternates 4:4:4 / 4:2:0 sampling and
     exercises a restart interval on the last row, so the gate pins
     the subsampled and DRI decode paths, not just the simplest
-    stream."""
+    stream. Two motion-JPEG MP4 payloads (kind='video') route through
+    the ISO-BMFF sample tables: first/middle frame extraction +
+    JPEG decode per frame."""
     import numpy as np
 
     from dw_etl_spark.functions.codecs import (
         encode_bmp,
         encode_jpeg,
+        encode_mp4,
         encode_png,
         encode_wav,
     )
@@ -2250,6 +2253,21 @@ def _media_decode_fixture() -> list[tuple]:
         j = np.arange(n)
         samples = (((j * 131 + i * 977) % 20011) - 10005).astype(np.int16)
         rows.append((100 + i, "audio", encode_wav(samples)))
+    for i in range(2):
+        frames = []
+        for t in range(4 + 2 * i):
+            yy, xx = np.mgrid[0:16, 0:24]
+            frames.append(
+                np.stack(
+                    [
+                        (xx * 5 + t * 23 + i * 41) % 256,
+                        (yy * 7 + t * 13) % 256,
+                        ((xx + yy) * 3 + t * 29) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+            )
+        rows.append((400 + i, "video", encode_mp4(frames, fps=4, quality=88)))
     return rows
 
 
@@ -2308,6 +2326,7 @@ def _media_decode_route(payload: bytes, dim: int) -> list[float]:
         bmp_feature,
         jpeg_color_feature,
         jpeg_feature,
+        mp4_frames,
         png_color_feature,
         png_feature,
         wav_feature,
@@ -2324,6 +2343,9 @@ def _media_decode_route(payload: bytes, dim: int) -> list[float]:
             jpeg_feature(payload, half)
             + jpeg_color_feature(payload, half)[:half]
         )
+    if payload[4:8] == b"ftyp":  # MP4: first/middle sampled frame histograms
+        first, mid = mp4_frames(payload, 2)
+        return jpeg_feature(first, half) + jpeg_feature(mid, half)
     return wav_feature(payload, half) + wav_spectral_feature(payload, half)
 
 

@@ -8,8 +8,12 @@ JPEG (ITU-T T.81 sequential DCT — numpy matrix DCT, Annex-K tables,
 canonical Huffman coding, all hand-rolled below). These give the
 ``mapInPandas`` multimodal plumbing (operators/multimodal.py) REAL
 decode → feature/resize paths end-to-end, including both a lossless
-(PNG) and a lossy (JPEG) compressed-image codec; video containers
-(MP4) remain injection points for environments that ship codecs.
+(PNG) and a lossy (JPEG) compressed-image codec, and a real VIDEO
+path: a minimal ISO-BMFF (MP4) container writer/parser carrying
+motion-JPEG samples — box walking, sample tables, metadata without
+touching frame bytes, offset-based frame sampling. Frame-exact video
+codecs (H.264/HEVC) genuinely need native libraries and remain
+injection points.
 
 Everything here is driver/executor-side plain Python over ``bytes`` —
 exactly the shape a codec UDF has inside an Arrow batch.
@@ -930,3 +934,246 @@ def jpeg_color_feature(payload: bytes, bins_per_channel: int = 8) -> list[float]
         )
         out.extend(round(float(x) / n, 6) for x in hist)
     return out
+
+
+# ----------------------------------------------------------------- MP4
+#
+# Minimal ISO BMFF (MP4 / ISO 14496-12) container carrying motion-JPEG
+# samples — the video sibling of the image codecs above, and the last
+# multimodal format to get a REAL dependency-free path: the container
+# is pure struct packing (boxes are length-prefixed fourcc trees), and
+# the per-frame payload is the baseline JPEG codec above. Frame-exact
+# video codecs (H.264 etc.) genuinely need native libraries and stay
+# injection points; motion-JPEG-in-MP4 is the standard
+# no-external-codec compromise and exercises every piece of container
+# plumbing a real pipeline needs: box walking, sample tables
+# (stsz/stco/stsc/stts), metadata extraction WITHOUT touching frame
+# bytes, and offset-based frame sampling that reads only the selected
+# samples.
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + fourcc + body
+
+
+def _full_box(fourcc: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+
+def encode_mp4(
+    frames: list[np.ndarray], fps: int = 8, quality: int = 90
+) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames → MP4 bytes (motion-JPEG:
+    one baseline-JPEG sample per frame, 'jpeg' sample entry, single
+    chunk, constant frame duration). Deterministic for given input."""
+    if not frames:
+        raise ValueError("encode_mp4: need at least one frame")
+    h, w, _ = frames[0].shape
+    for f in frames:
+        if f.shape != frames[0].shape:
+            raise ValueError("encode_mp4: all frames must share one shape")
+    samples = [encode_jpeg(f, quality=quality) for f in frames]
+    n = len(samples)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(samples))
+    data_start = len(ftyp) + 8  # first sample byte: after mdat header
+
+    movie_ts = 1000
+    movie_dur = n * movie_ts // fps
+
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, movie_ts, movie_dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, reserved
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full_box(
+        b"tkhd", 0, 3,  # enabled + in-movie
+        struct.pack(">IIIII", 0, 0, 1, 0, movie_dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full_box(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+    )
+    dinf = _box(b"dinf", dref)
+    sample_entry = _box(
+        b"jpeg",  # QuickTime/ISO motion-JPEG sample entry fourcc
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data reference index
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12  # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame count per sample
+        + b"\x07mjpeg  " + b"\x00" * 24  # 32-byte compressorname (len-prefixed)
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, data_start))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        fourcc = data[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body_off = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+            body_off = pos + 8
+        else:
+            body_off = pos + 8
+        if size < 8 or pos + size > end:
+            raise ValueError("MP4: malformed box size")
+        yield fourcc, body_off, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, path: list[bytes]):
+    """Return (body_off, box_end) of the first box at ``path``."""
+    for fourcc, body_off, box_end in _walk_boxes(data, start, end):
+        if fourcc == path[0]:
+            if len(path) == 1:
+                return body_off, box_end
+            return _find_box(data, body_off, box_end, path[1:])
+    raise ValueError(f"MP4: box {b'/'.join(path).decode()} not found")
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """Container metadata WITHOUT touching frame bytes — the cheap
+    pre-filter a video pipeline runs before any expensive decode:
+    duration, frame count, fps, dimensions and sample-entry fourcc
+    from the moov tree alone."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+    end = len(payload)
+    moov_off, moov_end = _find_box(payload, 0, end, [b"moov"])
+    mvhd_off, _ = _find_box(payload, moov_off, moov_end, [b"mvhd"])
+    version = payload[mvhd_off]
+    if version == 0:
+        ts, dur = struct.unpack_from(">II", payload, mvhd_off + 12)
+    else:
+        (ts,) = struct.unpack_from(">I", payload, mvhd_off + 20)
+        (dur,) = struct.unpack_from(">Q", payload, mvhd_off + 24)
+    stbl_off, stbl_end = _find_box(
+        payload, moov_off, moov_end,
+        [b"trak", b"mdia", b"minf", b"stbl"],
+    )
+    mdhd_off, _ = _find_box(
+        payload, moov_off, moov_end, [b"trak", b"mdia", b"mdhd"]
+    )
+    m_ts, m_dur = struct.unpack_from(">II", payload, mdhd_off + 12)
+    stsd_off, _ = _find_box(payload, stbl_off, stbl_end, [b"stsd"])
+    fourcc = payload[stsd_off + 12 : stsd_off + 16].decode("ascii", "replace")
+    w, h = struct.unpack_from(">HH", payload, stsd_off + 40)
+    stsz_off, _ = _find_box(payload, stbl_off, stbl_end, [b"stsz"])
+    _, n_samples = struct.unpack_from(">II", payload, stsz_off + 4)
+    return {
+        "duration_s": round(dur / ts, 6) if ts else 0.0,
+        "n_frames": int(n_samples),
+        "fps": round(n_samples * m_ts / m_dur, 6) if m_dur else 0.0,
+        "width": int(w),
+        "height": int(h),
+        "codec": fourcc,
+    }
+
+
+def _mp4_sample_spans(payload: bytes) -> list[tuple[int, int]]:
+    """(offset, size) per sample from the stsz/stco/stsc tables —
+    general over multi-chunk layouts, not just this module's writer."""
+    end = len(payload)
+    moov_off, moov_end = _find_box(payload, 0, end, [b"moov"])
+    stbl_off, stbl_end = _find_box(
+        payload, moov_off, moov_end,
+        [b"trak", b"mdia", b"minf", b"stbl"],
+    )
+    stsz_off, _ = _find_box(payload, stbl_off, stbl_end, [b"stsz"])
+    fixed, n = struct.unpack_from(">II", payload, stsz_off + 4)
+    sizes = (
+        [fixed] * n
+        if fixed
+        else list(struct.unpack_from(f">{n}I", payload, stsz_off + 12))
+    )
+    stco_off, _ = _find_box(payload, stbl_off, stbl_end, [b"stco"])
+    (n_chunks,) = struct.unpack_from(">I", payload, stco_off + 4)
+    chunk_offsets = list(
+        struct.unpack_from(f">{n_chunks}I", payload, stco_off + 8)
+    )
+    stsc_off, _ = _find_box(payload, stbl_off, stbl_end, [b"stsc"])
+    (n_stsc,) = struct.unpack_from(">I", payload, stsc_off + 4)
+    runs = [
+        struct.unpack_from(">III", payload, stsc_off + 8 + 12 * i)
+        for i in range(n_stsc)
+    ]
+    # expand stsc runs → samples-per-chunk for each chunk
+    spc = []
+    for i, (first, per, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        spc.extend([per] * (last - first + 1))
+    spans: list[tuple[int, int]] = []
+    si = 0
+    for ci, coff in enumerate(chunk_offsets):
+        pos = coff
+        for _ in range(spc[ci] if ci < len(spc) else 0):
+            if si >= n:
+                break
+            spans.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    if si != n:
+        raise ValueError("MP4: sample tables disagree on sample count")
+    return spans
+
+
+def mp4_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Evenly-spaced frame sampling: ``n_frames`` sample payloads (the
+    JPEG bytes) selected across the video — matches the
+    ``sample_fn(payload, n) -> list[bytes]`` contract of
+    ``operators.multimodal.sample_frames``. Reads ONLY the selected
+    byte ranges, never decodes unselected frames."""
+    spans = _mp4_sample_spans(payload)
+    total = len(spans)
+    if total == 0 or n_frames <= 0:
+        return []
+    idxs = [min(i * total // n_frames, total - 1) for i in range(n_frames)]
+    return [payload[off : off + size] for off, size in (spans[i] for i in idxs)]
+
+
+def mp4_frame_feature(payload: bytes, dim: int) -> list[float]:
+    """Video feature: decode the MIDDLE sampled frame (motion-JPEG)
+    and emit its grayscale histogram — the video sibling of
+    ``bmp_feature``/``jpeg_feature``."""
+    spans = _mp4_sample_spans(payload)
+    off, size = spans[len(spans) // 2]
+    return jpeg_feature(payload[off : off + size], dim)

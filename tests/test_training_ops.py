@@ -961,6 +961,78 @@ def test_jpeg_codec_roundtrip_psnr_and_features(spark):
     assert len(jpeg_color_feature(encode_jpeg(img), 8)) == 24
 
 
+def test_mp4_container_metadata_and_frame_sampling(spark):
+    """The minimal ISO-BMFF (MP4) writer/parser carrying motion-JPEG
+    samples (functions/codecs.py): metadata extraction from the moov
+    tree alone, sample-table-driven frame extraction (each extracted
+    payload is a decodable baseline JPEG equal to re-encoding the
+    source frame), even spacing, determinism, the mapInPandas
+    ``sample_frames`` plumbing with the REAL sampler injected, and
+    loud failure on non-MP4 bytes."""
+    import numpy as np
+    import pytest
+
+    from dw_etl_spark.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_mp4,
+        mp4_frame_feature,
+        mp4_frames,
+        mp4_metadata,
+    )
+    from dw_etl_spark.operators.multimodal import sample_frames
+
+    frames = []
+    for t in range(6):
+        yy, xx = np.mgrid[0:24, 0:32]
+        frames.append(
+            np.stack(
+                [(xx * 3 + t * 20) % 256, (yy * 5) % 256, ((xx + yy) * 2 + t * 10) % 256],
+                axis=2,
+            ).astype(np.uint8)
+        )
+    mp4 = encode_mp4(frames, fps=3, quality=90)
+    assert mp4[4:8] == b"ftyp"
+    assert encode_mp4(frames, fps=3, quality=90) == mp4  # deterministic
+
+    meta = mp4_metadata(mp4)
+    assert meta == {
+        "duration_s": 2.0,
+        "n_frames": 6,
+        "fps": 3.0,
+        "width": 32,
+        "height": 24,
+        "codec": "jpeg",
+    }
+
+    # every sample is byte-identical to encoding that frame directly,
+    # so frame extraction composes exactly with the JPEG codec
+    all6 = mp4_frames(mp4, 6)
+    assert [f for f in all6] == [encode_jpeg(f, quality=90) for f in frames]
+    # even spacing: asking for 3 of 6 yields frames 0, 2, 4
+    three = mp4_frames(mp4, 3)
+    assert three == [all6[0], all6[2], all6[4]]
+    for f in three:
+        assert decode_jpeg(f).shape == (24, 32, 3)
+    assert abs(sum(mp4_frame_feature(mp4, 8)) - 1.0) < 1e-4
+
+    with pytest.raises(ValueError, match="not an MP4"):
+        mp4_metadata(b"RIFF1234WAVE")
+
+    # the 1:N mapInPandas flat-map with the REAL sampler injected
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(mp4))],
+        "media_id long, kind string, payload binary",
+    ).withColumn("n_bytes", F.length("payload").cast("long")).withColumn(
+        "mime", F.lit("video/mp4")
+    )
+    out = sample_frames(media, n_frames=3, sample_fn=mp4_frames).collect()
+    assert len(out) == 3
+    assert sorted(r["frame_idx"] for r in out) == [0, 1, 2]
+    for r in out:
+        assert decode_jpeg(bytes(r["payload"])).shape == (24, 32, 3)
+
+
 def test_wav_codec_roundtrip_feature(spark):
     import numpy as np
 
