@@ -3075,3 +3075,90 @@ def test_kn_bigram_logppl_matches_sequential_oracle(spark):
 
     # the repetitive doc is far more predictable than prose
     assert want[2] < want[0] < 10.0
+
+
+def test_quality_model_train_score_filter(spark):
+    """The fastText-style hashed-n-gram logistic quality scorer
+    (operators/quality_model.py): weak labels from the Gopher
+    heuristic, distributed pyspark.ml training on a sample, per-row
+    corpus scoring that separates the classes, threshold filtering,
+    and partition-invariant probabilities (the scorer is a pure
+    per-row transform of a broadcast model)."""
+    import random
+
+    from dw_etl_spark.operators.quality_model import (
+        _ngram_terms,
+        quality_model_filter,
+        score_quality_model,
+        train_quality_model,
+        weak_quality_labels,
+    )
+
+    # feature recipe: unigrams + joined bigrams, no stray tail gram
+    terms = (
+        spark.createDataFrame([("a b c",), ("solo",), ("",)], "text string")
+        .select(_ngram_terms("text", True).alias("t"))
+        .collect()
+    )
+    assert [r["t"] for r in terms] == [
+        ["a", "b", "c", "a_b", "b_c"],
+        ["solo"],
+        [],
+    ]
+
+    rng = random.Random(5)
+    good_vocab = (
+        "the quick brown fox jumps over lazy dog and runs through green "
+        "fields while sun shines bright on meadow".split()
+    )
+    bad_vocab = ["zz9", "@@@@", "###", "qqq%%", "x0x0", "!!!!", "&&&"]
+    rows = [
+        (i, " ".join(rng.choice(good_vocab) for _ in range(rng.randint(55, 90))))
+        for i in range(150)
+    ] + [
+        (i, " ".join(rng.choice(bad_vocab) for _ in range(rng.randint(5, 30))))
+        for i in range(150, 300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    labeled = weak_quality_labels(docs, "text")
+    counts = {r["label"]: r["count"] for r in labeled.groupBy("label").count().collect()}
+    assert counts == {1.0: 150, 0.0: 150}  # heuristic separates the corpus
+
+    model = train_quality_model(labeled, num_features=1 << 14, max_iter=30)
+    scored = score_quality_model(docs, model)
+    means = {
+        r["is_good"]: r["p"]
+        for r in scored.withColumn(
+            "is_good", (F.col("doc_id") < 150).cast("int")
+        )
+        .groupBy("is_good")
+        .agg(F.avg("quality_prob").alias("p"))
+        .collect()
+    }
+    assert means[1] > 0.95 and means[0] < 0.05, means
+
+    assert quality_model_filter(docs, model, threshold=0.5).count() == 150
+
+    # partition invariance of the per-row scorer
+    s1 = scored.select("doc_id", F.col("quality_prob").alias("p1"))
+    s2 = score_quality_model(docs.repartition(17), model).select(
+        "doc_id", F.col("quality_prob").alias("p2")
+    )
+    delta = (
+        s1.join(s2, "doc_id")
+        .select(F.max(F.abs(F.col("p1") - F.col("p2"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert delta < 1e-9
+
+    # no-IDF variant trains and scores too
+    m2 = train_quality_model(
+        labeled, num_features=1 << 14, use_idf=False, bigrams=False, max_iter=20
+    )
+    assert (
+        score_quality_model(docs, m2)
+        .filter((F.col("doc_id") < 150) & (F.col("quality_prob") > 0.5))
+        .count()
+        == 150
+    )
