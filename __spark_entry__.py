@@ -1819,13 +1819,19 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     rode-alongs, previously pytest-only) per-group quota capping via
     the salt-split two-phase top-N (``num_shards=8`` — the skew-proof
     path is the one under the hash compare) and deterministic corpus
-    mixing to 50/30/20 target shares. ``grp`` is 'split:<name>' /
-    'stratum:<segment>' / 'quota:<segment>' / 'mix:<segment>'; the
-    oracle replays the identical md5 arithmetic for all four."""
+    mixing to 50/30/20 target shares, plus (r7) temperature mixing at
+    alpha=0.5 — kept mass ∝ sqrt(source mass), the multilingual
+    rebalancing recipe, whose keep rate (w_min/w_g)^(1-alpha) is pure
+    division+sqrt at this alpha, both correctly-rounded IEEE ops, so
+    the SQL twin replays the thresholds bit-exactly. ``grp`` is
+    'split:<name>' / 'stratum:<segment>' / 'quota:<segment>' /
+    'mix:<segment>' / 'temp:<segment>'; the oracle replays the
+    identical md5 arithmetic for all five."""
     from dw_etl_spark.operators.sampling import (
         mix_corpora,
         quota_sample,
         stratified_sample,
+        temperature_mix,
         train_val_test_split,
     )
 
@@ -1881,10 +1887,12 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         {"BUILDING": 0.5, "MACHINERY": 0.3, "AUTOMOBILE": 0.2},
     )
+    tempered = temperature_mix(cust, "c_mktsegment", "c_custkey", alpha=0.5)
     return (
         out.unionByName(strat_agg)
         .unionByName(seg_agg(quota, "quota:"))
         .unionByName(seg_agg(mixed, "mix:"))
+        .unionByName(seg_agg(tempered, "temp:"))
     )
 
 
@@ -1900,6 +1908,11 @@ _QUOTA_KEY = (
 
 _MIX_BUCKET = (
     "CAST('0x' || substr(md5('mix|' || CAST(c_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 10000"
+)
+
+_TEMP_BUCKET = (
+    "CAST('0x' || substr(md5('temp|' || CAST(c_custkey AS VARCHAR)), 1, 15)"
     " AS BIGINT) % 10000"
 )
 
@@ -1924,6 +1937,16 @@ mix_rates AS (
          CAST(floor(least(1.0, d * (1.0 / (SELECT max(d) FROM mix_demand)))
                     * 10000 + 0.5) AS BIGINT) AS thr
   FROM mix_demand
+),
+-- temperature mixing (alpha=0.5): rate = sqrt(w_min / w) — division
+-- and sqrt are both IEEE correctly-rounded, so these thresholds are
+-- bit-identical to the engine's driver-side Python arithmetic
+temp_rates AS (
+  SELECT g,
+         CAST(floor(sqrt((SELECT min(w) FROM mix_totals) / w)
+                    * 10000 + 0.5) AS BIGINT) AS thr
+  FROM mix_totals
+  WHERE w > 0
 )
 SELECT 'split:' || split AS grp, CAST(count(*) AS BIGINT) AS n,
        round(sum(c_acctbal), 2) AS total_acctbal
@@ -1962,6 +1985,12 @@ SELECT 'mix:' || c.c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
        round(sum(c_acctbal), 2) AS total_acctbal
 FROM customer c JOIN mix_rates r ON c.c_mktsegment = r.g
 WHERE {_MIX_BUCKET} < r.thr
+GROUP BY c.c_mktsegment
+UNION ALL
+SELECT 'temp:' || c.c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer c JOIN temp_rates r ON c.c_mktsegment = r.g
+WHERE {_TEMP_BUCKET} < r.thr
 GROUP BY c.c_mktsegment
 """
 

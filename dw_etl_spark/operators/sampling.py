@@ -264,3 +264,100 @@ def mix_corpora(
         expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
     threshold = expr.otherwise(F.lit(0))
     return df.filter(b < threshold)
+
+
+def temperature_fractions(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    weight_col: str | Column | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture targets: source g with corpus share
+    p_g gets target t_g = p_g^alpha / Σ_h p_h^alpha — the multilingual
+    pretraining recipe (alpha=1 keeps natural proportions, alpha→0
+    approaches uniform; alpha≈0.3–0.7 is the usual band). One
+    aggregation (#sources rows collected); normalization sums in
+    sorted-key order so the dict is run-deterministic. Feed the result
+    to ``mix_corpora``, or use ``temperature_mix`` below, which skips
+    the normalization entirely (it cancels in the keep-rate
+    arithmetic) for exact cross-engine replayability."""
+    w = (
+        (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    totals = {
+        r["g"]: float(r["w"])
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(w.cast("double")).alias("w"))
+        .collect()
+        if r["w"] and r["w"] > 0
+    }
+    grand = sum(totals[g] for g in sorted(totals))
+    if grand <= 0:
+        return {}
+    powed = {
+        g: math.sqrt(v / grand) if alpha == 0.5 else (v / grand) ** alpha
+        for g, v in totals.items()
+    }
+    z = sum(powed[g] for g in sorted(powed))
+    return {g: powed[g] / z for g in sorted(powed)}
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    weight_col: str | Column | None = None,
+    salt: str = "temp",
+) -> DataFrame:
+    """Deterministic temperature sampling in one pass: downsample each
+    source so kept mass ∝ (source mass)^alpha, without upsampling —
+    the rarest source survives whole and everything larger is
+    hash-Bernoulli-thinned toward it.
+
+    The keep rate is computed DIRECTLY as r_g = (w_min / w_g)^(1-alpha)
+    (analytically the ``mix_corpora`` rate for the temperature targets:
+    expected kept mass = w_g · r_g ∝ w_g^alpha). Two properties fall
+    out of this form:
+
+    - no normalization constant enters the floating-point path, and at
+      the default alpha=0.5 the whole rate is division + sqrt — BOTH
+      IEEE-754 correctly-rounded ops — so an independent engine (the
+      DuckDB oracle twin) replays the thresholds bit-exactly. General
+      alpha uses ``pow`` (not correctly rounded; a cross-library ULP
+      can in principle flip a row sitting exactly on a bucket
+      boundary — ~1e-12 probability per source).
+    - r_g ≤ 1 by construction (w_min ≤ w_g): this engine never
+      duplicates rows; express epoch-level oversampling in the
+      training loader.
+
+    Scale shape: one aggregation for per-source totals (#sources rows
+    collected), then a pure narrow hash-threshold filter — same as
+    ``mix_corpora``; unweighted groups drop out."""
+    w = (
+        (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    totals = {
+        r["g"]: float(r["w"])
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(w.cast("double")).alias("w"))
+        .collect()
+        if r["w"] and r["w"] > 0
+    }
+    if not totals:
+        return df.filter(F.lit(False))
+    w_min = min(totals.values())
+    b = hash_bucket(id_col, salt)
+    expr = None
+    for g in sorted(totals):
+        ratio = w_min / totals[g]
+        rate = math.sqrt(ratio) if alpha == 0.5 else ratio ** (1.0 - alpha)
+        # HALF_UP to match the SQL twin (see mix_corpora)
+        thr = F.lit(int(math.floor(rate * BUCKETS + 0.5)))
+        cond = F.col(group_col).eqNullSafe(F.lit(g))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    return df.filter(b < expr.otherwise(F.lit(0)))

@@ -3162,3 +3162,63 @@ def test_quality_model_train_score_filter(spark):
         .count()
         == 150
     )
+
+
+def test_temperature_mix_rebalances_toward_alpha_power(spark):
+    """``temperature_mix`` (operators/sampling.py): kept mass per
+    source ∝ (source mass)^alpha — the multilingual rebalancing
+    recipe. The rarest source survives whole (rate 1), larger sources
+    thin toward it, never any upsampling; output is deterministic
+    across partitionings; ``temperature_fractions`` returns the
+    normalized alpha-power targets the same rates realize."""
+    import math
+
+    from dw_etl_spark.operators.sampling import (
+        temperature_fractions,
+        temperature_mix,
+    )
+
+    sizes = {"en": 8000, "fr": 2000, "sw": 500}
+    rows = [
+        (f"{lang}-{i}", lang) for lang, n in sizes.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+
+    kept = temperature_mix(df, "lang", "doc_id", alpha=0.5)
+    counts = {
+        r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()
+    }
+    # rarest source whole; others thinned by sqrt(w_min/w) ± hash noise
+    assert counts["sw"] == 500
+    for lang in ("en", "fr"):
+        expect = sizes[lang] * math.sqrt(500 / sizes[lang])
+        assert abs(counts[lang] - expect) / expect < 0.08, (lang, counts)
+    # kept mass ratio approaches the alpha-power ratio, not the raw one
+    assert 3.2 < counts["en"] / counts["sw"] < 4.8  # sqrt(16)=4, raw=16
+
+    # deterministic across partitionings (hash-threshold, no RNG)
+    kept2 = temperature_mix(df.repartition(13), "lang", "doc_id", alpha=0.5)
+    assert (
+        kept.select("doc_id").subtract(kept2.select("doc_id")).count() == 0
+        and kept2.count() == kept.count()
+    )
+
+    # fractions utility: normalized alpha-power shares, sorted keys
+    fr = temperature_fractions(df, "lang", alpha=0.5)
+    assert list(fr) == ["en", "fr", "sw"]
+    assert abs(sum(fr.values()) - 1.0) < 1e-12
+    z = sum(math.sqrt(n) for n in sizes.values())
+    for lang, n in sizes.items():
+        assert abs(fr[lang] - math.sqrt(n) / z) < 1e-12
+
+    # alpha=1 keeps everything (natural proportions, rate w_min/w **0)
+    assert temperature_mix(df, "lang", "doc_id", alpha=1.0).count() == len(rows)
+
+    # token-weighted: a source with few rows but heavy docs counts by
+    # weight — with weights equalized across sources, rates equalize
+    wrows = [("a", "big", 100.0)] * 10 + [("b%d" % i, "small", 1.0) for i in range(1000)]
+    wdf = spark.createDataFrame(wrows, "doc_id string, src string, n_tok double")
+    wkept = temperature_mix(wdf, "src", "doc_id", alpha=0.5, weight_col="n_tok")
+    wcounts = {r["src"]: r["count"] for r in wkept.groupBy("src").count().collect()}
+    assert wcounts["big"] == 10  # equal mass → both rate 1
+    assert wcounts["small"] == 1000
