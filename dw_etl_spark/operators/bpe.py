@@ -210,40 +210,42 @@ def train_bpe(
     )
 
 
-def bpe_encode(
+def apply_word_encoder(
     df: DataFrame,
     text_col: str,
-    merges: list[tuple[str, str]],
+    encode_word_fn,
+    model_state,
     id_col: str = "doc_id",
-    out_col: str = "bpe_tokens",
+    out_col: str = "tokens",
     max_broadcast_words: int = 1_000_000,
 ) -> DataFrame:
-    """(id, bpe_tokens, n_bpe_tokens): each doc's whitespace words
-    BPE-encoded in order, concatenated into one subword array.
+    """Shared corpus-encode plan for subword tokenizers (BPE merges,
+    unigram-LM Viterbi, or any pure ``(word, state) -> pieces``
+    function): distinct words (pinned once — the count probe and the
+    join read one snapshot, no second corpus scan) → Arrow-batched
+    per-word encode (the ONLY Python, O(|distinct words|)) →
+    word→pieces map joined onto the posexploded corpus → per-doc
+    ordered reassembly (collect_list of (pos, pieces), sorted,
+    flattened). Docs with no tokens yield an empty array.
 
-    Plan: distinct words (pinned once — the count probe and the join
-    read one snapshot, no second corpus scan) → Arrow-batched per-word
-    encode (the ONLY Python, O(|distinct words|)) → word→pieces map
-    joined onto the posexploded corpus → per-doc ordered reassembly
-    (collect_list of (pos, pieces), sorted, flattened). Docs with no
-    tokens yield an empty array.
+    ``model_state`` is broadcast via the SparkContext (one copy per
+    executor, not per task); ``encode_word_fn(word, state)`` must be a
+    pure function of its arguments.
 
     ``max_broadcast_words`` gates the join strategy: at or under the
     threshold the map side gets an explicit broadcast hint; above it
     the hint is dropped and the plain equi-join runs (AQE picks the
-    physical strategy) — unlike training, encoding sees the corpus's
-    RAW distinct-word set (no min_freq/max_words diet), which at
-    100 TB can exceed any broadcastable size, and a forced hint would
-    OOM instead of degrading. Same guard family as
-    ``joins.fuzzy_top1_join``'s ``max_left_distinct`` and the
-    group-count gate in ``qcut_by_group_expr``. Both paths are
-    pytest-pinned row-equal.
+    physical strategy) — encoding sees the corpus's RAW distinct-word
+    set (no min_freq/max_words diet), which at 100 TB can exceed any
+    broadcastable size, and a forced hint would OOM instead of
+    degrading. Same guard family as ``joins.fuzzy_top1_join``'s
+    ``max_left_distinct`` and the group-count gate in
+    ``qcut_by_group_expr``. Both paths are pytest-pinned row-equal.
     """
     import pandas as pd
 
-    ranks = {p: i for i, p in enumerate(merges)}
     spark = df.sparkSession
-    ranks_bc = spark.sparkContext.broadcast(ranks)
+    state_bc = spark.sparkContext.broadcast(model_state)
 
     words = (
         df.select(F.explode(tokens(text_col)).alias("word"))
@@ -253,12 +255,14 @@ def bpe_encode(
     n_words = words.count()
 
     def encode(batches):
-        r = ranks_bc.value
+        state = state_bc.value
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "word": pdf["word"],
-                    "pieces": [_encode_word(w, r) for w in pdf["word"]],
+                    "pieces": [
+                        encode_word_fn(w, state) for w in pdf["word"]
+                    ],
                 }
             )
 
@@ -292,4 +296,29 @@ def bpe_encode(
     )
     return assembled.select(
         "id", out_col, F.size(out_col).cast("long").alias(f"n_{out_col}")
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+    max_broadcast_words: int = 1_000_000,
+) -> DataFrame:
+    """(id, bpe_tokens, n_bpe_tokens): each doc's whitespace words
+    BPE-encoded in order, concatenated into one subword array — the
+    shared ``apply_word_encoder`` plan with the merge-rank table as
+    the broadcast state (see that docstring for the plan and the
+    broadcast gate)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    return apply_word_encoder(
+        df,
+        text_col,
+        _encode_word,
+        ranks,
+        id_col=id_col,
+        out_col=out_col,
+        max_broadcast_words=max_broadcast_words,
     )

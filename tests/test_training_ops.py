@@ -3222,3 +3222,114 @@ def test_temperature_mix_rebalances_toward_alpha_power(spark):
     wcounts = {r["src"]: r["count"] for r in wkept.groupBy("src").count().collect()}
     assert wcounts["big"] == 10  # equal mass → both rate 1
     assert wcounts["small"] == 1000
+
+
+def test_unigram_tokenizer_em_invariant_and_training(spark):
+    """Unigram-LM tokenizer training (operators/unigram_tok.py):
+    the EM guarantee (corpus log-likelihood non-decreasing across
+    ``em_pass`` calls) over seeded random corpora, seed closure (all
+    single chars present, never pruned), target vocab size reached,
+    normalized probabilities, and Viterbi closure (best-path pieces
+    concatenate back to the word)."""
+    import math
+    import random
+
+    from dw_etl_spark.operators.unigram_tok import (
+        _seed_pieces,
+        _viterbi,
+        em_pass,
+        em_unigram,
+    )
+
+    syllables = ["ba", "na", "to", "ke", "mi", "ra", "lu", "shi", "en", "or"]
+    for seed in range(6):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice(syllables) for _ in range(rng.randint(1, 4)))
+            for _ in range(60)
+        ]
+        wf = sorted(
+            {w: rng.randint(2, 40) for w in words}.items(),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        probs = _seed_pieces(wf, 128, 6)
+        lls = []
+        for _ in range(5):
+            probs, ll = em_pass(wf, probs, 6)
+            lls.append(ll)
+        # ll reported for the INPUT probs of each pass → shifted by one
+        for a, b in zip(lls, lls[1:]):
+            assert b >= a - 1e-9, (seed, lls)
+
+        vocab = em_unigram(wf, vocab_size=40, seed_size=128,
+                           max_piece_len=6, em_rounds=2, prune_frac=0.3)
+        chars = {c for w, _ in wf for c in w}
+        assert chars <= set(vocab)
+        assert len(vocab) <= max(40, len(chars))
+        assert abs(sum(vocab.values()) - 1.0) < 1e-9
+        logp = {s: math.log(p) for s, p in vocab.items() if p > 0}
+        for w, _ in wf[:20]:
+            _s, pieces = _viterbi(w, logp, 6)
+            assert "".join(pieces) == w
+
+
+def test_unigram_encode_matches_driver_viterbi(spark):
+    """``unigram_encode``: the distributed encode (shared
+    apply_word_encoder plan) equals the driver-side per-word Viterbi
+    on every doc, is partition-independent, handles OOV characters by
+    longest-match/char fallback, and the broadcast gate's two paths
+    are row-equal."""
+    import math
+
+    from dw_etl_spark.operators.unigram_tok import (
+        _viterbi_encode_word,
+        train_unigram,
+        unigram_encode,
+    )
+    from dw_etl_spark.functions.text import tokens as _tok  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [
+            (0, "banana bananas ban anna"),
+            (1, "banana banana nan"),
+            (2, "anna banns bananas"),
+            (3, ""),
+            (4, "zzzq banana"),  # z/q are OOV w/ min_freq=2 pruning
+        ],
+        "doc_id long, text string",
+    )
+    vocab = train_unigram(
+        docs, "text", vocab_size=24, min_freq=2, max_words=1000,
+        seed_size=64, max_piece_len=6,
+    )
+    assert abs(sum(vocab.values()) - 1.0) < 1e-9
+
+    out = {
+        r["id"]: r["uni_tokens"]
+        for r in unigram_encode(docs, "text", vocab).collect()
+    }
+    assert out[3] == []
+    logp = {s: math.log(p) for s, p in vocab.items() if p > 0}
+    state = (logp, 6)
+    for did, text in [(0, "banana bananas ban anna"), (4, "zzzq banana")]:
+        expect = [
+            p for w in text.split() for p in _viterbi_encode_word(w, state)
+        ]
+        assert out[did] == expect, (did, out[did], expect)
+    # OOV chars survive as single-char pieces; text reassembles
+    assert "".join(out[4]).startswith("zzzq")
+
+    out2 = {
+        r["id"]: r["uni_tokens"]
+        for r in unigram_encode(docs.repartition(7), "text", vocab).collect()
+    }
+    assert out == out2
+
+    # broadcast gate: above-threshold path (plain join) is row-equal
+    out3 = {
+        r["id"]: r["uni_tokens"]
+        for r in unigram_encode(
+            docs, "text", vocab, max_broadcast_words=1
+        ).collect()
+    }
+    assert out == out3
