@@ -294,3 +294,140 @@ def cluster_dedup(
         F.col("id").alias(id_col)
     )
     return corpus.join(dropped, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "warn",
+) -> DataFrame:
+    """(node id → pagerank) over a directed edge list — the standard
+    crawl-curation quality prior (domain/page authority for weighting
+    or filtering web-scale pretraining data; Page et al. 1999).
+
+    Semantics: the damped random surfer with UNIFORM teleport and
+    dangling-mass redistribution — per iteration
+
+        r'(v) = (1-d)/N + d · ( Σ_{u→v} r(u)/deg(u) + D/N )
+
+    where D is the total rank held by dangling nodes (no out-edges),
+    redistributed uniformly, so Σ r = 1 is invariant (asserted by the
+    convergence agg and pinned in tests against a numpy power-
+    iteration oracle).
+
+    Scale shape — the same iterative plumbing as the CC loops above:
+
+    - Out-degrees are computed ONCE and joined into the edge frame, so
+      each round is one contributions join (rank ⋈ edges on the source
+      id) + one destination-keyed aggregation — two node/edge-keyed
+      shuffles, co-partitioned round to round.
+    - Each round's rank frame is LAZILY pinned (``localCheckpoint`` /
+      reliable ``checkpoint`` via ``checkpoint_dir`` — same trade as
+      ``connected_components``) and the convergence aggregate (L1
+      delta vs the previous round + dangling mass for the NEXT round)
+      is the action that materializes it: ONE job per round.
+    - The L1-delta check needs prev⋈new; rank frames are node-sized,
+      id-keyed — this join shuffles nothing extra at scale since both
+      sides share the aggregation partitioning.
+
+    Convergence: stop when the L1 delta ≤ ``tol``; otherwise
+    ``on_nonconverged`` ('warn'/'raise'/'ignore'), outcome stamped in
+    the ``rank`` column metadata like the CC operators.
+    """
+    if on_nonconverged not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_nonconverged: {on_nonconverged!r}")
+
+    def _pin_lazy(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=False)
+        return df.checkpoint(eager=False)
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    nodes = _pin_lazy(
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("t").alias("id")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # materializes the pin; N is needed up front
+    if n_nodes == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "id long, rank double"
+        ).withMetadata("rank", {"converged": True, "iterations": 0})
+
+    degs = e.groupBy(F.col("s").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # degree joined once; dangling nodes carry deg NULL
+    with_deg = _pin_lazy(nodes.join(degs, "id", "left"))
+
+    ranks = _pin_lazy(
+        with_deg.select("id", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+    )
+    # first materialization also reads the dangling mass
+    row = ranks.agg(
+        F.sum(F.when(F.col("deg").isNull(), F.col("rank")).otherwise(0.0)).alias("d")
+    ).first()
+    dangling = float(row["d"] or 0.0)
+
+    base = (1.0 - damping) / n_nodes
+    converged = False
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        contribs = (
+            ranks.filter(F.col("deg").isNotNull())
+            .join(e, ranks["id"] == e["s"])
+            .select(
+                F.col("t").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        shared = base + damping * dangling / n_nodes
+        new_ranks = _pin_lazy(
+            with_deg.join(
+                contribs.groupBy("id").agg(F.sum("c").alias("c")), "id", "left"
+            ).select(
+                "id",
+                "deg",
+                (
+                    F.lit(shared)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        # ONE job: materializes the round and reads delta + next dangling
+        row = new_ranks.join(
+            ranks.select("id", F.col("rank").alias("prev")), "id"
+        ).agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+            F.sum(
+                F.when(F.col("deg").isNull(), F.col("rank")).otherwise(0.0)
+            ).alias("d"),
+        ).first()
+        ranks = new_ranks
+        dangling = float(row["d"] or 0.0)
+        if float(row["delta"]) <= tol:
+            converged = True
+            break
+    if not converged:
+        msg = (
+            f"pagerank did not reach tol={tol} within max_iter={max_iter} "
+            f"iterations (last L1 delta ~{float(row['delta']):.2e}) — "
+            f"raise max_iter or loosen tol"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return ranks.select("id", "rank").withMetadata(
+        "rank", {"converged": converged, "iterations": iters}
+    )

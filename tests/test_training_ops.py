@@ -3333,3 +3333,63 @@ def test_unigram_encode_matches_driver_viterbi(spark):
         ).collect()
     }
     assert out == out3
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """``pagerank`` (operators/graph.py): the damped random surfer
+    with uniform teleport and dangling-mass redistribution, pinned
+    against a numpy power-iteration oracle with identical semantics
+    on a seeded digraph with dangling nodes; rank mass sums to 1;
+    convergence metadata stamped; non-convergence warns."""
+    import numpy as np
+    import pytest
+
+    from dw_etl_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    n = 40
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((int(a), int(b)))
+    # dangling nodes: strip every out-edge of ids >= 37
+    edges = sorted((a, b) for (a, b) in edges if a < 37)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    out = pagerank(df, tol=1e-9, max_iter=60)
+    got = {r["id"]: r["rank"] for r in out.collect()}
+    meta = out.schema["rank"].metadata
+    assert meta["converged"] is True and meta["iterations"] < 60
+
+    ids = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(ids)}
+    N = len(ids)
+    deg = np.zeros(N)
+    for a, _b in edges:
+        deg[idx[a]] += 1
+    r = np.full(N, 1.0 / N)
+    d = 0.85
+    for _ in range(300):
+        contrib = np.zeros(N)
+        for a, b in edges:
+            contrib[idx[b]] += r[idx[a]] / deg[idx[a]]
+        dangling = r[deg == 0].sum()
+        r_new = (1 - d) / N + d * (contrib + dangling / N)
+        if np.abs(r_new - r).sum() < 1e-14:
+            r = r_new
+            break
+        r = r_new
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert max(abs(got[v] - r[idx[v]]) for v in ids) < 1e-7
+
+    # a 3-cycle is exactly uniform regardless of damping
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "id_a long, id_b long"
+    )
+    for row in pagerank(cyc, tol=1e-12, max_iter=30).collect():
+        assert abs(row["rank"] - 1.0 / 3) < 1e-10
+
+    # non-convergence is loud
+    with pytest.warns(RuntimeWarning, match="pagerank did not reach"):
+        pagerank(df, tol=1e-15, max_iter=2).collect()
