@@ -2151,11 +2151,33 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         did.cast("string"),
     )
+    # r7 rode-along: URL canonicalization under the hash gate. A messy
+    # deterministic URL per doc (upper-case scheme/host, default port,
+    # tracking params, unsorted query, fragment, multi-part co.uk
+    # suffix) goes through functions/urls.canonicalize_url +
+    # url_domain; the ORACLE derives the expected canonical form
+    # CLOSED-FORM from doc_id (independent of the engine's steps), so
+    # this checks the expression implementation, not its echo.
+    from dw_etl_spark.functions.urls import canonicalize_url, url_domain
+
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (did % 3).cast("string"),
+        F.lit(".CO.UK:443/Path/"),
+        did.cast("string"),
+        F.lit("?utm_source=feed&b="),
+        (did % 7).cast("string"),
+        F.lit("&a="),
+        (did % 5).cast("string"),
+        F.lit("#sec"),
+    )
     return docs.select(
         "doc_id",
         *[counts[k].alias(f"n_{k}") for k in counts],
         redact_pii(synth).alias("redacted"),
         fold_punctuation(nfc_normalize(punct)).alias("normalized"),
+        canonicalize_url(messy).alias("canonical_url"),
+        url_domain(messy).alias("url_dom"),
     )
 
 
@@ -2204,12 +2226,24 @@ def _pii_scrub_sql() -> str:
         f"'{fold_from}', '{fold_to}'), '{FOLD_DASH_CLASS}', '-', 'g'), "
         f"'…', '...')"
     )
+    # URL rode-along: expected canonical form derived closed-form from
+    # doc_id — scheme/host lowercased, :443 dropped, fragment dropped,
+    # utm_* removed, remaining params sorted ('a=' < 'b=' always)
+    canon = (
+        "'https://www.example' || CAST(doc_id % 3 AS VARCHAR) || "
+        "'.co.uk/Path/' || CAST(doc_id AS VARCHAR) || "
+        "'?a=' || CAST(doc_id % 5 AS VARCHAR) || "
+        "'&b=' || CAST(doc_id % 7 AS VARCHAR)"
+    )
+    dom = "'example' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'"
     return f"""
 WITH s AS (SELECT doc_id, {synth} AS synth FROM documents)
 SELECT doc_id,
        {counts},
        {red} AS redacted,
-       {normalized} AS normalized
+       {normalized} AS normalized,
+       {canon} AS canonical_url,
+       {dom} AS url_dom
 FROM s
 """
 

@@ -1,0 +1,169 @@
+"""URL hygiene for web-crawl curation: canonicalization, host/domain
+extraction, and domain blocklist filtering — the dedup-prep every
+crawl pipeline runs before URL-level dedup (the same page arrives as
+``HTTP://Example.com:80/a?utm_source=x&b=1#frag`` and
+``http://example.com/a?b=1``; canonicalize first or URL dedup
+under-counts).
+
+Everything here is pure JVM expressions (regexp_extract / split /
+filter / array_sort / concat) — no UDFs, whole-stage-codegen'd, one
+narrow map over the corpus. The canonicalization:
+
+1. scheme and host lowercased (case-insensitive per RFC 3986);
+2. default ports dropped (http:80, https:443), explicit others kept;
+3. fragment dropped (never sent to the server);
+4. tracking query params removed (``utm_*``, gclid, fbclid, msclkid),
+   remaining params SORTED so param order doesn't split duplicates,
+   empty query dropped;
+5. empty path normalized to ``/``.
+
+This is the conservative production subset: transforms that are safe
+for (nearly) every server. Lossy steps some pipelines add (dropping
+``www.``, decoding percent-escapes, case-folding paths) change
+identity on real sites and are left to callers.
+
+``url_domain`` approximates the registered domain (eTLD+1) with the
+common multi-part public suffixes (co.uk, com.au, …) embedded as an
+expression — a full Public Suffix List is data, not code; pass your
+own via ``extra_multipart_suffixes`` when the crawl needs it.
+
+Tested against Python's ``urllib.parse`` as an independent reference
+implementation, plus closed-form expected outputs under the
+``pii_scrub`` hash gate (the oracle derives the canonical form
+independently rather than replaying the engine's steps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^?#]*\?([^#]*)"
+
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid)="
+
+_DEFAULT_MULTIPART = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "co.nz", "co.in", "com.br", "com.cn",
+    "com.mx", "co.za", "com.sg", "com.tr",
+)
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def url_scheme(col: Column | str) -> Column:
+    """Lower-cased scheme; NULL-safe (no scheme → empty string)."""
+    return F.lower(F.regexp_extract(_col(col), _SCHEME_RE, 1))
+
+
+def url_host(col: Column | str) -> Column:
+    """Lower-cased host: authority minus userinfo and port."""
+    auth = F.regexp_extract(_col(col), _AUTH_RE, 1)
+    no_user = F.element_at(F.split(auth, "@"), -1)
+    return F.lower(F.element_at(F.split(no_user, ":"), 1))
+
+
+def url_port(col: Column | str) -> Column:
+    """Explicit port as a string ('' when absent)."""
+    auth = F.regexp_extract(_col(col), _AUTH_RE, 1)
+    no_user = F.element_at(F.split(auth, "@"), -1)
+    parts = F.split(no_user, ":")
+    return F.when(F.size(parts) > 1, F.element_at(parts, 2)).otherwise(
+        F.lit("")
+    )
+
+
+def url_domain(
+    col: Column | str,
+    extra_multipart_suffixes: tuple[str, ...] = (),
+) -> Column:
+    """Registered-domain approximation (eTLD+1): the last two host
+    labels, or three when the last two form a known multi-part public
+    suffix (co.uk and friends; extend via the parameter)."""
+    host = url_host(col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    suffixes = _DEFAULT_MULTIPART + tuple(extra_multipart_suffixes)
+    is_multi = last2.isin(*suffixes)
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        F.when(n <= 2, host)
+        .when(is_multi & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form per the module contract; non-URL strings (no
+    ``scheme://``) come back unchanged so the expression is safe on
+    mixed columns."""
+    c = _col(col)
+    scheme = url_scheme(c)
+    host = url_host(c)
+    port = url_port(c)
+    keep_port = (port != "") & ~(
+        ((scheme == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    path = F.regexp_extract(c, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(c, _QUERY_RE, 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", c).otherwise(rebuilt)
+
+
+def block_domains(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: DataFrame | list[str],
+    keep: bool = False,
+) -> DataFrame:
+    """Drop (or with ``keep=True``, retain only) rows whose
+    registered domain appears in the blocklist — the crawl-curation
+    deny/allow-list step. ``blocked_domains`` is a single-column
+    DataFrame (scales to million-domain lists via broadcast-gated
+    join) or a Python list (inlined ``isin`` for small lists).
+
+    Scale shape: domain extraction is a narrow expression; the list
+    join is LEFT SEMI/ANTI on the domain — Spark broadcasts a small
+    list side automatically (AQE), and a huge list degrades to a
+    shuffle join instead of an OOM."""
+    dom = url_domain(url_col)
+    if isinstance(blocked_domains, list):
+        cond = dom.isin(*[d.lower() for d in blocked_domains])
+        return df.filter(cond if keep else ~cond)
+    bl = blocked_domains.select(
+        F.lower(F.col(blocked_domains.columns[0])).alias("__bdom")
+    ).distinct()
+    tagged = df.withColumn("__dom", dom)
+    joined = tagged.join(
+        bl,
+        tagged["__dom"] == bl["__bdom"],
+        "left_semi" if keep else "left_anti",
+    )
+    return joined.drop("__dom")

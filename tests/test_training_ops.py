@@ -3393,3 +3393,81 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     # non-convergence is loud
     with pytest.warns(RuntimeWarning, match="pagerank did not reach"):
         pagerank(df, tol=1e-15, max_iter=2).collect()
+
+
+def test_url_canonicalization_matches_urllib_reference(spark):
+    """URL hygiene (functions/urls.py): canonicalization agrees with
+    an independent urllib.parse-based reference on scheme/host
+    casing, default-port drop, userinfo strip, fragment drop,
+    tracking-param removal, param sorting and empty-path
+    normalization; eTLD+1 approximation handles multi-part suffixes;
+    blocklist filtering works in list and DataFrame (semi/anti join)
+    forms; non-URLs pass through unchanged."""
+    import re
+    import urllib.parse as up
+
+    from dw_etl_spark.functions.urls import (
+        block_domains,
+        canonicalize_url,
+        url_domain,
+        url_host,
+    )
+
+    cases = [
+        "HTTPS://Data.Example.ORG:443/doc/7?utm_source=x&b=2&a=1#frag",
+        "http://example.com:80/",
+        "http://example.com",
+        "https://sub.shop.co.uk/p?z=1&y=2&utm_campaign=q",
+        "https://user:pw@Host.COM:8443/path?a=1",
+        "ftp://Files.Example.com/x",
+        "not a url at all",
+        "https://example.com/a?gclid=123",
+        "https://example.com/a?&&b=1",
+        "https://news.example.co.jp:443/art?id=9&fbclid=z",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    rows = df.select(
+        "url",
+        canonicalize_url("url").alias("c"),
+        url_host("url").alias("h"),
+        url_domain("url").alias("d"),
+    ).collect()
+
+    def py_canon(u):
+        p = up.urlsplit(u)
+        if not p.scheme or "://" not in u:
+            return u
+        scheme = p.scheme.lower()
+        host = (p.hostname or "").lower()
+        port = ""
+        if p.port is not None and not (
+            (scheme == "http" and p.port == 80)
+            or (scheme == "https" and p.port == 443)
+        ):
+            port = f":{p.port}"
+        path = p.path or "/"
+        params = [
+            q
+            for q in p.query.split("&")
+            if q
+            and not re.match(
+                r"^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid)=", q
+            )
+        ]
+        q2 = "&".join(sorted(params))
+        return f"{scheme}://{host}{port}{path}" + (f"?{q2}" if q2 else "")
+
+    for r in rows:
+        assert r["c"] == py_canon(r["url"]), r["url"]
+    by_url = {r["url"]: r for r in rows}
+    assert by_url[cases[3]]["d"] == "shop.co.uk"  # multi-part suffix
+    assert by_url[cases[9]]["d"] == "example.co.jp"
+    assert by_url[cases[0]]["d"] == "example.org"
+    assert by_url["not a url at all"]["c"] == "not a url at all"
+
+    kept = block_domains(df, "url", ["example.com"])
+    assert kept.count() == len(cases) - 5
+    bl_df = spark.createDataFrame([("Example.COM",)], "dom string")
+    assert block_domains(df, "url", bl_df).count() == len(cases) - 5
+    only = block_domains(df, "url", bl_df, keep=True)
+    assert only.count() == 5
