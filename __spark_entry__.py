@@ -838,8 +838,19 @@ def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication stats ride along (``duplicate_line_stats`` — the
     C4/RefinedWeb boilerplate signal; the bullet/ellipsis lines shared
     between every 3rd/5th doc give it real cross-doc dups), so the
-    line-dedup operator is oracle-checked in the same row."""
-    from dw_etl_spark.functions.text import gopher_keep, gopher_metrics
+    line-dedup operator is oracle-checked in the same row. r7
+    rode-along: HTML→text extraction (``functions.text.html_to_text``)
+    — each doc's text is wrapped in a deterministic HTML garnish
+    (style/script elements with tag-bearing content, a comment, block
+    tags, list items, named entities incl. a double-escape trap) and
+    the extracted text + its token count ride as hash-checked columns;
+    the oracle replays the identical RE2 regex chain in DuckDB."""
+    from dw_etl_spark.functions.text import (
+        gopher_keep,
+        gopher_metrics,
+        html_to_text,
+        token_count,
+    )
     from dw_etl_spark.operators.text_dedup import duplicate_line_stats
 
     docs = read_table(spark, sf_dir, "documents")
@@ -861,11 +872,28 @@ def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")
         ),
     )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><style>p { color: blue; }'
+            '</style><script>var x = "<b>not text</b>";</script></head>'
+            "<body><!-- hidden <p>comment</p> --><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            "</p><ul><li>alpha</li><li>beta&amp;amp;gamma</li></ul>"
+            "&nbsp;tail &lt;end&gt;</body></html>"
+        ),
+    )
+    extracted = html_to_text(html)
     m = gopher_metrics(synth)
     base = docs.select(
         "doc_id",
         *[col.alias(name) for name, col in m.items()],
         gopher_keep(synth, min_words=10, min_mean_word_len=2.0).alias("keep"),
+        extracted.alias("html_text"),
+        token_count(extracted).alias("html_tokens"),
     )
     stats = duplicate_line_stats(
         docs.select("doc_id", synth.alias("text")), "text", "doc_id", min_docs=2

@@ -438,3 +438,57 @@ def nfc_normalize(col: Column | str) -> Column:
     )
     c = F.col(col) if isinstance(col, str) else col
     return _nfc(c)
+
+
+# ---------------------------------------------------------- HTML → text
+
+def html_to_text(col: Column | str) -> Column:
+    """Boilerplate-free-ish text from raw HTML — the extraction step a
+    web-crawl pipeline runs before any quality/dedup work, as pure JVM
+    regexp expressions (UDF-free, codegen'd, RE2-compatible so an
+    oracle can replay them verbatim):
+
+    1. drop <script>/<style>/<noscript>/<template> elements WITH their
+       content (case-insensitive, non-greedy across newlines) and
+       HTML comments;
+    2. turn block-level boundaries (</p>, </div>, <br>, </li>, </h1-6>,
+       </tr>) into newlines so words from different blocks don't fuse;
+    3. strip every remaining tag;
+    4. decode the named entities that dominate real corpora (&lt;
+       &gt; &quot; &#39;/&apos; &nbsp;, then &amp; LAST so
+       markup-escaped entities like &amp;lt; don't double-decode);
+       other numeric escapes are full entity tables — data, not code —
+       and pass through intact;
+    5. collapse runs of blank lines and intra-line whitespace.
+
+    This is the regex-extraction tier (what CommonCrawl's WET files
+    are); DOM-aware readability extraction needs an HTML parser and
+    stays an injection point."""
+    c = F.col(col) if isinstance(col, str) else col
+    # (?is): case-insensitive, dot-matches-newline. One pass per
+    # swallowed element, NOT an alternation with a </\1> backreference:
+    # RE2 (the oracle's engine, and the module's compatibility bar)
+    # has no backreferences.
+    t = c
+    for el in ("script", "style", "noscript", "template"):
+        t = F.regexp_replace(
+            t, rf"(?is)<{el}\b[^>]*>.*?</{el}>", " "
+        )
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>",
+        "\n",
+    )
+    # only strip things shaped like tags (letter / close / declaration
+    # after '<') — a bare "a < b and c > d" in prose is NOT a tag
+    t = F.regexp_replace(t, r"(?s)</?[A-Za-z][^>]*>|<![^>]*>", " ")
+    for ent, rep in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),  # last — see docstring
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    return F.btrim(t, F.lit(" \n\t\r"))

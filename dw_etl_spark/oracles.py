@@ -145,6 +145,51 @@ def gopher_metrics_sql(expr: str) -> dict[str, str]:
     }
 
 
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of functions/text.py html_to_text — the identical
+    RE2 regex chain (the Spark side is RE2-compatible by design:
+    per-element swallow passes instead of a backreference, which RE2
+    lacks)."""
+    t = expr
+    for el in ("script", "style", "noscript", "template"):
+        t = (
+            f"regexp_replace({t}, "
+            f"'(?is)<{el}\\b[^>]*>.*?</{el}>', ' ', 'g')"
+        )
+    t = f"regexp_replace({t}, '(?s)<!--.*?-->', ' ', 'g')"
+    t = (
+        f"regexp_replace({t}, "
+        f"'(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\\b[^>]*>', "
+        f"chr(10), 'g')"
+    )
+    t = f"regexp_replace({t}, '(?s)</?[A-Za-z][^>]*>|<![^>]*>', ' ', 'g')"
+    for ent, rep in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&apos;", "''"), ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        t = f"replace({t}, '{ent}', '{rep}')"
+    t = rf"regexp_replace({t}, '[ \t\r\f]+', ' ', 'g')"
+    t = rf"regexp_replace({t}, ' ?\n ?', chr(10), 'g')"
+    t = rf"regexp_replace({t}, '\n{{2,}}', chr(10), 'g')"
+    # DuckDB's two-arg trim == Spark's btrim (strip from both ends)
+    return f"trim({t}, ' ' || chr(10) || chr(9) || chr(13))"
+
+
+#: Twin of the HTML garnish in _q_quality_filters (r7 html_to_text
+#: rode-along) — must match the Spark concat byte-for-byte.
+QUALITY_HTML_SQL = (
+    "'<html><head><title>Doc</title><style>p { color: blue; }"
+    "</style><script>var x = \"<b>not text</b>\";</script></head>"
+    "<body><!-- hidden <p>comment</p> --><h1>Doc ' "
+    "|| CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+    "'</p><ul><li>alpha</li><li>beta&amp;amp;gamma</li></ul>"
+    "&nbsp;tail &lt;end&gt;</body></html>'"
+)
+
+
 #: Twin of the synthetic multi-line corpus in _q_quality_filters: the
 #: single-line documents fixture gains deterministic repeated lines
 #: (even ids), bullet lines (ids % 3) and ellipsis endings (ids % 5) so
@@ -170,9 +215,14 @@ def quality_filters_sql() -> str:
     identical counts modulo md5 collisions."""
     m = gopher_metrics_sql("text")
     cols = ",\n       ".join(f"{sql} AS {name}" for name, sql in m.items())
+    html_text = html_to_text_sql(QUALITY_HTML_SQL)
+    n_html = f"CAST(len({tokens('html_text')}) AS BIGINT)"
     return f"""
 WITH synth AS (
   SELECT doc_id, {QUALITY_SYNTH_SQL} AS text FROM documents
+),
+htext AS (
+  SELECT doc_id, {html_text} AS html_text FROM documents
 ),
 metrics AS (
   SELECT doc_id,
@@ -206,8 +256,9 @@ SELECT m.*,
         AND dup_line_frac <= 0.3
         AND bullet_line_frac <= 0.9
         AND ellipsis_line_frac <= 0.3) AS keep,
+       html_text, {n_html} AS html_tokens,
        xdoc_n_lines, xdoc_dup_lines, xdoc_dup_char_frac
-FROM metrics m JOIN linestats USING (doc_id)
+FROM metrics m JOIN linestats USING (doc_id) JOIN htext USING (doc_id)
 """
 
 

@@ -3471,3 +3471,45 @@ def test_url_canonicalization_matches_urllib_reference(spark):
     assert block_domains(df, "url", bl_df).count() == len(cases) - 5
     only = block_domains(df, "url", bl_df, keep=True)
     assert only.count() == 5
+
+
+def test_html_to_text_extraction(spark):
+    """``html_to_text`` (functions/text.py): script/style/noscript/
+    template swallowed WITH content (even when that content carries
+    tags), comments dropped, block boundaries become newlines (words
+    from adjacent blocks never fuse), named entities decoded exactly
+    once (&amp;lt; does NOT double-decode), whitespace collapsed,
+    non-HTML text passes through."""
+    from dw_etl_spark.functions.text import html_to_text
+
+    html = (
+        "<!DOCTYPE html><html><head><title>T</title>\n"
+        "<style>body { color: red; }</style>\n"
+        '<script type="text/javascript">var x = "<p>not text</p>";</script>\n'
+        "</head><body>\n"
+        "<!-- a comment <p>hidden</p> -->\n"
+        '<h1 class="big">Header&nbsp;One</h1>\n'
+        "<p>First &amp;amp; second &lt;tag&gt; &quot;q&quot; it&#39;s</p>\n"
+        "<div>Block<br>break</div>\n"
+        "<ul><li>one</li><li>two</li></ul>\n"
+        "<NOSCRIPT>js off</noscript>\n"
+        "trailing   text\n"
+        "</body></html>"
+    )
+    rows = (
+        spark.createDataFrame(
+            [(html,), ("plain text",), ("",), ("a < b and c > d",)],
+            "h string",
+        )
+        .select(html_to_text("h").alias("t"))
+        .collect()
+    )
+    assert rows[0]["t"] == (
+        "T\nHeader One\nFirst &amp; second <tag> \"q\" it's\n"
+        "Block\nbreak\none\ntwo\ntrailing text"
+    )
+    assert rows[1]["t"] == "plain text"
+    assert rows[2]["t"] == ""
+    # "<" in prose is not a tag: only letter/close/declaration shapes
+    # are stripped, so comparison text survives verbatim
+    assert rows[3]["t"] == "a < b and c > d"
