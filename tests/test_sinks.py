@@ -405,3 +405,79 @@ def test_orc_roundtrip_and_required_columns(spark, tmp_path):
     assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
     with _pytest.raises(SchemaValidationError):
         read_orc(spark, path, required_columns=["missing_col"])
+
+
+def test_warc_source_roundtrip_and_crawl_to_text(spark):
+    """WARC source (sources/warc.py): record framing roundtrip in
+    plain AND multi-member-gzip (CommonCrawl layout) forms, HTTP
+    response splitting (status / content-type / body), record-type
+    filtering, one-task-per-file distributed scan over several files,
+    and the composed crawl-to-corpus path (read_warc → html_to_text)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.functions.text import html_to_text
+    from dw_etl_spark.sources.warc import parse_warc, read_warc, write_warc
+
+    recs = [
+        {
+            "warc_type": "warcinfo",
+            "block": b"robots: classic\r\n",
+            "content_type": "application/warc-fields",
+        },
+        {
+            "warc_type": "response",
+            "url": "http://example.com/a",
+            "http": (
+                200,
+                "text/html",
+                b"<html><body><p>Hello &amp; welcome</p>"
+                b"<script>var x=1;</script></body></html>",
+            ),
+        },
+        {
+            "warc_type": "request",
+            "url": "http://example.com/a",
+            "block": b"GET /a HTTP/1.1\r\n",
+        },
+        {
+            "warc_type": "response",
+            "url": "http://example.com/b",
+            "http": (404, "text/html", b"<p>not found</p>"),
+        },
+    ]
+    for gz in (False, True):
+        payload = write_warc(recs, gz=gz)
+        parsed = list(parse_warc(payload))
+        assert [r["warc_type"] for r in parsed] == [
+            "warcinfo", "response", "request", "response",
+        ]
+        assert parsed[1]["http_status"] == 200
+        assert parsed[1]["http_content_type"] == "text/html"
+        assert parsed[1]["body"].startswith(b"<html>")
+        assert parsed[3]["http_status"] == 404
+
+        d = tempfile.mkdtemp(prefix="dwetl_warc_")
+        ext = "warc.gz" if gz else "warc"
+        # several files → several tasks (file = unit of parallelism)
+        open(os.path.join(d, f"f1.{ext}"), "wb").write(payload)
+        open(os.path.join(d, f"f2.{ext}"), "wb").write(
+            write_warc(recs[:2], gz=gz)
+        )
+        df = read_warc(spark, d)  # responses only by default
+        assert df.count() == 3
+        assert df.select("warc_file").distinct().count() == 2
+        all_types = read_warc(
+            spark, d, record_types=("response", "request", "warcinfo")
+        )
+        assert all_types.count() == 6
+
+        texts = (
+            df.filter(F.col("http_status") == 200)
+            .select(html_to_text(F.col("body").cast("string")).alias("t"))
+            .distinct()
+            .collect()
+        )
+        assert [r["t"] for r in texts] == ["Hello & welcome"]
