@@ -3513,3 +3513,68 @@ def test_html_to_text_extraction(spark):
     # "<" in prose is not a tag: only letter/close/declaration shapes
     # are stripped, so comparison text survives verbatim
     assert rows[3]["t"] == "a < b and c > d"
+
+
+def test_quantile_sketch_merge_invariance_and_rank_error(spark):
+    """Bottom-k quantile sketch (operators/sketches.py): incremental
+    (sketch-per-increment, then merge) is BYTE-IDENTICAL to a one-pass
+    rescan — the same contract the HLL family pins — and the estimated
+    quantiles land within the sampling rank-error bound (the guarantee
+    is on ranks; value error follows the distribution's local
+    density). Estimation is pure array expressions over the k-sized
+    state."""
+    import numpy as np
+
+    from dw_etl_spark.operators.sketches import (
+        estimate_quantiles,
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+
+    rng = np.random.default_rng(3)
+    incs = []
+    for inc in range(3):
+        rows = [
+            (int(inc * 100000 + i), "s" + str(i % 2), float(rng.lognormal(0, 1)))
+            for i in range(8000)
+        ]
+        incs.append(spark.createDataFrame(rows, "id long, seg string, v double"))
+
+    sketches = [quantile_sketch(d, "v", "id", by=["seg"], k=1024) for d in incs]
+    state = sketches[0]
+    for s in sketches[1:]:
+        state = merge_quantile_sketches(
+            state.unionByName(s), by=["seg"], k=1024
+        )
+    full = incs[0].unionByName(incs[1]).unionByName(incs[2])
+    rescan = quantile_sketch(full, "v", "id", by=["seg"], k=1024)
+
+    def snap(df):
+        return {
+            r["seg"]: (r["n_rows"], [(p["r"], p["v"]) for p in r["qsketch"]])
+            for r in df.collect()
+        }
+
+    assert snap(state) == snap(rescan)  # exact, not approximate
+    assert all(len(v[1]) == 1024 for v in snap(state).values())
+
+    est = {
+        r["seg"]: (r["q_0_5"], r["q_0_95"])
+        for r in estimate_quantiles(state, [0.5, 0.95]).collect()
+    }
+    pdf = full.toPandas()
+    for seg in ("s0", "s1"):
+        vals = np.sort(pdf[pdf.seg == seg].v.values)
+        for q, e in zip((0.5, 0.95), est[seg]):
+            rank_of_est = np.searchsorted(vals, e) / len(vals)
+            assert abs(rank_of_est - q) < 0.06, (seg, q, e, rank_of_est)
+
+    # tiny group: fewer rows than k → sketch holds them all, quantiles
+    # are then exact (numpy lerp convention)
+    small = spark.createDataFrame(
+        [(i, "t", float(i)) for i in range(11)], "id long, seg string, v double"
+    )
+    ss = estimate_quantiles(
+        quantile_sketch(small, "v", "id", by=["seg"], k=1024), [0.5]
+    ).collect()[0]
+    assert ss["q_0_5"] == 5.0 and ss["n_rows"] == 11
