@@ -615,8 +615,22 @@ def _q_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     'skew:…' rows over the (l_returnflag, l_linestatus) composite key
     — top-3 heaviest groups plus the summary (top-1 share, table
     rows, distinct keys). Values are DOUBLE throughout so counts and
-    fractions share one tall schema."""
+    fractions share one tall schema.
+
+    r7 rode-along: the mergeable bottom-k quantile sketch
+    (``sketches.quantile_sketch``) joins as 'qsketch:median:<flag>'
+    rows — per-returnflag sampled medians of l_extendedprice at
+    k=512. The row id is the widened total key from PLANS.md #7
+    ((orderkey, linenumber, partkey, quantity, price) — the synthetic
+    (orderkey, linenumber) alone is NOT unique), serialized through
+    integer casts only so the md5 rank is byte-identical across
+    engines; the oracle replays rank -> bottom-k -> numpy-convention
+    lerp with the identical expression tree."""
     from dw_etl_spark.operators.profile import key_skew_profile
+    from dw_etl_spark.operators.sketches import (
+        estimate_quantiles,
+        quantile_sketch,
+    )
 
     li = read_table(spark, sf_dir, "lineitem")
     dup = li.agg(
@@ -643,7 +657,35 @@ def _q_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'skew:distinct_keys', CAST(distinct_keys AS DOUBLE)) "
         "AS (metric, value)"
     )
-    return dup.unionByName(iqr).unionByName(sk_top).unionByName(sk_sum)
+    rid = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    )
+    qsk = estimate_quantiles(
+        quantile_sketch(
+            li.withColumn("__rid", rid),
+            "l_extendedprice",
+            "__rid",
+            by=["l_returnflag"],
+            k=512,
+        ),
+        [0.5],
+    ).select(
+        F.concat(F.lit("qsketch:median:"), F.col("l_returnflag")).alias(
+            "metric"
+        ),
+        F.round(F.col("q_0_5"), 6).alias("value"),
+    )
+    return (
+        dup.unionByName(iqr)
+        .unionByName(sk_top)
+        .unionByName(sk_sum)
+        .unionByName(qsk)
+    )
 
 
 # ---- window functions (W-series + lead/lag/running) -----------------------
@@ -2993,7 +3035,40 @@ LIMIT 3
 """
 
 _PROFILE_METRICS_SQL = """
-WITH q AS (
+WITH qsk AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY CAST('0x' || substr(md5('qsk|' ||
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             CAST(l_partkey AS VARCHAR) || '|' ||
+             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+           ), 1, 15) AS BIGINT) ASC,
+           CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             CAST(l_partkey AS VARCHAR) || '|' ||
+             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+           ASC
+         ) AS rn
+  FROM lineitem
+),
+qarr AS (
+  SELECT flag, list_sort(list(CAST(v AS DOUBLE))) AS vs,
+         CAST(len(list(v)) AS BIGINT) AS n
+  FROM qsk WHERE rn <= 512 GROUP BY flag
+),
+qmed AS (
+  SELECT flag,
+         vs[CAST(floor((n - 1) * 0.5) AS INT) + 1]
+         + (vs[CAST(ceil((n - 1) * 0.5) AS INT) + 1]
+            - vs[CAST(floor((n - 1) * 0.5) AS INT) + 1])
+           * ((n - 1) * 0.5 - floor((n - 1) * 0.5)) AS med
+  FROM qarr
+),
+q AS (
   SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
          quantile_cont(l_extendedprice, 0.75) AS q3
   FROM lineitem
@@ -3030,6 +3105,8 @@ UNION ALL
 SELECT 'skew:rows', CAST(rows AS DOUBLE) FROM skt
 UNION ALL
 SELECT 'skew:distinct_keys', CAST(dk AS DOUBLE) FROM skt
+UNION ALL
+SELECT 'qsketch:median:' || flag, round(med, 6) FROM qmed
 """
 
 # decimal accumulation: exact and summation-order-free (DuckDB's
