@@ -263,3 +263,97 @@ def chunk_documents(
         F.size("__ct").cast("long").alias("n_tokens"),
         F.array_join("__ct", " ").alias(out_col),
     )
+
+
+def write_token_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str,
+    key_col: str,
+    tokens_col: str,
+    dtype: str = "uint16",
+    shard_name: str = "tokens-{:06d}",
+) -> None:
+    """Export tokenized documents as flat binary token shards — the
+    memmap-ready layout pretraining loaders index directly (the
+    ``.bin`` + ``.idx`` convention): per distinct ``shard_col`` value,
+    ``tokens-NNNNNN.bin`` holds every document's token ids
+    concatenated in key order as little-endian ``dtype``, and
+    ``tokens-NNNNNN.idx.json`` maps each document to its
+    (token offset, token count) — so a loader seeks, never parses.
+
+    ``dtype`` is 'uint16' (vocab < 65,536 — the common case) or
+    'uint32'; an id outside the dtype's range RAISES (a silent
+    wraparound would corrupt training data undetectably). NULL
+    shard/key raises; a NULL token array is an empty document (indexed
+    with length 0).
+
+    Scale shape — same contract as ``write_tar_shards``: one
+    hash-repartition on ``shard_col`` lands each shard on exactly one
+    task, ``sortWithinPartitions(shard, key)`` + no wall-clock
+    metadata makes every .bin and .idx.json BYTE-deterministic under
+    any input partitioning (pytest-pinned by file hash); a task may
+    own several shards, a shard never splits. Pair with
+    ``pack_into_shards`` to assign token-budgeted ``shard_col``."""
+    import json
+    import os
+    import struct as _struct
+
+    if dtype not in ("uint16", "uint32"):
+        raise ValueError(f"dtype: {dtype!r}")
+    fmt, limit = ("<H", 1 << 16) if dtype == "uint16" else ("<I", 1 << 32)
+
+    def _write_partition(rows) -> None:
+        handles: dict[int, tuple] = {}  # sid -> (bin fh, index list, [pos])
+        try:
+            for row in rows:
+                sid, key = row[shard_col], row[key_col]
+                if sid is None or key is None:
+                    raise ValueError(
+                        f"NULL {shard_col!r}/{key_col!r} in token export"
+                    )
+                sid = int(sid)
+                ent = handles.get(sid)
+                if ent is None:
+                    fh = open(
+                        os.path.join(out_dir, shard_name.format(sid) + ".bin"),
+                        "wb",
+                    )
+                    ent = (fh, [], [0])
+                    handles[sid] = ent
+                fh, index, pos = ent
+                toks = row[tokens_col] or []
+                buf = bytearray()
+                for t in toks:
+                    t = int(t)
+                    if not (0 <= t < limit):
+                        raise ValueError(
+                            f"token id {t} outside {dtype} range"
+                        )
+                    buf += _struct.pack(fmt, t)
+                fh.write(bytes(buf))
+                index.append([str(key), pos[0], len(toks)])
+                pos[0] += len(toks)
+        finally:
+            for sid, (fh, index, pos) in handles.items():
+                fh.close()
+                meta = {
+                    "dtype": dtype,
+                    "total_tokens": pos[0],
+                    "documents": index,
+                }
+                with open(
+                    os.path.join(
+                        out_dir, shard_name.format(sid) + ".idx.json"
+                    ),
+                    "w",
+                ) as jf:
+                    json.dump(meta, jf, separators=(",", ":"), sort_keys=True)
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        df.select(shard_col, key_col, tokens_col)
+        .repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, key_col)
+        .foreachPartition(_write_partition)
+    )

@@ -481,3 +481,67 @@ def test_warc_source_roundtrip_and_crawl_to_text(spark):
             .collect()
         )
         assert [r["t"] for r in texts] == ["Hello & welcome"]
+
+
+def test_write_token_shards_deterministic_and_memmap_ready(spark):
+    """``write_token_shards`` (operators/packing.py): per-shard .bin
+    (little-endian token ids in key order) + .idx.json (doc → offset/
+    length) are BYTE-deterministic under any input partitioning, the
+    index offsets decode back to the source arrays, empty docs index
+    with length 0, and out-of-dtype token ids raise instead of
+    wrapping."""
+    import glob
+    import hashlib
+    import json
+    import os
+    import struct
+    import tempfile
+
+    import pytest
+
+    from dw_etl_spark.operators.packing import write_token_shards
+
+    rows = [(i % 3, f"doc{i:03d}", list(range(i, i + 5))) for i in range(30)]
+    rows.append((0, "empty", None))
+    df = spark.createDataFrame(rows, "shard int, key string, toks array<int>")
+
+    def export(d, dd):
+        write_token_shards(d, dd, "shard", "key", "toks")
+        return {
+            os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in sorted(glob.glob(os.path.join(dd, "*")))
+        }
+
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    assert export(df, d1) == export(df.repartition(13), d2)
+    assert len(glob.glob(os.path.join(d1, "*.bin"))) == 3
+
+    meta = json.load(open(os.path.join(d1, "tokens-000000.idx.json")))
+    data = open(os.path.join(d1, "tokens-000000.bin"), "rb").read()
+    assert meta["dtype"] == "uint16"
+    assert len(data) == 2 * meta["total_tokens"]
+    docs = {k: (off, n) for k, off, n in meta["documents"]}
+    off, n = docs["doc000"]
+    assert list(struct.unpack_from(f"<{n}H", data, off * 2)) == [0, 1, 2, 3, 4]
+    off, n = docs["doc021"]
+    assert list(struct.unpack_from(f"<{n}H", data, off * 2)) == [21, 22, 23, 24, 25]
+    assert docs["empty"][1] == 0
+    # offsets tile the bin exactly (no gaps, key order)
+    ordered = sorted(docs.values())
+    total = 0
+    for o, n in ordered:
+        assert o == total
+        total += n
+    assert total == meta["total_tokens"]
+
+    big = spark.createDataFrame(
+        [(0, "a", [70000])], "shard int, key string, toks array<int>"
+    )
+    with pytest.raises(Exception, match="uint16"):
+        write_token_shards(big, tempfile.mkdtemp(), "shard", "key", "toks")
+    # uint32 takes the same ids fine
+    d3 = tempfile.mkdtemp()
+    write_token_shards(big, d3, "shard", "key", "toks", dtype="uint32")
+    m3 = json.load(open(os.path.join(d3, "tokens-000000.idx.json")))
+    b3 = open(os.path.join(d3, "tokens-000000.bin"), "rb").read()
+    assert struct.unpack("<I", b3)[0] == 70000 and m3["dtype"] == "uint32"
