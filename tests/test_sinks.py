@@ -545,3 +545,101 @@ def test_write_token_shards_deterministic_and_memmap_ready(spark):
     m3 = json.load(open(os.path.join(d3, "tokens-000000.idx.json")))
     b3 = open(os.path.join(d3, "tokens-000000.bin"), "rb").read()
     assert struct.unpack("<I", b3)[0] == 70000 and m3["dtype"] == "uint32"
+
+
+def test_crawl_to_training_shards_end_to_end(spark):
+    """The composed crawl story, front door to loader: WARC files
+    (CommonCrawl gz layout, planted duplicate + junk pages) →
+    `read_warc` → `html_to_text` → URL canonicalization + domain
+    blocklist → Gopher quality filter → exact dedup (canonical-URL +
+    fingerprint) → whitespace tokenize to hashed ids → token-budget
+    packing → `write_token_shards`. Asserts the blocked domain, the
+    junk page and the URL-duplicate all drop, and the exported .bin
+    tokens decode back to the surviving pages' text."""
+    import glob
+    import json
+    import os
+    import struct
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dw_etl_spark.functions.text import (
+        fingerprint,
+        gopher_keep,
+        html_to_text,
+        tokens,
+    )
+    from dw_etl_spark.functions.urls import block_domains, canonicalize_url
+    from dw_etl_spark.operators.packing import (
+        pack_into_shards,
+        write_token_shards,
+    )
+    from dw_etl_spark.sources.warc import read_warc, write_warc
+
+    body = (
+        "<html><body><p>"
+        + " ".join(f"solid useful sentence number {i} here" for i in range(12))
+        + "</p></body></html>"
+    ).encode()
+    junk = b"<html><body><p>#### ### ## #</p></body></html>"
+    pages = [
+        ("http://Keep.example.org/a?utm_source=x", body),
+        ("http://keep.example.org/a", body),  # canonical dup of the 1st
+        ("http://keep.example.org/b", body.replace(b"solid", b"other")),
+        ("http://spam.bad-domain.com/x", body),
+        ("http://keep.example.org/junk", junk),
+    ]
+    d = tempfile.mkdtemp(prefix="dwetl_crawl_")
+    for i, (url, payload) in enumerate(pages):
+        open(os.path.join(d, f"seg{i}.warc.gz"), "wb").write(
+            write_warc(
+                [{"warc_type": "response", "url": url,
+                  "http": (200, "text/html", payload)}],
+                gz=True,
+            )
+        )
+
+    crawled = read_warc(spark, d).select(
+        canonicalize_url("url").alias("url"),
+        html_to_text(F.col("body").cast("string")).alias("text"),
+    )
+    allowed = block_domains(crawled, "url", ["bad-domain.com"])
+    quality = allowed.filter(
+        gopher_keep("text", min_words=10, min_mean_word_len=2.0)
+    )
+    deduped = (
+        quality.withColumn("fp", fingerprint("text"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("url")),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    survivors = sorted(r["url"] for r in deduped.select("url").collect())
+    assert survivors == [
+        "http://keep.example.org/a",
+        "http://keep.example.org/b",
+    ]
+
+    tok = deduped.select(
+        F.col("url").alias("doc_id"),
+        F.transform(
+            tokens("text"),
+            lambda t: F.pmod(F.xxhash64(t), F.lit(50000)).cast("int"),
+        ).alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    packed = pack_into_shards(tok, "n_tokens", ["doc_id"], shard_tokens=500)
+    out = tempfile.mkdtemp(prefix="dwetl_crawlbin_")
+    write_token_shards(packed, out, "shard_id", "doc_id", "toks")
+
+    total = 0
+    for idx in glob.glob(os.path.join(out, "*.idx.json")):
+        meta = json.load(open(idx))
+        data = open(idx.replace(".idx.json", ".bin"), "rb").read()
+        assert len(data) == 2 * meta["total_tokens"]
+        total += sum(n for _k, _o, n in meta["documents"])
+    expect = sum(r["n_tokens"] for r in tok.select("n_tokens").collect())
+    assert total == expect and total > 0
