@@ -188,3 +188,144 @@ def estimate_quantiles(
             name, F.when(n > 0, est).otherwise(F.lit(None).cast("double"))
         )
     return out
+
+
+def psi_from_sketches(
+    ref: DataFrame,
+    cur: DataFrame,
+    by: list[str] | None = None,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Population Stability Index straight from two persisted quantile
+    sketches — the INCREMENTAL drift check: once each ingest lands a
+    ``quantile_sketch`` row per group, any two snapshots compare
+    without rescanning either corpus (``operators.drift.psi`` is the
+    exact-pass sibling; this is its sketch-state form, with the usual
+    bottom-k sampling error on both proportions).
+
+    Bin edges are the reference sketch's sample deciles
+    (numpy-convention lerp, matching ``estimate_quantiles``); each
+    side's bin proportions come from its own sample; the PSI formula
+    and the ``eps`` floor match ``drift.psi``. Everything is array
+    expressions over two k-sized state columns joined on ``by`` —
+    no corpus pass, no shuffle beyond the tiny sketch-row join.
+
+    Output: one row per group — (by..., psi, n_ref, n_cur); groups
+    present on only one side are dropped (nothing to compare). A
+    constant reference column collapses its deciles onto one value —
+    the degenerate interior bins are empty on both sides and floor at
+    ``eps``, contributing ~0 (``drift.psi`` instead dedups the edges;
+    same verdict, different bin count).
+
+    Plan note: the sorted samples, the edge array, and each side's
+    per-value bin index are materialized as intermediate COLUMNS, and
+    every downstream expression references them by name. Inlining them
+    instead (each bin filter re-embedding the full lerp-interpolation
+    tree) multiplied the expression 10×-per-side and pushed the task
+    binary past 11 MB — the same plan-bomb class as the r4 IVF
+    literals / r5 qcut CASE, just in expression-tree form.
+    """
+    gb = [*(by or [])]
+
+    j = (
+        ref.select(
+            *gb,
+            F.col(sketch_col).alias("__rsk"),
+            F.col("n_rows").alias("n_ref"),
+        )
+        .join(
+            cur.select(
+                *gb,
+                F.col(sketch_col).alias("__csk"),
+                F.col("n_rows").alias("n_cur"),
+            ),
+            gb if gb else None,
+            "inner",
+        )
+        if gb
+        else ref.select(
+            F.col(sketch_col).alias("__rsk"), F.col("n_rows").alias("n_ref")
+        ).crossJoin(
+            cur.select(
+                F.col(sketch_col).alias("__csk"),
+                F.col("n_rows").alias("n_cur"),
+            )
+        )
+    )
+
+    rvals = F.col("__rv")
+    n = F.size(rvals)
+
+    def edge(q: float):
+        # numpy-convention lerp between the two straddling sample
+        # ranks, matching estimate_quantiles
+        pos = (n - 1) * F.lit(q)
+        lo = F.floor(pos).cast("int")
+        hi = F.ceil(pos).cast("int")
+        frac = pos - lo.cast("double")
+        return (
+            F.element_at(rvals, lo + 1)
+            + (F.element_at(rvals, hi + 1) - F.element_at(rvals, lo + 1))
+            * frac
+        )
+
+    # bin index of v = #{edges e : v > e} — open outer bins, the same
+    # unrolled shape as drift.psi's bin_of, here folded over the
+    # edge COLUMN so the tree stays one aggregate deep
+    def bin_of(vals_col):
+        return F.transform(
+            vals_col,
+            lambda v: F.aggregate(
+                F.col("__edges"),
+                F.lit(0),
+                lambda s, e: s + F.when(v > e, 1).otherwise(0),
+            ),
+        )
+
+    j = (
+        j.withColumn(
+            "__rv", F.array_sort(F.transform("__rsk", lambda p: p["v"]))
+        )
+        .withColumn(
+            "__cv", F.array_sort(F.transform("__csk", lambda p: p["v"]))
+        )
+        .withColumn(
+            "__edges", F.array(*[edge(i / n_bins) for i in range(1, n_bins)])
+        )
+        .withColumn("__rbin", bin_of(F.col("__rv")))
+        .withColumn("__cbin", bin_of(F.col("__cv")))
+    )
+
+    def eq(i: int):
+        # NOT `lambda b, i=i: ...` — F.filter sees a 2-arg callable and
+        # passes the ELEMENT INDEX as the second argument, silently
+        # clobbering the bound default
+        return lambda b: b == F.lit(i)
+
+    def props(bin_col: str):
+        total = F.size(F.col(bin_col))
+        return F.array(
+            *[
+                F.greatest(
+                    F.size(F.filter(F.col(bin_col), eq(i))).cast("double")
+                    / F.greatest(total, F.lit(1)),
+                    F.lit(eps),
+                )
+                for i in range(n_bins)
+            ]
+        )
+
+    terms = F.zip_with(
+        props("__cbin"), props("__rbin"), lambda b, a: (b - a) * F.log(b / a)
+    )
+    out = j.select(
+        *gb,
+        F.round(F.aggregate(terms, F.lit(0.0), lambda s, t: s + t), 6).alias(
+            "psi"
+        ),
+        "n_ref",
+        "n_cur",
+    )
+    return out

@@ -3578,3 +3578,58 @@ def test_quantile_sketch_merge_invariance_and_rank_error(spark):
         quantile_sketch(small, "v", "id", by=["seg"], k=1024), [0.5]
     ).collect()[0]
     assert ss["q_0_5"] == 5.0 and ss["n_rows"] == 11
+
+
+def test_psi_from_sketches_matches_exact_psi_when_lossless(spark):
+    """psi_from_sketches (operators/sketches.py): on groups smaller
+    than k the bottom-k sketch retains EVERY value, so its sample
+    deciles are the exact numpy-lerp deciles and its PSI must equal
+    the exact-pass drift.psi total to the same 6-decimal rounding.
+    Also pins: one-sided groups are dropped, and the grouped join
+    carries n_ref/n_cur through."""
+    import numpy as np
+
+    from dw_etl_spark.operators.drift import psi
+    from dw_etl_spark.operators.sketches import (
+        psi_from_sketches,
+        quantile_sketch,
+    )
+
+    rng = np.random.default_rng(11)
+    ref_rows = [
+        (i, "g" + str(i % 2), float(rng.normal(0, 1))) for i in range(600)
+    ] + [(10_000 + i, "only_ref", float(i)) for i in range(50)]
+    cur_rows = [
+        (i, "g" + str(i % 2), float(rng.normal(0.4, 1.3))) for i in range(500)
+    ] + [(20_000 + i, "only_cur", float(i)) for i in range(50)]
+    ref = spark.createDataFrame(ref_rows, "id long, g string, v double")
+    cur = spark.createDataFrame(cur_rows, "id long, g string, v double")
+
+    got = {
+        r["g"]: (r["psi"], r["n_ref"], r["n_cur"])
+        for r in psi_from_sketches(
+            quantile_sketch(ref, "v", "id", by=["g"], k=1024),
+            quantile_sketch(cur, "v", "id", by=["g"], k=1024),
+            by=["g"],
+        ).collect()
+    }
+    assert set(got) == {"g0", "g1"}  # one-sided groups dropped
+
+    for g in ("g0", "g1"):
+        exact = psi(
+            ref.filter(F.col("g") == g),
+            cur.filter(F.col("g") == g),
+            "v",
+        )
+        total = [
+            r["psi_term"] for r in exact.collect() if r["bin"] == "total"
+        ][0]
+        assert got[g][0] == pytest.approx(total, abs=2e-6), (g, got[g], total)
+        assert got[g][1] == 300 and got[g][2] == 250
+
+    # ungrouped (cross-join) form: single row, identical value
+    ung = psi_from_sketches(
+        quantile_sketch(ref.filter("g = 'g0'"), "v", "id", k=1024),
+        quantile_sketch(cur.filter("g = 'g0'"), "v", "id", k=1024),
+    ).collect()
+    assert len(ung) == 1 and ung[0]["psi"] == got["g0"][0]
