@@ -886,8 +886,12 @@ def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (style/script elements with tag-bearing content, a comment, block
     tags, list items, named entities incl. a double-escape trap) and
     the extracted text + its token count ride as hash-checked columns;
-    the oracle replays the identical RE2 regex chain in DuckDB."""
+    the oracle replays the identical RE2 regex chain in DuckDB. r7
+    rode-along: character-entropy (``functions.text.char_entropy`` —
+    the degenerate-text signal) over the raw doc text, oracle-replayed
+    with the same ln(n) − Σc·ln(c)/n formula."""
     from dw_etl_spark.functions.text import (
+        char_entropy,
         gopher_keep,
         gopher_metrics,
         html_to_text,
@@ -936,6 +940,7 @@ def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_keep(synth, min_words=10, min_mean_word_len=2.0).alias("keep"),
         extracted.alias("html_text"),
         token_count(extracted).alias("html_tokens"),
+        F.round(char_entropy(F.col("text")), 6).alias("char_ent"),
     )
     stats = duplicate_line_stats(
         docs.select("doc_id", synth.alias("text")), "text", "doc_id", min_docs=2

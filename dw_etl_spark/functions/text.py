@@ -347,6 +347,45 @@ def fingerprint(col: Column | str) -> Column:
     return stable_hash64(normalized)
 
 
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (nats) of the string's character distribution —
+    the classic degenerate-text signal: keyboard mash, repeated
+    padding, and base64 blobs sit at the distribution's tails while
+    natural language clusters in a narrow band (~2.8-3.2 nats for
+    English), so both low- and high-entropy cutoffs are useful quality
+    filters alongside ``gopher_metrics``.
+
+    H = ln(n) − (Σ c·ln c)/n over per-character counts c — computed as
+    a pure expression: split to chars, then for each DISTINCT char
+    count its occurrences with an array filter. Per-row cost is
+    O(len × distinct-chars) JVM-side with NO shuffle — the explode +
+    groupBy(doc, char) formulation would shuffle one row per
+    CHARACTER of the corpus, which at 100 TB is the corpus itself.
+    Empty/NULL-safe: '' has one ''-char and entropy 0.
+
+    Caveat: ``split('')`` operates on UTF-16 code units, so astral
+    characters (emoji, rare CJK) count as two units; entropy shifts
+    negligibly and identically in the DuckDB oracle replay at the
+    fixture's BMP-only text.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    n = F.size(chars)
+    sum_clnc = F.aggregate(
+        F.transform(
+            F.array_distinct(chars),
+            lambda ch: F.size(F.filter(chars, lambda x: x == ch)).cast(
+                "double"
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, cnt: acc + cnt * F.log(cnt),
+    )
+    return F.when(
+        n > 0, F.log(n.cast("double")) - sum_clnc / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def simhash32(col: Column | str, n: int = 3) -> Column:
     """32-bit SimHash over character n-gram shingles.
 

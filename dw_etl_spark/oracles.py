@@ -247,6 +247,15 @@ linestats AS (
            AS xdoc_dup_char_frac
   FROM lines l LEFT JOIN line_docs c ON trim(l.line) = c.tl
   GROUP BY 1
+),
+entcnt AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+  GROUP BY 1, 2
+),
+ent AS (
+  SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS char_ent
+  FROM entcnt GROUP BY doc_id
 )
 SELECT m.*,
        (n_words BETWEEN 10 AND 100000
@@ -256,9 +265,10 @@ SELECT m.*,
         AND dup_line_frac <= 0.3
         AND bullet_line_frac <= 0.9
         AND ellipsis_line_frac <= 0.3) AS keep,
-       html_text, {n_html} AS html_tokens,
+       html_text, {n_html} AS html_tokens, char_ent,
        xdoc_n_lines, xdoc_dup_lines, xdoc_dup_char_frac
 FROM metrics m JOIN linestats USING (doc_id) JOIN htext USING (doc_id)
+     JOIN ent USING (doc_id)
 """
 
 
