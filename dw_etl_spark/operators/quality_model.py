@@ -46,6 +46,40 @@ from pyspark.sql import functions as F
 from dw_etl_spark.functions.text import gopher_keep, tokens
 
 
+def _strip_training_summary(ml_model) -> None:
+    """Drop a fitted pyspark.ml model's training summary in place.
+
+    Why this is load-bearing and not cosmetic: ``HasTrainingSummary``
+    models keep a ``trainingSummary`` that pins the *SparkSession*, and
+    every ``model.transform`` ScalaUDF closure captures the model — so
+    the session rides along into task serialization. The classic
+    session's ``observationManager`` field starts out null (lazily
+    created by the FIRST ``df.observe`` on the session) and
+    ``ObservationManager`` is not ``Serializable``; the moment any
+    observe-based metric has run (``functions/metrics.py``,
+    ``operators/expectations.py``), a summary-carrying model crashes
+    every later transform with ``NotSerializableException:
+    ObservationManager``. Stripping the summary removes the session
+    from the closure graph entirely, which is also the right scale
+    shape: the scorer's only state should be two broadcast D-vectors,
+    not a handle on the driver session. Scala ``private[ml]``
+    ``setSummary`` compiles to a public JVM method, so py4j can call
+    it directly; best-effort (no-op under Spark Connect, where
+    ``_java_obj`` is absent and the bug cannot occur).
+    """
+    jo = getattr(ml_model, "_java_obj", None)
+    if jo is None:  # connect-backed model: nothing to strip
+        return
+    try:
+        if jo.hasSummary():
+            from pyspark import SparkContext
+
+            jvm = SparkContext._active_spark_context._jvm
+            jo.setSummary(jvm.scala.Option.empty())
+    except Exception:
+        pass  # stripping is an optimization + crash guard, never fatal
+
+
 def _ngram_terms(text_col: str, bigrams: bool) -> Column:
     """Lower-cased word unigrams (+ joined bigrams) as one array —
     the fastText feature recipe, built with JVM-side expressions."""
@@ -126,6 +160,9 @@ def train_quality_model(
         lr_model = lr.fit(vec)
     finally:
         vec.unpersist()
+    # See _strip_training_summary: without this, the model cannot be
+    # applied on any session where an observe metric has ever run.
+    _strip_training_summary(lr_model)
     return QualityModel(num_features, bigrams, idf_model, lr_model)
 
 
@@ -154,6 +191,9 @@ def score_quality_model(
     else:
         vec = vec.withColumnRenamed("__tf", "__features")
     lr = model.lr_model.copy()
+    # Defense in depth for models trained elsewhere (ml.copy preserves
+    # the session-pinning training summary; see _strip_training_summary).
+    _strip_training_summary(lr)
     lr.setFeaturesCol("__features").setPredictionCol(
         "__pred"
     ).setProbabilityCol("__prob").setRawPredictionCol("__raw")

@@ -3164,6 +3164,52 @@ def test_quality_model_train_score_filter(spark):
     )
 
 
+def test_observe_then_quality_model_compose(spark):
+    """Regression (round-7 verdict #1): the FIRST ``df.observe`` on a
+    classic session lazily materializes the session's non-serializable
+    ``ObservationManager``; a pyspark.ml model that still carries its
+    training summary pins the session into every transform closure and
+    the compose crashes with ``NotSerializableException:
+    ObservationManager``. ``train_quality_model`` must strip the
+    summary so observe-metrics → train → score works in ONE session —
+    the exact shape of a production pipeline that runs X5 row-count
+    metrics and then trains the quality scorer."""
+    from dw_etl_spark.functions.metrics import observe_counts
+    from dw_etl_spark.operators.quality_model import (
+        score_quality_model,
+        train_quality_model,
+        weak_quality_labels,
+    )
+
+    # Step 1: run an observe-metric action on this session (poisons the
+    # session for summary-carrying ml models).
+    base = spark.createDataFrame(
+        [(i, None if i % 7 == 0 else i) for i in range(50)],
+        "id long, v long",
+    )
+    observed, obs = observe_counts(base, "compose_guard", null_cols=["v"])
+    observed.count()
+    assert obs.get["n_rows"] == 50 and obs.get["n_null_v"] == 8
+
+    # Step 2: train + score on the SAME session. Pre-fix this died in
+    # score_quality_model's first action.
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog again " * 8)
+            for i in range(40)
+        ]
+        + [(i, "zz9 @@@@ ### !!") for i in range(40, 80)],
+        "doc_id long, text string",
+    )
+    labeled = weak_quality_labels(docs, "text")
+    model = train_quality_model(labeled, num_features=1 << 12, max_iter=15)
+    assert not model.lr_model.hasSummary  # the strip actually happened
+    scored = score_quality_model(docs, model)
+    rows = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
+    assert len(rows) == 80
+    assert rows[0] > rows[79]  # model still separates the corpus
+
+
 def test_temperature_mix_rebalances_toward_alpha_power(spark):
     """``temperature_mix`` (operators/sampling.py): kept mass per
     source ∝ (source mass)^alpha — the multilingual rebalancing
