@@ -152,10 +152,15 @@ def write_tar_shards(
     BYTE-deterministic for any input partitioning (pytest-pinned by
     file hash). A task may own several shards (hash collisions are
     fine — one open handle per shard, sequential writes); a shard is
-    never split across tasks. ``out_dir`` must be task-writable
-    storage (local/NFS/FUSE mount — the standard WebDataset serving
-    arrangement); pair with ``pack_into_shards`` (token budgets) or
-    ``ntile``-style row budgets to assign ``shard_col``.
+    never split across tasks.
+
+    Shared-FS sink contract: shard files are written with plain
+    ``open()``, so ``out_dir`` must be a POSIX path visible to EVERY
+    executor (local dir in local mode; NFS/FUSE mount on a cluster —
+    the standard WebDataset serving arrangement). Object stores need
+    a FUSE gateway or a post-hoc upload step. Pair with
+    ``pack_into_shards`` (token budgets) or ``ntile``-style row
+    budgets to assign ``shard_col``.
     """
     import io
     import os
@@ -293,8 +298,13 @@ def write_token_shards(
     task, ``sortWithinPartitions(shard, key)`` + no wall-clock
     metadata makes every .bin and .idx.json BYTE-deterministic under
     any input partitioning (pytest-pinned by file hash); a task may
-    own several shards, a shard never splits. Pair with
-    ``pack_into_shards`` to assign token-budgeted ``shard_col``."""
+    own several shards, a shard never splits.
+
+    Shared-FS sink contract: shard files are written with plain
+    ``open()``, so ``out_dir`` must be a POSIX path visible to EVERY
+    executor (local dir in local mode; NFS/FUSE mount on a cluster).
+    Object stores need a FUSE gateway or a post-hoc upload step. Pair
+    with ``pack_into_shards`` to assign token-budgeted ``shard_col``."""
     import json
     import os
     import struct as _struct

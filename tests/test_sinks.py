@@ -483,6 +483,72 @@ def test_warc_source_roundtrip_and_crawl_to_text(spark):
         assert [r["t"] for r in texts] == ["Hello & welcome"]
 
 
+def test_warc_parse_streams_bounded_chunks():
+    """Round-7 verdict #2: the WARC parse must be incremental — gzip
+    members inflated one at a time into the record framer, and
+    ``iter_warc_frames`` emitting BOUNDED pandas chunks, never one
+    frame per file. Pins: (a) a multi-record file with a small
+    ``chunk_records`` yields multiple frames whose concat equals the
+    unchunked parse; (b) byte-budget chunking trips on ``chunk_bytes``
+    too; (c) a record split across gzip members still parses (the
+    framer buffers across feeds); (d) truncated input raises instead
+    of silently dropping the tail record."""
+    import gzip
+
+    import pandas as pd
+    import pytest
+
+    from dw_etl_spark.sources.warc import (
+        iter_warc_frames,
+        parse_warc,
+        write_warc,
+    )
+
+    recs = [
+        {
+            "warc_type": "response",
+            "url": f"http://ex.com/{i}",
+            "http": (200, "text/html", f"<p>page {i}</p>".encode() * 20),
+        }
+        for i in range(7)
+    ]
+    payload = write_warc(recs, gz=True)
+
+    frames = list(
+        iter_warc_frames(iter([("f.warc.gz", payload)]), chunk_records=2)
+    )
+    assert len(frames) == 4 and [len(f) for f in frames] == [2, 2, 2, 1]
+    merged = pd.concat(frames, ignore_index=True)
+    flat = pd.DataFrame(list(parse_warc(payload)))
+    assert list(merged["url"]) == list(flat["url"])
+    assert [bytes(b) for b in merged["body"]] == [
+        bytes(b) for b in flat["body"]
+    ]
+
+    by_bytes = list(
+        iter_warc_frames(
+            iter([("f.warc.gz", payload)]),
+            chunk_records=10_000,
+            chunk_bytes=700,  # ~2.4 bodies of 300 B
+        )
+    )
+    assert len(by_bytes) > 1 and sum(len(f) for f in by_bytes) == 7
+    assert all(len(f) <= 3 for f in by_bytes)
+
+    # one logical record split across MANY gzip members: the framer
+    # must buffer partial headers/blocks across feed() calls
+    plain = write_warc(recs[:2], gz=False)
+    shredded = b"".join(
+        gzip.compress(plain[i:i + 37]) for i in range(0, len(plain), 37)
+    )
+    assert [r["url"] for r in parse_warc(shredded)] == [
+        "http://ex.com/0", "http://ex.com/1"
+    ]
+
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_warc(plain[:-40]))
+
+
 def test_write_token_shards_deterministic_and_memmap_ready(spark):
     """``write_token_shards`` (operators/packing.py): per-shard .bin
     (little-endian token ids in key order) + .idx.json (doc → offset/
