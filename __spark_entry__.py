@@ -680,11 +680,32 @@ def _q_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("q_0_5"), 6).alias("value"),
     )
+    # r8 rode-along (previously pytest-only): PageRank with
+    # dangling-mass redistribution (operators/graph.py:pagerank) over
+    # the shared 5-node digraph fixture, a FIXED 3 rounds (tol=0 never
+    # trips early) so the DuckDB oracle can unroll the power iteration
+    # as chained CTEs with the dangling mass as a scalar subquery.
+    from dw_etl_spark.operators.graph import pagerank
+
+    pr_edges = spark.createDataFrame(
+        oracles.PR_GATE_EDGES, "id_a long, id_b long"
+    )
+    pr = pagerank(
+        pr_edges,
+        damping=oracles.PR_GATE_DAMPING,
+        max_iter=oracles.PR_GATE_ROUNDS,
+        tol=0.0,
+        on_nonconverged="ignore",
+    ).select(
+        F.concat(F.lit("pr:"), F.col("id").cast("string")).alias("metric"),
+        F.round("rank", 6).alias("value"),
+    )
     return (
         dup.unionByName(iqr)
         .unionByName(sk_top)
         .unionByName(sk_sum)
         .unionByName(qsk)
+        .unionByName(pr)
     )
 
 
@@ -778,8 +799,47 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         novalue,
     )
+    # r8 rode-along (previously pytest-only): the unigram-LM
+    # tokenizer's Viterbi encode (operators/unigram_tok.py:295) over
+    # the shared inlined piece-vocab fixture — the oracle replays the
+    # argmax as closed-form best-segmentation over <=3-piece lattices
+    # (fixture margins verified in tests against the engine Viterbi).
+    import math
+
+    from dw_etl_spark.operators.unigram_tok import unigram_encode
+
+    uni_words = spark.createDataFrame(
+        [(w,) for w in oracles.UNI_GATE_WORDS], "word string"
+    )
+    enc = unigram_encode(
+        uni_words, "word", oracles.UNI_GATE_VOCAB,
+        id_col="word", out_col="pieces",
+    )
+    uni_logp = F.create_map(
+        *[
+            F.lit(x)
+            for p, pr in oracles.UNI_GATE_VOCAB.items()
+            for x in (p, math.log(pr))
+        ]
+    )
+    tok_rows = enc.select(
+        F.concat(F.lit("tok:"), F.col("id")).alias("kind"),
+        F.array_join("pieces", " ").alias("token"),
+        F.col("n_pieces").alias("n"),
+        F.round(
+            F.aggregate(
+                "pieces",
+                F.lit(0.0),
+                lambda acc, x: acc + F.element_at(uni_logp, x),
+            ),
+            6,
+        ).alias("v"),
+    )
     return (
-        freq.unionByName(top1).unionByName(vocab_rows).unionByName(types_row)
+        freq.unionByName(top1)
+        .unionByName(vocab_rows)
+        .unionByName(types_row)
+        .unionByName(tok_rows)
     )
 
 
@@ -934,13 +994,29 @@ def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     extracted = html_to_text(html)
     m = gopher_metrics(synth)
-    base = docs.select(
+    # r8 rode-along: fixed-weight quality-model scoring
+    # (quality_model.linear_quality_score — the hand-set-coefficient
+    # form of the hashed-n-gram scorer, pytest-pinned equal to the
+    # pyspark.ml hashed path) over the RAW doc text with the shared
+    # QM_GATE_WEIGHTS vocab; the oracle replays term counts → dot →
+    # sigmoid closed-form.
+    from dw_etl_spark.operators.quality_model import linear_quality_score
+
+    docs_q = linear_quality_score(
+        docs,
+        oracles.QM_GATE_WEIGHTS,
+        intercept=oracles.QM_GATE_INTERCEPT,
+        text_col="text",
+        out_col="__qm",
+    )
+    base = docs_q.select(
         "doc_id",
         *[col.alias(name) for name, col in m.items()],
         gopher_keep(synth, min_words=10, min_mean_word_len=2.0).alias("keep"),
         extracted.alias("html_text"),
         token_count(extracted).alias("html_tokens"),
         F.round(char_entropy(F.col("text")), 6).alias("char_ent"),
+        F.round(F.col("__qm"), 6).alias("qm_prob"),
     )
     stats = duplicate_line_stats(
         docs.select("doc_id", synth.alias("text")), "text", "doc_id", min_docs=2
@@ -1206,9 +1282,13 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").alias("component"),
         )
     )
+    # path blocks of FOUR ids (diameter 3): same two-phase coverage as
+    # the r6 blocks-of-8 fixture at about half the log-diameter rounds
+    # — each round is a fixed ~0.55 s of stage overhead at gate sizes
+    # (PLANS.md #34); depth is pinned by the 300-node pytest instead
     chain = (
         read_table(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") < 63) & (F.col("doc_id") % 8 != 7))
+        .filter((F.col("doc_id") < 63) & (F.col("doc_id") % 4 != 3))
         .select(
             F.col("doc_id").alias("id_a"),
             (F.col("doc_id") + 1).alias("id_b"),
@@ -1246,10 +1326,10 @@ SELECT 'label' AS algo, c.doc_id,
        coalesce(p.component, c.doc_id) AS component
 FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
 UNION ALL
--- cc2 section: the chain doc->doc+1 over doc_id<64 broken every 8
--- ids has the closed-form components floor(id/8)*8 (ids are
+-- cc2 section: the chain doc->doc+1 over doc_id<64 broken every 4
+-- ids has the closed-form components floor(id/4)*4 (ids are
 -- contiguous 0..n-1 in the fixture, n >= 500 at every gate SF)
-SELECT 'cc2' AS algo, doc_id, doc_id - doc_id % 8 AS component
+SELECT 'cc2' AS algo, doc_id, doc_id - doc_id % 4 AS component
 FROM documents WHERE doc_id < 64
 """
 
@@ -1402,13 +1482,18 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             '99,"ok",notaprice\n'
         )
     clean_q, quar = read_csv_with_quarantine(spark, dirty, schema)
+    # two 1-row global aggregates zipped on a literal key: a plain
+    # BroadcastHashJoin, so the no-cartesian plan sweep stays strict
+    # (no BNLJ allowance needed for this query)
     qrow = (
         clean_q.agg(F.round(F.sum("p_retailprice"), 2).alias("total_price"))
-        .crossJoin(
+        .withColumn("__k", F.lit(1))
+        .join(
             quar.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.min("raw_record").alias("first_name"),
-            )
+            ).withColumn("__k", F.lit(1)),
+            "__k",
         )
         .select(
             F.lit("__quarantine").alias("PriceCategory"),
@@ -3193,6 +3278,7 @@ vtypes AS (
 )
 SELECT * FROM freq UNION ALL SELECT * FROM top1
 UNION ALL SELECT * FROM vocab UNION ALL SELECT * FROM vtypes
+UNION ALL {oracles.unigram_gate_sql()}
 """
 
 # merged streaming-surface twin (r5): tumbling windows ∪ sessions
@@ -3304,7 +3390,9 @@ def oracle_sql() -> dict[str, str]:
         "approx_profile": _APPROX_PROFILE_SQL,
         "full_outer_join": _FULL_OUTER_SQL,
         "topk_values": _TOPK_SQL,
-        "profile_metrics": _PROFILE_METRICS_SQL,
+        "profile_metrics": (
+            _PROFILE_METRICS_SQL + "UNION ALL" + oracles.pagerank_gate_sql()
+        ),
         "window_running": _WINDOW_RUNNING_SQL,
         "token_freq": _token_freq_sql(),
         "event_time_windows": _EVENT_TIME_WINDOWS_SQL,

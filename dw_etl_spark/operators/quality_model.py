@@ -203,6 +203,51 @@ def score_quality_model(
     ).drop("__terms", "__tf", "__features", "__pred", "__prob", "__raw")
 
 
+def linear_quality_score(
+    df: DataFrame,
+    term_weights: dict[str, float],
+    intercept: float = 0.0,
+    text_col: str = "text",
+    bigrams: bool = True,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Fixed-weight scoring twin of ``score_quality_model``: the same
+    ``_ngram_terms`` featurization and dot→sigmoid math, with an
+    EXPLICIT term → weight map (the hand-set / distilled /
+    interpretable coefficient form — e.g. a fastText model exported
+    as its top-weight terms) instead of hashed buckets.
+
+    The dot product is computed count-based — ``intercept + Σ_t w_t ·
+    count(t in terms)`` in the map's iteration order — as pure JVM
+    expressions (array filter + size per term), no UDF, no ml
+    dependency, no shuffle: a per-row transform that scales to the
+    full corpus on any partitioning, exactly like the hashed scorer.
+
+    Equivalence to the hashed path (pytest-pinned): HashingTF's
+    bucket-TF is the SUM of the counts of the terms hashing to that
+    bucket, so for any coefficient vector the hashed dot equals the
+    term-keyed dot with ``w_t = coef[bucket(t)]`` over the corpus's
+    distinct terms — collisions included. This form is also exactly
+    replayable in ANSI SQL (the ``qm_prob`` column of the
+    ``quality_filters`` gate row), which the hash-indexed vector is
+    not."""
+    terms_col = "__lin_terms"
+    scored = df.withColumn(terms_col, _ngram_terms(text_col, bigrams))
+
+    def _eq(term: str):
+        lit = F.lit(term)
+        # one-arg closure: a two-arg lambda would be taken for
+        # F.filter's (element, index) form
+        return lambda x: x == lit
+
+    dot = F.lit(float(intercept))
+    for t, w in term_weights.items():
+        cnt = F.size(F.filter(F.col(terms_col), _eq(t)))
+        dot = dot + F.lit(float(w)) * cnt.cast("double")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+    return scored.withColumn(out_col, prob).drop(terms_col)
+
+
 def quality_model_filter(
     df: DataFrame,
     model: QualityModel,

@@ -256,6 +256,9 @@ entcnt AS (
 ent AS (
   SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS char_ent
   FROM entcnt GROUP BY doc_id
+),
+qm AS (
+  SELECT doc_id, {qm_prob_sql("text")} AS qm_prob FROM documents
 )
 SELECT m.*,
        (n_words BETWEEN 10 AND 100000
@@ -265,10 +268,10 @@ SELECT m.*,
         AND dup_line_frac <= 0.3
         AND bullet_line_frac <= 0.9
         AND ellipsis_line_frac <= 0.3) AS keep,
-       html_text, {n_html} AS html_tokens, char_ent,
+       html_text, {n_html} AS html_tokens, char_ent, qm_prob,
        xdoc_n_lines, xdoc_dup_lines, xdoc_dup_char_frac
 FROM metrics m JOIN linestats USING (doc_id) JOIN htext USING (doc_id)
-     JOIN ent USING (doc_id)
+     JOIN ent USING (doc_id) JOIN qm USING (doc_id)
 """
 
 
@@ -835,4 +838,149 @@ SELECT id, chunk_id,
        CAST(len(ts[s + 1 : s + {chunk_tokens}]) AS BIGINT) AS n_tokens,
        array_to_string(ts[s + 1 : s + {chunk_tokens}], ' ') AS chunk
 FROM starts
+"""
+
+
+# ---- round-8 gate fixtures: shared by __spark_entry__ (Spark side) and
+# the SQL builders below, so the two sides can never drift -----------------
+
+#: fixed-weight quality-scorer vocabulary (qm_prob column of the
+#: quality_filters gate row). Term order IS the dot-product addition
+#: order on both engines. Mix of unigrams and joined bigrams over the
+#: documents fixture's working vocabulary.
+QM_GATE_WEIGHTS: dict[str, float] = {
+    "data": 0.35,
+    "join": -0.2,
+    "scan": 0.15,
+    "slow": -0.45,
+    "fast": 0.3,
+    "query": 0.05,
+    "hash_join": 0.6,
+    "slow_scan": -0.8,
+}
+QM_GATE_INTERCEPT = -0.75
+
+#: unigram-LM tokenizer gate fixture (tok: rows of token_freq): a tiny
+#: inlined piece vocabulary whose probabilities make every fixture
+#: word's Viterbi-best segmentation (a) unique with a >0.2 nat margin
+#: and (b) at most 3 pieces, so DuckDB can replay the argmax as a
+#: closed-form enumeration over <=3-piece lattices (verified in
+#: tests/test_training_ops.py against the engine Viterbi).
+UNI_GATE_VOCAB: dict[str, float] = {
+    "a": 0.08,
+    "b": 0.06,
+    "c": 0.05,
+    "ab": 0.22,
+    "bc": 0.18,
+    "ca": 0.13,
+    "abc": 0.28,
+}
+UNI_GATE_WORDS = ["abc", "abca", "cab", "bcab", "aab", "abcab"]
+
+#: PageRank gate fixture (pr: rows of profile_metrics): a 5-node
+#: asymmetric digraph with one dangling node (4), damped 0.85, run a
+#: FIXED 3 rounds so the oracle can unroll the power iteration.
+PR_GATE_EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 4), (3, 0), (3, 2)]
+PR_GATE_DAMPING = 0.85
+PR_GATE_ROUNDS = 3
+
+
+def qm_prob_sql(text_expr: str = "text") -> str:
+    """Scalar SQL twin of ``quality_model.linear_quality_score`` with
+    the ``QM_GATE_WEIGHTS`` model: unigrams + joined bigrams of the
+    lower-cased text, count-based dot in the dict's order, sigmoid.
+    DuckDB lists are 1-indexed; ``range(1, n)`` enumerates bigram
+    start positions 1..n-1."""
+    tk = tokens(f"lower({text_expr})")
+    terms = (
+        f"({tk} || list_transform(range(1, len({tk})), "
+        f"i -> {tk}[i] || '_' || {tk}[i + 1]))"
+    )
+    dot = f"({QM_GATE_INTERCEPT})"
+    for t, w in QM_GATE_WEIGHTS.items():
+        dot += (
+            f" + ({w}) * CAST(len(list_filter({terms}, "
+            f"x -> x = '{t}')) AS DOUBLE)"
+        )
+    return f"round(1.0 / (1.0 + exp(-({dot}))), 6)"
+
+
+def unigram_gate_sql() -> str:
+    """tok: rows for the token_freq gate — closed-form Viterbi replay:
+    enumerate every segmentation of each fixture word into <=3 pieces
+    of ``UNI_GATE_VOCAB``, score by summed ln-probability, keep the
+    argmax (unique by fixture design). Columns match token_freq's
+    (kind, token, n, v): pieces joined by spaces, piece count, score
+    rounded to 6."""
+    vvals = ", ".join(f"('{p}', ln({pr}))" for p, pr in UNI_GATE_VOCAB.items())
+    wvals = ", ".join(f"('{w}')" for w in UNI_GATE_WORDS)
+    return f"""
+SELECT 'tok:' || word AS kind, pieces AS token, n, round(score, 6) AS v
+FROM (
+  WITH uv(piece, lp) AS (VALUES {vvals}),
+  uw(word) AS (VALUES {wvals}),
+  seg AS (
+    SELECT w.word, v1.piece AS pieces, CAST(1 AS BIGINT) AS n,
+           v1.lp AS score
+    FROM uw w JOIN uv v1 ON v1.piece = w.word
+    UNION ALL
+    SELECT w.word, v1.piece || ' ' || v2.piece, 2, v1.lp + v2.lp
+    FROM uw w, uv v1, uv v2
+    WHERE v1.piece || v2.piece = w.word
+    UNION ALL
+    SELECT w.word, v1.piece || ' ' || v2.piece || ' ' || v3.piece, 3,
+           v1.lp + v2.lp + v3.lp
+    FROM uw w, uv v1, uv v2, uv v3
+    WHERE v1.piece || v2.piece || v3.piece = w.word
+  )
+  SELECT word, pieces, n, score,
+         row_number() OVER (PARTITION BY word ORDER BY score DESC) AS rn
+  FROM seg
+) WHERE rn = 1
+"""
+
+
+def pagerank_gate_sql() -> str:
+    """pr: rows for the profile_metrics gate — the power iteration
+    unrolled ``PR_GATE_ROUNDS`` times as chained CTEs, replaying
+    graph.pagerank's exact per-round arithmetic: rank' = ((1-d)/N +
+    d*D/N) + d * sum of incoming rank/deg, with the dangling mass D
+    read from the PREVIOUS round by a scalar subquery. Returns a
+    standalone (metric, value) SELECT to UNION onto the host query."""
+    d = PR_GATE_DAMPING
+    n = len({x for e in PR_GATE_EDGES for x in e})
+    vals = ", ".join(f"({s}, {t})" for s, t in PR_GATE_EDGES)
+    ctes = [
+        f"e(s, t) AS (VALUES {vals})",
+        "pn(id) AS (SELECT s FROM e UNION SELECT t FROM e)",
+        "deg AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS deg"
+        " FROM e GROUP BY s)",
+        f"r0 AS (SELECT id, 1.0 / {n} AS rank FROM pn)",
+        "d0 AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r0 r"
+        " LEFT JOIN deg USING (id) WHERE deg.deg IS NULL)",
+    ]
+    for k in range(1, PR_GATE_ROUNDS + 1):
+        shared = (
+            f"(1.0 - {d}) / {n} + {d} * (SELECT dm FROM d{k - 1}) / {n}"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT pn.id, ({shared})"
+            f" + {d} * coalesce(c.c, 0.0) AS rank"
+            f" FROM pn LEFT JOIN ("
+            f"   SELECT e.t AS id, sum(r.rank / deg.deg) AS c"
+            f"   FROM r{k - 1} r JOIN deg USING (id)"
+            f"   JOIN e ON e.s = r.id GROUP BY e.t"
+            f" ) c USING (id))"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r{k} r"
+            f" LEFT JOIN deg USING (id) WHERE deg.deg IS NULL)"
+        )
+    body = ",\n  ".join(ctes)
+    return f"""
+SELECT 'pr:' || CAST(id AS VARCHAR) AS metric, round(rank, 6) AS value
+FROM (
+  WITH {body}
+  SELECT id, rank FROM r{PR_GATE_ROUNDS}
+)
 """

@@ -3210,6 +3210,110 @@ def test_observe_then_quality_model_compose(spark):
     assert rows[0] > rows[79]  # model still separates the corpus
 
 
+def test_unigram_gate_fixture_margins():
+    """The UNI_GATE fixture contract the token_freq oracle's tok: rows
+    rely on (oracles.unigram_gate_sql): for every fixture word the
+    engine Viterbi's best segmentation (a) uses <= 3 pieces — the
+    oracle only enumerates <=3-piece lattices, (b) equals the
+    enumeration argmax, (c) wins by > 0.2 nats — ulp-proof argmax."""
+    import math
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.unigram_tok import _viterbi
+
+    logp = {p: math.log(pr) for p, pr in oracles.UNI_GATE_VOCAB.items()}
+
+    def enumerate_segmentations(word, max_pieces=3):
+        out = []
+
+        def rec(rem, acc):
+            if len(acc) > max_pieces:
+                return
+            if not rem:
+                out.append((sum(logp[p] for p in acc), list(acc)))
+                return
+            for p in logp:
+                if rem.startswith(p):
+                    rec(rem[len(p):], acc + [p])
+
+        rec(word, [])
+        return sorted(out, key=lambda t: -t[0])
+
+    for word in oracles.UNI_GATE_WORDS:
+        score, pieces = _viterbi(word, logp, 8)
+        assert 1 <= len(pieces) <= 3, (word, pieces)
+        cands = enumerate_segmentations(word)
+        assert cands[0][1] == pieces and abs(cands[0][0] - score) < 1e-12
+        if len(cands) > 1:
+            assert cands[0][0] - cands[1][0] > 0.2, (word, cands[:2])
+
+
+def test_linear_quality_score_equals_hashed_path(spark):
+    """``linear_quality_score`` (the fixed-weight / oracle-replayable
+    scoring form) must compute the SAME probabilities as
+    ``score_quality_model`` when the term→weight map carries, for each
+    distinct corpus term, the trained coefficient at that term's
+    hashed bucket — bucket-TF is the sum of its terms' counts, so the
+    equality holds even through hash collisions. This ties the
+    DuckDB-gated qm_prob path to the real pyspark.ml hashed scorer."""
+    import random
+
+    from pyspark.ml.feature import HashingTF
+
+    from dw_etl_spark.operators.quality_model import (
+        _ngram_terms,
+        linear_quality_score,
+        score_quality_model,
+        train_quality_model,
+        weak_quality_labels,
+    )
+
+    rng = random.Random(11)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 25))))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    model = train_quality_model(
+        weak_quality_labels(docs, "text", min_words=12),
+        num_features=1 << 10,  # small D: collisions likely — on purpose
+        use_idf=False,
+        max_iter=10,
+    )
+
+    # every distinct term in the corpus → its HashingTF bucket
+    term_rows = (
+        docs.select(F.explode(_ngram_terms("text", True)).alias("t"))
+        .distinct()
+        .select(F.array("t").alias("terms"), "t")
+    )
+    tf = HashingTF(
+        inputCol="terms", outputCol="tf", numFeatures=model.num_features
+    )
+    buckets = {
+        r["t"]: int(r["tf"].indices[0])
+        for r in tf.transform(term_rows).collect()
+    }
+    coef = model.lr_model.coefficients.toArray()
+    weights = {t: float(coef[b]) for t, b in buckets.items()}
+
+    lin = linear_quality_score(
+        docs, weights, intercept=float(model.lr_model.intercept)
+    ).select("doc_id", F.col("quality_prob").alias("p_lin"))
+    hashed = score_quality_model(docs, model).select(
+        "doc_id", F.col("quality_prob").alias("p_hash")
+    )
+    delta = (
+        lin.join(hashed, "doc_id")
+        .agg(F.max(F.abs(F.col("p_lin") - F.col("p_hash"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert delta < 1e-9, delta
+
+
 def test_temperature_mix_rebalances_toward_alpha_power(spark):
     """``temperature_mix`` (operators/sampling.py): kept mass per
     source ∝ (source mass)^alpha — the multilingual rebalancing
