@@ -768,7 +768,9 @@ def duplicated_span_stats(
     gram — suffix-array ExactSubstr dedup semantics (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): any
     repeat of length >= window units falls out as overlapping
-    windows; shorter repeats are ignored by design.
+    windows; shorter repeats are ignored by design — for the
+    INTRA-document case, ``operators/exact_substr.py`` closes that
+    gap exactly (per-doc suffix automaton, any repeat length).
 
     ``unit='word'`` (default) is the production compromise — windows
     slide over whitespace tokens, ~5× fewer positions than
