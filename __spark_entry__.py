@@ -681,21 +681,22 @@ def _q_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q_0_5"), 6).alias("value"),
     )
     # r8 rode-along (previously pytest-only): PageRank with
-    # dangling-mass redistribution (operators/graph.py:pagerank) over
-    # the shared 5-node digraph fixture, a FIXED 3 rounds (tol=0 never
-    # trips early) so the DuckDB oracle can unroll the power iteration
-    # as chained CTEs with the dangling mass as a scalar subquery.
-    from dw_etl_spark.operators.graph import pagerank
+    # dangling-mass redistribution over the shared 5-node digraph
+    # fixture, a FIXED 3 rounds so the DuckDB oracle can unroll the
+    # power iteration as chained CTEs with the dangling mass as a
+    # scalar subquery. The fully-lazy fixed-round form
+    # (graph.py:pagerank_fixed, pytest-pinned equal to the
+    # convergence-checked pagerank loop) keeps the gate cost at ONE
+    # job instead of one per round.
+    from dw_etl_spark.operators.graph import pagerank_fixed
 
     pr_edges = spark.createDataFrame(
         oracles.PR_GATE_EDGES, "id_a long, id_b long"
     )
-    pr = pagerank(
+    pr = pagerank_fixed(
         pr_edges,
         damping=oracles.PR_GATE_DAMPING,
-        max_iter=oracles.PR_GATE_ROUNDS,
-        tol=0.0,
-        on_nonconverged="ignore",
+        rounds=oracles.PR_GATE_ROUNDS,
     ).select(
         F.concat(F.lit("pr:"), F.col("id").cast("string")).alias("metric"),
         F.round("rank", 6).alias("value"),
@@ -1482,17 +1483,23 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             '99,"ok",notaprice\n'
         )
     clean_q, quar = read_csv_with_quarantine(spark, dirty, schema)
-    # two 1-row global aggregates zipped on a literal key: a plain
-    # BroadcastHashJoin, so the no-cartesian plan sweep stays strict
-    # (no BNLJ allowance needed for this query)
+    # two 1-row global aggregates zipped on an AGG-PRODUCED key: a
+    # literal key would constant-fold the join condition away and
+    # plan a BroadcastNestedLoopJoin; min(lit(1)) inside the agg is
+    # opaque to the optimizer, so this plans a plain
+    # BroadcastHashJoin and the no-cartesian sweep needs no BNLJ
+    # allowance for this query
     qrow = (
-        clean_q.agg(F.round(F.sum("p_retailprice"), 2).alias("total_price"))
-        .withColumn("__k", F.lit(1))
+        clean_q.agg(
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+            F.min(F.lit(1)).alias("__k"),
+        )
         .join(
             quar.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.min("raw_record").alias("first_name"),
-            ).withColumn("__k", F.lit(1)),
+                F.min(F.lit(1)).alias("__k"),
+            ),
             "__k",
         )
         .select(

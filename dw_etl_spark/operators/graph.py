@@ -431,3 +431,87 @@ def pagerank(
     return ranks.select("id", "rank").withMetadata(
         "rank", {"converged": converged, "iterations": iters}
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    rounds: int = 3,
+) -> DataFrame:
+    """(node id → pagerank) after EXACTLY ``rounds`` power-iteration
+    steps, as ONE fully-lazy plan — no per-round driver job.
+
+    Same per-round arithmetic as ``pagerank`` (uniform teleport +
+    dangling-mass redistribution), but the node count, the initial
+    uniform rank and each round's dangling mass live in 1-row
+    aggregate frames zipped in by literal-keyed broadcast joins
+    instead of driver ``collect``s, so nothing materializes until the
+    caller's action: the whole iteration is a single job (the shape
+    the profile_metrics gate row wants — its DuckDB oracle unrolls
+    the identical rounds as chained CTEs).
+
+    Trade-off vs the ``pagerank`` loop, stated plainly: each round
+    references the previous round's plan twice (contributions +
+    dangling mass), so the UNPINNED plan doubles per round — right
+    for small fixed round counts (gates, quick authority priors,
+    ``rounds`` ≲ 6), wrong for convergence runs, where the loop's
+    per-round localCheckpoint bounds lineage and reads the L1 delta.
+    The literal-keyed 1-row zips constant-fold into
+    BroadcastNestedLoopJoins with SINGLE-ROW build sides — the
+    documented tiny-build-side plan convention, not a scan-cross-scan
+    hazard. pytest pins this equal to
+    ``pagerank(max_iter=rounds, tol=0)``.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("t").alias("id")))
+        .distinct()
+    )
+    degs = e.groupBy(F.col("s").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    stats = nodes.agg(
+        F.count(F.lit(1)).cast("double").alias("n_nodes")
+    ).withColumn("__k", F.lit(1))
+    with_deg = nodes.join(degs, "id", "left")
+
+    ranks = with_deg.withColumn("__k", F.lit(1)).join(
+        F.broadcast(stats), "__k"
+    ).select(
+        "id", "deg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(rounds):
+        dm = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+                F.lit(0.0),
+            ).alias("dm")
+        ).withColumn("__k", F.lit(1))
+        contribs = (
+            ranks.filter(F.col("deg").isNotNull())
+            .join(e, ranks["id"] == e["s"])
+            .groupBy(F.col("t").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            ranks.select("id", "deg", "n_nodes")
+            .join(contribs, "id", "left")
+            .withColumn("__k", F.lit(1))
+            .join(F.broadcast(dm), "__k")
+            .select(
+                "id",
+                "deg",
+                "n_nodes",
+                (
+                    (
+                        F.lit(1.0 - damping) / F.col("n_nodes")
+                        + F.lit(damping) * F.col("dm") / F.col("n_nodes")
+                    )
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("id", "rank")

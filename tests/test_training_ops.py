@@ -3485,6 +3485,65 @@ def test_unigram_encode_matches_driver_viterbi(spark):
     assert out == out3
 
 
+def test_pagerank_fixed_equals_loop(spark):
+    """``pagerank_fixed`` (the fully-lazy one-job fixed-round form the
+    profile_metrics gate row uses) must equal ``pagerank`` run for the
+    same round count with convergence disabled — on the shared gate
+    fixture AND a random digraph with danglings — and its physical
+    plan must broadcast the 1-row stat frames (no cartesian)."""
+    import numpy as np
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.graph import pagerank, pagerank_fixed
+
+    fixtures = [oracles.PR_GATE_EDGES]
+    rng = np.random.default_rng(23)
+    rand_edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, 25, (80, 2))
+            if a != b and a < 22  # ids >= 22 dangle
+        }
+    )
+    fixtures.append(rand_edges)
+    for edges in fixtures:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for rounds in (1, 3):
+            fixed = {
+                r["id"]: r["rank"]
+                for r in pagerank_fixed(df, rounds=rounds).collect()
+            }
+            loop = {
+                r["id"]: r["rank"]
+                for r in pagerank(
+                    df, max_iter=rounds, tol=0.0, on_nonconverged="ignore"
+                ).collect()
+            }
+            assert fixed.keys() == loop.keys()
+            assert max(
+                abs(fixed[k] - loop[k]) for k in fixed
+            ) < 1e-12, (edges == rand_edges, rounds)
+
+    plan = (
+        pagerank_fixed(
+            spark.createDataFrame(
+                oracles.PR_GATE_EDGES, "id_a long, id_b long"
+            ),
+            rounds=3,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the per-round 1-row stat zips constant-fold to
+    # BroadcastNestedLoopJoins with single-row build sides — the
+    # documented tiny-build-side convention (PLANS.md invariants).
+    # No textual BNLJ count: the unpinned plan TEXT doubles per round
+    # (each round prints the previous round's subtree twice), which is
+    # exactly the documented small-rounds-only trade-off.
+    assert "CartesianProduct" not in plan
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """``pagerank`` (operators/graph.py): the damped random surfer
     with uniform teleport and dangling-mass redistribution, pinned
