@@ -1256,8 +1256,8 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (``graph.connected_components_two_phase``, Kiveris
     large-star/small-star) runs under the hash gate too — algo='cc2'
     rows label a deliberately chain-shaped edge set (doc→doc+1 over
-    doc_id<64, broken every 8 ids: diameter 8, converges in 4
-    two-phase rounds where label propagation needs 8), the regime
+    doc_id<64, broken every 4 ids: diameter 3, converges in ~2
+    two-phase rounds where label propagation needs 3), the regime
     label propagation cannot finish in log rounds; the oracle is the
     closed-form segment floor. Segments are kept short to bound gate
     cost (~0.55 s/round is fixed stage overhead at this scale — see
@@ -2171,7 +2171,23 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (``duplicated_span_stats`` — the ExactSubstr approximation,
     r5) ride along per decile: how many docs in the bucket contain a
     span repeated anywhere in the corpus, and the mean covered-token
-    fraction."""
+    fraction.
+
+    r8 rode-along (previously pytest-only): the suffix-automaton
+    exact-repeat tier (``operators/exact_substr.py`` — the sub-window
+    half of ExactSubstr) runs under the hash gate as section='sam'
+    rows, one per doc of the shared 6-doc/150-char fixture: longest
+    repeated substring, repeat/dup char fractions, AND the full
+    intra-doc ExactSubstr-cut string (``extra``). The oracle replays
+    the automaton exactly via the m-gram reduction (repeat coverage ==
+    union of repeated min_len-gram spans; see
+    ``oracles.exact_substr_sam_sql``) plus an all-substring brute
+    force for the LRS; the cleaned string is rebuilt with string_agg
+    over non-dup positions, so string equality rides the hash."""
+    from dw_etl_spark.operators.exact_substr import (
+        exact_substr_dedup,
+        exact_substr_stats,
+    )
     from dw_etl_spark.operators.text_dedup import (
         dup_ngram_char_fraction,
         duplicated_span_stats,
@@ -2180,7 +2196,7 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     frac = dup_ngram_char_fraction(docs, "text", "doc_id", n=2)
     spans = duplicated_span_stats(docs, "text", "doc_id", window=5, min_count=2)
-    return (
+    hist = (
         frac.join(spans, "id")
         .groupBy(
             F.floor(F.col("dup_ngram_frac") * 10).cast("long").alias("decile")
@@ -2192,7 +2208,43 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("n_dup_tokens") > 0).alias("span_docs"),
             F.round(F.avg("dup_token_fraction"), 4).alias("mean_span_frac"),
         )
+        .select(
+            F.lit("hist").alias("section"),
+            "decile",
+            "n_docs",
+            "mean_frac",
+            "id_sum",
+            "span_docs",
+            "mean_span_frac",
+            F.lit("").alias("extra"),
+        )
     )
+    # pre-truncate in Spark (substr, both engines char-based on the
+    # all-ASCII fixture) so the dedup tail-passthrough beyond max_chars
+    # never enters the compared surface
+    sam_src = docs.filter(
+        F.col("doc_id") < oracles.SAM_GATE_NDOCS
+    ).select(
+        "doc_id",
+        F.substring("text", 1, oracles.SAM_GATE_MAX_CHARS).alias("text"),
+    )
+    stats = exact_substr_stats(
+        sam_src, "text", "doc_id", min_len=oracles.SAM_GATE_MIN_LEN
+    )
+    ded = exact_substr_dedup(
+        sam_src, "text", "doc_id", min_len=oracles.SAM_GATE_MIN_LEN
+    )
+    sam_rows = stats.join(ded, "id").select(
+        F.lit("sam").alias("section"),
+        F.col("id").cast("long").alias("decile"),
+        F.col("n_chars").alias("n_docs"),
+        F.col("repeat_char_frac").alias("mean_frac"),
+        F.col("lrs_len").alias("id_sum"),
+        F.col("n_removed_chars").alias("span_docs"),
+        F.col("dup_char_frac").alias("mean_span_frac"),
+        F.col("cleaned").alias("extra"),
+    )
+    return hist.unionByName(sam_rows)
 
 
 def _repetition_stats_sql() -> str:
@@ -2220,14 +2272,18 @@ per_doc AS (
   GROUP BY a.id
 ),
 spans AS ({oracles.duplicated_span_stats_sql(window=5, min_count=2)})
-SELECT CAST(floor(dup_ngram_frac * 10) AS BIGINT) AS decile,
+SELECT 'hist' AS section,
+       CAST(floor(dup_ngram_frac * 10) AS BIGINT) AS decile,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(dup_ngram_frac), 4) AS mean_frac,
        CAST(sum(per_doc.id) AS BIGINT) AS id_sum,
        CAST(count(*) FILTER (n_dup_tokens > 0) AS BIGINT) AS span_docs,
-       round(avg(dup_token_fraction), 4) AS mean_span_frac
+       round(avg(dup_token_fraction), 4) AS mean_span_frac,
+       '' AS extra
 FROM per_doc JOIN spans USING (id)
-GROUP BY 1
+GROUP BY 1, 2
+UNION ALL
+SELECT * FROM ({oracles.exact_substr_sam_sql()})
 """
 
 

@@ -170,6 +170,19 @@ def _dedup_earlier(s: str, min_len: int) -> str:
     return "".join(c for c, d in zip(s, drop) if not d)
 
 
+def _round6(x: float) -> float:
+    """Round half-AWAY-from-zero at 6 decimals on the shortest decimal
+    repr — the semantics of Spark ``F.round`` and DuckDB ``round``.
+    Python's builtin ``round`` is banker's (half-to-even) on the binary
+    value, which disagrees on exact ties like 41/128 = 0.3203125; every
+    cross-engine float surface in the package rounds THIS way."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 EXACT_SUBSTR_SCHEMA = (
     "id string, n_chars long, lrs_len long, repeat_char_frac double, "
     "dup_char_frac double, truncated boolean"
@@ -214,8 +227,8 @@ def exact_substr_stats(
                         "id": rid,
                         "n_chars": len(t),
                         "lrs_len": lrs,
-                        "repeat_char_frac": round(rep, 6),
-                        "dup_char_frac": round(dup, 6),
+                        "repeat_char_frac": _round6(rep),
+                        "dup_char_frac": _round6(dup),
                         "truncated": truncated,
                     }
                 )

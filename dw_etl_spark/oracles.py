@@ -984,3 +984,94 @@ FROM (
   SELECT id, rank FROM r{PR_GATE_ROUNDS}
 )
 """
+
+
+#: exact-repeat (suffix automaton) gate fixture: 'sam' rows of
+#: repetition_stats — per-doc exact-repeat diagnostics + the intra-doc
+#: ExactSubstr cut over the first SAM_GATE_NDOCS documents, each
+#: pre-truncated to SAM_GATE_MAX_CHARS so the brute-force SQL twin
+#: stays ~10k substrings/doc. The oracle replays the automaton results
+#: exactly through the m-gram reduction: a char sits inside a repeat of
+#: length >= m iff it sits inside an occurrence of a repeated m-gram
+#: (every length->m sub-window of a long repeat is itself repeated),
+#: and dup-coverage ("duplicates EARLIER text") reduces to m-gram
+#: occurrences i with i > min-start(gram). Property-verified equal to
+#: operators/exact_substr.py on 400 random strings x 3 min_lens and on
+#: the first-6-docs fixture at all three gate SFs.
+SAM_GATE_NDOCS = 6
+SAM_GATE_MIN_LEN = 5
+SAM_GATE_MAX_CHARS = 150
+
+
+def exact_substr_sam_sql() -> str:
+    """SQL twin of ``exact_substr_stats`` + ``exact_substr_dedup`` on
+    the SAM gate fixture (columns shaped to union with the
+    repetition_stats histogram): lrs via all-substring brute force,
+    repeat/dup char coverage via the m-gram reduction above, and the
+    cleaned string rebuilt with string_agg over non-dup positions —
+    full-string equality through the hash gate."""
+    m, cap, nd = SAM_GATE_MIN_LEN, SAM_GATE_MAX_CHARS, SAM_GATE_NDOCS
+    return f"""
+SELECT section, decile, n_docs, mean_frac, id_sum, span_docs,
+       mean_span_frac, extra
+FROM (
+WITH sam_docs AS (
+  SELECT doc_id, substr(text, 1, {cap}) AS t,
+         least(length(text), {cap}) AS n
+  FROM documents WHERE doc_id < {nd}
+),
+positions AS (
+  SELECT doc_id, t, n, unnest(range(1, n + 1)) AS i FROM sam_docs
+),
+pairs AS (
+  SELECT doc_id, substr(t, i, L) AS s, L FROM (
+    SELECT doc_id, t, i, unnest(range(1, n - i + 2)) AS L FROM positions
+  )
+),
+lrs AS (
+  SELECT doc_id, coalesce(max(CASE WHEN c >= 2 THEN L END), 0) AS lrs_len
+  FROM (SELECT doc_id, s, L, count(*) AS c FROM pairs GROUP BY 1, 2, 3)
+  GROUP BY 1
+),
+grams AS (
+  SELECT doc_id, i, substr(t, i, {m}) AS g FROM positions
+  WHERE i <= n - {m} + 1
+),
+gstats AS (
+  SELECT doc_id, g, count(*) AS c, min(i) AS mini FROM grams GROUP BY 1, 2
+),
+occ AS (SELECT o.doc_id, o.i, s.c, s.mini
+        FROM grams o JOIN gstats s ON o.doc_id = s.doc_id AND o.g = s.g),
+rep_cov AS (
+  SELECT DISTINCT doc_id, k FROM (
+    SELECT doc_id, i + unnest(range(0, {m})) AS k FROM occ WHERE c >= 2)
+),
+dup_cov AS (
+  SELECT DISTINCT doc_id, k FROM (
+    SELECT doc_id, i + unnest(range(0, {m})) AS k FROM occ WHERE i > mini)
+),
+cleaned AS (
+  SELECT p.doc_id,
+         string_agg(substr(p.t, p.i, 1), '' ORDER BY p.i) AS cleaned
+  FROM positions p LEFT JOIN dup_cov d
+       ON p.doc_id = d.doc_id AND p.i = d.k
+  WHERE d.k IS NULL
+  GROUP BY 1
+)
+SELECT 'sam' AS section,
+       d.doc_id AS decile,
+       d.n AS n_docs,
+       round(coalesce(r.rc, 0) * 1.0 / d.n, 6) AS mean_frac,
+       l.lrs_len AS id_sum,
+       coalesce(u.dc, 0) AS span_docs,
+       round(coalesce(u.dc, 0) * 1.0 / d.n, 6) AS mean_span_frac,
+       coalesce(c.cleaned, '') AS extra
+FROM sam_docs d
+JOIN lrs l USING (doc_id)
+LEFT JOIN (SELECT doc_id, count(*) AS rc FROM rep_cov GROUP BY 1) r
+  USING (doc_id)
+LEFT JOIN (SELECT doc_id, count(*) AS dc FROM dup_cov GROUP BY 1) u
+  USING (doc_id)
+LEFT JOIN cleaned c USING (doc_id)
+)
+"""

@@ -128,3 +128,16 @@ def test_dedup_distributed_and_removal_accounting(spark):
     )
     assert out["2"]["cleaned"] == "clean doc body"
     assert out["2"]["n_removed_chars"] == 0
+
+
+def test_round6_half_away_from_zero_matches_sql_engines():
+    """41/128 = 0.3203125 is an exact binary tie: Python's builtin
+    round gives 0.320312 (banker's) while Spark F.round and DuckDB
+    round give 0.320313 — the gate surface must use the SQL-engine
+    convention (caught live: doc 0 of the sf0.001 sam fixture)."""
+    from dw_etl_spark.operators.exact_substr import _round6
+
+    assert _round6(41 / 128) == 0.320313
+    assert round(41 / 128, 6) == 0.320312  # the trap this guards
+    assert _round6(0.0466666666) == 0.046667
+    assert _round6(0.0) == 0.0
