@@ -836,11 +836,59 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("v"),
     )
+    # r8 rode-along (new operator family): DSIR data selection
+    # (operators/dsir.py) — hashed unigram+bigram importance weights of
+    # every doc against the every-7th-doc "curated target", 64 buckets,
+    # plus the deterministic Gumbel-top-quota resampling. Per-doc
+    # weights surface for doc_id < 15; the selection pins as
+    # count/id-sum/weight-sum summary rows. The oracle replays the
+    # identical md5 bucket hashing, Laplace(0.5) smoothing and Gumbel
+    # keys closed-form (oracles.dsir_token_freq_sql).
+    from dw_etl_spark.operators.dsir import dsir_select, dsir_weights
+
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    dw = dsir_weights(
+        docs, target, "text", "doc_id", buckets=oracles.DSIR_GATE_BUCKETS
+    )
+    w_rows = dw.filter(F.col("id") < oracles.DSIR_GATE_NWEIGHTS).select(
+        F.concat(F.lit("dsir:w:"), F.col("id").cast("string")).alias("kind"),
+        F.lit("").alias("token"),
+        F.col("n_feats").alias("n"),
+        F.col("log_weight").alias("v"),
+    )
+    kept = dsir_select(
+        docs,
+        target,
+        "text",
+        "doc_id",
+        quota=oracles.DSIR_GATE_QUOTA,
+        buckets=oracles.DSIR_GATE_BUCKETS,
+    )
+    kept_agg = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("log_weight"), 6).alias("w_sum"),
+        F.sum("id").alias("id_sum"),
+    )
+    kept_rows = kept_agg.select(
+        F.lit("dsir:kept").alias("kind"),
+        F.lit("").alias("token"),
+        F.col("n_kept").alias("n"),
+        F.col("w_sum").alias("v"),
+    ).unionByName(
+        kept_agg.select(
+            F.lit("dsir:kept_ids").alias("kind"),
+            F.lit("").alias("token"),
+            F.col("id_sum").alias("n"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
     return (
         freq.unionByName(top1)
         .unionByName(vocab_rows)
         .unionByName(types_row)
         .unionByName(tok_rows)
+        .unionByName(w_rows)
+        .unionByName(kept_rows)
     )
 
 
@@ -1180,12 +1228,53 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged with its count of distinct word-trigram shingles that occur
     anywhere in the eval set (n=3 because the fixture docs are short —
     production uses 8-13). The eval docs themselves flag as
-    contaminated by construction, which pins the self-overlap case."""
+    contaminated by construction, which pins the self-overlap case.
+
+    r8 rode-along (new operator): BM25 top-k retrieval
+    (``operators/ir.bm25_topk``) — the decontamination tier beyond
+    exact shingle overlap ("which corpus docs are lexically CLOSEST to
+    each benchmark item"). The same every-17th docs play the query set,
+    query text = their first-8-token prefix, k=3; section='bm25' rows
+    carry (query→doc, rank, score) with scores rounded to 6 before
+    ranking so order can't diverge on ULP tails. The DuckDB oracle
+    replays Lucene-BM25 closed-form (``oracles.bm25_topk_sql``)."""
+    from dw_etl_spark.functions.text import tokens
+    from dw_etl_spark.operators.ir import bm25_topk
     from dw_etl_spark.operators.text_dedup import contamination_flags
 
     docs = read_table(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 17 == 0)
-    return contamination_flags(docs, eval_set, "text", "doc_id", n=3)
+    contam = contamination_flags(docs, eval_set, "text", "doc_id", n=3).select(
+        F.lit("contam").alias("section"),
+        "id",
+        F.lit(None).cast("long").alias("other_id"),
+        F.col("n_shared_grams").alias("n"),
+        F.col("contaminated").alias("flag"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    queries = eval_set.select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(tokens("text"), 1, oracles.BM25_GATE_QLEN), " "
+        ).alias("text"),
+    )
+    bm25 = bm25_topk(
+        docs,
+        queries,
+        "text",
+        "doc_id",
+        k=oracles.BM25_GATE_K,
+        k1=oracles.BM25_GATE_K1,
+        b=oracles.BM25_GATE_B,
+    ).select(
+        F.lit("bm25").alias("section"),
+        "id",
+        F.col("query_id").alias("other_id"),
+        F.col("rank").cast("long").alias("n"),
+        F.lit(False).alias("flag"),
+        "score",
+    )
+    return contam.unionByName(bm25)
 
 
 def _contamination_sql() -> str:
@@ -1200,11 +1289,18 @@ exploded AS (
 hits AS (
   SELECT id, count(*) AS n FROM exploded JOIN eval_grams USING (g) GROUP BY id
 )
-SELECT c.id,
-       CAST(coalesce(n, 0) AS BIGINT) AS n_shared_grams,
-       coalesce(n, 0) >= 1 AS contaminated
+SELECT 'contam' AS section,
+       c.id,
+       CAST(NULL AS BIGINT) AS other_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n,
+       coalesce(n, 0) >= 1 AS flag,
+       CAST(NULL AS DOUBLE) AS score
 FROM (SELECT doc_id AS id FROM documents) c
 LEFT JOIN hits USING (id)
+UNION ALL
+SELECT 'bm25' AS section, id, query_id AS other_id,
+       CAST(rank AS BIGINT) AS n, FALSE AS flag, score
+FROM ({oracles.bm25_topk_sql()})
 """
 
 
@@ -3342,6 +3438,7 @@ vtypes AS (
 SELECT * FROM freq UNION ALL SELECT * FROM top1
 UNION ALL SELECT * FROM vocab UNION ALL SELECT * FROM vtypes
 UNION ALL {oracles.unigram_gate_sql()}
+UNION ALL SELECT * FROM ({oracles.dsir_token_freq_sql()})
 """
 
 # merged streaming-surface twin (r5): tumbling windows ∪ sessions

@@ -1,0 +1,202 @@
+"""DSIR-style data selection: hashed n-gram importance weights.
+
+Data Selection via Importance Resampling (Xie et al. 2023): score every
+raw-corpus document by how much more likely its hashed n-gram features
+are under a small TARGET corpus (the high-quality seed — wiki, books, a
+curated eval-adjacent sample) than under the raw corpus itself, then
+keep a quota by Gumbel top-k — importance resampling without
+replacement. This is the standard pretraining-data recipe for "make
+100 TB of crawl look like the target distribution" and slots between
+quality filtering and dedup in the corpus pipeline.
+
+Everything is deterministic and engine-portable (md5-derived hashing
+and Gumbel noise, no RNG, no model), so the DuckDB oracle replays
+weights AND selection exactly.
+
+Scale shape: feature extraction is explode → pmod(hash) — one pass,
+embarrassingly parallel. Each distribution is a ``buckets``-sized
+aggregate (map-side combined); ``buckets`` is 1e2..1e5, so the
+log-ratio table broadcasts to every executor and per-doc scoring is a
+broadcast join + one groupBy(id) — a single doc-keyed shuffle for the
+whole corpus. Selection is a corpus-wide top-``quota`` — implemented as
+an orderBy-limit so Spark runs TakeOrdered (per-partition heaps + one
+k-sized merge), never a global sort materialization.
+
+Reference scope note: the reference ETL (mikolajkapica/dw-etl) has no
+data-selection stage; this module is part of the training-data
+extension surface alongside operators/text_dedup.py and sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dw_etl_spark.functions.text import stable_hash64, tokens, word_ngrams
+
+#: 2^60 — stable_hash64 is 15 hex chars, so values lie in [0, 2^60).
+_HASH_SPACE = float(1 << 60)
+
+
+def _features(text_col: str, include_bigrams: bool) -> F.Column:
+    """Unigram (+ word-bigram) feature strings of a document. Bigrams
+    are the paper's choice — unigrams alone can't tell 'new york times'
+    prose from a bag of frequent words. NOT distinct: DSIR weights are
+    over token occurrences (a doc that says 'the' 50 times should count
+    it 50 times), unlike the shingle-set dedup operators."""
+    toks = tokens(text_col)
+    if not include_bigrams:
+        return toks
+    # word_ngrams is distinct by design (dedup semantics); rebuild the
+    # non-distinct bigram list inline
+    bi = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    return F.concat(toks, bi)
+
+
+def hashed_ngram_dist(
+    df: DataFrame,
+    text_col: str,
+    buckets: int = 1024,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Smoothed hashed-feature distribution of a corpus:
+    (bucket, log_p) for EVERY bucket 0..buckets-1.
+
+    p[b] = (count_b + 0.5) / (total + 0.5·buckets) — Laplace(0.5), so
+    log_p is finite for unseen buckets and the log-ratio below never
+    hits ±inf. The output is buckets rows regardless of corpus size:
+    broadcast it.
+    """
+    cells = (
+        df.select(F.explode(_features(text_col, include_bigrams)).alias("feat"))
+        .select(F.pmod(stable_hash64(F.col("feat")), F.lit(buckets)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    all_b = df.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    tot = cells.agg(F.sum("c").alias("total"))
+    return (
+        all_b.join(cells, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 0.5)
+                / (F.coalesce(F.col("total"), F.lit(0)) + 0.5 * buckets)
+            ).alias("log_p"),
+        )
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 1024,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance weight:
+    (id, n_feats, log_weight) with
+    log_weight = Σ over the doc's feature occurrences of
+    (log p_target[bucket] − log p_raw[bucket]).
+
+    Positive ⇒ the doc looks more like the target corpus than like the
+    raw corpus. A doc with no tokens scores 0 (kept decision falls to
+    the Gumbel noise alone). n_feats is the occurrence count (unigrams
+    + bigrams = 2·tokens − 1), the length-normalization denominator for
+    callers who want per-feature rates.
+
+    The two distribution tables are ``buckets`` rows each — broadcast
+    joins; the only corpus-wide shuffle is the groupBy(id).
+    """
+    ratio = (
+        hashed_ngram_dist(target, text_col, buckets, include_bigrams)
+        .withColumnRenamed("log_p", "log_t")
+        .join(
+            hashed_ngram_dist(raw, text_col, buckets, include_bigrams)
+            .withColumnRenamed("log_p", "log_r"),
+            "b",
+        )
+        .select("b", (F.col("log_t") - F.col("log_r")).alias("log_ratio"))
+    )
+    cells = (
+        raw.select(
+            F.col(id_col).alias("id"),
+            F.explode(_features(text_col, include_bigrams)).alias("feat"),
+        )
+        .select("id", F.pmod(stable_hash64(F.col("feat")), F.lit(buckets)).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        cells.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("log_ratio")), 6).alias("log_weight"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def gumbel_key(id_col: F.Column | str, log_weight: F.Column | str) -> F.Column:
+    """Deterministic Gumbel-top-k sampling key: log_weight + G(id),
+    G = −ln(−ln(u)) with u = (hash64(id)+1)/(2^60+1) ∈ (0,1) — the
+    md5-uniform, so selection is reproducible across runs, engines and
+    partitionings (no RNG). Taking the quota-largest keys IS importance
+    resampling without replacement (Gumbel-max trick).
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    lw = F.col(log_weight) if isinstance(log_weight, str) else log_weight
+    u = (stable_hash64(idc.cast("string")) + 1) / F.lit(_HASH_SPACE + 1)
+    return lw + -F.log(-F.log(u))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    quota: int,
+    buckets: int = 1024,
+    include_bigrams: bool = True,
+    gumbel: bool = True,
+) -> DataFrame:
+    """Keep ``quota`` documents by DSIR importance resampling:
+    weights via ``dsir_weights``, then the quota-largest
+    (gumbel-perturbed) keys, ties by id ASC. ``gumbel=False`` degrades
+    to hard top-quota by weight (mode-seeking; the paper's resampling
+    is the default). Returns (id, n_feats, log_weight, sel_key) for the
+    kept docs; join back on id for the full rows.
+
+    The selection is orderBy-limit, which Spark executes as
+    TakeOrdered: per-partition size-``quota`` heaps, one merge — no
+    global sort of the corpus.
+    """
+    w = dsir_weights(raw, target, text_col, id_col, buckets, include_bigrams)
+    key = (
+        gumbel_key("id", "log_weight") if gumbel else F.col("log_weight")
+    )
+    return (
+        w.select("id", "n_feats", "log_weight", F.round(key, 6).alias("sel_key"))
+        .orderBy(F.desc("sel_key"), F.asc("id"))
+        .limit(quota)
+    )

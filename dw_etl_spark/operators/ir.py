@@ -132,6 +132,94 @@ def hashed_embedding(
     )
 
 
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: for each query, the k best-matching
+    corpus documents. The retrieval primitive a training pipeline uses
+    for eval-set decontamination beyond exact n-gram overlap ("which
+    corpus docs are lexically closest to this benchmark item"), and for
+    targeted data selection ("pull the docs most similar to this seed
+    set").
+
+    Scoring is Lucene-flavoured BM25 (idf = ln(1 + (N-df+0.5)/(df+0.5)),
+    non-negative for every term): score(q,d) = sum over shared terms of
+    idf_t * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)). Query-side term
+    frequency is ignored (distinct query terms — the common Okapi
+    simplification). Output (query_id, id, score, rank), rank 1..k by
+    (score DESC, id ASC); score is rounded to 6 BEFORE ranking so the
+    ordering is identical in any IEEE engine (DuckDB-twin-tested).
+
+    Scale shape: the corpus side is one explode → (doc, term) tf
+    aggregation on a well-spread (doc, term) key; document frequency is
+    a second, map-side-combined aggregation over the already-reduced
+    postings (the exchange carries one partial count per mapper×term,
+    not corpus rows — deliberately NOT a single term-keyed
+    repartition, which would pile every posting of a stopword onto one
+    partition); the query term set is broadcast (eval sets are tiny
+    next to a 100 TB corpus), so candidate generation is a broadcast
+    semi-join on the postings, never all-pairs. Hot terms ("the") make
+    hot postings partitions — cap them with ``max_df_frac`` (drop terms
+    whose df exceeds that fraction of N; stopwords carry ~zero idf
+    anyway) and let AQE split what remains. The final top-k window is
+    per-query over candidate docs only.
+    """
+    postings = (
+        corpus.select(
+            F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = corpus.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).cast("long").alias("dl"),
+    )
+    dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode_outer(tokens(query_text_col)).alias("term"),
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    cand = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(dft, "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    if max_df_frac < 1.0:
+        cand = cand.filter(F.col("df_t") <= F.lit(max_df_frac) * F.col("n_docs"))
+    scored = (
+        cand.groupBy("query_id", "id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     text_col: str,

@@ -1075,3 +1075,155 @@ LEFT JOIN (SELECT doc_id, count(*) AS dc FROM dup_cov GROUP BY 1) u
 LEFT JOIN cleaned c USING (doc_id)
 )
 """
+
+
+#: BM25 gate fixture (bm25: rows of contamination): every 17th doc
+#: plays the query set (same eval-set framing as the contamination
+#: section), query text = its first BM25_GATE_QLEN tokens, top
+#: BM25_GATE_K docs per query under Lucene-BM25 with the k1/b defaults.
+#: Scores are rounded to 6 BEFORE ranking in BOTH engines so rank
+#: order can't diverge on ULP tails.
+BM25_GATE_QLEN = 8
+BM25_GATE_K = 3
+BM25_GATE_K1 = 1.2
+BM25_GATE_B = 0.75
+
+
+def bm25_topk_sql() -> str:
+    """SQL twin of ``operators/ir.bm25_topk`` on the gate fixture.
+    Postings/df/avgdl from the documents table; distinct query terms
+    from the first-QLEN-token prefix of every 17th doc; idf =
+    ln(1 + (N-df+0.5)/(df+0.5)); row_number over (round(score,6) DESC,
+    id ASC) per query."""
+    toks = tokens("text")
+    qlen, k, k1, b = (
+        BM25_GATE_QLEN, BM25_GATE_K, BM25_GATE_K1, BM25_GATE_B,
+    )
+    return f"""
+WITH postings AS (
+  SELECT doc_id AS id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({toks}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+doclen AS (
+  SELECT doc_id AS id, len({toks}) AS dl FROM documents
+),
+dft AS (SELECT term, count(*) AS df_t FROM postings GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(list_slice({toks}, 1, {qlen})) AS term
+  FROM documents WHERE doc_id % 17 = 0
+),
+scored AS (
+  SELECT q.query_id, p.id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * l.dl / s.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dft d USING (term)
+  JOIN doclen l ON p.id = l.id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, id, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+#: DSIR gate fixture (dsir: rows of token_freq): raw = documents,
+#: target = every 7th doc (the "curated seed"), 64 hash buckets,
+#: unigram + word-bigram occurrence features, Laplace(0.5) smoothing.
+#: Per-doc log weights surface for doc_id < DSIR_GATE_NWEIGHTS; the
+#: Gumbel-top-quota selection surfaces as count / id-sum / weight-sum
+#: summary rows.
+DSIR_GATE_BUCKETS = 64
+DSIR_GATE_NWEIGHTS = 15
+DSIR_GATE_QUOTA = 40
+
+
+def _dsir_feats(expr: str) -> str:
+    """Unigram + NON-distinct word-bigram occurrence list (twin of
+    operators/dsir._features)."""
+    toks = tokens(expr)
+    return (
+        f"list_concat({toks}, "
+        f"CASE WHEN len({toks}) < 2 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1]) END)"
+    )
+
+
+def dsir_token_freq_sql() -> str:
+    """SQL twin of ``operators/dsir``: smoothed bucket distributions
+    for raw and target corpora, per-doc log importance weights, and the
+    deterministic Gumbel-top-quota selection — shaped as
+    (kind, token, n, v) rows to union with token_freq."""
+    feats = _dsir_feats("text")
+    h = h64("feat")
+    B, nw, quota = DSIR_GATE_BUCKETS, DSIR_GATE_NWEIGHTS, DSIR_GATE_QUOTA
+    return f"""
+WITH feat_raw AS (
+  SELECT doc_id, {h} % {B} AS b FROM (
+    SELECT doc_id, unnest({feats}) AS feat FROM documents
+  )
+),
+feat_tgt AS (
+  SELECT b FROM feat_raw WHERE doc_id % 7 = 0
+),
+dist_raw AS (
+  SELECT g.b, ln((coalesce(c.c, 0) + 0.5) /
+                 ((SELECT count(*) FROM feat_raw) + 0.5 * {B})) AS log_r
+  FROM (SELECT unnest(range(0, {B})) AS b) g
+  LEFT JOIN (SELECT b, count(*) AS c FROM feat_raw GROUP BY 1) c USING (b)
+),
+dist_tgt AS (
+  SELECT g.b, ln((coalesce(c.c, 0) + 0.5) /
+                 ((SELECT count(*) FROM feat_tgt) + 0.5 * {B})) AS log_t
+  FROM (SELECT unnest(range(0, {B})) AS b) g
+  LEFT JOIN (SELECT b, count(*) AS c FROM feat_tgt GROUP BY 1) c USING (b)
+),
+cells AS (
+  SELECT doc_id AS id, b, count(*) AS c FROM feat_raw GROUP BY 1, 2
+),
+weights AS (
+  SELECT d.doc_id AS id,
+         CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+         coalesce(s.log_weight, 0.0) AS log_weight
+  FROM documents d
+  LEFT JOIN (
+    SELECT id, sum(c) AS n_feats,
+           round(sum(c * (t.log_t - r.log_r)), 6) AS log_weight
+    FROM cells JOIN dist_tgt t USING (b) JOIN dist_raw r USING (b)
+    GROUP BY 1
+  ) s ON d.doc_id = s.id
+),
+keyed AS (
+  SELECT id, n_feats, log_weight,
+         round(log_weight + -ln(-ln(
+           ({h64("CAST(id AS VARCHAR)")} + 1)
+           / (CAST(1152921504606846976 AS DOUBLE) + 1)
+         )), 6) AS sel_key
+  FROM weights
+),
+kept AS (
+  SELECT * FROM keyed ORDER BY sel_key DESC, id ASC LIMIT {quota}
+)
+SELECT 'dsir:w:' || CAST(id AS VARCHAR) AS kind, '' AS token,
+       n_feats AS n, log_weight AS v
+FROM weights WHERE id < {nw}
+UNION ALL
+SELECT 'dsir:kept' AS kind, '' AS token,
+       CAST(count(*) AS BIGINT) AS n, round(sum(log_weight), 6) AS v
+FROM kept
+UNION ALL
+SELECT 'dsir:kept_ids' AS kind, '' AS token,
+       CAST(sum(id) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v
+FROM kept
+"""

@@ -1,0 +1,150 @@
+"""BM25 retrieval (operators/ir.bm25_topk) and DSIR data selection
+(operators/dsir) — semantics, determinism, and scale-shape pins."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dw_etl_spark.operators.dsir import (
+    dsir_select,
+    dsir_weights,
+    hashed_ngram_dist,
+)
+from dw_etl_spark.operators.ir import bm25_topk
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a fast auburn fox leaps above a sleepy hound"),
+        (3, "quantum chromodynamics lattice gauge theory"),
+        (4, "the dog sat on the mat with the dog"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_self_retrieval_ranks_source_first(spark):
+    docs = _corpus(spark)
+    queries = spark.createDataFrame(
+        [(101, "quantum chromodynamics lattice")], "query_id long, text string"
+    )
+    out = bm25_topk(docs, queries, "text", "doc_id", k=3).collect()
+    assert out[0]["id"] == 3 and out[0]["rank"] == 1
+    # no other doc shares any query term -> doc 3 is the only hit
+    assert len(out) == 1
+
+
+def test_bm25_matches_hand_computed_okapi(spark):
+    """One shared term ('fox', df=2, N=5): score must equal the
+    closed-form Lucene-BM25 value for each containing doc."""
+    docs = _corpus(spark)
+    queries = spark.createDataFrame(
+        [(7, "fox")], "query_id long, text string"
+    )
+    out = {
+        r["id"]: r["score"]
+        for r in bm25_topk(docs, queries, "text", "doc_id", k=5).collect()
+    }
+    n, avgdl = 5, (9 + 9 + 5 + 9 + 0) / 5
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl):
+        return round(tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)) * idf, 6)
+
+    assert out == {1: pytest.approx(s(1, 9)), 2: pytest.approx(s(1, 9))}
+
+
+def test_bm25_k_cap_and_rounded_rank_determinism(spark):
+    docs = _corpus(spark)
+    queries = spark.createDataFrame(
+        [(1, "the dog fox"), (2, "a hound")], "query_id long, text string"
+    )
+    out = bm25_topk(docs, queries, "text", "doc_id", k=2)
+    per_q = (
+        out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert all(r["n"] <= 2 for r in per_q)
+    a = sorted(map(tuple, out.collect()))
+    b2 = sorted(map(tuple, out.repartition(7).collect()))
+    assert a == b2  # partition-independent
+
+
+def test_bm25_max_df_frac_drops_stop_terms(spark):
+    docs = _corpus(spark)
+    queries = spark.createDataFrame(
+        [(1, "the")], "query_id long, text string"
+    )
+    # 'the' appears in 2/5 docs; a 0.2 cap removes it entirely
+    out = bm25_topk(docs, queries, "text", "doc_id", k=5, max_df_frac=0.2)
+    assert out.count() == 0
+
+
+def test_hashed_dist_is_smoothed_probability(spark):
+    docs = _corpus(spark)
+    dist = hashed_ngram_dist(docs, "text", buckets=32).collect()
+    assert len(dist) == 32
+    total = sum(math.exp(r["log_p"]) for r in dist)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    assert all(math.isfinite(r["log_p"]) for r in dist)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing the target's vocabulary must outscore disjoint
+    ones; the empty doc scores exactly 0 with 0 features."""
+    docs = _corpus(spark)
+    target = spark.createDataFrame(
+        [(900, "quantum gauge theory lattice chromodynamics quantum")],
+        "doc_id long, text string",
+    )
+    w = {
+        r["id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_weights(docs, target, "text", "doc_id", buckets=64).collect()
+    }
+    assert w[5] == (0, 0.0)
+    assert w[1][0] == 9 + 8  # unigrams + bigrams
+    # doc 3 is drawn from the target's vocab; 1/2/4 share nothing with it
+    assert w[3][1] > max(w[1][1], w[2][1], w[4][1])
+
+
+def test_dsir_select_quota_and_determinism(spark):
+    docs = _corpus(spark)
+    target = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = dsir_select(docs, target, "text", "doc_id", quota=3, buckets=64)
+    rows = kept.collect()
+    assert len(rows) == 3
+    again = dsir_select(
+        docs.repartition(5), target, "text", "doc_id", quota=3, buckets=64
+    ).collect()
+    assert sorted(r["id"] for r in rows) == sorted(r["id"] for r in again)
+
+
+def test_dsir_select_no_gumbel_is_hard_topk(spark):
+    docs = _corpus(spark)
+    target = spark.createDataFrame(
+        [(900, "quantum gauge theory lattice chromodynamics")],
+        "doc_id long, text string",
+    )
+    kept = dsir_select(
+        docs, target, "text", "doc_id", quota=1, buckets=64, gumbel=False
+    ).collect()
+    assert [r["id"] for r in kept] == [3]
+
+
+def test_bm25_and_dsir_plans_have_no_cartesian(spark):
+    """Scale-shape pin: only broadcast exchanges beyond the keyed
+    shuffles — the 1-row stats crossJoin must plan as BroadcastNestedLoop
+    over a single row, and nothing else may go nested-loop."""
+    docs = _corpus(spark)
+    queries = spark.createDataFrame(
+        [(1, "fox dog")], "query_id long, text string"
+    )
+    plan = bm25_topk(docs, queries, "text", "doc_id", k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    target = docs.filter(F.col("doc_id") % 2 == 1)
+    plan2 = dsir_weights(docs, target, "text", "doc_id", buckets=16)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
