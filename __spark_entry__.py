@@ -249,7 +249,31 @@ def _q_profile_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return top_k_values(read_table(spark, sf_dir, "customer"), "c_mktsegment", k=3)
+    """O2 top-k value counts, plus the r8 Count-Min rode-along: a CMS
+    grid over the same column, built as TWO increments (even/odd
+    custkey) and merged with ``cms_merge`` — the merge path IS the
+    gate path — then point-estimated for the exact top-3 values.
+    ``cms:``-prefixed rows carry the estimates; the DuckDB twin
+    (oracles.cms_topk_sql) replays the identical md5-salted grid, so
+    any estimate drift (or a broken merge) hash-mismatches."""
+    from dw_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    cust = read_table(spark, sf_dir, "customer")
+    exact = top_k_values(cust, "c_mktsegment", k=3)
+    W, D = oracles.CMS_GATE_WIDTH, oracles.CMS_GATE_DEPTH
+    grid = cms_merge(
+        cms_build(cust.filter(F.col("c_custkey") % 2 == 0), "c_mktsegment", W, D),
+        cms_build(cust.filter(F.col("c_custkey") % 2 == 1), "c_mktsegment", W, D),
+    )
+    cms_rows = cms_estimate(grid, exact.select("value"), "value", W, D).select(
+        F.concat(F.lit("cms:"), F.col("value")).alias("value"),
+        F.col("est").alias("cnt"),
+    )
+    return exact.unionByName(cms_rows)
 
 
 _DESCRIBE_COLS = ["l_quantity", "l_extendedprice"]
@@ -844,26 +868,23 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count/id-sum/weight-sum summary rows. The oracle replays the
     # identical md5 bucket hashing, Laplace(0.5) smoothing and Gumbel
     # keys closed-form (oracles.dsir_token_freq_sql).
-    from dw_etl_spark.operators.dsir import dsir_select, dsir_weights
+    from dw_etl_spark.operators.dsir import (
+        dsir_select_from_weights,
+        dsir_weights,
+    )
 
     target = docs.filter(F.col("doc_id") % 7 == 0)
     dw = dsir_weights(
         docs, target, "text", "doc_id", buckets=oracles.DSIR_GATE_BUCKETS
-    )
+    ).persist()  # consumed by the weight rows AND the selection (lazy
+    # cache, per the drift.py pin rule — one scoring pass, not two)
     w_rows = dw.filter(F.col("id") < oracles.DSIR_GATE_NWEIGHTS).select(
         F.concat(F.lit("dsir:w:"), F.col("id").cast("string")).alias("kind"),
         F.lit("").alias("token"),
         F.col("n_feats").alias("n"),
         F.col("log_weight").alias("v"),
     )
-    kept = dsir_select(
-        docs,
-        target,
-        "text",
-        "doc_id",
-        quota=oracles.DSIR_GATE_QUOTA,
-        buckets=oracles.DSIR_GATE_BUCKETS,
-    )
+    kept = dsir_select_from_weights(dw, quota=oracles.DSIR_GATE_QUOTA)
     kept_agg = kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.round(F.sum("log_weight"), 6).alias("w_sum"),
@@ -1234,7 +1255,10 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/ir.bm25_topk``) — the decontamination tier beyond
     exact shingle overlap ("which corpus docs are lexically CLOSEST to
     each benchmark item"). The same every-17th docs play the query set,
-    query text = their first-8-token prefix, k=3; section='bm25' rows
+    query text = their first-8-token prefix, k=3, hot-term cap at
+    df ≤ 78%·N (the stopword lever — exercised, not defaulted-off;
+    the odd threshold splits the synthetic fixture's narrow df band,
+    see oracles.BM25_GATE_MAXDF); section='bm25' rows
     carry (query→doc, rank, score) with scores rounded to 6 before
     ranking so order can't diverge on ULP tails. The DuckDB oracle
     replays Lucene-BM25 closed-form (``oracles.bm25_topk_sql``)."""
@@ -1266,6 +1290,7 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=oracles.BM25_GATE_K,
         k1=oracles.BM25_GATE_K1,
         b=oracles.BM25_GATE_B,
+        max_df_frac=oracles.BM25_GATE_MAXDF,
     ).select(
         F.lit("bm25").alias("section"),
         "id",
@@ -3275,13 +3300,9 @@ SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
 FROM c FULL OUTER JOIN s ON c.nk = s.nk
 """
 
-_TOPK_SQL = """
-SELECT c_mktsegment AS value, count(*) AS cnt
-FROM customer
-GROUP BY c_mktsegment
-ORDER BY cnt DESC, value ASC
-LIMIT 3
-"""
+# exact top-3 ∪ Count-Min estimate rows (r8) — built in oracles.py so
+# the grid constants stay beside their engine twins
+_TOPK_SQL = oracles.cms_topk_sql()
 
 _PROFILE_METRICS_SQL = """
 WITH qsk AS (

@@ -38,51 +38,50 @@ from dw_etl_spark.functions.text import stable_hash64, tokens, word_ngrams
 _HASH_SPACE = float(1 << 60)
 
 
-def _features(text_col: str, include_bigrams: bool) -> F.Column:
-    """Unigram (+ word-bigram) feature strings of a document. Bigrams
-    are the paper's choice — unigrams alone can't tell 'new york times'
-    prose from a bag of frequent words. NOT distinct: DSIR weights are
-    over token occurrences (a doc that says 'the' 50 times should count
-    it 50 times), unlike the shingle-set dedup operators."""
-    toks = tokens(text_col)
+def _features_of(toks: F.Column, include_bigrams: bool) -> F.Column:
+    """Unigram (+ word-bigram) feature strings from an ALREADY-BOUND
+    token-array column. Bigrams are the paper's choice — unigrams alone
+    can't tell 'new york times' prose from a bag of frequent words.
+    NOT distinct: DSIR weights are over token occurrences (a doc that
+    says 'the' 50 times should count it 50 times), unlike the
+    shingle-set dedup operators.
+
+    ``toks`` must be a plain column reference, not the tokenize
+    expression inlined: it is referenced ~6 times here (and
+    higher-order functions run interpreted, outside codegen CSE), so an
+    inlined regex split re-runs per reference — and a
+    transform+element_at formulation re-ran it per ELEMENT (measured
+    8.4s vs 0.3s over the sf0.1 corpus; same trap word_ngrams
+    documents, functions/text.py:170). Call sites project
+    ``tokens(col).alias(...)`` first — the multi-reference alias stops
+    CollapseProject from inlining the split back in."""
     if not include_bigrams:
         return toks
     # word_ngrams is distinct by design (dedup semantics); rebuild the
-    # non-distinct bigram list inline
-    bi = F.when(
-        F.size(toks) < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
+    # non-distinct bigram list inline via the shifted-slice zip
+    m = F.size(toks) - 1
+    bi = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    return F.concat(toks, bi)
+    return F.when(F.size(toks) < 2, toks).otherwise(F.concat(toks, bi))
 
 
-def hashed_ngram_dist(
-    df: DataFrame,
-    text_col: str,
-    buckets: int = 1024,
-    include_bigrams: bool = True,
-) -> DataFrame:
-    """Smoothed hashed-feature distribution of a corpus:
-    (bucket, log_p) for EVERY bucket 0..buckets-1.
+def _features(text_col: str, include_bigrams: bool) -> F.Column:
+    """``_features_of`` over the raw text column — single-expression
+    convenience for tests/oracles; hot paths project the token array
+    first (see ``_features_of``)."""
+    return _features_of(tokens(text_col), include_bigrams)
 
-    p[b] = (count_b + 0.5) / (total + 0.5·buckets) — Laplace(0.5), so
-    log_p is finite for unseen buckets and the log-ratio below never
-    hits ±inf. The output is buckets rows regardless of corpus size:
-    broadcast it.
-    """
-    cells = (
-        df.select(F.explode(_features(text_col, include_bigrams)).alias("feat"))
-        .select(F.pmod(stable_hash64(F.col("feat")), F.lit(buckets)).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    all_b = df.sparkSession.range(buckets).select(F.col("id").alias("b"))
+
+def _smooth_dist(cells: DataFrame, buckets: int) -> DataFrame:
+    """Laplace(0.5)-smoothed log distribution from (b, c) bucket
+    counts: (b, log_p) for EVERY bucket 0..buckets-1, so log_p is
+    finite for unseen buckets and log-ratios never hit ±inf. The
+    output is ``buckets`` rows regardless of corpus size: broadcast
+    it."""
+    all_b = cells.sparkSession.range(buckets).select(F.col("id").alias("b"))
     tot = cells.agg(F.sum("c").alias("total"))
     return (
         all_b.join(cells, "b", "left")
@@ -95,6 +94,32 @@ def hashed_ngram_dist(
             ).alias("log_p"),
         )
     )
+
+
+def _bucket_cells(
+    df: DataFrame, text_col: str, buckets: int, include_bigrams: bool
+) -> DataFrame:
+    """(bucket, count) over a corpus: tokenize once per row (bound
+    alias — see ``_features_of``), explode features, hash to buckets."""
+    return (
+        df.select(tokens(text_col).alias("__toks"))
+        .select(F.explode(_features_of(F.col("__toks"), include_bigrams)).alias("feat"))
+        .select(F.pmod(stable_hash64(F.col("feat")), F.lit(buckets)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hashed_ngram_dist(
+    df: DataFrame,
+    text_col: str,
+    buckets: int = 1024,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Smoothed hashed-feature distribution of a corpus:
+    (bucket, log_p) for every bucket — ``_bucket_cells`` counts under
+    ``_smooth_dist`` Laplace(0.5) smoothing."""
+    return _smooth_dist(_bucket_cells(df, text_col, buckets, include_bigrams), buckets)
 
 
 def dsir_weights(
@@ -117,26 +142,30 @@ def dsir_weights(
     callers who want per-feature rates.
 
     The two distribution tables are ``buckets`` rows each — broadcast
-    joins; the only corpus-wide shuffle is the groupBy(id).
+    joins; the only corpus-wide shuffle is the groupBy(id). The raw
+    corpus is tokenized/hashed ONCE: its distribution is the per-doc
+    cell table re-aggregated by bucket (exchange reuse shares the
+    underlying scan within the plan), so only the (small) target
+    corpus pays a separate feature pass.
     """
-    ratio = (
-        hashed_ngram_dist(target, text_col, buckets, include_bigrams)
-        .withColumnRenamed("log_p", "log_t")
-        .join(
-            hashed_ngram_dist(raw, text_col, buckets, include_bigrams)
-            .withColumnRenamed("log_p", "log_r"),
-            "b",
-        )
-        .select("b", (F.col("log_t") - F.col("log_r")).alias("log_ratio"))
-    )
     cells = (
-        raw.select(
-            F.col(id_col).alias("id"),
-            F.explode(_features(text_col, include_bigrams)).alias("feat"),
+        raw.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        .select(
+            "id",
+            F.explode(_features_of(F.col("__toks"), include_bigrams)).alias("feat"),
         )
         .select("id", F.pmod(stable_hash64(F.col("feat")), F.lit(buckets)).alias("b"))
         .groupBy("id", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw_dist = _smooth_dist(
+        cells.groupBy("b").agg(F.sum("c").alias("c")), buckets
+    )
+    ratio = (
+        hashed_ngram_dist(target, text_col, buckets, include_bigrams)
+        .withColumnRenamed("log_p", "log_t")
+        .join(raw_dist.withColumnRenamed("log_p", "log_r"), "b")
+        .select("b", (F.col("log_t") - F.col("log_r")).alias("log_ratio"))
     )
     scored = (
         cells.join(F.broadcast(ratio), "b")
@@ -192,11 +221,23 @@ def dsir_select(
     global sort of the corpus.
     """
     w = dsir_weights(raw, target, text_col, id_col, buckets, include_bigrams)
+    return dsir_select_from_weights(w, quota, gumbel)
+
+
+def dsir_select_from_weights(
+    weights: DataFrame, quota: int, gumbel: bool = True
+) -> DataFrame:
+    """Selection half of ``dsir_select`` over an already-computed
+    (id, n_feats, log_weight) frame — callers that also surface the
+    weights should score once and select from the same frame rather
+    than paying the distribution/scoring lineage twice."""
     key = (
         gumbel_key("id", "log_weight") if gumbel else F.col("log_weight")
     )
     return (
-        w.select("id", "n_feats", "log_weight", F.round(key, 6).alias("sel_key"))
+        weights.select(
+            "id", "n_feats", "log_weight", F.round(key, 6).alias("sel_key")
+        )
         .orderBy(F.desc("sel_key"), F.asc("id"))
         .limit(quota)
     )

@@ -132,6 +132,32 @@ def hashed_embedding(
     )
 
 
+def bm25_postings(corpus: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf, dl) posting rows of a corpus — term frequency
+    with the document length denormalized onto every posting (the
+    Lucene norm-in-posting layout). One tokenize pass, one
+    (id, term)-keyed map-side-combined aggregate; carrying ``dl``
+    through the groupBy key costs nothing (it is functionally
+    dependent on ``id``) and saves scoring an id-keyed join against a
+    separate doclen table — at corpus scale that join is a second full
+    shuffle of the postings. This is the shared build step of
+    ``bm25_topk`` (in-memory) and ``bm25_index.build_bm25_index``
+    (persisted)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+        )
+        .select(
+            "id",
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("id", "term", "tf", "dl")
+    )
+
+
 def bm25_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -159,33 +185,27 @@ def bm25_topk(
     (score DESC, id ASC); score is rounded to 6 BEFORE ranking so the
     ordering is identical in any IEEE engine (DuckDB-twin-tested).
 
-    Scale shape: the corpus side is one explode → (doc, term) tf
-    aggregation on a well-spread (doc, term) key; document frequency is
-    a second, map-side-combined aggregation over the already-reduced
+    Scale shape: the corpus side is ``bm25_postings`` — one explode →
+    (doc, term) tf aggregation on a well-spread key with the doc
+    length riding along (no separate doclen join); document frequency
+    is a second, map-side-combined aggregation over the already-reduced
     postings (the exchange carries one partial count per mapper×term,
     not corpus rows — deliberately NOT a single term-keyed
     repartition, which would pile every posting of a stopword onto one
-    partition); the query term set is broadcast (eval sets are tiny
-    next to a 100 TB corpus), so candidate generation is a broadcast
-    semi-join on the postings, never all-pairs. Hot terms ("the") make
-    hot postings partitions — cap them with ``max_df_frac`` (drop terms
-    whose df exceeds that fraction of N; stopwords carry ~zero idf
-    anyway) and let AQE split what remains. The final top-k window is
-    per-query over candidate docs only.
+    partition). The query term set is tiny next to a 100 TB corpus, so
+    df lookup and the df cap happen ON the query-term frame (dft ⋈
+    broadcast(qterms) → a (query, term, df) frame the size of the
+    query set), and THAT is what broadcasts against the postings —
+    candidate generation is a broadcast semi-join, never all-pairs,
+    and hot terms are gone before the big join. ``max_df_frac`` is the
+    hot-term lever: drop query terms whose df exceeds that fraction of
+    N (a stopword's candidate rows = its df — the entire corpus —
+    while its idf is ~zero). The final top-k window is per-query over
+    candidate docs only.
     """
-    postings = (
-        corpus.select(
-            F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
-        )
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    doclen = corpus.select(
-        F.col(id_col).alias("id"),
-        F.size(tokens(text_col)).cast("long").alias("dl"),
-    )
+    postings = bm25_postings(corpus, text_col, id_col)
     dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = doclen.agg(
+    stats = corpus.select(F.size(tokens(text_col)).cast("long").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
@@ -193,24 +213,28 @@ def bm25_topk(
         F.col(query_id_col).alias("query_id"),
         F.explode_outer(tokens(query_text_col)).alias("term"),
     ).distinct()
+    # df rides along on the broadcast query-term frame: one less
+    # corpus-side join, and the df cap prunes hot terms before any
+    # posting row is touched
+    qdf = dft.join(F.broadcast(qterms), "term").crossJoin(
+        F.broadcast(stats.select("n_docs"))
+    )
+    if max_df_frac < 1.0:
+        qdf = qdf.filter(F.col("df_t") <= F.lit(max_df_frac) * F.col("n_docs"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
     )
+    qdf = qdf.select("term", "query_id", idf.alias("idf"))
     tf_norm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    cand = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(dft, "term")
-        .join(doclen, "id")
-        .crossJoin(F.broadcast(stats))
+    cand = postings.join(F.broadcast(qdf), "term").crossJoin(
+        F.broadcast(stats.select("avgdl"))
     )
-    if max_df_frac < 1.0:
-        cand = cand.filter(F.col("df_t") <= F.lit(max_df_frac) * F.col("n_docs"))
     scored = (
         cand.groupBy("query_id", "id")
-        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+        .agg(F.round(F.sum(F.col("idf") * tf_norm), 6).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
     return (

@@ -14,9 +14,11 @@ delta gives byte-identical state to one pass over everything
 (pytest-pinned). Contrast ``approx_count_distinct``, which emits only
 the final number: accurate per run but not composable across runs.
 
-No DuckDB oracle — the sketch binary is library-specific state, not a
-relational value (the estimate is cross-checked against exact distinct
-counts within the configured relative error instead).
+No DuckDB oracle for HLL — that sketch binary is library-specific
+state, not a relational value (the estimate is cross-checked against
+exact distinct counts within the configured relative error instead).
+The quantile sample and the Count-Min grid below ARE plain relational
+values, and both replay closed-form in DuckDB.
 """
 
 from __future__ import annotations
@@ -329,3 +331,123 @@ def psi_from_sketches(
         "n_cur",
     )
     return out
+
+
+# -------------------------------------------------- count-min sketches
+
+#: 4 rows x 2048 cols: point-estimate error <= 2e/2048 of the total
+#: count with prob 1 - e^-4 — a ~64 KB frequency summary of any corpus
+CMS_DEFAULT_WIDTH = 2048
+CMS_DEFAULT_DEPTH = 4
+
+
+def _cms_bucket(key: F.Column, d: int, width: int) -> F.Column:
+    """Row-``d`` bucket of a key: md5-salted, so the ``depth`` hash
+    functions are independent AND the grid is engine-portable (the
+    DuckDB twin replays the exact cells — unlike HLL, CMS state is a
+    plain relational value)."""
+    from dw_etl_spark.functions.text import stable_hash64
+
+    return F.pmod(
+        stable_hash64(F.concat(F.lit(f"cms{d}:"), key.cast("string"))),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = CMS_DEFAULT_WIDTH,
+    depth: int = CMS_DEFAULT_DEPTH,
+    weight_col: str | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Count-Min sketch of ``key_col``'s frequency distribution:
+    sparse (by..., d, b, c) cell counts, the third mergeable-state
+    sketch alongside HLL (distinct) and the quantile sample — this one
+    answers "how often does X occur?" without keeping a row per
+    distinct key.
+
+    One narrow pass: each row explodes to ``depth`` (d, bucket) cells
+    (``depth`` md5s per row, bounded), then ONE map-side-combined
+    aggregate on the (d, b) key — at most depth·width rows out
+    regardless of corpus size, so per-increment state is KBs and the
+    shuffle carries partial cells, not rows. NULL keys are skipped.
+    ``weight_col`` aggregates a measure instead of occurrences (e.g.
+    token counts per domain). Estimates from ``cms_estimate`` are
+    biased UP only (collisions add, never subtract): guaranteed
+    ``est >= true``, with ``est - true <= 2e/width · total`` at
+    probability ``1 - exp(-depth)`` — size the grid off the tracked
+    total, which rides along in every cell row's lineage.
+    """
+    key = F.col(key_col)
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    cells = (
+        df.filter(key.isNotNull())
+        .select(
+            *(by or []),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("int").alias("d"),
+                            _cms_bucket(key, d, width).alias("b"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("__cell"),
+            w.alias("__w"),
+        )
+        .groupBy(*(by or []), F.col("__cell.d").alias("d"), F.col("__cell.b").alias("b"))
+        .agg(F.sum("__w").alias("c"))
+    )
+    return cells
+
+
+def cms_merge(*sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge CMS states cell-wise: union + sum, idempotent under
+    regrouping — merging daily sketches gives the identical grid to
+    one pass over the union (pytest-pinned, same contract as the HLL
+    and quantile merges). Grids must share (width, depth, by)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*(by or []), "d", "b").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    cells: DataFrame,
+    items: DataFrame,
+    key_col: str,
+    width: int = CMS_DEFAULT_WIDTH,
+    depth: int = CMS_DEFAULT_DEPTH,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-estimate the count of each item: min over the ``depth``
+    rows of the item's cells (the count-MIN), 0 if any cell is
+    untouched. The grid is <= depth·width rows — broadcast — so
+    estimating any number of items is a map-side join + one
+    item-keyed aggregate; the corpus is never rescanned.
+    """
+    key = F.col(key_col)
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        _cms_bucket(key, d, width).alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__cell"),
+    ).select("*", F.col("__cell.d").alias("d"), F.col("__cell.b").alias("b"))
+    other = [c for c in items.columns if c != key_col]
+    return (
+        probes.join(F.broadcast(cells), ["d", "b"], "left")
+        .groupBy(key_col, *other)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(out_col))
+    )

@@ -1082,11 +1082,19 @@ LEFT JOIN cleaned c USING (doc_id)
 #: section), query text = its first BM25_GATE_QLEN tokens, top
 #: BM25_GATE_K docs per query under Lucene-BM25 with the k1/b defaults.
 #: Scores are rounded to 6 BEFORE ranking in BOTH engines so rank
-#: order can't diverge on ULP tails.
+#: order can't diverge on ULP tails. MAXDF exercises the operator's
+#: hot-term cap: query terms with df above that corpus fraction drop
+#: out of scoring (a stopword's candidate rows = its df — the skew
+#: lever the docstring prescribes at 100 TB). 0.78 because the
+#: synthetic fixture's 31-word vocabulary packs every query term into
+#: df fractions 0.74-0.83 — this value provably drops SOME terms and
+#: keeps SOME at every test SF (a 0.3 production-style cap would
+#: silently empty the section here).
 BM25_GATE_QLEN = 8
 BM25_GATE_K = 3
 BM25_GATE_K1 = 1.2
 BM25_GATE_B = 0.75
+BM25_GATE_MAXDF = 0.78
 
 
 def bm25_topk_sql() -> str:
@@ -1094,10 +1102,11 @@ def bm25_topk_sql() -> str:
     Postings/df/avgdl from the documents table; distinct query terms
     from the first-QLEN-token prefix of every 17th doc; idf =
     ln(1 + (N-df+0.5)/(df+0.5)); row_number over (round(score,6) DESC,
-    id ASC) per query."""
+    id ASC) per query; terms with df > MAXDF·N drop out of scoring."""
     toks = tokens("text")
-    qlen, k, k1, b = (
+    qlen, k, k1, b, maxdf = (
         BM25_GATE_QLEN, BM25_GATE_K, BM25_GATE_K1, BM25_GATE_B,
+        BM25_GATE_MAXDF,
     )
     return f"""
 WITH postings AS (
@@ -1125,6 +1134,7 @@ scored AS (
   JOIN dft d USING (term)
   JOIN doclen l ON p.id = l.id
   CROSS JOIN stats s
+  WHERE d.df_t <= CAST({maxdf} AS DOUBLE) * s.n_docs
   GROUP BY 1, 2
 ),
 ranked AS (
@@ -1226,4 +1236,50 @@ UNION ALL
 SELECT 'dsir:kept_ids' AS kind, '' AS token,
        CAST(sum(id) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v
 FROM kept
+"""
+
+
+#: Count-Min gate fixture (cms: rows of topk_values): grid over
+#: customer.c_mktsegment, built as TWO increments (even/odd custkey)
+#: and merged — so the gate pins build, merge-idempotence AND
+#: estimation; estimates are for the exact top-3 segments. Small width
+#: keeps the replay cheap; the md5-salted rows make the grid identical
+#: in any engine.
+CMS_GATE_WIDTH = 256
+CMS_GATE_DEPTH = 3
+
+
+def cms_topk_sql() -> str:
+    """SQL twin of ``operators/sketches.cms_build + cms_merge +
+    cms_estimate`` on the gate fixture. The merged two-increment grid
+    is arithmetically the single-pass grid (sum splits), so the replay
+    builds it in one aggregate; estimate = min over depth rows of the
+    probed cells."""
+    W, D = CMS_GATE_WIDTH, CMS_GATE_DEPTH
+    hcell = h64("'cms' || CAST(d AS VARCHAR) || ':' || c_mktsegment")
+    hprobe = h64("'cms' || CAST(d AS VARCHAR) || ':' || value")
+    return f"""
+WITH exact AS (
+  SELECT c_mktsegment AS value, count(*) AS cnt
+  FROM customer GROUP BY 1
+  ORDER BY cnt DESC, value ASC LIMIT 3
+),
+depths AS (SELECT unnest(range(0, {D})) AS d),
+cells AS (
+  SELECT d, {hcell} % {W} AS b, count(*) AS c
+  FROM customer CROSS JOIN depths
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT value, d, {hprobe} % {W} AS b
+  FROM exact CROSS JOIN depths
+),
+est AS (
+  SELECT value, min(coalesce(c, 0)) AS est
+  FROM probes LEFT JOIN cells USING (d, b)
+  GROUP BY 1
+)
+SELECT value, CAST(cnt AS BIGINT) AS cnt FROM exact
+UNION ALL
+SELECT 'cms:' || value AS value, CAST(est AS BIGINT) AS cnt FROM est
 """

@@ -1,0 +1,117 @@
+"""Persisted BM25 index: equality to the one-shot scorer, growth by
+merge, bucket-pruned query plans, and the query-term cap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dw_etl_spark.functions.text import tokens
+from dw_etl_spark.operators.bm25_index import (
+    build_bm25_index,
+    drop_bm25_index,
+    merge_into_bm25_index,
+    query_bm25_index,
+)
+from dw_etl_spark.operators.ir import bm25_topk
+from dw_etl_spark.sources.files import read_table
+from tests.conftest import SF_SMOKE
+
+
+def _corpus_queries(spark):
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    queries = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(tokens("text"), 1, 6), " ").alias("text"),
+        )
+    )
+    return corpus, queries
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("query_id", "id", "score", "rank").collect()))
+
+
+def test_index_query_equals_one_shot_bm25(spark, tmp_path):
+    """Seed-built index returns exactly what bm25_topk computes on the
+    same corpus — same idf, same dl normalization, same
+    round-then-rank order — including under the df cap."""
+    corpus, queries = _corpus_queries(spark)
+    drop_bm25_index(spark, "bmi_eq")
+    build_bm25_index(corpus, "text", "doc_id", "bmi_eq", n_buckets=4)
+    try:
+        by_frac = {}
+        # 0.78, not a production-style 0.3: the synthetic fixture's
+        # 31-word vocabulary puts every query term at df 0.74-0.83,
+        # so 0.78 drops SOME terms and keeps SOME (0.3 keeps none)
+        for frac in (1.0, 0.78):
+            got = query_bm25_index(
+                queries, "bmi_eq", k=4, max_df_frac=frac
+            )
+            want = bm25_topk(
+                corpus, queries, "text", "doc_id", k=4, max_df_frac=frac
+            )
+            by_frac[frac] = _rows(got)
+            assert _rows(got) == _rows(want)
+            assert got.count() > 0
+        assert by_frac[1.0] != by_frac[0.78]  # the cap has teeth
+    finally:
+        drop_bm25_index(spark, "bmi_eq")
+
+
+def test_merged_index_equals_one_shot_on_concatenation(spark, tmp_path):
+    """Build on half the corpus, merge the other half: query results
+    equal bm25_topk on the full corpus — df and avgdl stay exact
+    across increments because they are summed, not frozen."""
+    corpus, queries = _corpus_queries(spark)
+    first = corpus.filter(F.col("doc_id") % 2 == 0)
+    second = corpus.filter(F.col("doc_id") % 2 == 1)
+    drop_bm25_index(spark, "bmi_merge")
+    build_bm25_index(first, "text", "doc_id", "bmi_merge", n_buckets=4)
+    try:
+        before = _rows(query_bm25_index(queries, "bmi_merge", k=3))
+        merge_into_bm25_index(second, "text", "doc_id", "bmi_merge")
+        after = _rows(query_bm25_index(queries, "bmi_merge", k=3))
+        want = _rows(bm25_topk(corpus, queries, "text", "doc_id", k=3))
+        assert after == want
+        assert before != after  # the merge actually changed rankings
+    finally:
+        drop_bm25_index(spark, "bmi_merge")
+
+
+def test_query_plan_prunes_postings_buckets(spark, tmp_path):
+    """The postings scan is bucket-pruned by the query-term isin
+    literal — the plan reports selecting a strict subset of buckets,
+    which is the 'scan scales with the query, not the corpus' claim."""
+    corpus, _ = _corpus_queries(spark)
+    queries = spark.createDataFrame(
+        [(1, "zzzz_unseen_term")], "query_id long, text string"
+    )
+    drop_bm25_index(spark, "bmi_plan")
+    build_bm25_index(corpus, "text", "doc_id", "bmi_plan", n_buckets=4)
+    try:
+        q = query_bm25_index(queries, "bmi_plan", k=3)
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        assert "SelectedBucketsCount: 1 out of 4" in plan, plan
+    finally:
+        drop_bm25_index(spark, "bmi_plan")
+
+
+def test_query_term_cap_raises(spark, tmp_path):
+    """More distinct query terms than the cap is an error, not a
+    silent truncation."""
+    corpus, queries = _corpus_queries(spark)
+    drop_bm25_index(spark, "bmi_cap")
+    build_bm25_index(
+        corpus.limit(50), "text", "doc_id", "bmi_cap", n_buckets=4
+    )
+    try:
+        with pytest.raises(ValueError, match="distinct terms"):
+            query_bm25_index(queries, "bmi_cap", max_query_terms=3)
+    finally:
+        drop_bm25_index(spark, "bmi_cap")

@@ -3842,3 +3842,67 @@ def test_psi_from_sketches_matches_exact_psi_when_lossless(spark):
         quantile_sketch(cur.filter("g = 'g0'"), "v", "id", k=1024),
     ).collect()
     assert len(ung) == 1 and ung[0]["psi"] == got["g0"][0]
+
+
+def test_cms_overestimates_merges_and_matches_exact_on_low_collision(spark):
+    """Count-Min grid (operators/sketches.py): (1) estimates never
+    undercount — collisions only ADD (the one-sided CMS guarantee);
+    (2) merging increment grids cell-for-cell equals the single-pass
+    grid (the mergeable-state contract shared with the HLL and
+    quantile sketches); (3) at low cardinality vs width the estimate
+    is exactly the true count; (4) weighted build sums the measure;
+    (5) NULL keys are skipped."""
+    from dw_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(i, f"k{i % 7}", i % 3 + 1) for i in range(200)] + [
+        (900, None, 5),
+        (901, None, 5),
+    ]
+    df = spark.createDataFrame(rows, "id long, key string, w int")
+    W, D = 64, 3
+
+    # merge of per-increment grids == one-pass grid, cell for cell
+    one_pass = cms_build(df, "key", W, D)
+    merged = cms_merge(
+        cms_build(df.filter(F.col("id") % 2 == 0), "key", W, D),
+        cms_build(df.filter(F.col("id") % 2 == 1), "key", W, D),
+    )
+    assert sorted(map(tuple, one_pass.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    # grid never exceeds depth * width cells and ignores NULLs
+    cells = one_pass.collect()
+    assert len(cells) <= W * D
+    assert sum(c.c for c in cells) == 200 * D  # the 2 NULL rows skipped
+
+    # estimates: >= truth always; == truth at 7 keys vs width 64 unless
+    # every depth row collides (astronomically unlikely, and
+    # deterministic — a collision would fail loudly here, not flake)
+    truth = {f"k{j}": sum(1 for i in range(200) if i % 7 == j) for j in range(7)}
+    items = spark.createDataFrame([(k,) for k in truth], "key string")
+    est = {
+        r.key: r.est for r in cms_estimate(one_pass, items, "key", W, D).collect()
+    }
+    assert est == truth
+
+    # absent key estimates 0 (some depth row lands on an untouched cell
+    # at this density) or a small collision count — never negative
+    ghost = spark.createDataFrame([("nope",)], "key string")
+    g = cms_estimate(one_pass, ghost, "key", W, D).collect()[0].est
+    assert 0 <= g <= 200
+
+    # weighted build: cells carry sum(w), not row counts
+    wgrid = cms_build(df, "key", W, D, weight_col="w")
+    west = {
+        r.key: r.est for r in cms_estimate(wgrid, items, "key", W, D).collect()
+    }
+    wtruth = {
+        f"k{j}": sum(i % 3 + 1 for i in range(200) if i % 7 == j)
+        for j in range(7)
+    }
+    assert west == wtruth
