@@ -968,9 +968,15 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-ORDER-sensitive signal) as rode-along columns; r6 completes
     the LM family with Kneser-Ney bigram scoring
     (``kn_bigram_logppl`` — absolute discount + continuation counts),
-    so all three scorers are oracle-checked here."""
+    so all three scorers are oracle-checked here. r8 adds the CCNet
+    composition on top: per-predicted-language head/middle/tail
+    perplexity terciles over the KN score
+    (``operators/lm.ccnet_ppl_buckets`` — exact-rank edges,
+    right-closed bins, duplicates-drop collapse), replayed in DuckDB
+    as per-lang quantile_cont edges + the same CASE chain."""
     from dw_etl_spark.operators.lm import (
         bigram_logppl,
+        ccnet_ppl_buckets,
         kn_bigram_logppl,
         unigram_logppl,
     )
@@ -994,9 +1000,11 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pplkn = kn_bigram_logppl(docs, "text", "doc_id").withColumnRenamed(
         "id", "doc_id"
     )
-    return (
+    joined = (
         feats.join(ppl, "doc_id").join(ppl2, "doc_id").join(pplkn, "doc_id")
-    )
+    ).persist()  # consumed by the bucketer's eager edge fit AND the
+    # final plan (lazy cache, drift.py pin rule) — one LM-scoring pass
+    return ccnet_ppl_buckets(joined, "logppl_kn", ["lang_pred"])
 
 
 def _q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3579,10 +3587,36 @@ def oracle_sql() -> dict[str, str]:
         "event_time_windows": _EVENT_TIME_WINDOWS_SQL,
         "json_extract": _JSON_EXTRACT_SQL,
         "text_features": (
-            f"SELECT t.*, b.logppl2, k.logppl_kn "
-            f"FROM ({oracles.text_features_sql()}) t "
-            f"JOIN ({oracles.bigram_logppl_sql()}) b ON t.doc_id = b.id "
-            f"JOIN ({oracles.kn_bigram_logppl_sql()}) k ON t.doc_id = k.id"
+            # base: features + the three LM scores; outer layer: the
+            # r8 CCNet tercile CASE (same edge arithmetic + collapse
+            # rule as the dim_indicator_qcut value-path replay)
+            f"""
+WITH base AS (
+  SELECT t.*, b.logppl2, k.logppl_kn
+  FROM ({oracles.text_features_sql()}) t
+  JOIN ({oracles.bigram_logppl_sql()}) b ON t.doc_id = b.id
+  JOIN ({oracles.kn_bigram_logppl_sql()}) k ON t.doc_id = k.id
+),
+edges AS (
+  SELECT lang_pred,
+         quantile_cont(logppl_kn, 1.0/3.0) AS r1,
+         quantile_cont(logppl_kn, 2.0/3.0) AS r2,
+         min(logppl_kn) AS mn, max(logppl_kn) AS mx
+  FROM base GROUP BY 1
+)
+SELECT base.*,
+       CASE WHEN logppl_kn IS NULL THEN NULL
+            WHEN mn = mx THEN NULL
+            WHEN r1 > mn AND r2 > r1 AND mx > r2 THEN
+              CASE WHEN logppl_kn <= r1 THEN 'head'
+                   WHEN logppl_kn <= r2 THEN 'middle' ELSE 'tail' END
+            WHEN r1 > mn AND r1 < mx THEN
+              CASE WHEN logppl_kn <= r1 THEN 'head' ELSE 'tail' END
+            WHEN r2 > mn AND r2 < mx THEN
+              CASE WHEN logppl_kn <= r2 THEN 'head' ELSE 'tail' END
+            ELSE 'head' END AS ppl_bucket
+FROM base LEFT JOIN edges USING (lang_pred)
+"""
         ),
         "quality_filters": oracles.quality_filters_sql(),
         "shard_packing": _SHARD_PACKING_SQL_TEMPLATE.format(

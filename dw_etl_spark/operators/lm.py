@@ -172,3 +172,38 @@ def kn_bigram_logppl(
         .agg(F.round(-F.avg(lp), 4).alias(out_col))
     )
     return df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
+
+
+def ccnet_ppl_buckets(
+    scored: DataFrame,
+    score_col: str = "logppl_kn",
+    group_by: list[str] | None = None,
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each language, split documents into equal-thirds by LM perplexity —
+    'head' (lowest perplexity ≈ cleanest), 'middle', 'tail'. CCNet
+    trains on head+middle and drops or down-weights tail; this returns
+    the labeled frame and leaves the keep policy to the caller.
+
+    Pure composition: any of this module's scorers (CCNet itself uses
+    KenLM ≈ ``kn_bigram_logppl`` one order down) + the per-group
+    value-quantile bucketer ``qcut.qcut_by_group_expr`` (exact-rank
+    tercile edges per language, right-closed bins, duplicates-drop
+    label collapse — so a language whose scores are constant gets NULL
+    buckets, not a lie). Scale shape is the bucketer's: per-language
+    edges from one capped-histogram pass or a grouped percentile agg —
+    never a per-language global sort, which is the naive ntile
+    formulation's skew bomb (one language IS most of a crawl).
+    """
+    from dw_etl_spark.operators.qcut import qcut_by_group_expr
+
+    return qcut_by_group_expr(
+        scored,
+        group_by or ["lang"],
+        score_col,
+        n=3,
+        labels=list(labels),
+        out_col=out_col,
+    )

@@ -3906,3 +3906,103 @@ def test_cms_overestimates_merges_and_matches_exact_on_low_collision(spark):
         for j in range(7)
     }
     assert west == wtruth
+
+
+def test_tokenizer_artifact_roundtrip(spark, tmp_path):
+    """Persisted tokenizer state (operators/tokenizer_io.py): saving
+    the trained BPE merge table / unigram vocab to parquet and loading
+    it back yields encodings identical to the in-memory state — the
+    train-once-apply-everywhere contract — and the artifacts are
+    byte-stable across rewrites (deterministic single-file layout)."""
+    import glob
+    import hashlib
+
+    from dw_etl_spark.operators.bpe import bpe_encode, train_bpe
+    from dw_etl_spark.operators.tokenizer_io import (
+        load_bpe_merges,
+        load_unigram_vocab,
+        save_bpe_merges,
+        save_unigram_vocab,
+    )
+    from dw_etl_spark.operators.unigram_tok import (
+        train_unigram,
+        unigram_encode,
+    )
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 120)
+
+    def file_hash(path):
+        [f] = glob.glob(f"{path}/part-*.parquet")
+        return hashlib.md5(open(f, "rb").read()).hexdigest()
+
+    merges = train_bpe(corpus, "text", num_merges=30)
+    bpe_path = str(tmp_path / "bpe")
+    save_bpe_merges(spark, merges, bpe_path)
+    h1 = file_hash(bpe_path)
+    save_bpe_merges(spark, merges, bpe_path)  # rewrite: byte-stable
+    assert file_hash(bpe_path) == h1
+    loaded = load_bpe_merges(spark, bpe_path)
+    assert loaded == merges
+    want = sorted(map(tuple, bpe_encode(corpus, "text", merges).collect()))
+    got = sorted(map(tuple, bpe_encode(corpus, "text", loaded).collect()))
+    assert got == want
+
+    vocab = train_unigram(corpus, "text", vocab_size=60)
+    uni_path = str(tmp_path / "uni")
+    save_unigram_vocab(spark, vocab, uni_path)
+    h2 = file_hash(uni_path)
+    save_unigram_vocab(spark, vocab, uni_path)
+    assert file_hash(uni_path) == h2
+    lvocab = load_unigram_vocab(spark, uni_path)
+    assert lvocab == vocab
+    want_u = sorted(
+        map(tuple, unigram_encode(corpus, "text", vocab).collect())
+    )
+    got_u = sorted(
+        map(tuple, unigram_encode(corpus, "text", lvocab).collect())
+    )
+    assert got_u == want_u
+
+
+def test_ccnet_ppl_buckets_order_and_balance(spark):
+    """CCNet bucketing (operators/lm.ccnet_ppl_buckets): within every
+    language, bucket membership respects score order (every head score
+    <= every middle score <= every tail score) and the three buckets
+    are near-equal thirds (value-quantile edges over near-unique
+    scores). The composition is also oracle-gated in text_features."""
+    from dw_etl_spark.operators.lm import ccnet_ppl_buckets, kn_bigram_logppl
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    scored = kn_bigram_logppl(docs, "text", "doc_id").join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    out = ccnet_ppl_buckets(scored, "logppl_kn", ["lang"]).collect()
+    by_lang = {}
+    for r in out:
+        if r["logppl_kn"] is None:
+            assert r["ppl_bucket"] is None
+            continue
+        by_lang.setdefault(r["lang"], []).append(
+            (r["logppl_kn"], r["ppl_bucket"])
+        )
+    assert by_lang
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, pairs in by_lang.items():
+        buckets = {}
+        for score, b in pairs:
+            assert b in order, (lang, score, b)
+            buckets.setdefault(b, []).append(score)
+        if len(buckets) == 3:
+            assert max(buckets["head"]) <= min(buckets["middle"])
+            assert max(buckets["middle"]) <= min(buckets["tail"])
+            n = len(pairs)
+            for b, vals in buckets.items():
+                # equal thirds up to ties at the edges
+                assert abs(len(vals) - n / 3) <= max(3, 0.15 * n), (
+                    lang, b, len(vals), n,
+                )
