@@ -415,3 +415,88 @@ def _unpersist_on_termination(
             spark.streams.removeListener(listener)
         except Exception:
             pass
+
+
+def cms_batch_applier(
+    state_dir: str,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The per-epoch merge step of ``cms_stream_writer``, exposed so
+    tests (and backfill jobs) can drive it directly. Applies one
+    micro-batch into the persisted Count-Min state at ``state_dir``.
+
+    Unlike the SCD2 merge, a CMS merge is a SUM — NOT idempotent — so
+    checkpoint replays would double-count. Every applied epoch id is
+    therefore recorded alongside the grid, and the grid + epoch set
+    are swapped into place as ONE directory rename: a replayed epoch
+    either sees itself in the committed epoch set (skipped) or the
+    whole previous state (re-applied cleanly) — never a half-merge.
+    Local-FS rename semantics; on an object store route the swap
+    through the FileSystem API or a table format's atomic commit (same
+    note as ``scd2_stream_writer``).
+    """
+    from dw_etl_spark.operators.sketches import cms_build, cms_merge
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bs = batch.sparkSession
+        try:
+            applied = {
+                r["epoch"]
+                for r in bs.read.parquet(f"{state_dir}/epochs").collect()
+            }
+        except Exception:  # first epoch: no state yet
+            applied = set()
+        if int(epoch_id) in applied:
+            return
+        inc = cms_build(batch, key_col, width, depth, weight_col)
+        try:
+            merged = cms_merge(bs.read.parquet(f"{state_dir}/cells"), inc)
+        except Exception:
+            merged = inc
+        import shutil
+        from pathlib import Path
+
+        staging = f"{state_dir}__staging"
+        merged.write.mode("overwrite").parquet(f"{staging}/cells")
+        epochs = sorted(applied | {int(epoch_id)})
+        bs.createDataFrame(
+            [(e,) for e in epochs], "epoch long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/epochs")
+        p_old, p_new = Path(state_dir), Path(staging)
+        if p_old.exists():
+            shutil.rmtree(p_old)
+        p_new.rename(p_old)
+
+    return apply_batch
+
+
+def cms_stream_writer(
+    stream: DataFrame,
+    state_dir: str,
+    key_col: str,
+    checkpoint_dir: str,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain a persisted Count-Min frequency state from a stream —
+    the streaming arm of the mergeable-sketch story: each micro-batch
+    contributes a grid increment (``cms_build``), merged into
+    ``{state_dir}/cells`` which any later job reads with
+    ``cms_estimate`` and never rescans history. Per-epoch work is one
+    narrow pass over the batch + a ≤ depth·width-row state merge.
+    Replay safety: see ``cms_batch_applier``. Returns the started
+    ``StreamingQuery``; callers ``awaitTermination()``.
+    """
+    writer = stream.writeStream.foreachBatch(
+        cms_batch_applier(state_dir, key_col, width, depth, weight_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -430,3 +430,68 @@ def test_drift_monitor_unpersists_reference_and_guards_empty_batch(
     assert m[1]["n_rows"] == 100.0
     assert {"jsd", "ks", "psi"} <= set(m[1])
     assert m[1]["ks"] < 0.1  # same generator as the reference
+
+
+def test_cms_stream_writer_state_and_replay_safety(spark, tmp_path):
+    """Streaming Count-Min maintenance (streaming/sinks.py): after the
+    availableNow run, estimating from the persisted grid matches exact
+    batch counts (low-cardinality keys vs width => no collisions), and
+    re-applying an already-committed epoch is a no-op — CMS merge is a
+    sum, so replay protection is the correctness property here, unlike
+    the idempotent SCD2 merge."""
+    from dw_etl_spark.operators.sketches import cms_estimate
+    from dw_etl_spark.streaming.sinks import (
+        cms_batch_applier,
+        cms_stream_writer,
+    )
+
+    state = str(tmp_path / "cms_state")
+    q = cms_stream_writer(
+        read_events_stream(spark, SF_SMOKE).select("event_type"),
+        state_dir=state,
+        key_col="event_type",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        width=64,
+        depth=3,
+    )
+    q.awaitTermination()
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in read_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cells = spark.read.parquet(f"{state}/cells")
+    items = spark.createDataFrame(
+        [(k,) for k in exact], "event_type string"
+    )
+    est = {
+        r["event_type"]: r["est"]
+        for r in cms_estimate(cells, items, "event_type", 64, 3).collect()
+    }
+    assert est == exact
+
+    # replay an epoch that is already in the committed set: state must
+    # not change (grid cells identical, no double counting)
+    epochs = [
+        r["epoch"] for r in spark.read.parquet(f"{state}/epochs").collect()
+    ]
+    before = sorted(map(tuple, cells.collect()))
+    batch = read_table(spark, SF_SMOKE, "events").select("event_type")
+    cms_batch_applier(state, "event_type", 64, 3)(batch, epochs[0])
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{state}/cells").collect())
+    )
+    assert after == before
+
+    # a genuinely new epoch DOES merge (totals double)
+    cms_batch_applier(state, "event_type", 64, 3)(batch, max(epochs) + 1)
+    est2 = {
+        r["event_type"]: r["est"]
+        for r in cms_estimate(
+            spark.read.parquet(f"{state}/cells"), items, "event_type", 64, 3
+        ).collect()
+    }
+    assert est2 == {k: 2 * v for k, v in exact.items()}
