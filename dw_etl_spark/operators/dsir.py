@@ -241,3 +241,127 @@ def dsir_select_from_weights(
         .orderBy(F.desc("sel_key"), F.asc("id"))
         .limit(quota)
     )
+
+
+# ------------------------------------------------- persisted DSIR state
+
+def build_dsir_state(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    path: str,
+    buckets: int = 1024,
+    include_bigrams: bool = True,
+) -> None:
+    """Persist the DSIR distributions as mergeable state: raw/target
+    bucket-cell COUNTS (not smoothed log-probs — counts sum, log-probs
+    don't) under ``{path}/cells`` with side='raw'|'target', plus a
+    one-row params parquet. The remaining rescan-only statistic of the
+    engine becomes incremental like the HLL/quantile/CMS sketches and
+    the BM25/near-dup indexes: a daily crawl increment appends
+    bucket-sized rows; scoring any batch reads summed cells, never the
+    corpus history."""
+    spark = raw.sparkSession
+    cells = (
+        _bucket_cells(raw, text_col, buckets, include_bigrams)
+        .select(F.lit("raw").alias("side"), "b", "c")
+        .unionByName(
+            _bucket_cells(target, text_col, buckets, include_bigrams).select(
+                F.lit("target").alias("side"), "b", "c"
+            )
+        )
+    )
+    cells.write.mode("overwrite").parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(int(buckets), bool(include_bigrams))],
+        "buckets int, include_bigrams boolean",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def merge_into_dsir_state(
+    path: str,
+    raw_batch: DataFrame | None = None,
+    target_batch: DataFrame | None = None,
+    text_col: str = "text",
+) -> None:
+    """Append an increment's bucket cells (raw side, target side, or
+    both) under the stored params. Appends are row-level (cells sum at
+    read time), so increments never rewrite history and a crashed
+    append re-runs cleanly — parquet append of a deterministic frame."""
+    assert raw_batch is not None or target_batch is not None
+    spark = (raw_batch or target_batch).sparkSession
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    parts = []
+    if raw_batch is not None:
+        parts.append(
+            _bucket_cells(
+                raw_batch, text_col, p["buckets"], p["include_bigrams"]
+            ).select(F.lit("raw").alias("side"), "b", "c")
+        )
+    if target_batch is not None:
+        parts.append(
+            _bucket_cells(
+                target_batch, text_col, p["buckets"], p["include_bigrams"]
+            ).select(F.lit("target").alias("side"), "b", "c")
+        )
+    inc = parts[0]
+    for extra in parts[1:]:
+        inc = inc.unionByName(extra)
+    inc.write.mode("append").parquet(f"{path}/cells")
+
+
+def dsir_weights_from_state(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+) -> DataFrame:
+    """Score a batch against the persisted distributions: identical
+    output to ``dsir_weights`` on the corpora the state has absorbed
+    (pytest-pinned, merge path included) — but the only corpus-sized
+    work is one feature pass over the BATCH. The summed cell tables
+    are ``buckets`` rows a side; the log-ratio broadcast and the
+    doc-keyed aggregate are exactly the in-memory scorer's plan."""
+    spark = batch.sparkSession
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    buckets, bigrams = int(p["buckets"]), bool(p["include_bigrams"])
+    stored = spark.read.parquet(f"{path}/cells")
+    summed = stored.groupBy("side", "b").agg(F.sum("c").alias("c"))
+    ratio = (
+        _smooth_dist(summed.filter(F.col("side") == "target").drop("side"), buckets)
+        .withColumnRenamed("log_p", "log_t")
+        .join(
+            _smooth_dist(
+                summed.filter(F.col("side") == "raw").drop("side"), buckets
+            ).withColumnRenamed("log_p", "log_r"),
+            "b",
+        )
+        .select("b", (F.col("log_t") - F.col("log_r")).alias("log_ratio"))
+    )
+    cells = (
+        batch.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        .select(
+            "id",
+            F.explode(_features_of(F.col("__toks"), bigrams)).alias("feat"),
+        )
+        .select("id", F.pmod(stable_hash64(F.col("feat")), F.lit(buckets)).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        cells.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("log_ratio")), 6).alias("log_weight"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )

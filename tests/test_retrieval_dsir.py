@@ -148,3 +148,59 @@ def test_bm25_and_dsir_plans_have_no_cartesian(spark):
     target = docs.filter(F.col("doc_id") % 2 == 1)
     plan2 = dsir_weights(docs, target, "text", "doc_id", buckets=16)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan2
+
+
+def test_dsir_state_incremental_equals_one_shot(spark, tmp_path):
+    """Persisted DSIR state (operators/dsir.py): scoring a batch from
+    state built on the full corpora equals ``dsir_weights`` restricted
+    to that batch, AND state built on half the raw corpus then merged
+    with the other half gives the identical result — bucket-cell
+    counts sum exactly, so incremental == one-shot, the same contract
+    as the sketch/index families."""
+    from dw_etl_spark.operators.dsir import (
+        build_dsir_state,
+        dsir_weights,
+        dsir_weights_from_state,
+        merge_into_dsir_state,
+    )
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    raw = docs.filter(F.col("doc_id") < 300)
+    target = raw.filter(F.col("doc_id") % 7 == 0)
+    batch = raw.filter(F.col("doc_id") % 5 == 0)
+
+    want = sorted(
+        map(
+            tuple,
+            dsir_weights(raw, target, "text", "doc_id", buckets=64)
+            .join(batch.select(F.col("doc_id").alias("id")), "id")
+            .collect(),
+        )
+    )
+
+    one_shot = str(tmp_path / "state_full")
+    build_dsir_state(raw, target, "text", one_shot, buckets=64)
+    got = sorted(
+        map(
+            tuple,
+            dsir_weights_from_state(batch, "text", "doc_id", one_shot).collect(),
+        )
+    )
+    assert got == want
+
+    merged = str(tmp_path / "state_inc")
+    build_dsir_state(
+        raw.filter(F.col("doc_id") % 2 == 0), target, "text", merged, buckets=64
+    )
+    merge_into_dsir_state(
+        merged, raw_batch=raw.filter(F.col("doc_id") % 2 == 1)
+    )
+    got_inc = sorted(
+        map(
+            tuple,
+            dsir_weights_from_state(batch, "text", "doc_id", merged).collect(),
+        )
+    )
+    assert got_inc == want
