@@ -206,3 +206,73 @@ def query_bm25_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
     )
+
+
+def compact_bm25_index(spark: SparkSession, name: str) -> tuple[int, int]:
+    """Rewrite the index tables after many merges: postings collapse
+    from one-file-per-bucket-per-merge to a near-minimal file count
+    (the sorted-write task layout can split a bucket across a couple
+    of files — still bucket-correct, just not always exactly one), the
+    df partials are SUMMED to one row per term (query-time
+    merge-on-read cost returns to zero), the stats log to one row.
+    Same crash-safe rename-aside swap as
+    ``neardup_index.compact_neardup_index``: live → ``__old``, staged
+    → live, drop ``__old`` — no step destroys state before its
+    replacement exists; the instant between renames can surface a
+    transient table-not-found to concurrent queries, never lost data.
+    Returns (files_before, files_after) over the two bucketed tables.
+    """
+    _check_name(name)
+    n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
+
+    def count_files(table: str) -> int:
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        )
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return sum(
+            1
+            for st in fs.listStatus(hpath)
+            if st.isFile()
+            and not st.getPath().getName().startswith(("_", "."))
+        )
+
+    bucketed = [f"{name}_postings", f"{name}_df"]
+    before = sum(count_files(t) for t in bucketed)
+
+    def swap(table: str, staged_df, sort: bool) -> None:
+        staged, backup = f"{table}__compact", f"{table}__old"
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        spark.sql(f"DROP TABLE IF EXISTS {backup}")
+        w = staged_df.repartition(n_buckets, "term").write.mode("overwrite")
+        w = w.bucketBy(n_buckets, "term")
+        if sort:
+            w = w.sortBy("term")
+        w.saveAsTable(staged)
+        spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+        spark.sql(f"DROP TABLE {backup}")
+
+    swap(f"{name}_postings", spark.table(f"{name}_postings"), sort=True)
+    swap(
+        f"{name}_df",
+        spark.table(f"{name}_df")
+        .groupBy("term")
+        .agg(F.sum("df_t").alias("df_t")),
+        sort=False,
+    )
+    stats = spark.table(f"{name}_stats").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("dl_sum").alias("dl_sum")
+    )
+    staged, backup = f"{name}_stats__compact", f"{name}_stats__old"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    stats.write.mode("overwrite").saveAsTable(staged)
+    spark.sql(f"ALTER TABLE {name}_stats RENAME TO {backup}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_stats")
+    spark.sql(f"DROP TABLE {backup}")
+    return before, sum(count_files(t) for t in bucketed)

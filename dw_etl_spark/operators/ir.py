@@ -313,3 +313,70 @@ def vocab_coverage(
     return spark.createDataFrame(
         rows, "k int, coverage double, distinct_types long, total_tokens long"
     )
+
+
+def retrieve_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    query_embeddings: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    m: int = 50,
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Two-stage retrieval — the standard production stack: BM25
+    recall (top-``m`` lexical candidates per query, ``bm25_topk``)
+    then embedding-cosine re-rank to top-``k``. Lexical recall is
+    cheap and misses paraphrase; dense scoring is sharp and cannot
+    scan a corpus — the composition gets both, and the engine already
+    owns each half.
+
+    Output (query_id, id, bm25_score, cos_sim, rank), rank 1..k by
+    (rounded cosine DESC, id ASC). Scale shape: stage 1 is bm25_topk's
+    plan (broadcast query terms over postings, never all-pairs);
+    stage 2 touches ONLY the m·|queries| candidate rows — the
+    embedding join is id-keyed on that candidate set (broadcast it:
+    it is query-sized) against the corpus embedding table, and the
+    query vectors broadcast. Never a dense scan of corpus embeddings
+    (that is ``similarity.cosine_topk``'s job when no lexical signal
+    exists).
+    """
+    from dw_etl_spark.operators.similarity import _as_double, cosine
+
+    cand = bm25_topk(
+        corpus,
+        queries,
+        text_col,
+        id_col,
+        k=m,
+        k1=k1,
+        b=b,
+        max_df_frac=max_df_frac,
+    ).select("query_id", "id", F.col("score").alias("bm25_score"))
+    cvec = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    qvec = query_embeddings.select(
+        F.col("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        cvec.join(F.broadcast(cand), "id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "id",
+            "bm25_score",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "bm25_score", "cos_sim", "rank")
+    )

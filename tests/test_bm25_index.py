@@ -115,3 +115,31 @@ def test_query_term_cap_raises(spark, tmp_path):
             query_bm25_index(queries, "bmi_cap", max_query_terms=3)
     finally:
         drop_bm25_index(spark, "bmi_cap")
+
+
+def test_compaction_preserves_results_and_shrinks_files(spark, tmp_path):
+    """After several merges, compaction sums the df partials to one
+    row per term, collapses the stats log, rewrites postings to one
+    sorted file per bucket — and query results are unchanged."""
+    from dw_etl_spark.operators.bm25_index import compact_bm25_index
+
+    corpus, queries = _corpus_queries(spark)
+    slices = [corpus.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    drop_bm25_index(spark, "bmi_cpt")
+    build_bm25_index(slices[0], "text", "doc_id", "bmi_cpt", n_buckets=4)
+    try:
+        for s in slices[1:]:
+            merge_into_bm25_index(s, "text", "doc_id", "bmi_cpt")
+        before_rows = _rows(query_bm25_index(queries, "bmi_cpt", k=3))
+        files_before, files_after = compact_bm25_index(spark, "bmi_cpt")
+        assert files_after < files_before, (files_before, files_after)
+        df_tbl = spark.table("bmi_cpt_df")
+        assert df_tbl.count() == df_tbl.select("term").distinct().count()
+        assert spark.table("bmi_cpt_stats").count() == 1
+        after_rows = _rows(query_bm25_index(queries, "bmi_cpt", k=3))
+        assert after_rows == before_rows
+        # equality to the one-shot scorer still holds post-compaction
+        want = _rows(bm25_topk(corpus, queries, "text", "doc_id", k=3))
+        assert after_rows == want
+    finally:
+        drop_bm25_index(spark, "bmi_cpt")

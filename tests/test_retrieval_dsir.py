@@ -204,3 +204,69 @@ def test_dsir_state_incremental_equals_one_shot(spark, tmp_path):
         )
     )
     assert got_inc == want
+
+
+def test_retrieve_rerank_equals_numpy_rerank_of_bm25_candidates(spark):
+    """Two-stage retrieval (operators/ir.retrieve_rerank): the output
+    is exactly the numpy cosine re-rank of the BM25 top-m candidate
+    set — stage 2 never leaves the candidates, rank is (rounded cosine
+    DESC, id ASC), bm25 scores ride through unchanged."""
+    import math
+
+    from dw_etl_spark.functions.text import tokens as sql_tokens
+    from dw_etl_spark.operators.ir import bm25_topk, retrieve_rerank
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    emb = read_table(spark, SF_SMOKE, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    queries = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(sql_tokens("text"), 1, 6), " ").alias("text"),
+    )
+    qemb = emb.join(
+        queries.select(F.col("query_id").alias("doc_id")), "doc_id"
+    ).select(F.col("doc_id").alias("query_id"), "embedding")
+
+    k, m = 3, 10
+    got = sorted(
+        map(
+            tuple,
+            retrieve_rerank(
+                corpus, queries, emb, qemb, "text", "doc_id", k=k, m=m
+            ).collect(),
+        )
+    )
+    assert got, "fixture must produce candidates"
+
+    # independent re-rank: bm25 candidates -> driver-side cosine
+    cand = bm25_topk(corpus, queries, "text", "doc_id", k=m).collect()
+    vecs = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6) if na > 0 and nb > 0 else 0.0
+
+    want = []
+    by_q = {}
+    for r in cand:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        if qid not in vecs:
+            continue
+        scored = [
+            (qid, r["id"], r["score"], cos(vecs[qid], vecs[r["id"]]))
+            for r in rows
+            if r["id"] in vecs
+        ]
+        scored.sort(key=lambda t: (-t[3], t[1]))
+        want.extend(
+            (qid, i, s, c, rank + 1)
+            for rank, (qid, i, s, c) in enumerate(scored[:k])
+        )
+    assert got == sorted(want)
