@@ -73,3 +73,73 @@ def test_query_count_fits_driver_sweep_cap():
         f"queries() declares {n} entries but the driver sweep caps at 50 — "
         "the trailing entries would get no correctness row"
     )
+
+
+# Gate rode-along sections that MUST produce rows: a section whose
+# engine and oracle sides are BOTH empty still hash-matches, so the
+# driver's compare cannot catch a silently-dead section (this bit
+# round 8: a 0.3 df cap emptied the new bm25 rows on the
+# narrow-vocabulary fixture and parity stayed green). Each entry:
+# query -> list of (column, kind, needle) where kind is 'eq' (exact
+# value), 'prefix' (startswith) or 'notnull' (non-null values exist).
+_REQUIRED_SECTIONS = {
+    "token_freq": [
+        ("kind", "prefix", "vocab:"),
+        ("kind", "prefix", "tok:"),
+        ("kind", "prefix", "dsir:w:"),
+        ("kind", "eq", "dsir:kept"),
+    ],
+    "contamination": [
+        ("section", "eq", "contam"),
+        ("section", "eq", "bm25"),
+    ],
+    "profile_metrics": [
+        ("metric", "prefix", "skew:"),
+        ("metric", "prefix", "qsketch:"),
+        ("metric", "prefix", "pr:"),
+    ],
+    "describe_stats": [
+        ("col_name", "prefix", "drift:"),
+        ("col_name", "prefix", "winsor"),
+        ("col_name", "prefix", "zscore"),
+    ],
+    "topk_values": [("value", "prefix", "cms:")],
+    "dedup_clusters": [("algo", "eq", "label"), ("algo", "eq", "cc2")],
+    "csv_roundtrip": [("PriceCategory", "eq", "__quarantine")],
+    "text_features": [("ppl_bucket", "notnull", None)],
+    "sampling_splits": [("grp", "prefix", "temp:")],
+    "minhash_lsh_pairs": [("section", "prefix", "eval:")],
+    "repetition_stats": [("section", "eq", "sam")],
+    "quality_filters": [("qm_prob", "notnull", None)],
+}
+
+
+def test_gate_rodealong_sections_nonempty(spark):
+    """Every oracle-gated rode-along section yields at least one row
+    on the gate-sized fixture — empty-vs-empty hash matches are
+    invisible to the driver compare, so emptiness is pinned here."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    qs = entry.queries()
+    problems = []
+    for qname, specs in _REQUIRED_SECTIONS.items():
+        df = qs[qname](spark, SF_DIR).persist()
+        try:
+            cols = dict(df.dtypes)
+            for col, kind, needle in specs:
+                if col not in cols:
+                    problems.append((qname, col, "missing column"))
+                    continue
+                c = F.col(col)
+                if kind == "eq":
+                    cond = c == needle
+                elif kind == "prefix":
+                    cond = c.startswith(needle)
+                else:
+                    cond = c.isNotNull()
+                if df.filter(cond).limit(1).count() == 0:
+                    problems.append((qname, col, f"{kind}:{needle} empty"))
+        finally:
+            df.unpersist()
+    assert not problems, problems
