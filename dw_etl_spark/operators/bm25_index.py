@@ -26,6 +26,9 @@ persisted, bucketed catalog table pair plus an append-only stats log:
                       history; df and avgdl are exact because they are
                       summed across increments at query time (a few
                       rows per term / per increment — never stale).
+  compact_bm25_index — after many merges, rewrite the small-file piles
+                      and collapse the df/stats partials (crash-safe
+                      rename-aside swap; results pinned unchanged).
 
 Equality contract (pytest-pinned): querying the index — seed-built or
 seed+merge — returns exactly what ``bm25_topk`` returns on the

@@ -365,3 +365,26 @@ def dsir_weights_from_state(
             F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+def compact_dsir_state(spark, path: str) -> tuple[int, int]:
+    """Collapse the appended increment cells to one summed row per
+    (side, bucket) — bounded at 2·buckets rows — so read-time
+    aggregation cost stops growing with increment count. Staging-swap
+    (write the summed cells beside the live directory, then one
+    rename), so a crash leaves either the old appended pile or the
+    compacted result, never a half-state. Returns (rows_before,
+    rows_after)."""
+    import shutil
+    from pathlib import Path
+
+    cells_path = f"{path}/cells"
+    stored = spark.read.parquet(cells_path)
+    before = stored.count()
+    summed = stored.groupBy("side", "b").agg(F.sum("c").alias("c"))
+    staging = f"{cells_path}__staging"
+    summed.coalesce(1).write.mode("overwrite").parquet(staging)
+    p_old, p_new = Path(cells_path), Path(staging)
+    shutil.rmtree(p_old)
+    p_new.rename(p_old)
+    return before, spark.read.parquet(cells_path).count()

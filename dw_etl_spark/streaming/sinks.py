@@ -429,14 +429,17 @@ def cms_batch_applier(
     micro-batch into the persisted Count-Min state at ``state_dir``.
 
     Unlike the SCD2 merge, a CMS merge is a SUM — NOT idempotent — so
-    checkpoint replays would double-count. Every applied epoch id is
-    therefore recorded alongside the grid, and the grid + epoch set
-    are swapped into place as ONE directory rename: a replayed epoch
-    either sees itself in the committed epoch set (skipped) or the
-    whole previous state (re-applied cleanly) — never a half-merge.
-    Local-FS rename semantics; on an object store route the swap
-    through the FileSystem API or a table format's atomic commit (same
-    note as ``scd2_stream_writer``).
+    checkpoint replays would double-count. The guard is a MAX-EPOCH
+    watermark, not an epoch set: ``foreachBatch`` delivers epochs
+    sequentially and the watermark commits atomically WITH the grid in
+    one directory rename, so the grid always contains exactly the
+    epochs ≤ watermark — a replayed epoch compares ≤ and skips, a
+    crash before the swap leaves the previous state intact and the
+    epoch re-applies cleanly. O(1) state regardless of stream
+    lifetime (an epoch SET would be rewritten per batch and grow
+    forever on a perpetual stream). Local-FS rename semantics; on an
+    object store route the swap through the FileSystem API or a table
+    format's atomic commit (same note as ``scd2_stream_writer``).
     """
     from dw_etl_spark.operators.sketches import cms_build, cms_merge
 
@@ -445,13 +448,12 @@ def cms_batch_applier(
             return
         bs = batch.sparkSession
         try:
-            applied = {
-                r["epoch"]
-                for r in bs.read.parquet(f"{state_dir}/epochs").collect()
-            }
+            watermark = bs.read.parquet(f"{state_dir}/epochs").collect()[0][
+                "epoch"
+            ]
         except Exception:  # first epoch: no state yet
-            applied = set()
-        if int(epoch_id) in applied:
+            watermark = None
+        if watermark is not None and int(epoch_id) <= watermark:
             return
         inc = cms_build(batch, key_col, width, depth, weight_col)
         try:
@@ -463,9 +465,8 @@ def cms_batch_applier(
 
         staging = f"{state_dir}__staging"
         merged.write.mode("overwrite").parquet(f"{staging}/cells")
-        epochs = sorted(applied | {int(epoch_id)})
         bs.createDataFrame(
-            [(e,) for e in epochs], "epoch long"
+            [(int(epoch_id),)], "epoch long"
         ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/epochs")
         p_old, p_new = Path(state_dir), Path(staging)
         if p_old.exists():

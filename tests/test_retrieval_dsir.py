@@ -270,3 +270,36 @@ def test_retrieve_rerank_equals_numpy_rerank_of_bm25_candidates(spark):
             for rank, (qid, i, s, c) in enumerate(scored[:k])
         )
     assert got == sorted(want)
+
+
+def test_dsir_state_compaction_preserves_scores(spark, tmp_path):
+    """compact_dsir_state collapses appended increments to one row per
+    (side, bucket) and batch scores are unchanged."""
+    from dw_etl_spark.operators.dsir import (
+        build_dsir_state,
+        compact_dsir_state,
+        dsir_weights_from_state,
+        merge_into_dsir_state,
+    )
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    raw = docs.filter(F.col("doc_id") < 200)
+    target = raw.filter(F.col("doc_id") % 7 == 0)
+    batch = raw.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "state")
+    build_dsir_state(
+        raw.filter(F.col("doc_id") % 2 == 0), target, "text", path, buckets=64
+    )
+    merge_into_dsir_state(path, raw_batch=raw.filter(F.col("doc_id") % 2 == 1))
+    before = sorted(
+        map(tuple, dsir_weights_from_state(batch, "text", "doc_id", path).collect())
+    )
+    n_before, n_after = compact_dsir_state(spark, path)
+    assert n_after < n_before
+    assert n_after <= 2 * 64
+    after = sorted(
+        map(tuple, dsir_weights_from_state(batch, "text", "doc_id", path).collect())
+    )
+    assert after == before
