@@ -453,12 +453,20 @@ def pagerank_fixed(
     the identical rounds as chained CTEs).
 
     Trade-off vs the ``pagerank`` loop, stated plainly: each round
-    references the previous round's plan twice (contributions +
-    dangling mass), so the UNPINNED plan doubles per round — right
-    for small fixed round counts (gates, quick authority priors,
-    ``rounds`` ≲ 6), wrong for convergence runs, where the loop's
-    per-round localCheckpoint bounds lineage and reads the L1 delta.
-    The literal-keyed 1-row zips constant-fold into
+    references the previous round's frame THREE times (dangling mass,
+    contributions, rank carry-through), so an unpinned plan triples
+    per round — measured ~12 s for a 5-node, 3-round gate fixture in
+    stage overhead alone. Each round's output therefore carries a
+    LAZY ``persist()``: downstream references resolve to one
+    InMemoryRelation, plan growth is linear in rounds, every round
+    computes once inside the caller's single action (nothing
+    materializes early — the persist is a cache marker, not a job).
+    The pins stay session-cached after the action; call
+    ``spark.catalog.clearCache()`` (or unpersist the result lineage)
+    in long-lived sessions, same contract as the other multi-consumer
+    pins. For convergence runs use ``pagerank`` — its per-round
+    localCheckpoint bounds lineage and reads the L1 delta. The
+    literal-keyed 1-row zips constant-fold into
     BroadcastNestedLoopJoins with SINGLE-ROW build sides — the
     documented tiny-build-side plan convention, not a scan-cross-scan
     hazard. pytest pins this equal to
@@ -482,7 +490,7 @@ def pagerank_fixed(
         F.broadcast(stats), "__k"
     ).select(
         "id", "deg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
-    )
+    ).persist()
     for _ in range(rounds):
         dm = ranks.agg(
             F.coalesce(
@@ -513,5 +521,5 @@ def pagerank_fixed(
                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
             )
-        )
+        ).persist()
     return ranks.select("id", "rank")
