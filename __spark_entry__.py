@@ -789,14 +789,28 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind='vocab:<k>' rows (n = total token occurrences, v = fraction
     covered by the k most frequent types) plus a 'vocab:types' row
     carrying the distinct-type count; the freq/tfidf sections carry
-    v=NULL. The oracle replays the curve with a window prefix sum."""
+    v=NULL. The oracle replays the curve with a window prefix sum.
+
+    r9: ONE tokenization feeds every corpus section. The regex split
+    runs once into a lazily-pinned (doc_id, toks) projection and the
+    freq / tfidf / vocab / DSIR sections all consume the pin (operators
+    accept pretokenized array columns via ``tokens_of``) — previously
+    each section re-tokenized the corpus, the query's dominant cost at
+    sf0.1 and a full extra corpus scan per section at 100 TB. The pin
+    (like the dsir_weights pin below) is deliberately not unpersisted:
+    the returned frame is lazy, the consuming action is the CALLER's
+    collect, and the gate/bench sessions are short-lived and clear
+    cache between runs (PLANS.md #43)."""
     from dw_etl_spark.functions.text import tokens
     from dw_etl_spark.operators.ir import tfidf_top_terms, vocab_coverage
 
     docs = read_table(spark, sf_dir, "documents")
+    tok_docs = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).persist()
     novalue = F.lit(None).cast("double").alias("v")
     freq = (
-        docs.select(F.explode(tokens("text")).alias("token"))
+        tok_docs.select(F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
@@ -804,14 +818,14 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("freq").alias("kind"), "token", "n", novalue)
     )
     top1 = (
-        tfidf_top_terms(docs, "text", "doc_id", k=1)
+        tfidf_top_terms(tok_docs, "toks", "doc_id", k=1)
         .groupBy(F.col("term").alias("token"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
         .select(F.lit("tfidf_top1").alias("kind"), "token", "n", novalue)
     )
-    vc = vocab_coverage(docs, "text", ks=[10, 100, 1_000_000])
+    vc = vocab_coverage(tok_docs, "toks", ks=[10, 100, 1_000_000])
     vocab_rows = vc.select(
         F.concat(F.lit("vocab:"), F.col("k").cast("string")).alias("kind"),
         F.lit("").alias("token"),
@@ -873,11 +887,14 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_weights,
     )
 
-    target = docs.filter(F.col("doc_id") % 7 == 0)
+    target = tok_docs.filter(F.col("doc_id") % 7 == 0)
     dw = dsir_weights(
-        docs, target, "text", "doc_id", buckets=oracles.DSIR_GATE_BUCKETS
+        tok_docs, target, "toks", "doc_id", buckets=oracles.DSIR_GATE_BUCKETS
     ).persist()  # consumed by the weight rows AND the selection (lazy
-    # cache, per the drift.py pin rule — one scoring pass, not two)
+    # cache, per the drift.py pin rule — one scoring pass, not two).
+    # Not unpersisted for the same reason as the tok_docs pin above:
+    # the consuming action is the caller's collect on the returned
+    # lazy frame; gate/bench sessions are short-lived (PLANS.md #43)
     w_rows = dw.filter(F.col("id") < oracles.DSIR_GATE_NWEIGHTS).select(
         F.concat(F.lit("dsir:w:"), F.col("id").cast("string")).alias("kind"),
         F.lit("").alias("token"),
@@ -1269,14 +1286,25 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     see oracles.BM25_GATE_MAXDF); section='bm25' rows
     carry (query→doc, rank, score) with scores rounded to 6 before
     ranking so order can't diverge on ULP tails. The DuckDB oracle
-    replays Lucene-BM25 closed-form (``oracles.bm25_topk_sql``)."""
+    replays Lucene-BM25 closed-form (``oracles.bm25_topk_sql``).
+
+    r9: ONE tokenization feeds both sections — the corpus regex split
+    runs once into a lazily-pinned (doc_id, toks) projection consumed
+    by the shingle join AND the BM25 postings/query sides (operators
+    take pretokenized arrays via ``tokens_of``); previously each
+    section re-tokenized the corpus. Pin ownership: PLANS.md #43."""
     from dw_etl_spark.functions.text import tokens
     from dw_etl_spark.operators.ir import bm25_topk
     from dw_etl_spark.operators.text_dedup import contamination_flags
 
     docs = read_table(spark, sf_dir, "documents")
-    eval_set = docs.filter(F.col("doc_id") % 17 == 0)
-    contam = contamination_flags(docs, eval_set, "text", "doc_id", n=3).select(
+    tok_docs = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).persist()
+    eval_set = tok_docs.filter(F.col("doc_id") % 17 == 0)
+    contam = contamination_flags(
+        tok_docs, eval_set, "toks", "doc_id", n=3
+    ).select(
         F.lit("contam").alias("section"),
         "id",
         F.lit(None).cast("long").alias("other_id"),
@@ -1286,15 +1314,14 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = eval_set.select(
         F.col("doc_id").alias("query_id"),
-        F.array_join(
-            F.slice(tokens("text"), 1, oracles.BM25_GATE_QLEN), " "
-        ).alias("text"),
+        F.slice("toks", 1, oracles.BM25_GATE_QLEN).alias("qtoks"),
     )
     bm25 = bm25_topk(
-        docs,
+        tok_docs,
         queries,
-        "text",
+        "toks",
         "doc_id",
+        query_text_col="qtoks",
         k=oracles.BM25_GATE_K,
         k1=oracles.BM25_GATE_K1,
         b=oracles.BM25_GATE_B,
@@ -1384,14 +1411,16 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     r7 rode-along (previously pytest-only): the log-round two-phase
     variant (``graph.connected_components_two_phase``, Kiveris
     large-star/small-star) runs under the hash gate too — algo='cc2'
-    rows label a deliberately chain-shaped edge set (doc→doc+1 over
-    doc_id<64, broken every 4 ids: diameter 3, converges in ~2
-    two-phase rounds where label propagation needs 3), the regime
-    label propagation cannot finish in log rounds; the oracle is the
-    closed-form segment floor. Segments are kept short to bound gate
-    cost (~0.55 s/round is fixed stage overhead at this scale — see
-    PLANS.md #34); the 300-node-chain pytest pins the deep case. The
-    minhash clusters keep algo='label'.
+    rows label a chain-shaped edge set (doc→doc+1 over doc_id<64,
+    broken every 4 ids: diameter 3). At this diameter the gate pins
+    CORRECTNESS of the two-phase labeling (multi-hop chains, segment
+    floors, isolated tails), NOT the log-vs-linear round-count regime
+    — blocks this short converge in about the same rounds either way;
+    the regime where two-phase beats label propagation (long chains,
+    O(log n) vs O(n) rounds) is pinned SOLELY by the 300-node-chain
+    pytest (tests/test_scale.py). Segments are kept short here to
+    bound gate cost (~0.55 s/round is fixed stage overhead at this
+    scale — see PLANS.md #34). The minhash clusters keep algo='label'.
     """
     from dw_etl_spark.operators.graph import (
         connected_components,

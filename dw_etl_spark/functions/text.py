@@ -117,6 +117,21 @@ def tokens(col: Column | str) -> Column:
     )
 
 
+def tokens_of(df, col: str) -> Column:
+    """``tokens(col)``, or the column itself when it is ALREADY an
+    ``array<string>`` — the pretokenized fast path. A multi-section
+    query (several operators over one corpus) should project
+    ``tokens(text)`` once, lazily pin it, and hand every operator the
+    token column: each section then reads the shared pin instead of
+    re-running the regex split over the full text (at 100 TB, each
+    avoided re-tokenize is a full corpus scan). Operators that accept
+    a ``text_col`` route through this, so both raw text and a
+    pretokenized column work unchanged."""
+    if dict(df.dtypes).get(col) == "array<string>":
+        return F.col(col)
+    return tokens(col)
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (BPE-ish subword estimate ≈ tokens·4/3
     is left to callers; this is the exact whitespace count)."""
@@ -164,7 +179,13 @@ def word_ngrams(col: Column | str, n: int = 2) -> Column:
     cleanly — char n-grams of vocabulary-sharing corpora do not
     (measured: one char-4-gram band bucket held 41% of a 10k corpus).
     """
-    toks = tokens(col)
+    return word_ngrams_from_tokens(tokens(col), n)
+
+
+def word_ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """``word_ngrams`` over an ALREADY-TOKENIZED array column — the
+    pretokenized fast path for multi-section queries that project
+    ``tokens(text)`` once and feed every operator from the pin."""
     cnt = F.size(toks)
     m = cnt - (n - 1)
     # shifted-slice zip, not per-position slicing: n-1 zips of O(len)

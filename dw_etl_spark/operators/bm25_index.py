@@ -30,6 +30,18 @@ persisted, bucketed catalog table pair plus an append-only stats log:
                       and collapse the df/stats partials (crash-safe
                       rename-aside swap; results pinned unchanged).
 
+Merge commit protocol (append-only tables can't do a three-table
+transaction, so visibility is the transaction): every postings/df row
+carries an attempt-scoped ``batch_tag``; the one-row ``_stats`` append
+— LAST of the three — is the COMMIT MARKER, and queries read only rows
+whose tag appears in ``_stats``. A crash between the appends leaves
+orphan postings/df rows that no query ever sees (re-running the merge
+writes a fresh attempt tag; compaction drops orphans for good), and
+re-running an already-committed ``batch_id`` is a no-op — exactly-once
+per batch id on plain parquet tables. This is the same
+commit-by-snapshot-log idea a table format (Iceberg/Delta) provides
+natively; swap the tables onto one and the tag column disappears.
+
 Equality contract (pytest-pinned): querying the index — seed-built or
 seed+merge — returns exactly what ``bm25_topk`` returns on the
 concatenated corpus with the same parameters: same idf from the summed
@@ -51,10 +63,70 @@ from dw_etl_spark.operators.ir import bm25_postings
 from dw_etl_spark.operators.neardup_index import _check_name
 
 
-def _stats_increment(df: DataFrame, text_col: str) -> DataFrame:
-    return df.select(F.size(tokens(text_col)).cast("long").alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+def _stats_increment(
+    batch: DataFrame, name: str, batch_id: str, batch_tag: str
+) -> DataFrame:
+    """One (n_docs, dl_sum, batch_id, batch_tag) commit row. dl_sum
+    comes from the postings ALREADY WRITTEN under this attempt's tag —
+    a pruned (id, dl, batch_tag) columnar read-back, never a second
+    tokenize of the batch text (the 100 TB double-scan ir.bm25_topk
+    also avoids, see its stats derivation). n_docs counts the batch
+    frame itself (no text touched), so zero-token docs still count
+    toward avgdl's denominator exactly as ``ir.bm25_topk`` counts
+    them."""
+    spark = batch.sparkSession
+    n = batch.agg(F.count(F.lit(1)).alias("n_docs"))
+    dl = (
+        spark.table(f"{name}_postings")
+        .filter(F.col("batch_tag") == batch_tag)
+        .select("id", "dl")
+        .distinct()
+        .agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dl_sum"))
     )
+    return n.crossJoin(dl).select(
+        "n_docs",
+        "dl_sum",
+        F.lit(batch_id).alias("batch_id"),
+        F.lit(batch_tag).alias("batch_tag"),
+    )
+
+
+def _append_increment(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    n_buckets: int,
+    batch_id: str,
+    batch_tag: str,
+    mode: str,
+) -> None:
+    """The shared postings → df → stats(commit) append sequence of
+    build and merge. The stats row is written LAST: it is the commit
+    marker that makes this attempt's tag visible to queries."""
+    spark = batch.sparkSession
+    postings = bm25_postings(batch, text_col, id_col).withColumn(
+        "batch_tag", F.lit(batch_tag)
+    )
+    (
+        postings.write.mode(mode)
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(f"{name}_postings")
+    )
+    (
+        spark.table(f"{name}_postings")
+        .filter(F.col("batch_tag") == batch_tag)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .withColumn("batch_tag", F.lit(batch_tag))
+        .write.mode(mode)
+        .bucketBy(n_buckets, "term")
+        .saveAsTable(f"{name}_df")
+    )
+    _stats_increment(batch, name, batch_id, batch_tag).write.mode(
+        mode
+    ).saveAsTable(f"{name}_stats")
 
 
 def build_bm25_index(
@@ -67,58 +139,66 @@ def build_bm25_index(
     """Materialize ``{name}_postings`` / ``{name}_df`` / ``{name}_stats``
     / ``{name}_meta``. Postings are bucketed AND sorted on term so a
     pruned scan reads runs, not scattered rows; df partials share the
-    bucket spec so the query-time df sum is exchange-free."""
+    bucket spec so the query-time df sum is exchange-free. A build is
+    mode='overwrite' throughout — a crashed build is simply re-run
+    (the merge commit protocol protects INCREMENTS, not the initial
+    build)."""
     _check_name(name)
     spark = df.sparkSession
-    postings = bm25_postings(df, text_col, id_col)
-    (
-        postings.write.mode("overwrite")
-        .bucketBy(n_buckets, "term")
-        .sortBy("term")
-        .saveAsTable(f"{name}_postings")
-    )
-    (
-        spark.table(f"{name}_postings")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df_t"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "term")
-        .saveAsTable(f"{name}_df")
-    )
-    _stats_increment(df, text_col).write.mode("overwrite").saveAsTable(
-        f"{name}_stats"
-    )
+    # meta first: a committed stats row must never exist before the
+    # bucket spec queries need to interpret it
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
     ).write.mode("overwrite").saveAsTable(f"{name}_meta")
+    _append_increment(
+        df, text_col, id_col, name, n_buckets,
+        batch_id="seed", batch_tag="seed@0", mode="overwrite",
+    )
 
 
 def merge_into_bm25_index(
-    batch: DataFrame, text_col: str, id_col: str, name: str
-) -> None:
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    batch_id: str | None = None,
+) -> bool:
     """Append a batch: postings under the stored bucket spec, a
     per-batch df partial (summed at query time — df over increments is
-    exact, not approximated), and a stats increment row."""
+    exact, not approximated), and LAST the one-row stats increment
+    that COMMITS the batch (see the module docstring's commit
+    protocol). Returns True if the batch was applied, False if
+    ``batch_id`` was already committed (replay → no-op).
+
+    Pass a stable ``batch_id`` (crawl snapshot id, ingest date) to get
+    exactly-once semantics across re-runs and crash replays. With the
+    default auto-id (``merge-<n_committed>``) a crash mid-merge is
+    still safe — the orphan rows carry an attempt tag no stats row
+    names, so queries never see them and the re-run re-applies cleanly
+    — but a re-run AFTER the commit landed counts as a new batch
+    (auto-ids can't recognize content)."""
+    import uuid
+
     _check_name(name)
     spark = batch.sparkSession
     n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
-    postings = bm25_postings(batch, text_col, id_col)
-    (
-        postings.write.mode("append")
-        .bucketBy(n_buckets, "term")
-        .sortBy("term")
-        .saveAsTable(f"{name}_postings")
+    committed = [
+        r["batch_id"]
+        for r in spark.table(f"{name}_stats").select("batch_id").collect()
+    ]
+    if batch_id is None:
+        batch_id = f"merge-{len(committed)}"
+    if batch_id in committed:
+        return False
+    # attempt-scoped physical tag: a crashed earlier attempt of this
+    # same batch_id left rows under a DIFFERENT tag, so the read-backs
+    # (df partial, dl_sum) never double-count its orphans
+    batch_tag = f"{batch_id}@{uuid.uuid4().hex[:8]}"
+    _append_increment(
+        batch, text_col, id_col, name, n_buckets,
+        batch_id=batch_id, batch_tag=batch_tag, mode="append",
     )
-    (
-        postings.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df_t"))
-        .write.mode("append")
-        .bucketBy(n_buckets, "term")
-        .saveAsTable(f"{name}_df")
-    )
-    _stats_increment(batch, text_col).write.mode("append").saveAsTable(
-        f"{name}_stats"
-    )
+    return True
 
 
 def drop_bm25_index(spark: SparkSession, name: str) -> None:
@@ -171,13 +251,24 @@ def query_bm25_index(
             f"query batch has more than {max_query_terms} distinct terms; "
             "raise max_query_terms explicitly if this is intended"
         )
+    # visibility = the commit protocol: only rows whose attempt tag a
+    # stats row names exist; orphans of crashed merges are filtered out
+    # here (increment-count-sized literal list — no extra shuffle, and
+    # it doesn't disturb the term-bucket pruning predicate)
+    committed_tags = [
+        r["batch_tag"]
+        for r in spark.table(f"{name}_stats").select("batch_tag").collect()
+    ]
     stats = spark.table(f"{name}_stats").agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("dl_sum") / F.sum("n_docs")).alias("avgdl"),
     )
     dft = (
         spark.table(f"{name}_df")
-        .filter(F.col("term").isin(term_list))
+        .filter(
+            F.col("term").isin(term_list)
+            & F.col("batch_tag").isin(committed_tags)
+        )
         .groupBy("term")
         .agg(F.sum("df_t").alias("df_t"))
     )
@@ -193,6 +284,7 @@ def query_bm25_index(
     qdf = qdf.select("term", "query_id", idf.alias("idf"))
     postings = spark.table(f"{name}_postings").filter(
         F.col("term").isin(term_list)
+        & F.col("batch_tag").isin(committed_tags)
     )
     tf_norm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
@@ -218,7 +310,10 @@ def compact_bm25_index(spark: SparkSession, name: str) -> tuple[int, int]:
     of files — still bucket-correct, just not always exactly one), the
     df partials are SUMMED to one row per term (query-time
     merge-on-read cost returns to zero), the stats log to one row.
-    Same crash-safe rename-aside swap as
+    Orphan rows of crashed merges (attempt tags no stats row names —
+    invisible to queries, see the module commit protocol) are DROPPED
+    here for good; the rewritten rows carry the single tag
+    ``compacted@0``. Same crash-safe rename-aside swap as
     ``neardup_index.compact_neardup_index``: live → ``__old``, staged
     → live, drop ``__old`` — no step destroys state before its
     replacement exists; the instant between renames can surface a
@@ -227,6 +322,10 @@ def compact_bm25_index(spark: SparkSession, name: str) -> tuple[int, int]:
     """
     _check_name(name)
     n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
+    committed_tags = [
+        r["batch_tag"]
+        for r in spark.table(f"{name}_stats").select("batch_tag").collect()
+    ]
 
     def count_files(table: str) -> int:
         loc = (
@@ -260,16 +359,30 @@ def compact_bm25_index(spark: SparkSession, name: str) -> tuple[int, int]:
         spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
         spark.sql(f"DROP TABLE {backup}")
 
-    swap(f"{name}_postings", spark.table(f"{name}_postings"), sort=True)
+    tag = F.lit("compacted@0").alias("batch_tag")
+    swap(
+        f"{name}_postings",
+        spark.table(f"{name}_postings")
+        .filter(F.col("batch_tag").isin(committed_tags))
+        .select("id", "term", "tf", "dl", tag),
+        sort=True,
+    )
     swap(
         f"{name}_df",
         spark.table(f"{name}_df")
+        .filter(F.col("batch_tag").isin(committed_tags))
         .groupBy("term")
-        .agg(F.sum("df_t").alias("df_t")),
+        .agg(F.sum("df_t").alias("df_t"))
+        .select("term", "df_t", tag),
         sort=False,
     )
     stats = spark.table(f"{name}_stats").agg(
         F.sum("n_docs").alias("n_docs"), F.sum("dl_sum").alias("dl_sum")
+    ).select(
+        "n_docs",
+        "dl_sum",
+        F.lit("compacted").alias("batch_id"),
+        tag,
     )
     staged, backup = f"{name}_stats__compact", f"{name}_stats__old"
     spark.sql(f"DROP TABLE IF EXISTS {staged}")

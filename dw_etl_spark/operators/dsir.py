@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dw_etl_spark.functions.text import stable_hash64, tokens, word_ngrams
+from dw_etl_spark.functions.text import (
+    stable_hash64,
+    tokens,
+    tokens_of,
+    word_ngrams,
+)
 
 #: 2^60 — stable_hash64 is 15 hex chars, so values lie in [0, 2^60).
 _HASH_SPACE = float(1 << 60)
@@ -100,9 +105,10 @@ def _bucket_cells(
     df: DataFrame, text_col: str, buckets: int, include_bigrams: bool
 ) -> DataFrame:
     """(bucket, count) over a corpus: tokenize once per row (bound
-    alias — see ``_features_of``), explode features, hash to buckets."""
+    alias — see ``_features_of``; pretokenized array columns pass
+    through), explode features, hash to buckets."""
     return (
-        df.select(tokens(text_col).alias("__toks"))
+        df.select(tokens_of(df, text_col).alias("__toks"))
         .select(F.explode(_features_of(F.col("__toks"), include_bigrams)).alias("feat"))
         .select(F.pmod(stable_hash64(F.col("feat")), F.lit(buckets)).alias("b"))
         .groupBy("b")
@@ -149,7 +155,9 @@ def dsir_weights(
     corpus pays a separate feature pass.
     """
     cells = (
-        raw.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        raw.select(
+            F.col(id_col).alias("id"), tokens_of(raw, text_col).alias("__toks")
+        )
         .select(
             "id",
             F.explode(_features_of(F.col("__toks"), include_bigrams)).alias("feat"),
@@ -339,7 +347,10 @@ def dsir_weights_from_state(
         .select("b", (F.col("log_t") - F.col("log_r")).alias("log_ratio"))
     )
     cells = (
-        batch.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        batch.select(
+            F.col(id_col).alias("id"),
+            tokens_of(batch, text_col).alias("__toks"),
+        )
         .select(
             "id",
             F.explode(_features_of(F.col("__toks"), bigrams)).alias("feat"),
@@ -370,21 +381,24 @@ def dsir_weights_from_state(
 def compact_dsir_state(spark, path: str) -> tuple[int, int]:
     """Collapse the appended increment cells to one summed row per
     (side, bucket) — bounded at 2·buckets rows — so read-time
-    aggregation cost stops growing with increment count. Staging-swap
-    (write the summed cells beside the live directory, then one
-    rename), so a crash leaves either the old appended pile or the
-    compacted result, never a half-state. Returns (rows_before,
+    aggregation cost stops growing with increment count. Rename-aside
+    swap (write the summed cells beside the live directory, rename the
+    live directory ASIDE, promote the staged one, then drop the aside
+    copy — the live cells are never removed before their replacement
+    is in place), so a crash at any point leaves either the old
+    appended pile or the compacted result readable, never a missing
+    directory; a leftover ``__old``/``__staging`` from an interrupted
+    run is recovered before compacting. Returns (rows_before,
     rows_after)."""
-    import shutil
-    from pathlib import Path
+    from dw_etl_spark.streaming.sinks import _commit_swap, _recover_swap
 
     cells_path = f"{path}/cells"
+    _recover_swap(cells_path)
     stored = spark.read.parquet(cells_path)
     before = stored.count()
     summed = stored.groupBy("side", "b").agg(F.sum("c").alias("c"))
-    staging = f"{cells_path}__staging"
-    summed.coalesce(1).write.mode("overwrite").parquet(staging)
-    p_old, p_new = Path(cells_path), Path(staging)
-    shutil.rmtree(p_old)
-    p_new.rename(p_old)
+    summed.coalesce(1).write.mode("overwrite").parquet(
+        f"{cells_path}__staging"
+    )
+    _commit_swap(cells_path)
     return before, spark.read.parquet(cells_path).count()

@@ -19,24 +19,50 @@ substring of a document in linear time, which yields
   "Deduplicating Training Data Makes Language Models Better"
   convention).
 
-Cross-document ExactSubstr (a corpus-global suffix structure) remains
-out of scope by design — that is a disk-backed suffix-array build, not
-a Spark operator; across documents the banded MinHash/fixed-window
-family handles it. Documented, not hidden.
+CROSS-document ExactSubstr (r9) is the second half: Lee et al. 2022
+find every substring of length >= ``min_len`` shared by two corpus
+documents via a corpus-global suffix array; ``cross_doc_repeats``
+computes the same maximal-match set at the Spark-relational maximum
+with SEED-AND-EXTEND — hash every ``min_len``-char window (the seed
+grams), equi-join seeds across documents, and merge runs of
+consecutive seed hits on the same alignment diagonal back into
+arbitrary-length maximal matches. A maximal common substring of
+length M >= L contributes exactly the M-L+1 consecutive seed
+positions of one diagonal, so run-merging reconstructs (start_a,
+start_b, M) EXACTLY — pytest-pinned against a brute-force
+all-maximal-matches DP oracle. ``cross_doc_dup_stats`` and
+``cross_doc_dedup`` layer the keep-first policy on top (spans of the
+LATER doc duplicating any earlier doc are measured / cut), matching
+the paper's dedup convention.
 
-Scale shape: per-document pure Python (dict-transition automaton,
-O(chars) states) over Arrow batches — ``mapInPandas``, no shuffle,
-embarrassingly parallel, the same contract as the codecs and the
-readability tier. Memory per task is one document's automaton
-(~O(2n) states); cap pathological documents with ``max_chars``
-(longer docs are analyzed on their prefix and flagged).
+Scale shape, cross-doc tier: seeds are one row per character position
+(the same cardinality a suffix array indexes — this tier is
+intrinsically the heavy one; run it after the cheap JVM prefilters
+and the banded MinHash family have shrunk the corpus). One shuffle on
+the seed fingerprint; ultra-common grams are capped by
+``max_gram_occ`` BEFORE the pair join (a gram occurring k times makes
+k² pair rows — the cap is the skew lever, same role as the LSH
+hot-bucket cap); extension is one (id_a, id_b, diag)-keyed window —
+no all-pairs doc join anywhere. Seed hashing is the portable 60-bit
+md5 lane, so the DuckDB oracle replays the whole pipeline closed-form.
+
+Scale shape, intra-doc tier: per-document pure Python
+(dict-transition automaton, O(chars) states) over Arrow batches —
+``mapInPandas``, no shuffle, embarrassingly parallel, the same
+contract as the codecs and the readability tier. Memory per task is
+one document's automaton (~O(2n) states); cap pathological documents
+with ``max_chars`` (longer docs are analyzed on their prefix and
+flagged).
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dw_etl_spark.functions.text import stable_hash64
 
 
 def _sam_build(s: str) -> list[dict]:
@@ -275,4 +301,226 @@ def exact_substr_dedup(
 
     return src.mapInPandas(
         run, f"id string, {out_col} string, n_removed_chars long"
+    )
+
+
+# ---------------------------------------------- cross-document tier (r9)
+
+def _seed_grams(
+    df: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """(id, pos, fp): the 60-bit md5 fingerprint of every ``min_len``-
+    char window of every document (0-based ``pos``). Docs shorter than
+    ``min_len`` contribute nothing. One row per character position —
+    the suffix-array cardinality; everything downstream reduces it."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    t = F.col("__t")
+    n = F.length(t)
+    fps = F.when(
+        n >= L,
+        F.transform(
+            F.sequence(F.lit(1), n - L + 1),
+            lambda i: stable_hash64(t.substr(i, F.lit(L))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).select("id", F.posexplode(fps).alias("pos", "fp"))
+
+
+def cross_doc_repeats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 20,
+    max_gram_occ: int = 256,
+) -> DataFrame:
+    """All maximal CROSS-document repeated substrings of length >=
+    ``min_len``: one row (id_a, id_b, pos_a, pos_b, length) per pair of
+    occurrences, id_a < id_b, positions 0-based — the Lee et al. 2022
+    match set, seed-and-extend instead of a suffix array (module
+    docstring). A substring occurring in k docs yields all C(k,2)
+    pairs, and repeated occurrences within a pair yield one row per
+    alignment — exactly the brute-force all-maximal-matches set
+    (pytest-pinned against an O(n·m) DP oracle).
+
+    ``max_gram_occ`` drops seed grams occurring more than that many
+    times in the corpus BEFORE the pair join (quadratic skew lever).
+    A dropped hot gram can split or shorten matches that contain it —
+    at the default the cap only fires on degenerate boilerplate;
+    set it high enough for the corpus's honest repeat multiplicity.
+    60-bit seed hashes make false matches ~1e-9-rare; verify against
+    the text if that ever matters."""
+    seeds = _seed_grams(df, text_col, id_col, min_len)
+    occ_w = Window.partitionBy("fp")
+    seeds = seeds.withColumn("__occ", F.count(F.lit(1)).over(occ_w)).filter(
+        F.col("__occ") <= int(max_gram_occ)
+    )
+    a = seeds.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "fp"
+    )
+    b = seeds.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "fp"
+    )
+    hits = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("__diag"),
+        )
+    )
+    # runs of consecutive seed positions on one diagonal == one maximal
+    # match: island-number by gaps in pos_a, then collapse each island
+    run_w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
+    gap = F.when(
+        F.col("pos_a") - F.lag("pos_a").over(run_w) == 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = hits.withColumn(
+        "__isl", F.sum(gap).over(run_w)
+    )
+    L = int(min_len)
+    return (
+        runs.groupBy("id_a", "id_b", "__diag", "__isl")
+        .agg(
+            F.min("pos_a").alias("pos_a"),
+            F.min("pos_b").alias("pos_b"),
+            (F.max("pos_a") - F.min("pos_a") + L).alias("length"),
+        )
+        .select("id_a", "id_b", "pos_a", "pos_b", "length")
+    )
+
+
+def _merged_later_spans(rep: DataFrame) -> DataFrame:
+    """(id, start, end): per doc, the UNION of [pos_b, pos_b+length)
+    spans where it repeats an EARLIER doc (id_b side of the id_a<id_b
+    pairs — keep-first), overlapping/adjacent spans merged by the
+    running-max interval sweep."""
+    spans = rep.select(
+        F.col("id_b").alias("id"),
+        F.col("pos_b").alias("s"),
+        (F.col("pos_b") + F.col("length")).alias("e"),
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max.isNull() | (F.col("s") > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        spans.withColumn("__grp", F.sum(opens).over(w))
+        .groupBy("id", "__grp")
+        .agg(F.min("s").alias("start"), F.max("e").alias("end"))
+        .select("id", "start", "end")
+    )
+
+
+def cross_doc_dup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 20,
+    max_gram_occ: int = 256,
+) -> DataFrame:
+    """Per-doc cross-document duplication mass under keep-first
+    semantics: (id, n_chars, xdup_chars, xdup_char_frac) where
+    xdup_chars counts characters inside ANY >= ``min_len`` span that
+    already occurs in an earlier-id document (merged spans, each char
+    once; the first-occurrence doc carries zero). The corpus-level
+    twin of ``exact_substr_stats``'s dup_char_frac; fraction rounded
+    to 6 like every cross-engine float surface."""
+    rep = cross_doc_repeats(df, text_col, id_col, min_len, max_gram_occ)
+    covered = (
+        _merged_later_spans(rep)
+        .groupBy("id")
+        .agg(F.sum(F.col("end") - F.col("start")).alias("xdup_chars"))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        )
+        .join(covered, "id", "left")
+        .select(
+            "id",
+            "n_chars",
+            F.coalesce("xdup_chars", F.lit(0)).cast("long").alias(
+                "xdup_chars"
+            ),
+            F.round(
+                F.coalesce("xdup_chars", F.lit(0))
+                / F.greatest("n_chars", F.lit(1)),
+                6,
+            ).alias("xdup_char_frac"),
+        )
+    )
+
+
+def cross_doc_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    max_gram_occ: int = 256,
+    out_col: str = "cleaned",
+) -> DataFrame:
+    """(id, cleaned, n_removed_chars): the corpus-level ExactSubstr CUT
+    — every span of >= ``min_len`` chars that also occurs in an
+    EARLIER-id document is removed from the later one (keep-first;
+    overlapping spans merge before cutting, so each char is removed
+    once). First-occurrence docs pass through byte-identical. The
+    cutting itself is a JVM ``aggregate`` over each doc's sorted span
+    list (span count is bounded by n_chars/min_len — driver never sees
+    text), composing with the intra-doc ``exact_substr_dedup`` for the
+    full Lee et al. treatment."""
+    rep = cross_doc_repeats(df, text_col, id_col, min_len, max_gram_occ)
+    span_lists = (
+        _merged_later_spans(rep)
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("start", "end"))
+            ).alias("__spans")
+        )
+    )
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).join(span_lists, "id", "left")
+    t = F.col("__t")
+    # fold the sorted spans: acc = (chars kept so far, cursor); each
+    # span appends the gap before it and advances the cursor past it
+    folded = F.aggregate(
+        F.coalesce(
+            "__spans",
+            F.array().cast("array<struct<start:bigint,end:bigint>>"),
+        ),
+        F.struct(
+            F.lit("").alias("acc"), F.lit(0).cast("bigint").alias("cur")
+        ),
+        lambda st, sp: F.struct(
+            F.concat(
+                st["acc"],
+                t.substr(
+                    (st["cur"] + 1).cast("int"),
+                    (sp["start"] - st["cur"]).cast("int"),
+                ),
+            ).alias("acc"),
+            sp["end"].alias("cur"),
+        ),
+        lambda st: F.concat(
+            st["acc"], t.substr((st["cur"] + 1).cast("int"), F.length(t))
+        ),
+    )
+    return src.select(
+        "id",
+        folded.alias(out_col),
+        (F.length(t) - F.length(folded)).cast("long").alias(
+            "n_removed_chars"
+        ),
     )

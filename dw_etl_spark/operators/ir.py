@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dw_etl_spark.functions.text import stable_hash32b, stable_hash64, tokens
+from dw_etl_spark.functions.text import stable_hash32b, stable_hash64, tokens_of
 
 
 def tfidf_top_terms(
@@ -45,7 +45,10 @@ def tfidf_top_terms(
     ties broken lexically so the result is total-order deterministic.
     """
     tf = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_of(df, text_col)).alias("term"),
+        )
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -95,7 +98,10 @@ def hashed_embedding(
     NULL — still a valid cosine operand downstream.
     """
     cells = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_of(df, text_col)).alias("t"),
+        )
         .select(
             "id",
             F.pmod(stable_hash64(F.col("t")), F.lit(dim)).alias("b"),
@@ -145,7 +151,7 @@ def bm25_postings(corpus: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (persisted)."""
     return (
         corpus.select(
-            F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+            F.col(id_col).alias("id"), tokens_of(corpus, text_col).alias("__toks")
         )
         .select(
             "id",
@@ -205,13 +211,29 @@ def bm25_topk(
     """
     postings = bm25_postings(corpus, text_col, id_col)
     dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = corpus.select(F.size(tokens(text_col)).cast("long").alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+    # (n_docs, avgdl) from the postings' denormalized dl, NOT a second
+    # corpus tokenize: every consumer of `postings` below hangs off the
+    # same (id, dl, term) aggregate, so its shuffle is planned once and
+    # ReusedExchange feeds dft, the stats branch AND the candidate join
+    # from one scan+tokenize pass. n_docs is a count(1) over the corpus
+    # — a metadata/columnar count that never touches the text — so
+    # zero-token docs still count toward avgdl's denominator (dl_sum
+    # only sums docs that HAVE postings; absent docs contribute 0).
+    doclens = postings.select("id", "dl").distinct()
+    stats = (
+        corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(
+            doclens.agg(
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dl_sum")
+            )
+        )
+        .select(
+            "n_docs", (F.col("dl_sum") / F.col("n_docs")).alias("avgdl")
+        )
     )
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.explode_outer(tokens(query_text_col)).alias("term"),
+        F.explode_outer(tokens_of(queries, query_text_col)).alias("term"),
     ).distinct()
     # df rides along on the broadcast query-term frame: one less
     # corpus-side join, and the df cap prunes hot terms before any
@@ -262,33 +284,36 @@ def vocab_coverage(
     driver holds max(ks) longs, never corpus rows — and the prefix
     sums are trivial there.
     """
-    from dw_etl_spark.functions.text import tokens
-
     ks = sorted(set(int(k) for k in ks))
     if not ks or ks[0] <= 0:
         raise ValueError("ks must be positive ints")
     counts = (
-        df.select(F.explode(tokens(text_col)).alias("token"))
+        df.select(F.explode(tokens_of(df, text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # totals + top-k both read it
+        .persist()  # totals + top-k both read it; released below —
+        # both consumers collect eagerly inside this function, so the
+        # pin never escapes (no net cached frames after return)
     )
-    tot = counts.agg(
-        F.sum("n").alias("total"), F.count(F.lit(1)).alias("types")
-    ).first()
-    total, types = int(tot["total"] or 0), int(tot["types"])
-    spark = df.sparkSession
-    if total == 0:
-        return spark.createDataFrame(
-            [(k, None, 0, 0) for k in ks],
-            "k int, coverage double, distinct_types long, total_tokens long",
-        )
-    top = [
-        int(r["n"])
-        for r in counts.orderBy(F.desc("n"), F.asc("token"))
-        .limit(ks[-1])
-        .collect()
-    ]
+    try:
+        tot = counts.agg(
+            F.sum("n").alias("total"), F.count(F.lit(1)).alias("types")
+        ).first()
+        total, types = int(tot["total"] or 0), int(tot["types"])
+        spark = df.sparkSession
+        if total == 0:
+            return spark.createDataFrame(
+                [(k, None, 0, 0) for k in ks],
+                "k int, coverage double, distinct_types long, total_tokens long",
+            )
+        top = [
+            int(r["n"])
+            for r in counts.orderBy(F.desc("n"), F.asc("token"))
+            .limit(ks[-1])
+            .collect()
+        ]
+    finally:
+        counts.unpersist()
     cum, run = [], 0
     for n in top:
         run += n

@@ -36,14 +36,21 @@ from dw_etl_spark.functions.text import (
     stable_hash32b,
     stable_hash64,
     tokens,
-    word_ngrams,
+    tokens_of,
+    word_ngrams_from_tokens,
 )
 
 
-def _shingles(text_col: str, n: int, shingle: str) -> Column:
+def _shingles(df: DataFrame, text_col: str, n: int, shingle: str) -> Column:
+    """Shingle set of ``text_col`` in ``df`` — accepts a pretokenized
+    ``array<string>`` column for word shingles (``tokens_of``), so a
+    multi-section query tokenizes its corpus once. Char shingles need
+    the raw text and reject an array column."""
     if shingle == "word":
-        return word_ngrams(text_col, n)
+        return word_ngrams_from_tokens(tokens_of(df, text_col), n)
     if shingle == "char":
+        if dict(df.dtypes).get(text_col) == "array<string>":
+            raise ValueError("char shingles need raw text, not a token array")
         return char_ngrams(text_col, n)
     raise ValueError(f"shingle must be 'word' or 'char', got {shingle!r}")
 
@@ -106,7 +113,7 @@ def ngram_jaccard_pairs(
     uses, where the pair count is already ~|near-dup clusters|.
     """
     shingled = df.select(
-        F.col(id_col).alias("id"), _shingles(text_col, n, shingle).alias("sh")
+        F.col(id_col).alias("id"), _shingles(df, text_col, n, shingle).alias("sh")
     )
     if pin_shingles:
         shingled = shingled.localCheckpoint(eager=False)
@@ -162,7 +169,7 @@ def minhash_signatures(
     """
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.explode(_shingles(text_col, n, shingle)).alias("s"),
+        F.explode(_shingles(df, text_col, n, shingle)).alias("s"),
     )
     hashed = exploded.select("id", stable_hash28(F.col("s")).alias("h"))
     return hashed.groupBy("id").agg(
@@ -342,10 +349,10 @@ def contamination_flags(
     """
     corpus_grams = df.select(
         F.col(id_col).alias("id"),
-        F.explode(_shingles(text_col, n, shingle)).alias("g"),
+        F.explode(_shingles(df, text_col, n, shingle)).alias("g"),
     )
     eval_grams = eval_df.select(
-        F.explode(_shingles(text_col, n, shingle)).alias("g")
+        F.explode(_shingles(eval_df, text_col, n, shingle)).alias("g")
     ).distinct()
     hits = (
         corpus_grams.join(eval_grams, "g")
@@ -522,7 +529,7 @@ def simhash_values(
     """
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(_shingles(text_col, n, shingle)).alias("s"),
+        F.explode_outer(_shingles(df, text_col, n, shingle)).alias("s"),
     )
     hashed = exploded.select(
         "id",

@@ -105,12 +105,18 @@ class _IncrementalWarcParser:
                     del self._buf[:start]
                 if not self._buf:
                     return
-                end = self._buf.find(b"\r\n\r\n")
-                nl = 4
-                if end < 0:
-                    end = self._buf.find(b"\n\n")
-                    nl = 2
-                if end < 0:
+                # take whichever blank-line terminator occurs FIRST:
+                # preferring \r\n\r\n found ANYWHERE would mis-frame an
+                # LF-delimited WARC header whose record block contains
+                # CRLF HTTP headers (the CRLF blank line inside the
+                # body would win over the earlier \n\n header end)
+                end_crlf = self._buf.find(b"\r\n\r\n")
+                end_lf = self._buf.find(b"\n\n")
+                if end_crlf >= 0 and (end_lf < 0 or end_crlf < end_lf):
+                    end, nl = end_crlf, 4
+                elif end_lf >= 0:
+                    end, nl = end_lf, 2
+                else:
                     return  # header incomplete: wait for more bytes
                 headers = _parse_header_block(bytes(self._buf[:end]))
                 if not headers["__version__"].startswith("WARC/"):

@@ -36,6 +36,55 @@ from pyspark.sql.datasource import (
 from dw_etl_spark.operators.scd import scd2_apply
 
 
+def _recover_swap(live_dir: str) -> None:
+    """Bring a rename-aside-swapped state directory back to a committed
+    state after a crash. Invariants of ``_commit_swap``'s ordering
+    (live → ``__old``, ``__staging`` → live, drop ``__old``):
+
+    - live missing + ``__old`` present  → crashed between the two
+      renames: restore ``__old`` (the last COMMITTED state; the staged
+      epoch was never committed and will re-apply).
+    - live present + ``__old`` present  → crashed after the second
+      rename: the new state is committed; drop the aside copy.
+    - ``__staging`` present in any case → an uncommitted partial write;
+      drop it (it is rebuilt by the replaying epoch).
+    """
+    import shutil
+    from pathlib import Path
+
+    live, old = Path(live_dir), Path(f"{live_dir}__old")
+    staging = Path(f"{live_dir}__staging")
+    if old.exists():
+        if live.exists():
+            shutil.rmtree(old)
+        else:
+            old.rename(live)
+    if staging.exists():
+        shutil.rmtree(staging)
+
+
+def _commit_swap(live_dir: str) -> None:
+    """Atomically-enough promote ``{live_dir}__staging`` to ``live_dir``
+    on a local/HDFS-rename filesystem: the live directory is renamed
+    ASIDE (never removed) before the staged replacement takes its
+    place, so no crash point loses the committed state —
+    ``_recover_swap`` picks the correct side on restart. On an object
+    store, route this through the FileSystem API or a table format's
+    atomic commit."""
+    import shutil
+    from pathlib import Path
+
+    live, old = Path(live_dir), Path(f"{live_dir}__old")
+    staging = Path(f"{live_dir}__staging")
+    if old.exists():  # leftover of a crash after commit; clear first
+        shutil.rmtree(old)
+    if live.exists():
+        live.rename(old)
+    staging.rename(live)
+    if old.exists():
+        shutil.rmtree(old)
+
+
 def scd2_stream_writer(
     stream: DataFrame,
     spark: SparkSession,
@@ -76,9 +125,13 @@ def scd2_stream_writer(
         else:
             eff = str(batch.sparkSession.sql("SELECT current_date()").first()[0])
         updates = batch.select(*key, *attrs)
-        try:
+        _recover_swap(dim_path)
+        from pathlib import Path
+
+        if Path(dim_path).exists():
             dim = spark.read.parquet(dim_path)
-        except Exception:  # first epoch: empty dimension
+        else:  # first epoch: empty dimension (an UNREADABLE existing
+            # dim raises instead of silently restarting history)
             dim = updates.limit(0).select(
                 *key,
                 *attrs,
@@ -87,19 +140,12 @@ def scd2_stream_writer(
             )
         merged = scd2_apply(dim, updates, key=key, attrs=attrs, effective=eff)
         # can't overwrite the path the plan is reading: write the new
-        # state beside it, then swap directories (driver-side metadata
-        # op only — no row ever passes through the driver). On an
-        # object store or HDFS the same shape goes through the
-        # FileSystem API or a table format's atomic commit.
-        import shutil
-        from pathlib import Path
-
-        staging = f"{dim_path}__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        p_old, p_new = Path(dim_path), Path(staging)
-        if p_old.exists():
-            shutil.rmtree(p_old)
-        p_new.rename(p_old)
+        # state beside it, then rename-aside swap (driver-side metadata
+        # ops only — no row ever passes through the driver; the live
+        # dim is renamed aside, never removed, before the replacement
+        # lands — see _commit_swap/_recover_swap).
+        merged.write.mode("overwrite").parquet(f"{dim_path}__staging")
+        _commit_swap(dim_path)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -432,14 +478,22 @@ def cms_batch_applier(
     checkpoint replays would double-count. The guard is a MAX-EPOCH
     watermark, not an epoch set: ``foreachBatch`` delivers epochs
     sequentially and the watermark commits atomically WITH the grid in
-    one directory rename, so the grid always contains exactly the
+    one rename-aside directory swap (live → ``__old``, staged → live,
+    drop ``__old`` — the live state is never removed before its
+    replacement is in place), so the grid always contains exactly the
     epochs ≤ watermark — a replayed epoch compares ≤ and skips, a
-    crash before the swap leaves the previous state intact and the
-    epoch re-applies cleanly. O(1) state regardless of stream
-    lifetime (an epoch SET would be rewritten per batch and grow
-    forever on a perpetual stream). Local-FS rename semantics; on an
-    object store route the swap through the FileSystem API or a table
-    format's atomic commit (same note as ``scd2_stream_writer``).
+    crash at ANY point leaves either the previous committed state or
+    the new one recoverable: ``_recover_swap`` at batch entry restores
+    ``__old`` when the live dir is missing and clears orphans, and the
+    interrupted epoch re-applies cleanly. State reads go through
+    explicit path-existence checks — a CORRUPT or unreadable state
+    raises instead of silently resetting the grid (prior epochs'
+    counts are never discarded by an exception fallback). O(1) state
+    regardless of stream lifetime (an epoch SET would be rewritten per
+    batch and grow forever on a perpetual stream). Local-FS rename
+    semantics; on an object store route the swap through the
+    FileSystem API or a table format's atomic commit (same note as
+    ``scd2_stream_writer``).
     """
     from dw_etl_spark.operators.sketches import cms_build, cms_merge
 
@@ -447,31 +501,28 @@ def cms_batch_applier(
         if batch.isEmpty():
             return
         bs = batch.sparkSession
-        try:
+        _recover_swap(state_dir)
+        from pathlib import Path
+
+        if Path(f"{state_dir}/epochs").exists():
             watermark = bs.read.parquet(f"{state_dir}/epochs").collect()[0][
                 "epoch"
             ]
-        except Exception:  # first epoch: no state yet
+        else:  # first epoch: no state yet
             watermark = None
         if watermark is not None and int(epoch_id) <= watermark:
             return
         inc = cms_build(batch, key_col, width, depth, weight_col)
-        try:
+        if Path(f"{state_dir}/cells").exists():
             merged = cms_merge(bs.read.parquet(f"{state_dir}/cells"), inc)
-        except Exception:
+        else:
             merged = inc
-        import shutil
-        from pathlib import Path
-
         staging = f"{state_dir}__staging"
         merged.write.mode("overwrite").parquet(f"{staging}/cells")
         bs.createDataFrame(
             [(int(epoch_id),)], "epoch long"
         ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/epochs")
-        p_old, p_new = Path(state_dir), Path(staging)
-        if p_old.exists():
-            shutil.rmtree(p_old)
-        p_new.rename(p_old)
+        _commit_swap(state_dir)
 
     return apply_batch
 

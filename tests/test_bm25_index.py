@@ -117,6 +117,71 @@ def test_query_term_cap_raises(spark, tmp_path):
         drop_bm25_index(spark, "bmi_cap")
 
 
+def test_merge_commit_protocol_crash_and_replay(spark, tmp_path):
+    """Round-9 advice fix: the three merge appends are made atomic by
+    VISIBILITY — postings/df rows carry an attempt tag, the stats
+    append commits it, queries read only committed tags. Pins:
+    (a) orphan postings/df rows of a 'crashed' merge (no stats row)
+    are invisible — query results equal the committed state exactly;
+    (b) re-running the batch after the crash applies cleanly (no
+    double count vs the one-shot scorer on the concatenation);
+    (c) re-running an ALREADY-COMMITTED batch_id is a no-op returning
+    False; (d) compaction physically drops the orphans."""
+    from dw_etl_spark.operators.bm25_index import compact_bm25_index
+
+    corpus, queries = _corpus_queries(spark)
+    first = corpus.filter(F.col("doc_id") % 2 == 0)
+    second = corpus.filter(F.col("doc_id") % 2 == 1)
+    drop_bm25_index(spark, "bmi_tx")
+    build_bm25_index(first, "text", "doc_id", "bmi_tx", n_buckets=4)
+    try:
+        seed_rows = _rows(query_bm25_index(queries, "bmi_tx", k=3))
+        # (a) simulate a crash between the df append and the stats
+        # commit: postings+df land under a tag no stats row names
+        from dw_etl_spark.operators.ir import bm25_postings
+
+        orphan = bm25_postings(second, "text", "doc_id").withColumn(
+            "batch_tag", F.lit("b1@dead")
+        )
+        orphan.write.mode("append").bucketBy(4, "term").sortBy(
+            "term"
+        ).saveAsTable("bmi_tx_postings")
+        orphan.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df_t")
+        ).withColumn("batch_tag", F.lit("b1@dead")).write.mode(
+            "append"
+        ).bucketBy(4, "term").saveAsTable("bmi_tx_df")
+        assert _rows(query_bm25_index(queries, "bmi_tx", k=3)) == seed_rows
+        # (b) the replayed merge applies exactly once
+        assert merge_into_bm25_index(
+            second, "text", "doc_id", "bmi_tx", batch_id="b1"
+        )
+        want = _rows(bm25_topk(corpus, queries, "text", "doc_id", k=3))
+        assert _rows(query_bm25_index(queries, "bmi_tx", k=3)) == want
+        # (c) committed batch_id replay is a no-op
+        assert not merge_into_bm25_index(
+            second, "text", "doc_id", "bmi_tx", batch_id="b1"
+        )
+        assert _rows(query_bm25_index(queries, "bmi_tx", k=3)) == want
+        # (d) compaction drops the orphan rows for good
+        orphan_n = (
+            spark.table("bmi_tx_postings")
+            .filter(F.col("batch_tag") == "b1@dead")
+            .count()
+        )
+        assert orphan_n > 0
+        compact_bm25_index(spark, "bmi_tx")
+        assert (
+            spark.table("bmi_tx_postings")
+            .filter(F.col("batch_tag") == "b1@dead")
+            .count()
+            == 0
+        )
+        assert _rows(query_bm25_index(queries, "bmi_tx", k=3)) == want
+    finally:
+        drop_bm25_index(spark, "bmi_tx")
+
+
 def test_compaction_preserves_results_and_shrinks_files(spark, tmp_path):
     """After several merges, compaction sums the df partials to one
     row per term, collapses the stats log, rewrites postings to one

@@ -141,3 +141,167 @@ def test_round6_half_away_from_zero_matches_sql_engines():
     assert round(41 / 128, 6) == 0.320312  # the trap this guards
     assert _round6(0.0466666666) == 0.046667
     assert _round6(0.0) == 0.0
+
+
+# ---------------------------------------------- cross-document tier (r9)
+
+def _brute_maximal_matches(a: str, b: str, L: int) -> set[tuple]:
+    """All maximal common substrings of length >= L between a and b:
+    (pos_a, pos_b, length) with full right extension and left-maximal
+    start — the Lee et al. match set, O(n·m) DP."""
+    n, m = len(a), len(b)
+    ext = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n - 1, -1, -1):
+        for j in range(m - 1, -1, -1):
+            if a[i] == b[j]:
+                ext[i][j] = ext[i + 1][j + 1] + 1
+    out = set()
+    for i in range(n):
+        for j in range(m):
+            ln = ext[i][j]
+            if ln >= L and (i == 0 or j == 0 or a[i - 1] != b[j - 1]):
+                out.add((i, j, ln))
+    return out
+
+
+def _xdoc_corpus():
+    shared = "the quick brown fox jumps over the lazy dog"
+    return [
+        (1, "alpha " + shared + " omega"),
+        (2, "start " + shared + " middle " + shared + " end"),
+        (3, "unrelated text with no long overlap at all here"),
+        (4, shared[:25] + " broken " + shared[20:]),
+    ]
+
+
+def test_cross_doc_repeats_equal_brute_force_dp(spark):
+    """``cross_doc_repeats`` must return EXACTLY the brute-force set of
+    maximal cross-doc matches >= min_len for every doc pair — including
+    a doc pair where one side holds TWO occurrences (two diagonals) and
+    a pair overlapping through partially-shared fragments."""
+    from dw_etl_spark.operators.exact_substr import cross_doc_repeats
+
+    rows = _xdoc_corpus()
+    L = 10
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["pos_a"], r["pos_b"], r["length"])
+        for r in cross_doc_repeats(
+            df, "text", "doc_id", min_len=L, max_gram_occ=1000
+        ).collect()
+    }
+    want = set()
+    texts = dict(rows)
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            ia, ib = ids[x], ids[y]
+            for (pa, pb, ln) in _brute_maximal_matches(
+                texts[ia], texts[ib], L
+            ):
+                want.add((ia, ib, pa, pb, ln))
+    assert got == want
+    # sanity on the fixture itself: multi-occurrence + length > L cases
+    assert any(r[0] == 1 and r[1] == 2 for r in want)
+    assert len({r[3] for r in want if (r[0], r[1]) == (1, 2)}) == 2
+    assert any(r[4] > L for r in want)
+
+
+def test_cross_doc_repeats_min_len_boundary(spark):
+    """A shared substring of length exactly min_len appears; one char
+    shorter disappears."""
+    from dw_etl_spark.operators.exact_substr import cross_doc_repeats
+
+    df = spark.createDataFrame(
+        [(1, "xxABCDEFGHyy"), (2, "ppABCDEFGHqq"), (3, "mmABCDEFGnn")],
+        "doc_id long, text string",
+    )
+    got = cross_doc_repeats(df, "text", "doc_id", min_len=8).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["length"] for r in got}
+    assert pairs == {(1, 2): 8}  # doc 3 shares only 7 chars
+
+
+def test_cross_doc_hot_gram_cap_drops_boilerplate(spark):
+    """max_gram_occ fires on a gram occurring in every doc: with the
+    cap below the occurrence count the boilerplate match disappears
+    (documented skew lever), with a high cap it is found."""
+    from dw_etl_spark.operators.exact_substr import cross_doc_repeats
+
+    boiler = "COPYRIGHT NOTICE 2024"
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body " + boiler) for i in range(6)],
+        "doc_id long, text string",
+    )
+    full = cross_doc_repeats(df, "text", "doc_id", min_len=len(boiler))
+    assert full.count() == 15  # C(6,2)
+    capped = cross_doc_repeats(
+        df, "text", "doc_id", min_len=len(boiler), max_gram_occ=3
+    )
+    assert capped.count() == 0
+
+
+def test_cross_doc_dup_stats_keep_first_merged_coverage(spark):
+    """xdup_chars counts each later-doc char once even under
+    overlapping matches from SEVERAL earlier docs, and the
+    first-occurrence doc scores zero."""
+    from dw_etl_spark.operators.exact_substr import cross_doc_dup_stats
+
+    rows = _xdoc_corpus()
+    L = 10
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r
+        for r in cross_doc_dup_stats(
+            df, "text", "doc_id", min_len=L, max_gram_occ=1000
+        ).collect()
+    }
+    texts = dict(rows)
+    ids = sorted(texts)
+    for rid in ids:
+        covered = set()
+        for earlier in ids:
+            if earlier >= rid:
+                break
+            for (pa, pb, ln) in _brute_maximal_matches(
+                texts[earlier], texts[rid], L
+            ):
+                covered.update(range(pb, pb + ln))
+        r = got[rid]
+        assert r["n_chars"] == len(texts[rid])
+        assert r["xdup_chars"] == len(covered), rid
+    assert got[1]["xdup_chars"] == 0  # first occurrence keeps all
+    assert got[2]["xdup_chars"] > 0
+
+
+def test_cross_doc_dedup_cuts_later_docs_only(spark):
+    """The cut equals the python reference cut (merge spans, splice),
+    composes to zero removal on the first-occurrence doc, and reports
+    exact removal accounting."""
+    from dw_etl_spark.operators.exact_substr import cross_doc_dedup
+
+    rows = _xdoc_corpus()
+    L = 10
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r
+        for r in cross_doc_dedup(
+            df, "text", "doc_id", min_len=L, max_gram_occ=1000
+        ).collect()
+    }
+    texts = dict(rows)
+    ids = sorted(texts)
+    for rid in ids:
+        covered = set()
+        for earlier in ids:
+            if earlier >= rid:
+                break
+            for (pa, pb, ln) in _brute_maximal_matches(
+                texts[earlier], texts[rid], L
+            ):
+                covered.update(range(pb, pb + ln))
+        want = "".join(
+            c for k, c in enumerate(texts[rid]) if k not in covered
+        )
+        assert got[rid]["cleaned"] == want, rid
+        assert got[rid]["n_removed_chars"] == len(covered)
+    assert got[1]["cleaned"] == texts[1]

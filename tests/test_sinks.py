@@ -549,6 +549,35 @@ def test_warc_parse_streams_bounded_chunks():
         list(parse_warc(plain[:-40]))
 
 
+def test_warc_lf_headers_with_crlf_http_body():
+    """Round-9 advice fix: an LF-delimited WARC header whose record
+    block holds CRLF HTTP headers must frame on the EARLIER ``\\n\\n``
+    terminator — preferring a ``\\r\\n\\r\\n`` found anywhere in the
+    buffer would swallow the header+body boundary into the "header"
+    and mis-read Content-Length (corrupting this and every later
+    record)."""
+    from dw_etl_spark.sources.warc import parse_warc
+
+    def lf_record(url: str, html: bytes) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        )
+        head = (
+            f"WARC/1.0\nWARC-Type: response\n"
+            f"WARC-Target-URI: {url}\n"
+            f"Content-Length: {len(http)}\n\n"
+        ).encode()
+        return head + http + b"\n\n"
+
+    payload = lf_record("http://ex.com/a", b"<p>alpha</p>") + lf_record(
+        "http://ex.com/b", b"<p>beta</p>"
+    )
+    recs = list(parse_warc(payload))
+    assert [r["url"] for r in recs] == ["http://ex.com/a", "http://ex.com/b"]
+    assert [r["http_status"] for r in recs] == [200, 200]
+    assert [r["body"] for r in recs] == [b"<p>alpha</p>", b"<p>beta</p>"]
+
+
 def test_write_token_shards_deterministic_and_memmap_ready(spark):
     """``write_token_shards`` (operators/packing.py): per-shard .bin
     (little-endian token ids in key order) + .idx.json (doc → offset/

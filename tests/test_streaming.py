@@ -495,3 +495,64 @@ def test_cms_stream_writer_state_and_replay_safety(spark, tmp_path):
         ).collect()
     }
     assert est2 == {k: 2 * v for k, v in exact.items()}
+
+
+def test_cms_applier_crash_recovery_never_loses_state(spark, tmp_path):
+    """Round-9 advice fix: the CMS commit is a rename-aside swap, so a
+    crash at EITHER point between the directory operations leaves the
+    prior epochs' grid recoverable — the old rmtree-then-rename order
+    had a window where the state directory did not exist and a replay
+    silently rebuilt the grid from the current batch alone. Simulated
+    crash states: (a) live renamed aside, staged not yet promoted;
+    (b) staged promoted, aside copy not yet removed; (c) orphaned
+    ``__staging`` beside a healthy live dir. In every case the next
+    apply_batch recovers and the final estimates count BOTH epochs."""
+    import shutil
+    from pathlib import Path
+
+    from dw_etl_spark.operators.sketches import cms_estimate
+    from dw_etl_spark.streaming.sinks import cms_batch_applier
+
+    batch = read_table(spark, SF_SMOKE, "events").select("event_type")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in read_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    items = spark.createDataFrame([(k,) for k in exact], "event_type string")
+
+    def estimates(state: str) -> dict:
+        return {
+            r["event_type"]: r["est"]
+            for r in cms_estimate(
+                spark.read.parquet(f"{state}/cells"),
+                items,
+                "event_type",
+                64,
+                3,
+            ).collect()
+        }
+
+    for crash in ("mid_swap", "post_swap", "orphan_staging"):
+        state = str(tmp_path / f"cms_{crash}")
+        apply = cms_batch_applier(state, "event_type", 64, 3)
+        apply(batch, 0)  # epoch 0 commits cleanly
+        live, old = Path(state), Path(f"{state}__old")
+        staging = Path(f"{state}__staging")
+        if crash == "mid_swap":
+            # crashed between rename(live→old) and rename(staging→live):
+            # epoch 1's staged write exists, live is gone
+            shutil.copytree(live, staging)
+            live.rename(old)
+        elif crash == "post_swap":
+            # crashed after promote, before dropping the aside copy
+            shutil.copytree(live, old)
+        else:
+            # crashed during the staging write itself
+            shutil.copytree(live, staging)
+        # the replayed epoch 1 must recover, then apply exactly once
+        apply(batch, 1)
+        assert estimates(state) == {k: 2 * v for k, v in exact.items()}, crash
+        assert not old.exists() and not staging.exists()
