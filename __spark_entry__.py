@@ -1334,7 +1334,62 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("flag"),
         "score",
     )
-    return contam.unionByName(bm25)
+    # r9 rode-along (previously pytest-only): the PERSISTED bucketed
+    # BM25 index path (operators/bm25_index.py) — build on the even
+    # half of a fixed doc_id<N slice, merge the odd half under the
+    # commit protocol, query through the bucket-pruned path. The slice
+    # is SF-constant so the build/merge cost does not grow with the
+    # bench corpus; the oracle is the same Lucene-BM25 closed form
+    # restricted to the slice (the pytest equality contract
+    # "index == bm25_topk on the concatenated corpus", made
+    # oracle-visible). max_df_frac stays 1.0 here — the cap lever is
+    # already exercised by the in-memory section above.
+    from dw_etl_spark.operators.bm25_index import (
+        build_bm25_index,
+        drop_bm25_index,
+        merge_into_bm25_index,
+        query_bm25_index,
+    )
+
+    sub = docs.filter(F.col("doc_id") < oracles.BM25IX_GATE_MAXID)
+    drop_bm25_index(spark, "gate_bm25ix")
+    build_bm25_index(
+        sub.filter(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+        "gate_bm25ix",
+        n_buckets=4,
+    )
+    merge_into_bm25_index(
+        sub.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        "gate_bm25ix",
+        batch_id="gate-odd-half",
+    )
+    ix_queries = tok_docs.filter(
+        (F.col("doc_id") % 17 == 0)
+        & (F.col("doc_id") < oracles.BM25IX_GATE_MAXID)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice("toks", 1, oracles.BM25_GATE_QLEN).alias("qtoks"),
+    )
+    bm25ix = query_bm25_index(
+        ix_queries,
+        "gate_bm25ix",
+        query_text_col="qtoks",
+        k=oracles.BM25_GATE_K,
+        k1=oracles.BM25_GATE_K1,
+        b=oracles.BM25_GATE_B,
+    ).select(
+        F.lit("bm25ix").alias("section"),
+        "id",
+        F.col("query_id").alias("other_id"),
+        F.col("rank").cast("long").alias("n"),
+        F.lit(False).alias("flag"),
+        "score",
+    )
+    return contam.unionByName(bm25).unionByName(bm25ix)
 
 
 def _contamination_sql() -> str:
@@ -1361,6 +1416,12 @@ UNION ALL
 SELECT 'bm25' AS section, id, query_id AS other_id,
        CAST(rank AS BIGINT) AS n, FALSE AS flag, score
 FROM ({oracles.bm25_topk_sql()})
+UNION ALL
+SELECT 'bm25ix' AS section, id, query_id AS other_id,
+       CAST(rank AS BIGINT) AS n, FALSE AS flag, score
+FROM ({oracles.bm25_topk_sql(
+        maxdf=1.0,
+        corpus_pred=f"doc_id < {oracles.BM25IX_GATE_MAXID}")})
 """
 
 
@@ -1496,8 +1557,59 @@ FROM documents WHERE doc_id < 64
 # ---- similarity search ----------------------------------------------------
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (section='cos') plus — r9 rode-along,
+    previously pytest-only — the two-stage retrieve-rerank composition
+    (``ir.retrieve_rerank``, section='rr'): BM25 recall of the top-m
+    lexical candidates per every-17th-doc prefix query (the
+    contamination row's query framing), then embedding-cosine re-rank
+    over ONLY those candidates. vec_id keys the embeddings table;
+    candidates/queries without a vector simply drop from the re-rank
+    join on BOTH sides (at sf0.1 the embeddings fixture is smaller
+    than documents — same join, same result, in both engines). The
+    oracle composes the Lucene-BM25 closed form at k=m with the
+    64-dim cosine (rank over (round(cos,6) DESC, id ASC))."""
+    from dw_etl_spark.operators.ir import retrieve_rerank
+
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    cos = cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).select(
+        F.lit("cos").alias("section"),
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.lit(None).cast("double").alias("bm25_score"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    from dw_etl_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(tokens("text"), 1, oracles.BM25_GATE_QLEN).alias("qtoks"),
+    )
+    rr = retrieve_rerank(
+        docs,
+        queries,
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        emb.filter(F.col("vec_id") % 17 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        "text",
+        "doc_id",
+        k=oracles.RR_GATE_K,
+        m=oracles.RR_GATE_M,
+        query_text_col="qtoks",
+        k1=oracles.BM25_GATE_K1,
+        b=oracles.BM25_GATE_B,
+        max_df_frac=oracles.BM25_GATE_MAXDF,
+    ).select(
+        F.lit("rr").alias("section"),
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        "cos_sim",
+        "bm25_score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return cos.unionByName(rr)
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2402,7 +2514,74 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_char_frac").alias("mean_span_frac"),
         F.col("cleaned").alias("extra"),
     )
-    return hist.unionByName(sam_rows)
+    # r9 rode-along (new operator family): the CROSS-document
+    # ExactSubstr tier (``exact_substr.cross_doc_repeats`` /
+    # ``cross_doc_dup_stats`` — Lee et al. 2022 maximal matches via
+    # seed-and-extend) on a planted fixture: the first 12 docs raw
+    # plus a substring-copy of each of the first 6 under id+100, so
+    # >= min_len matches provably exist at every SF. section='xdoc'
+    # rows carry one maximal match each (ids, positions, length);
+    # section='xdocstat' rows carry the keep-first merged-span
+    # duplication mass per doc. The oracle replays seeds → hot-gram
+    # cap → diagonal island merge → interval sweep closed-form
+    # (``oracles.cross_doc_repeats_sql``).
+    from dw_etl_spark.operators.exact_substr import (
+        cross_doc_dup_stats,
+        cross_doc_repeats,
+    )
+
+    xcorp = (
+        docs.filter(F.col("doc_id") < oracles.XDOC_GATE_NDOCS)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") < oracles.XDOC_GATE_NPLANT).select(
+                (F.col("doc_id") + 100).alias("doc_id"),
+                F.concat(
+                    F.lit("zz "),
+                    F.substring("text", 31, 90),
+                    F.lit(" yy"),
+                ).alias("text"),
+            )
+        )
+    )
+    rep = cross_doc_repeats(
+        xcorp,
+        "text",
+        "doc_id",
+        min_len=oracles.XDOC_GATE_MIN_LEN,
+        max_gram_occ=oracles.XDOC_GATE_CAP,
+    )
+    xdoc_rows = rep.select(
+        F.lit("xdoc").alias("section"),
+        F.col("id_a").cast("long").alias("decile"),
+        F.col("id_b").cast("long").alias("n_docs"),
+        F.col("length").cast("double").alias("mean_frac"),
+        F.col("pos_a").cast("long").alias("id_sum"),
+        F.col("pos_b").cast("long").alias("span_docs"),
+        F.lit(None).cast("double").alias("mean_span_frac"),
+        F.lit("").alias("extra"),
+    )
+    xstat_rows = cross_doc_dup_stats(
+        xcorp,
+        "text",
+        "doc_id",
+        min_len=oracles.XDOC_GATE_MIN_LEN,
+        max_gram_occ=oracles.XDOC_GATE_CAP,
+    ).select(
+        F.lit("xdocstat").alias("section"),
+        F.col("id").cast("long").alias("decile"),
+        F.col("n_chars").alias("n_docs"),
+        F.lit(None).cast("double").alias("mean_frac"),
+        F.col("xdup_chars").alias("id_sum"),
+        F.lit(None).cast("long").alias("span_docs"),
+        F.col("xdup_char_frac").alias("mean_span_frac"),
+        F.lit("").alias("extra"),
+    )
+    return (
+        hist.unionByName(sam_rows)
+        .unionByName(xdoc_rows)
+        .unionByName(xstat_rows)
+    )
 
 
 def _repetition_stats_sql() -> str:
@@ -2442,6 +2621,18 @@ FROM per_doc JOIN spans USING (id)
 GROUP BY 1, 2
 UNION ALL
 SELECT * FROM ({oracles.exact_substr_sam_sql()})
+UNION ALL
+SELECT CASE WHEN kind = 'm' THEN 'xdoc' ELSE 'xdocstat' END AS section,
+       id_a AS decile,
+       CASE WHEN kind = 'm' THEN id_b ELSE pos_a END AS n_docs,
+       CASE WHEN kind = 'm' THEN CAST(v AS DOUBLE)
+            ELSE CAST(NULL AS DOUBLE) END AS mean_frac,
+       CASE WHEN kind = 'm' THEN pos_a ELSE pos_b END AS id_sum,
+       CASE WHEN kind = 'm' THEN pos_b
+            ELSE CAST(NULL AS BIGINT) END AS span_docs,
+       frac AS mean_span_frac,
+       '' AS extra
+FROM ({oracles.cross_doc_repeats_sql()})
 """
 
 
@@ -3675,7 +3866,15 @@ FROM base LEFT JOIN edges USING (lang_pred)
         "simhash_pairs": oracles.simhash_pairs_sql(max_bucket_size=3),
         "contamination": _contamination_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
-        "cosine_topk": oracles.cosine_topk_sql(),
+        "cosine_topk": f"""
+SELECT 'cos' AS section, query_id, neighbor_id, cos_sim,
+       CAST(NULL AS DOUBLE) AS bm25_score, CAST(NULL AS BIGINT) AS rank
+FROM ({oracles.cosine_topk_sql()})
+UNION ALL
+SELECT 'rr' AS section, query_id, id AS neighbor_id, cos_sim,
+       bm25_score, CAST(rank AS BIGINT) AS rank
+FROM ({oracles.retrieve_rerank_sql()})
+""",
         # the embeddings fixture is 500 rows at both gate SFs, so the
         # suggested plane counts are derivable statically here (the
         # Spark queries derive them from the live corpus count)

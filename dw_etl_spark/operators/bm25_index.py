@@ -58,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dw_etl_spark.functions.text import tokens
+from dw_etl_spark.functions.text import tokens_of
 from dw_etl_spark.operators.ir import bm25_postings
 from dw_etl_spark.operators.neardup_index import _check_name
 
@@ -202,10 +202,27 @@ def merge_into_bm25_index(
 
 
 def drop_bm25_index(spark: SparkSession, name: str) -> None:
-    """Drop the four index tables (managed — data included)."""
+    """Drop the four index tables (managed — data included). Also
+    clears STALE table directories under the warehouse dir: a table
+    created by a PREVIOUS session is invisible to this session's
+    fresh in-memory catalog (DROP TABLE no-ops), but its managed
+    location survives on disk and a later ``saveAsTable`` fails with
+    LOCATION_ALREADY_EXISTS — so drop must sweep the filesystem too
+    (caught live: the gate's correctness and bench sessions run
+    back-to-back against one working directory)."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
     _check_name(name)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    wh_path = Path(wh.path) if wh.path else None
     for suffix in ("_postings", "_df", "_stats", "_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+        if wh_path is not None:
+            stale = wh_path / f"{name}{suffix}"
+            if stale.exists():
+                shutil.rmtree(stale, ignore_errors=True)
 
 
 def query_bm25_index(
@@ -237,7 +254,7 @@ def query_bm25_index(
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.explode_outer(tokens(query_text_col)).alias("term"),
+            F.explode_outer(tokens_of(queries, query_text_col)).alias("term"),
         )
         .filter(F.col("term").isNotNull())
         .distinct()

@@ -350,6 +350,8 @@ def retrieve_rerank(
     k: int = 5,
     m: int = 50,
     vec_col: str = "embedding",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
     k1: float = 1.2,
     b: float = 0.75,
     max_df_frac: float = 1.0,
@@ -378,6 +380,8 @@ def retrieve_rerank(
         queries,
         text_col,
         id_col,
+        query_text_col=query_text_col,
+        query_id_col=query_id_col,
         k=m,
         k1=k1,
         b=b,

@@ -483,6 +483,40 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
+#: retrieve-rerank rode-along (rr: rows of cosine_topk): BM25 recall of
+#: the top-M lexical candidates per every-17th-doc prefix query (the
+#: bm25 gate framing, hot-term cap active), then 64-dim cosine re-rank
+#: to top-K over candidates that HAVE an embeddings row (vec_id-keyed;
+#: query docs without a vector drop out identically in both engines).
+RR_GATE_M = 10
+RR_GATE_K = 3
+
+
+def retrieve_rerank_sql() -> str:
+    """SQL twin of ``operators/ir.retrieve_rerank`` on the gate
+    fixture: the parameterized ``bm25_topk_sql`` at k=M plays stage 1,
+    the cosine closed form over (candidate × its embedding × the query
+    embedding) plays stage 2; rank over (round(cos,6) DESC, id ASC)."""
+    cos = (
+        f"round({_dot64('qe.embedding', 'ce.embedding')} / "
+        f"({_norm64('qe.embedding')} * {_norm64('ce.embedding')}), 6)"
+    )
+    return f"""
+WITH cand AS ({bm25_topk_sql(k=RR_GATE_M)}),
+rr AS (
+  SELECT c.query_id, c.id, c.score AS bm25_score, {cos} AS cos_sim
+  FROM cand c
+  JOIN embeddings ce ON ce.vec_id = c.id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+)
+SELECT query_id, id, bm25_score, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, id ASC) AS rank
+  FROM rr
+) WHERE rank <= {RR_GATE_K}
+"""
+
+
 def lsh_bucket_sql(vec: str, dim: int = 64, n_planes: int = 8) -> str:
     """Same hyperplanes as operators/similarity.py: md5-derived floats."""
     terms = []
@@ -1002,6 +1036,101 @@ SAM_GATE_NDOCS = 6
 SAM_GATE_MIN_LEN = 5
 SAM_GATE_MAX_CHARS = 150
 
+#: Cross-doc ExactSubstr gate fixture (xdoc:/xdocstat: rows of
+#: repetition_stats): the first XDOC_GATE_NDOCS docs raw, plus a
+#: planted near-copy of each of the first XDOC_GATE_NPLANT (id+100,
+#: text = 'zz ' || substr(text, 31, 90) || ' yy') so the seed-and-
+#: extend tier provably finds >= min_len cross-doc matches at every
+#: SF. min_len 30 > any accidental whitespace run; the occurrence cap
+#: is set high enough that no planted gram drops.
+XDOC_GATE_NDOCS = 12
+XDOC_GATE_NPLANT = 6
+XDOC_GATE_MIN_LEN = 30
+XDOC_GATE_CAP = 64
+
+
+def xdoc_corpus_sql() -> str:
+    """The planted cross-doc fixture (twin of the Spark-side union in
+    ``_q_repetition_stats``)."""
+    return f"""
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < {XDOC_GATE_NDOCS}
+  UNION ALL
+  SELECT doc_id + 100 AS id, 'zz ' || substr(text, 31, 90) || ' yy' AS text
+  FROM documents WHERE doc_id < {XDOC_GATE_NPLANT}
+"""
+
+
+def cross_doc_repeats_sql() -> str:
+    """SQL twin of ``operators/exact_substr.cross_doc_repeats`` +
+    ``cross_doc_dup_stats`` on the planted fixture: seed every
+    min_len-char window with the md5-60-bit lane, cap hot grams, pair
+    across docs, island-merge consecutive diagonal hits into maximal
+    matches, then interval-sweep the later-doc spans for the
+    keep-first duplication stats. Emits match rows (kind='m') and
+    per-doc stat rows (kind='s')."""
+    L, cap = XDOC_GATE_MIN_LEN, XDOC_GATE_CAP
+    fp = h64(f"substr(text, pos + 1, {L})")
+    return f"""
+WITH xcorp AS ({xdoc_corpus_sql()}),
+pos0 AS (
+  SELECT id, text,
+         unnest(range(0, greatest(length(text) - {L} + 1, 0))) AS pos
+  FROM xcorp
+),
+seeds0 AS (SELECT id, pos, {fp} AS fp FROM pos0),
+occ AS (SELECT fp, count(*) AS c FROM seeds0 GROUP BY 1),
+seeds AS (SELECT s.id, s.pos, s.fp FROM seeds0 s JOIN occ USING (fp)
+          WHERE c <= {cap}),
+hits AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+         a.pos - b.pos AS diag
+  FROM seeds a JOIN seeds b USING (fp)
+  WHERE a.id < b.id
+),
+brk AS (
+  SELECT *, CASE WHEN pos_a - lag(pos_a) OVER (
+      PARTITION BY id_a, id_b, diag ORDER BY pos_a) = 1
+    THEN 0 ELSE 1 END AS opens
+  FROM hits
+),
+runs AS (
+  SELECT *, sum(opens) OVER (
+      PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS isl
+  FROM brk
+),
+matches AS (
+  SELECT id_a, id_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b,
+         max(pos_a) - min(pos_a) + {L} AS length
+  FROM runs GROUP BY id_a, id_b, diag, isl
+),
+spans AS (SELECT id_b AS id, pos_b AS s, pos_b + length AS e FROM matches),
+sweep AS (
+  SELECT *, max(e) OVER (PARTITION BY id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM spans
+),
+sweep2 AS (
+  SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS op
+  FROM sweep
+),
+grps AS (
+  SELECT *, sum(op) OVER (PARTITION BY id ORDER BY s, e) AS grp FROM sweep2
+),
+merged AS (SELECT id, min(s) AS s, max(e) AS e FROM grps GROUP BY id, grp),
+cov AS (SELECT id, sum(e - s) AS x FROM merged GROUP BY id)
+SELECT 'm' AS kind, id_a, id_b, pos_a, pos_b, CAST(length AS BIGINT) AS v,
+       CAST(NULL AS DOUBLE) AS frac
+FROM matches
+UNION ALL
+SELECT 's' AS kind, c.id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       CAST(length(c.text) AS BIGINT) AS pos_a,
+       CAST(coalesce(cov.x, 0) AS BIGINT) AS pos_b,
+       CAST(NULL AS BIGINT) AS v,
+       round(coalesce(cov.x, 0) * 1.0 /
+             greatest(length(c.text), 1), 6) AS frac
+FROM xcorp c LEFT JOIN cov USING (id)
+"""
+
 
 def exact_substr_sam_sql() -> str:
     """SQL twin of ``exact_substr_stats`` + ``exact_substr_dedup`` on
@@ -1095,33 +1224,45 @@ BM25_GATE_K = 3
 BM25_GATE_K1 = 1.2
 BM25_GATE_B = 0.75
 BM25_GATE_MAXDF = 0.78
+#: bm25ix rode-along (persisted-index path): the corpus slice is a
+#: fixed doc_id range so the per-run index build/merge cost is
+#: SF-CONSTANT (240 docs at every test SF), and the oracle replays the
+#: same closed form restricted to the slice with no df cap.
+BM25IX_GATE_MAXID = 240
 
 
-def bm25_topk_sql() -> str:
+def bm25_topk_sql(
+    k: int = BM25_GATE_K,
+    maxdf: float = BM25_GATE_MAXDF,
+    corpus_pred: str = "TRUE",
+) -> str:
     """SQL twin of ``operators/ir.bm25_topk`` on the gate fixture.
     Postings/df/avgdl from the documents table; distinct query terms
     from the first-QLEN-token prefix of every 17th doc; idf =
     ln(1 + (N-df+0.5)/(df+0.5)); row_number over (round(score,6) DESC,
-    id ASC) per query; terms with df > MAXDF·N drop out of scoring."""
+    id ASC) per query; terms with df > MAXDF·N drop out of scoring.
+    ``corpus_pred`` restricts BOTH the corpus and the query set (the
+    bm25ix rode-along replays the persisted-index path on a fixed
+    doc_id slice so gate cost stays SF-constant); ``k``/``maxdf``
+    parameterize the rode-alongs that reuse this twin (retrieve-rerank
+    stage 1 runs it at k=m)."""
     toks = tokens("text")
-    qlen, k, k1, b, maxdf = (
-        BM25_GATE_QLEN, BM25_GATE_K, BM25_GATE_K1, BM25_GATE_B,
-        BM25_GATE_MAXDF,
-    )
+    qlen, k1, b = BM25_GATE_QLEN, BM25_GATE_K1, BM25_GATE_B
     return f"""
 WITH postings AS (
   SELECT doc_id AS id, term, count(*) AS tf FROM (
     SELECT doc_id, unnest({toks}) AS term FROM documents
+    WHERE {corpus_pred}
   ) GROUP BY 1, 2
 ),
 doclen AS (
-  SELECT doc_id AS id, len({toks}) AS dl FROM documents
+  SELECT doc_id AS id, len({toks}) AS dl FROM documents WHERE {corpus_pred}
 ),
 dft AS (SELECT term, count(*) AS df_t FROM postings GROUP BY 1),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
 qterms AS (
   SELECT DISTINCT doc_id AS query_id, unnest(list_slice({toks}, 1, {qlen})) AS term
-  FROM documents WHERE doc_id % 17 = 0
+  FROM documents WHERE doc_id % 17 = 0 AND {corpus_pred}
 ),
 scored AS (
   SELECT q.query_id, p.id,

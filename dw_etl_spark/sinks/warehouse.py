@@ -152,14 +152,26 @@ class ParquetWarehouse:
         the scale lever the reference's flat tables lack (partition
         pruning on the read side).
 
+        Pass structure (r9): the PK check is one aggregation pass; the
+        FK checks RIDE THE WRITE PASS — each parent's distinct key set
+        broadcast-left-joins a hit marker onto the outgoing rows and an
+        ``observe`` node counts orphans while the rows stream to
+        parquet, so a fact with two FKs costs 2 passes total (PK agg +
+        write), not 4. The write lands in a ``__staging`` directory and
+        is only swapped live (rename-aside) after the observed orphan
+        counts come back zero — a failed FK validation leaves the
+        PREVIOUS table intact, which plain mode('overwrite') (delete
+        target, then write) could not guarantee.
+
         The frame is pinned for the duration of the load (``pin``): the
-        PK check, each FK check, and the write are separate actions, and
-        without a persist every one recomputes the full upstream
-        lineage. Pass ``pin=False`` when the caller manages the frame's
-        cache lifecycle itself (``load_star_schema`` does, because a dim
+        PK check and the write are separate actions, and without a
+        persist each recomputes the full upstream lineage. Pass
+        ``pin=False`` when the caller manages the frame's cache
+        lifecycle itself (``load_star_schema`` does, because a dim
         outlives its own write as the fact's FK parent).
         """
         from pyspark import StorageLevel
+        from pyspark.sql import Observation
 
         for c, t in spec.column_types.items():  # S12: cast before write
             df = df.withColumn(c, F.col(c).cast(t))
@@ -167,13 +179,70 @@ class ParquetWarehouse:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             check_primary_key(df, spec.primary_key)
-            for fk in spec.foreign_keys:
-                if parents and fk.ref_table in parents:
-                    check_foreign_key(df, fk, parents[fk.ref_table])
-            writer = df.write.mode("overwrite")
+            fks = [
+                fk
+                for fk in spec.foreign_keys
+                if parents and fk.ref_table in parents
+            ]
+            out, obs = df, None
+            if fks:
+                obs = Observation()
+                metrics = []
+                for i, fk in enumerate(fks):
+                    pcols = [f"__p{i}_{j}" for j in range(len(fk.columns))]
+                    pkeys = (
+                        parents[fk.ref_table]
+                        .select(
+                            *[
+                                F.col(rc).alias(pc)
+                                for rc, pc in zip(fk.ref_columns, pcols)
+                            ]
+                        )
+                        .distinct()
+                        .withColumn(f"__hit{i}", F.lit(1))
+                    )
+                    cond = None
+                    for c, pc in zip(fk.columns, pcols):
+                        clause = out[c] == F.col(pc)
+                        cond = clause if cond is None else cond & clause
+                    out = out.join(F.broadcast(pkeys), cond, "left").drop(
+                        *pcols
+                    )
+                    non_null = F.lit(True)
+                    for c in fk.columns:
+                        non_null = non_null & F.col(c).isNotNull()
+                    metrics.append(
+                        F.sum(
+                            F.when(
+                                non_null & F.col(f"__hit{i}").isNull(),
+                                F.lit(1),
+                            ).otherwise(F.lit(0))
+                        ).alias(f"orphans_{i}")
+                    )
+                out = out.observe(obs, *metrics).drop(
+                    *[f"__hit{i}" for i in range(len(fks))]
+                )
+            live = self._path(spec.name)
+            target = f"{live}__staging" if fks else live
+            writer = out.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
-            writer.parquet(self._path(spec.name))
+            writer.parquet(target)
+            if fks:
+                got = obs.get
+                for i, fk in enumerate(fks):
+                    orphans = got[f"orphans_{i}"]
+                    if orphans:
+                        import shutil
+
+                        shutil.rmtree(target, ignore_errors=True)
+                        raise ConstraintViolation(
+                            f"FK {fk.name}: {orphans} child rows have no "
+                            f"parent in {fk.ref_table}"
+                        )
+                from dw_etl_spark.streaming.sinks import _commit_swap
+
+                _commit_swap(live)
         finally:
             if pin:
                 df.unpersist()

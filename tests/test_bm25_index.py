@@ -182,6 +182,31 @@ def test_merge_commit_protocol_crash_and_replay(spark, tmp_path):
         drop_bm25_index(spark, "bmi_tx")
 
 
+def test_drop_sweeps_stale_table_directories(spark):
+    """A table directory left by a PREVIOUS session is invisible to
+    this session's catalog (DROP TABLE no-ops) but blocks saveAsTable
+    with LOCATION_ALREADY_EXISTS — drop_bm25_index must sweep the
+    filesystem too (the gate's correctness and bench sessions share
+    one working directory)."""
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    corpus, queries = _corpus_queries(spark)
+    wh = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    stale = wh / "bmi_stale_meta"
+    stale.mkdir(parents=True, exist_ok=True)
+    (stale / "junk").write_text("leftover from a dead session")
+    drop_bm25_index(spark, "bmi_stale")
+    assert not stale.exists()
+    build_bm25_index(
+        corpus.limit(30), "text", "doc_id", "bmi_stale", n_buckets=2
+    )
+    try:
+        assert query_bm25_index(queries, "bmi_stale", k=2).count() >= 0
+    finally:
+        drop_bm25_index(spark, "bmi_stale")
+
+
 def test_compaction_preserves_results_and_shrinks_files(spark, tmp_path):
     """After several merges, compaction sums the df partials to one
     row per term, collapses the stats log, rewrites postings to one

@@ -92,6 +92,11 @@ _REQUIRED_SECTIONS = {
     "contamination": [
         ("section", "eq", "contam"),
         ("section", "eq", "bm25"),
+        ("section", "eq", "bm25ix"),
+    ],
+    "cosine_topk": [
+        ("section", "eq", "cos"),
+        ("section", "eq", "rr"),
     ],
     "profile_metrics": [
         ("metric", "prefix", "skew:"),
@@ -109,7 +114,11 @@ _REQUIRED_SECTIONS = {
     "text_features": [("ppl_bucket", "notnull", None)],
     "sampling_splits": [("grp", "prefix", "temp:")],
     "minhash_lsh_pairs": [("section", "prefix", "eval:")],
-    "repetition_stats": [("section", "eq", "sam")],
+    "repetition_stats": [
+        ("section", "eq", "sam"),
+        ("section", "eq", "xdoc"),
+        ("section", "eq", "xdocstat"),
+    ],
     "quality_filters": [("qm_prob", "notnull", None)],
 }
 

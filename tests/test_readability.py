@@ -120,3 +120,105 @@ def test_distributed_wrapper_row_stable_and_partition_invariant(spark):
     # bounded emission: chunk size 1 still yields every row exactly once
     tiny = readability_extract(df, "html", batch_rows=1)
     assert tiny.count() == 4
+
+
+# --------------------------- NumWordsRules as DATA (r9 judge task #6)
+
+#: The published Boilerpipe NumWordsRulesClassifier decision thresholds
+#: (Kohlschütter/Fankhauser/Nejdl, WSDM 2010 §4) plus this module's two
+#: documented hint-scope extensions — held as a TABLE so a refactor of
+#: classify_blocks cannot silently drift a constant without this replay
+#: diverging. Edit deliberately or not at all.
+WSDM10_RULES = {
+    "max_link_density": 0.33,  # curr.ld >  this            → boilerplate
+    "prev_ld_split": 0.555,    # prev.ld <= this → low-ld ruleset
+    "low": {"curr": 16, "next": 15, "prev": 4},   # any wordcount > t → content
+    "high": {"curr": 40, "next": 17},             # any wordcount > t → content
+    "neg_hint_max_words": 40,  # negative hint forces boiler unless longer
+    "pos_hint_min_words": 8,   # positive hint rescues if longer
+}
+
+
+def _replay_rules(blocks: list[dict]) -> list[bool]:
+    """Generic threshold-table interpreter — deliberately structured
+    differently from classify_blocks (dict-driven, no inline
+    constants) so the two can only agree by encoding the same rules."""
+    R = WSDM10_RULES
+    out = []
+    n = len(blocks)
+    for i, b in enumerate(blocks):
+        prev = blocks[i - 1] if i > 0 else {"n_words": 0, "link_density": 0.0}
+        nxt_words = blocks[i + 1]["n_words"] if i + 1 < n else 0
+        if b["link_density"] > R["max_link_density"]:
+            keep = False
+        else:
+            tier = (
+                R["low"]
+                if prev["link_density"] <= R["prev_ld_split"]
+                else R["high"]
+            )
+            counts = {
+                "curr": b["n_words"],
+                "next": nxt_words,
+                "prev": prev["n_words"],
+            }
+            keep = any(counts[k] > t for k, t in tier.items())
+        if b["in_negative"] and b["n_words"] <= R["neg_hint_max_words"]:
+            keep = False
+        elif b["in_positive"] and b["n_words"] > R["pos_hint_min_words"]:
+            keep = True
+        out.append(keep)
+    return out
+
+
+def test_classify_blocks_matches_wsdm10_threshold_table():
+    """Property pin: classify_blocks == the table-driven replay on
+    randomized block sequences AND on every threshold boundary (the
+    rules are strict '>' comparisons — equality at a threshold must
+    fall to the other side)."""
+    import random
+
+    from dw_etl_spark.operators.readability import classify_blocks
+
+    def mk(n_words, ld=0.0, neg=False, pos=False):
+        return {
+            "n_words": n_words,
+            "link_density": ld,
+            "in_negative": neg,
+            "in_positive": pos,
+            "text": "w " * n_words,
+        }
+
+    # boundary cases: exact threshold values on every rule constant
+    boundary = [
+        [mk(16), mk(17)],                 # curr at/above low.curr
+        [mk(4), mk(1)], [mk(5), mk(1)],   # prev at/above low.prev
+        [mk(1), mk(15)], [mk(1), mk(16)],  # next at/above low.next
+        [mk(1, ld=0.33), mk(1, ld=0.34)],  # link-density cut is strict
+        [mk(10, ld=0.555), mk(40)],        # prev_ld at the split
+        [mk(10, ld=0.556), mk(40)],        # prev_ld above → high tier
+        [mk(10, ld=0.556), mk(41)],
+        [mk(10, ld=0.556), mk(1), mk(17)],  # high.next boundary
+        [mk(10, ld=0.556), mk(1), mk(18)],
+        [mk(40, neg=True)], [mk(41, neg=True)],  # neg-hint cut
+        [mk(8, pos=True)], [mk(9, pos=True)],    # pos-hint cut
+        [],
+        [mk(0)],
+    ]
+    for blocks in boundary:
+        assert classify_blocks(blocks) == _replay_rules(blocks), blocks
+
+    rng = random.Random(90210)
+    words_pool = [0, 1, 4, 5, 8, 9, 15, 16, 17, 40, 41, 50]
+    ld_pool = [0.0, 0.2, 0.33, 0.34, 0.5, 0.555, 0.556, 0.9]
+    for _ in range(300):
+        blocks = [
+            mk(
+                rng.choice(words_pool),
+                rng.choice(ld_pool),
+                rng.random() < 0.2,
+                rng.random() < 0.2,
+            )
+            for _ in range(rng.randrange(0, 9))
+        ]
+        assert classify_blocks(blocks) == _replay_rules(blocks), blocks
