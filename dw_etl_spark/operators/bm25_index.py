@@ -63,6 +63,22 @@ from dw_etl_spark.operators.ir import bm25_postings
 from dw_etl_spark.operators.neardup_index import _check_name
 
 
+def _refresh(spark: SparkSession, name: str) -> None:
+    """Invalidate this session's cached file listings for the index
+    tables. Spark caches a table's relation (with its file index) PER
+    SESSION — an append from another session or a ``foreachBatch``
+    micro-batch clone lands on disk but stays invisible to a session
+    that read the table earlier (caught live: the streaming maintainer
+    wrote two epochs that the outer session's query could not see).
+    Every reader entry point refreshes first; the cost is a re-listing,
+    which a standing index that other writers grow needs anyway."""
+    for suffix in ("_postings", "_df", "_stats"):
+        try:
+            spark.catalog.refreshTable(f"{name}{suffix}")
+        except Exception:
+            pass  # table may not exist yet (first build)
+
+
 def _stats_increment(
     batch: DataFrame, name: str, batch_id: str, batch_tag: str
 ) -> DataFrame:
@@ -108,8 +124,15 @@ def _append_increment(
     postings = bm25_postings(batch, text_col, id_col).withColumn(
         "batch_tag", F.lit(batch_tag)
     )
+    # repartition to the bucket spec BEFORE the bucketed write: the
+    # task layout then matches the bucket layout, so each increment
+    # lands as one file per bucket instead of tasks×buckets shards
+    # (same rule compact_bm25_index applies on rewrite); n_buckets is
+    # the corpus-sized parallelism knob, so this never under-splits a
+    # properly-sized index
     (
-        postings.write.mode(mode)
+        postings.repartition(n_buckets, "term")
+        .write.mode(mode)
         .bucketBy(n_buckets, "term")
         .sortBy("term")
         .saveAsTable(f"{name}_postings")
@@ -120,6 +143,7 @@ def _append_increment(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_t"))
         .withColumn("batch_tag", F.lit(batch_tag))
+        .repartition(n_buckets, "term")
         .write.mode(mode)
         .bucketBy(n_buckets, "term")
         .saveAsTable(f"{name}_df")
@@ -181,6 +205,7 @@ def merge_into_bm25_index(
 
     _check_name(name)
     spark = batch.sparkSession
+    _refresh(spark, name)
     n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
     committed = [
         r["batch_id"]
@@ -202,27 +227,17 @@ def merge_into_bm25_index(
 
 
 def drop_bm25_index(spark: SparkSession, name: str) -> None:
-    """Drop the four index tables (managed — data included). Also
-    clears STALE table directories under the warehouse dir: a table
-    created by a PREVIOUS session is invisible to this session's
-    fresh in-memory catalog (DROP TABLE no-ops), but its managed
-    location survives on disk and a later ``saveAsTable`` fails with
-    LOCATION_ALREADY_EXISTS — so drop must sweep the filesystem too
-    (caught live: the gate's correctness and bench sessions run
-    back-to-back against one working directory)."""
-    import shutil
-    from pathlib import Path
-    from urllib.parse import urlparse
+    """Drop the four index tables (managed — data included). Stale
+    table directories left by a PREVIOUS session are swept too —
+    without that, the dead session's location blocks ``saveAsTable``
+    with LOCATION_ALREADY_EXISTS (caught live: the gate's correctness
+    and bench sessions run back-to-back against one working
+    directory; see ``neardup_index.drop_catalog_tables``)."""
+    from dw_etl_spark.operators.neardup_index import drop_catalog_tables
 
-    _check_name(name)
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    wh_path = Path(wh.path) if wh.path else None
-    for suffix in ("_postings", "_df", "_stats", "_meta"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
-        if wh_path is not None:
-            stale = wh_path / f"{name}{suffix}"
-            if stale.exists():
-                shutil.rmtree(stale, ignore_errors=True)
+    drop_catalog_tables(
+        spark, name, ("_postings", "_df", "_stats", "_meta")
+    )
 
 
 def query_bm25_index(
@@ -251,6 +266,7 @@ def query_bm25_index(
     """
     _check_name(name)
     spark = queries.sparkSession
+    _refresh(spark, name)
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -338,6 +354,7 @@ def compact_bm25_index(spark: SparkSession, name: str) -> tuple[int, int]:
     Returns (files_before, files_after) over the two bucketed tables.
     """
     _check_name(name)
+    _refresh(spark, name)
     n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
     committed_tags = [
         r["batch_tag"]

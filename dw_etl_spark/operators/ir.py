@@ -175,6 +175,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_df_frac: float = 1.0,
+    pin_postings: bool = True,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval: for each query, the k best-matching
     corpus documents. The retrieval primitive a training pipeline uses
@@ -210,13 +211,20 @@ def bm25_topk(
     candidate docs only.
     """
     postings = bm25_postings(corpus, text_col, id_col)
+    if pin_postings:
+        # postings feed THREE consumers (df_t, the doc-length stats,
+        # the candidate join). Column pruning specializes each branch's
+        # aggregate, so exchange reuse can NOT dedupe them — without a
+        # pin the scan+tokenize runs three times. The lazy
+        # localCheckpoint materializes the postings once and truncates
+        # the plan so all three read the same blocks (the
+        # ngram_jaccard_pairs pin_shingles rule, PLANS.md #31); pass
+        # False when re-deriving beats storing (preemptible clusters).
+        postings = postings.localCheckpoint(eager=False)
     dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     # (n_docs, avgdl) from the postings' denormalized dl, NOT a second
-    # corpus tokenize: every consumer of `postings` below hangs off the
-    # same (id, dl, term) aggregate, so its shuffle is planned once and
-    # ReusedExchange feeds dft, the stats branch AND the candidate join
-    # from one scan+tokenize pass. n_docs is a count(1) over the corpus
-    # — a metadata/columnar count that never touches the text — so
+    # corpus tokenize. n_docs is a count(1) over the corpus — a
+    # metadata/columnar count that never touches the text — so
     # zero-token docs still count toward avgdl's denominator (dl_sum
     # only sums docs that HAVE postings; absent docs contribute 0).
     doclens = postings.select("id", "dl").distinct()
@@ -238,22 +246,23 @@ def bm25_topk(
     # df rides along on the broadcast query-term frame: one less
     # corpus-side join, and the df cap prunes hot terms before any
     # posting row is touched
-    qdf = dft.join(F.broadcast(qterms), "term").crossJoin(
-        F.broadcast(stats.select("n_docs"))
-    )
+    # stats is referenced ONCE: avgdl rides the tiny broadcast qdf
+    # frame into the postings join instead of a second stats crossJoin
+    # — a double reference re-plans the whole stats lineage (two extra
+    # corpus-derived subtrees in the static plan; AQE may or may not
+    # dedupe them at runtime, so don't gamble a corpus pass on it)
+    qdf = dft.join(F.broadcast(qterms), "term").crossJoin(F.broadcast(stats))
     if max_df_frac < 1.0:
         qdf = qdf.filter(F.col("df_t") <= F.lit(max_df_frac) * F.col("n_docs"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
     )
-    qdf = qdf.select("term", "query_id", idf.alias("idf"))
+    qdf = qdf.select("term", "query_id", idf.alias("idf"), "avgdl")
     tf_norm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    cand = postings.join(F.broadcast(qdf), "term").crossJoin(
-        F.broadcast(stats.select("avgdl"))
-    )
+    cand = postings.join(F.broadcast(qdf), "term")
     scored = (
         cand.groupBy("query_id", "id")
         .agg(F.round(F.sum(F.col("idf") * tf_norm), 6).alias("score"))
@@ -373,8 +382,6 @@ def retrieve_rerank(
     (that is ``similarity.cosine_topk``'s job when no lexical signal
     exists).
     """
-    from dw_etl_spark.operators.similarity import _as_double, cosine
-
     cand = bm25_topk(
         corpus,
         queries,
@@ -387,6 +394,26 @@ def retrieve_rerank(
         b=b,
         max_df_frac=max_df_frac,
     ).select("query_id", "id", F.col("score").alias("bm25_score"))
+    return rerank_candidates(cand, embeddings, query_embeddings, id_col, k, vec_col)
+
+
+def rerank_candidates(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    query_embeddings: DataFrame,
+    id_col: str,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage 2 of retrieve-rerank on an already-produced candidate
+    frame (query_id, id, bm25_score): cosine re-rank to top-``k``.
+    Shared by the in-memory (``retrieve_rerank``) and persisted-index
+    (``retrieve_rerank_indexed``) stage-1 paths. The candidate set and
+    the query vectors are query-sized → both broadcast; the corpus
+    embedding table is only ever touched through the id-keyed
+    broadcast join."""
+    from dw_etl_spark.operators.similarity import _as_double, cosine
+
     cvec = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
     )
@@ -409,3 +436,41 @@ def retrieve_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "bm25_score", "cos_sim", "rank")
     )
+
+
+def retrieve_rerank_indexed(
+    queries: DataFrame,
+    index_name: str,
+    embeddings: DataFrame,
+    query_embeddings: DataFrame,
+    id_col: str,
+    k: int = 5,
+    m: int = 50,
+    vec_col: str = "embedding",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """``retrieve_rerank`` with stage 1 served by a PERSISTED BM25
+    index (``bm25_index.query_bm25_index``) instead of re-scoring the
+    corpus — the standing-retrieval-service form: the index is built
+    once and merged incrementally, each query batch costs the
+    bucket-pruned postings scan plus the m·|queries|-row re-rank.
+    Equality contract: identical to ``retrieve_rerank`` over the
+    concatenated indexed corpus with the same parameters
+    (pytest-pinned, riding the bm25_index equality contract)."""
+    from dw_etl_spark.operators.bm25_index import query_bm25_index
+
+    cand = query_bm25_index(
+        queries,
+        index_name,
+        query_text_col=query_text_col,
+        query_id_col=query_id_col,
+        k=m,
+        k1=k1,
+        b=b,
+        max_df_frac=max_df_frac,
+    ).select("query_id", "id", F.col("score").alias("bm25_score"))
+    return rerank_candidates(cand, embeddings, query_embeddings, id_col, k, vec_col)

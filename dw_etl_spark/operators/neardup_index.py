@@ -56,7 +56,7 @@ def _check_name(name: str) -> str:
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int, shingle: str):
     return df.select(
-        F.col(id_col).alias("id"), _shingles(text_col, n, shingle).alias("sh")
+        F.col(id_col).alias("id"), _shingles(df, text_col, n, shingle).alias("sh")
     )
 
 
@@ -96,15 +96,50 @@ def build_neardup_index(
     ).write.mode("overwrite").saveAsTable(f"{name}_meta")
 
 
-def drop_neardup_index(spark: SparkSession, name: str) -> None:
-    """Drop the three index tables (managed tables — data included)."""
+def drop_catalog_tables(
+    spark: SparkSession, name: str, suffixes: tuple[str, ...]
+) -> None:
+    """DROP TABLE each ``{name}{suffix}`` AND sweep any stale managed
+    location left by a PREVIOUS session: a dead session's table is
+    invisible to this session's fresh in-memory catalog (the DROP
+    no-ops) but its directory survives under the warehouse dir, and a
+    later ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS. Shared by
+    every persisted-index family (near-dup, BM25)."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
     _check_name(name)
-    for suffix in ("_bands", "_shingles", "_meta"):
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    wh_path = Path(wh.path) if wh.path else None
+    for suffix in suffixes:
         spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+        if wh_path is not None:
+            stale = wh_path / f"{name}{suffix}"
+            if stale.exists():
+                shutil.rmtree(stale, ignore_errors=True)
+
+
+def drop_neardup_index(spark: SparkSession, name: str) -> None:
+    """Drop the three index tables (managed tables — data included;
+    stale cross-session locations swept too — see
+    ``drop_catalog_tables``)."""
+    drop_catalog_tables(spark, name, ("_bands", "_shingles", "_meta"))
 
 
 def _params(spark: SparkSession, name: str):
+    """Read the index params AND invalidate this session's cached file
+    listings for the index tables first: table relations are cached
+    PER SESSION, so an append from another session (or a foreachBatch
+    micro-batch clone — the streaming maintainer) lands on disk but
+    stays invisible to a session that read the table earlier. Every
+    query/merge/compact entry point routes through here."""
     _check_name(name)
+    for suffix in ("_bands", "_shingles"):
+        try:
+            spark.catalog.refreshTable(f"{name}{suffix}")
+        except Exception:
+            pass  # not built yet
     return spark.table(f"{name}_meta").collect()[0]
 
 

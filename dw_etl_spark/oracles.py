@@ -488,8 +488,12 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 #: bm25 gate framing, hot-term cap active), then 64-dim cosine re-rank
 #: to top-K over candidates that HAVE an embeddings row (vec_id-keyed;
 #: query docs without a vector drop out identically in both engines).
+#: The corpus is the fixed doc_id < MAXID slice — the whole corpus at
+#: the 500-doc gate SFs, and an SF-CONSTANT cost bound at bench SFs
+#: (same rule as BM25IX_GATE_MAXID).
 RR_GATE_M = 10
 RR_GATE_K = 3
+RR_GATE_MAXID = 500
 
 
 def retrieve_rerank_sql() -> str:
@@ -502,7 +506,8 @@ def retrieve_rerank_sql() -> str:
         f"({_norm64('qe.embedding')} * {_norm64('ce.embedding')}), 6)"
     )
     return f"""
-WITH cand AS ({bm25_topk_sql(k=RR_GATE_M)}),
+WITH cand AS ({bm25_topk_sql(
+        k=RR_GATE_M, corpus_pred=f"doc_id < {RR_GATE_MAXID}")}),
 rr AS (
   SELECT c.query_id, c.id, c.score AS bm25_score, {cos} AS cos_sim
   FROM cand c

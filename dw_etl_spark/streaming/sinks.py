@@ -552,3 +552,46 @@ def cms_stream_writer(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bm25_index_stream_writer(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_name: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain a persisted BM25 index from a document stream: each
+    micro-batch is merged via ``merge_into_bm25_index`` under
+    ``batch_id='epoch-<id>'``, so exactly-once falls out of the index's
+    own commit protocol — a replayed epoch whose stats row committed is
+    a no-op (merge returns False), and a crash mid-merge leaves only
+    orphan rows no query can see, re-applied cleanly on replay. No
+    sink-side state beyond the index tables themselves.
+
+    The index must exist (``build_bm25_index`` — possibly on an empty
+    seed frame) before the stream starts; stream ids must be unique
+    across epochs (the index never dedups — same contract as the
+    near-dup filter sink). Returns the started StreamingQuery; callers
+    ``awaitTermination()``.
+    """
+    from dw_etl_spark.operators.bm25_index import merge_into_bm25_index
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_into_bm25_index(
+            batch,
+            text_col,
+            id_col,
+            index_name,
+            batch_id=f"epoch-{int(epoch_id)}",
+        )
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

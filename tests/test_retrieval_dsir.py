@@ -303,3 +303,94 @@ def test_dsir_state_compaction_preserves_scores(spark, tmp_path):
         map(tuple, dsir_weights_from_state(batch, "text", "doc_id", path).collect())
     )
     assert after == before
+
+
+def test_bm25_index_stream_writer_exactly_once_and_indexed_rerank(
+    spark, tmp_path
+):
+    """r9: (a) the streaming BM25-index maintenance sink — two
+    file-stream epochs merge into a seed-built index and querying it
+    equals the one-shot scorer on the concatenation; a REPLAY of the
+    same files through a fresh checkpoint re-fires the same epoch ids,
+    which the index commit protocol skips (no double counting, no sink
+    state beyond the index). (b) ``retrieve_rerank_indexed`` served by
+    that index equals the in-memory ``retrieve_rerank`` on the
+    concatenated corpus."""
+    import json
+
+    from dw_etl_spark.operators.bm25_index import (
+        build_bm25_index,
+        drop_bm25_index,
+        query_bm25_index,
+    )
+    from dw_etl_spark.operators.ir import (
+        retrieve_rerank,
+        retrieve_rerank_indexed,
+    )
+    from dw_etl_spark.sources.files import read_table
+    from dw_etl_spark.streaming.sinks import bm25_index_stream_writer
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    seed = corpus.filter(F.col("doc_id") % 3 == 0)
+    waves = [
+        corpus.filter(F.col("doc_id") % 3 == 1),
+        corpus.filter(F.col("doc_id") % 3 == 2),
+    ]
+    drop_bm25_index(spark, "bmi_stream")
+    build_bm25_index(seed, "text", "doc_id", "bmi_stream", n_buckets=4)
+    try:
+        src = tmp_path / "docs"
+        src.mkdir()
+        for i, w in enumerate(waves):
+            rows = [
+                json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                for r in w.collect()
+            ]
+            (src / f"wave{i}.json").write_text("\n".join(rows))
+
+        def run(ckpt: str) -> None:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            q = bm25_index_stream_writer(
+                stream, "text", "doc_id", "bmi_stream", ckpt
+            )
+            q.awaitTermination()
+
+        run(str(tmp_path / "ckpt1"))
+        queries = docs.filter(F.col("doc_id") % 17 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 40).alias("text"),
+        )
+
+        def rows(df):
+            return sorted(
+                map(tuple, df.select("query_id", "id", "score", "rank").collect())
+            )
+
+        got = rows(query_bm25_index(queries, "bmi_stream", k=3))
+        want = rows(bm25_topk(corpus, queries, "text", "doc_id", k=3))
+        assert got == want
+        # replay through a FRESH checkpoint: same epoch ids re-fire,
+        # the commit protocol skips them, the index is unchanged
+        run(str(tmp_path / "ckpt2"))
+        assert rows(query_bm25_index(queries, "bmi_stream", k=3)) == got
+
+        emb = read_table(spark, SF_SMOKE, "embeddings")
+        cemb = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+        qemb = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        ix = retrieve_rerank_indexed(
+            queries, "bmi_stream", cemb, qemb, "doc_id", k=3, m=8
+        )
+        mem = retrieve_rerank(
+            corpus, queries, cemb, qemb, "text", "doc_id", k=3, m=8
+        )
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(ix) == key(mem)
+        assert ix.count() > 0
+    finally:
+        drop_bm25_index(spark, "bmi_stream")

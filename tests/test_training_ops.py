@@ -3021,15 +3021,19 @@ def test_vocab_coverage_releases_its_cache(spark):
     from dw_etl_spark.operators.ir import vocab_coverage
     from dw_etl_spark.sources.files import read_table
 
+    # relative check: earlier tests in the shared session may hold
+    # localCheckpoint RDD blocks (legit pins) — assert vocab_coverage
+    # adds NO NEW storage entries, not that the session is empty
     spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
     docs = read_table(spark, SF_SMOKE, "documents")
     vocab_coverage(docs, "text", ks=[5, 50]).collect()
-    jsc = spark.sparkContext._jsc.sc()
-    assert len(jsc.getRDDStorageInfo()) == 0
+    assert len(jsc.getRDDStorageInfo()) == before
 
     empty = docs.filter("doc_id < 0")
     vocab_coverage(empty, "text", ks=[5]).collect()
-    assert len(jsc.getRDDStorageInfo()) == 0
+    assert len(jsc.getRDDStorageInfo()) == before
 
 
 def test_kn_bigram_logppl_matches_sequential_oracle(spark):
