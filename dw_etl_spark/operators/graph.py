@@ -24,7 +24,7 @@ iterative min-label propagation, the standard large-graph formulation:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -271,15 +271,27 @@ def cluster_dedup(
     dst: str = "id_b",
     checkpoint_dir: str | None = None,
     algorithm: str = "label",
+    score_col: str | None = None,
 ) -> DataFrame:
-    """Keep one document per near-duplicate cluster (the minimum id),
-    plus every document with no near-dup pair. ``pairs`` is any of the
-    near-dup pair frames (minhash/simhash/embedding).
-    ``checkpoint_dir`` is forwarded to the components pass.
-    ``algorithm``: 'label' (min-label propagation — cheapest on the
-    star/clique shapes near-dup graphs actually have) or 'two_phase'
-    (Kiveris large-star/small-star — log-round convergence on ANY
-    shape, the safe choice when chains are possible).
+    """Keep one document per near-duplicate cluster, plus every
+    document with no near-dup pair. ``pairs`` is any of the near-dup
+    pair frames (minhash/simhash/embedding). ``checkpoint_dir`` is
+    forwarded to the components pass. ``algorithm``: 'label'
+    (min-label propagation — cheapest on the star/clique shapes
+    near-dup graphs actually have) or 'two_phase' (Kiveris
+    large-star/small-star — log-round convergence on ANY shape, the
+    safe choice when chains are possible).
+
+    Survivor policy: with ``score_col=None`` the minimum id survives
+    (free — it IS the component id). With ``score_col`` set, the
+    HIGHEST-scoring member survives (ties by min id) — the production
+    policy: near-dup clusters usually hold one clean original plus
+    mangled copies, and quality-keyed survivor selection keeps the
+    clean one (pass any per-doc quality signal: a model score,
+    readability length, -perplexity). Cost: one extra broadcast-shaped
+    join of the component table against (id, score) and a per-cluster
+    argmax window — both keyed on cluster members only, never the full
+    corpus.
     """
     if algorithm not in ("label", "two_phase"):
         raise ValueError(f"algorithm: {algorithm!r}")
@@ -289,9 +301,25 @@ def cluster_dedup(
         else connected_components_two_phase
     )
     comp = cc(pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir)
-    # the survivor of each cluster IS its component id (the min node id)
-    dropped = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if score_col is None:
+        # the survivor of each cluster IS its component id (min node id)
+        dropped = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return corpus.join(dropped, id_col, "left_anti")
+    scored = comp.join(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__s")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc_nulls_last("__s"), F.asc("id")
+    )
+    dropped = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("id").alias(id_col))
     )
     return corpus.join(dropped, id_col, "left_anti")
 

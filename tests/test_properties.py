@@ -681,3 +681,53 @@ def test_psi_partition_independent_matches_numpy(spark, seed):
     assert m.isclose(
         got["total"]["psi_term"], sum(t for *_, t in terms), abs_tol=1e-5
     ), seed
+
+
+# ----------------------------- cross-doc ExactSubstr vs brute-force DP
+
+@st.composite
+def xdoc_corpus(draw):
+    """Small corpora over a 3-letter alphabet (forced repeats) with a
+    couple of planted shared substrings, so every draw exercises both
+    accidental and deliberate cross-doc matches."""
+    n_docs = draw(st.integers(2, 5))
+    alpha = "abc"
+    docs = []
+    for i in range(n_docs):
+        n = draw(st.integers(0, 24))
+        docs.append(
+            "".join(draw(st.sampled_from(alpha)) for _ in range(n))
+        )
+    if n_docs >= 2 and len(docs[0]) >= 6:
+        # plant a shared slice into doc 1 at a drawn offset
+        piece = docs[0][: draw(st.integers(4, min(10, len(docs[0]))))]
+        pos = draw(st.integers(0, len(docs[1])))
+        docs[1] = docs[1][:pos] + piece + docs[1][pos:]
+    return docs
+
+
+@SLOW
+@given(xdoc_corpus(), st.integers(3, 6))
+def test_cross_doc_repeats_matches_dp_on_random_corpora(spark, docs, L):
+    """Property pin: the distributed seed-and-extend tier returns
+    EXACTLY the brute-force all-maximal-matches set for every doc pair
+    at every min_len — including overlap, multiplicity, and empty
+    docs."""
+    from dw_etl_spark.operators.exact_substr import cross_doc_repeats
+    from tests.test_exact_substr import _brute_maximal_matches
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["pos_a"], r["pos_b"], r["length"])
+        for r in cross_doc_repeats(
+            df, "text", "doc_id", min_len=L, max_gram_occ=10_000
+        ).collect()
+    }
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            for (pa, pb, ln) in _brute_maximal_matches(docs[a], docs[b], L):
+                want.add((a, b, pa, pb, ln))
+    assert got == want

@@ -687,6 +687,55 @@ def test_cluster_dedup_removes_minhash_duplicates(spark):
     assert kept.filter(F.col("doc_id") >= 100000).count() < n_docs * 0.05
 
 
+def test_cluster_dedup_quality_keyed_survivor(spark):
+    """r9: score_col flips the survivor policy from min-id to
+    best-score (ties by min id) — verified against a Python reference
+    over the exact component partition, on a graph where the best doc
+    is deliberately NOT the min id (and one tie cluster pins the
+    tiebreak)."""
+    from dw_etl_spark.operators.graph import (
+        cluster_dedup,
+        connected_components,
+    )
+
+    # clusters: {1,2,3} best=3, {10,11} best=10, {20,21} tie -> 20, {30} alone
+    corpus = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.5), (3, 0.9),
+            (10, 0.8), (11, 0.1),
+            (20, 0.4), (21, 0.4),
+            (30, 0.7),
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in cluster_dedup(
+            corpus, pairs, score_col="q"
+        ).collect()
+    }
+    assert kept == {3, 10, 20, 30}
+    # python reference over the same components
+    comp = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    scores = {r["doc_id"]: r["q"] for r in corpus.collect()}
+    best = {}
+    for i, s in scores.items():
+        c = comp.get(i, i)
+        if c not in best or (s, -i) > (scores[best[c]], -best[c]):
+            best[c] = i
+    assert kept == set(best.values())
+    # min-id policy differs on this graph — the new lever has teeth
+    kept_min = {
+        r["doc_id"] for r in cluster_dedup(corpus, pairs).collect()
+    }
+    assert kept_min == {1, 10, 20, 30} != kept
+
+
 def test_train_val_test_split_disjoint_exhaustive_stable(spark):
     from dw_etl_spark.operators.sampling import train_val_test_split
     from dw_etl_spark.sources.files import read_table
