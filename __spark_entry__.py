@@ -1525,6 +1525,30 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").alias("component"),
         )
     )
+    # r9 rode-along: the quality-keyed survivor policy
+    # (``graph.cluster_dedup(score_col=...)``) — per near-dup cluster
+    # keep the HIGHEST-quality member (ties by min id) instead of the
+    # min id. Quality here = text length, which makes the policy
+    # VISIBLY different from min-id on this fixture (every planted
+    # copy is its original + ' qq', i.e. LONGER, so 'best' keeps the
+    # copy where 'label' keeps the original). algo='best' rows carry
+    # the survivors with their cluster label; the oracle replays
+    # argmax(length, -id) over the same recursive-CTE components. The
+    # CC labeling is shared with the label section (components=),
+    # never recomputed.
+    from dw_etl_spark.operators.graph import cluster_dedup
+
+    kept_best = cluster_dedup(
+        corpus.withColumn("__len", F.length("text")),
+        pairs,
+        score_col="__len",
+        components=comp,
+    )
+    best_rows = (
+        kept_best.select("doc_id")
+        .join(label_rows.select("doc_id", "component"), "doc_id")
+        .select(F.lit("best").alias("algo"), "doc_id", "component")
+    )
     # path blocks of FOUR ids (diameter 3): same two-phase coverage as
     # the r6 blocks-of-8 fixture at about half the log-diameter rounds
     # — each round is a fixed ~0.55 s of stage overhead at gate sizes
@@ -1542,7 +1566,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "component",
     )
-    return label_rows.unionByName(cc2_rows)
+    return label_rows.unionByName(best_rows).unionByName(cc2_rows)
 
 
 def _dedup_clusters_sql() -> str:
@@ -1568,6 +1592,24 @@ corpus AS (
 SELECT 'label' AS algo, c.doc_id,
        coalesce(p.component, c.doc_id) AS component
 FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
+UNION ALL
+-- best section: quality-keyed survivors — per component keep
+-- argmax(text length, ties min id); every planted copy is its
+-- original + ' qq' (longer), so 'best' keeps the copy where 'label'
+-- keeps the min-id original
+SELECT 'best' AS algo, doc_id, component FROM (
+  SELECT l.doc_id, l.component,
+         row_number() OVER (PARTITION BY l.component
+                            ORDER BY l.len DESC, l.doc_id ASC) AS rn
+  FROM (
+    SELECT c2.doc_id, coalesce(p.component, c2.doc_id) AS component, c2.len
+    FROM (
+      SELECT doc_id, length(text) AS len FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, length(text || ' qq') FROM documents
+    ) c2 LEFT JOIN comp p ON c2.doc_id = p.id
+  ) l
+) WHERE rn = 1
 UNION ALL
 -- cc2 section: the chain doc->doc+1 over doc_id<64 broken every 4
 -- ids has the closed-form components floor(id/4)*4 (ids are

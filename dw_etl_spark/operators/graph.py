@@ -272,6 +272,7 @@ def cluster_dedup(
     checkpoint_dir: str | None = None,
     algorithm: str = "label",
     score_col: str | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Keep one document per near-duplicate cluster, plus every
     document with no near-dup pair. ``pairs`` is any of the near-dup
@@ -292,15 +293,23 @@ def cluster_dedup(
     join of the component table against (id, score) and a per-cluster
     argmax window — both keyed on cluster members only, never the full
     corpus.
+
+    ``components``: pass a precomputed (id, component) frame to skip
+    the CC pass — callers that already labeled the pair graph (for
+    cluster stats, for several survivor policies over one labeling)
+    should not pay the iterative rounds twice.
     """
     if algorithm not in ("label", "two_phase"):
         raise ValueError(f"algorithm: {algorithm!r}")
-    cc = (
-        connected_components
-        if algorithm == "label"
-        else connected_components_two_phase
-    )
-    comp = cc(pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir)
+    if components is not None:
+        comp = components.select("id", "component")
+    else:
+        cc = (
+            connected_components
+            if algorithm == "label"
+            else connected_components_two_phase
+        )
+        comp = cc(pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir)
     if score_col is None:
         # the survivor of each cluster IS its component id (min node id)
         dropped = comp.filter(F.col("id") != F.col("component")).select(

@@ -109,7 +109,11 @@ _REQUIRED_SECTIONS = {
         ("col_name", "prefix", "zscore"),
     ],
     "topk_values": [("value", "prefix", "cms:")],
-    "dedup_clusters": [("algo", "eq", "label"), ("algo", "eq", "cc2")],
+    "dedup_clusters": [
+        ("algo", "eq", "label"),
+        ("algo", "eq", "best"),
+        ("algo", "eq", "cc2"),
+    ],
     "csv_roundtrip": [("PriceCategory", "eq", "__quarantine")],
     "text_features": [("ppl_bucket", "notnull", None)],
     "sampling_splits": [("grp", "prefix", "temp:")],
