@@ -367,3 +367,121 @@ def write_token_shards(
         .sortWithinPartitions(shard_col, key_col)
         .foreachPartition(_write_partition)
     )
+
+
+def bin_pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    seq_len: int,
+    num_groups: int | None = None,
+) -> DataFrame:
+    """Pack documents into fixed-length training sequences WITHOUT
+    splitting documents: (input columns) + (pack_group, bin_id,
+    bin_offset), where each bin's token sum is <= ``seq_len`` and
+    ``bin_offset`` is the document's token start inside its bin.
+    Best-fit-decreasing (the sequence-packing analysis of Krell et al.
+    2021 — BFD reaches ~99+% of optimal occupancy on natural length
+    distributions) against ``pack_into_shards``'s concat-and-split
+    layout, which wastes nothing but cuts documents at shard
+    boundaries; use THIS when truncation-at-boundary is the thing you
+    are avoiding (instruction tuning, long-context curation) and
+    accept the small padding tail instead.
+
+    Scale shape: documents are hashed into ``num_groups`` independent
+    packing groups (md5 on the id — deterministic under any input
+    partitioning), and BFD runs per group in one ``applyInPandas``
+    pass over (id, n_tokens) pairs ONLY — text never moves; join the
+    assignment back on the id. Bin ids are globally unique
+    (group * 2^32 + local). Packing quality is per-group (BFD is
+    near-optimal within each group, and groups are content-uniform by
+    hashing, so the global padding fraction matches single-machine BFD
+    to within noise — asserted in tests). A document longer than
+    ``seq_len`` raises: chunk first (``chunk_documents``).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    import pandas as pd
+
+    from dw_etl_spark.functions.text import stable_hash64
+
+    spark = df.sparkSession
+    if num_groups is None:
+        num_groups = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    lens = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(token_col).cast("long").alias("__n"),
+        F.pmod(
+            stable_hash64(F.col(id_col).cast("string")), F.lit(num_groups)
+        ).alias("pack_group"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["pack_group"].iloc[0])
+        items = sorted(
+            zip(pdf["__id"], pdf["__n"]), key=lambda t: (-t[1], t[0])
+        )
+        bins: list[int] = []  # remaining capacity per local bin
+        out = []
+        for rid, n in items:
+            n = int(n)
+            if n > seq_len:
+                raise ValueError(
+                    f"doc {rid!r} has {n} tokens > seq_len {seq_len}; "
+                    "chunk_documents first"
+                )
+            # best fit: the fullest bin that still fits
+            best, best_rem = -1, seq_len + 1
+            for j, rem in enumerate(bins):
+                if n <= rem < best_rem:
+                    best, best_rem = j, rem
+            if best < 0:
+                bins.append(seq_len)
+                best = len(bins) - 1
+            out.append(
+                {
+                    "__id": rid,
+                    "pack_group": grp,
+                    "bin_id": grp * (1 << 32) + best,
+                    "bin_offset": seq_len - bins[best],
+                }
+            )
+            bins[best] -= n
+        return pd.DataFrame(
+            out, columns=["__id", "pack_group", "bin_id", "bin_offset"]
+        )
+
+    assigned = lens.groupBy("pack_group").applyInPandas(
+        pack,
+        "__id " + dict(lens.dtypes)["__id"]
+        + ", pack_group int, bin_id long, bin_offset long",
+    )
+    return df.join(
+        assigned.withColumnsRenamed({"__id": id_col}), id_col
+    )
+
+
+def packing_efficiency(
+    packed: DataFrame, token_col: str, seq_len: int
+) -> DataFrame:
+    """One-row summary of a ``bin_pack_sequences`` result:
+    (n_docs, n_bins, total_tokens, capacity, padding_frac) — the
+    padding fraction is the number a packing change is judged by
+    (naive one-doc-per-sequence on natural corpora wastes 40-80%;
+    BFD typically < a few %). Rounded to 6."""
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum(F.col(token_col).cast("long")).alias("total_tokens"),
+    ).select(
+        "n_docs",
+        "n_bins",
+        "total_tokens",
+        (F.col("n_bins") * F.lit(seq_len)).alias("capacity"),
+        F.round(
+            1.0 - F.col("total_tokens") / (F.col("n_bins") * F.lit(seq_len)),
+            6,
+        ).alias("padding_frac"),
+    )

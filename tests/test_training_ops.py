@@ -4080,3 +4080,142 @@ def test_ccnet_ppl_buckets_order_and_balance(spark):
                 assert abs(len(vals) - n / 3) <= max(3, 0.15 * n), (
                     lang, b, len(vals), n,
                 )
+
+
+def test_fim_transform_matches_duckdb_and_is_lossless(spark):
+    """r9 FIM augmentation: (a) exact DuckDB replay of the md5-lane
+    selection, cut points, and PSM serialization; (b) losslessness —
+    stripping the sentinels and reordering (prefix, suffix, middle)
+    back reconstructs the original text for every applied row; (c)
+    rate discipline — applied fraction tracks fim_rate, short docs
+    never apply, rate 0/1 are exact."""
+    from tests.conftest import assert_matches_oracle, duckdb_conn
+
+    from dw_etl_spark import oracles
+    from dw_etl_spark.operators.augment import fim_transform
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = fim_transform(docs, "text", fim_rate=0.5)
+    h = oracles.h64("CAST(doc_id AS VARCHAR) || '{}'")
+    u = lambda lane: f"({h.format(lane)} / 1152921504606846976.0)"
+    sql = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         {u('fim')} < 0.5 AND length(text) >= 3 AS fim_applied,
+         {u('fim-a')} AS u1, {u('fim-b')} AS u2
+  FROM documents
+),
+cuts AS (
+  SELECT *, CAST(floor(least(u1, u2) * (n - 1)) AS INTEGER) + 1 AS p1,
+            CAST(floor(greatest(u1, u2) * (n - 1)) AS INTEGER) + 1 AS p2
+  FROM base
+)
+SELECT doc_id, text, fim_applied,
+       CASE WHEN fim_applied THEN
+         '<PRE>' || substr(text, 1, p1) || '<SUF>' || substr(text, p2 + 1)
+         || '<MID>' || substr(text, p1 + 1, p2 - p1)
+       ELSE text END AS fim_text
+FROM cuts
+"""
+    con = duckdb_conn(SF_SMOKE)
+    assert_matches_oracle(out, con, sql)
+    con.close()
+
+    rows = out.collect()
+    applied = [r for r in rows if r["fim_applied"]]
+    assert 0.35 < len(applied) / len(rows) < 0.65
+    for r in applied:
+        s = r["fim_text"]
+        assert s.startswith("<PRE>")
+        pre, rest = s[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == r["text"], r["doc_id"]
+        assert len(pre) >= 1  # prefix never empty by the +1 floor
+    for r in rows:
+        if not r["fim_applied"]:
+            assert r["fim_text"] == r["text"]
+
+    tiny = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "abcdefgh")], "doc_id long, text string"
+    )
+    t = {r["doc_id"]: r for r in fim_transform(tiny, "text", fim_rate=1.0).collect()}
+    assert not t[1]["fim_applied"] and not t[2]["fim_applied"]
+    assert t[3]["fim_applied"]
+    none = fim_transform(tiny, "text", fim_rate=0.0).collect()
+    assert all(not r["fim_applied"] for r in none)
+
+
+def test_bin_pack_sequences_invariants_and_efficiency(spark):
+    """r9 BFD sequence packing: (a) hard invariants — every bin's
+    token sum <= seq_len, offsets are exact exclusive prefix sums
+    inside each bin, every doc assigned exactly once; (b) determinism
+    under repartition; (c) efficiency — padding beats the
+    one-doc-per-sequence baseline by a wide margin and lands near the
+    single-machine BFD result; (d) an oversized doc raises."""
+    import pytest
+
+    from dw_etl_spark.operators.packing import (
+        bin_pack_sequences,
+        packing_efficiency,
+    )
+    from dw_etl_spark.functions.text import token_count
+    from dw_etl_spark.sources.files import read_table
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .withColumn("n_tok", token_count("text"))
+    )
+    seq_len = int(
+        docs.agg(F.max("n_tok")).first()[0]
+    ) * 2  # several docs per bin, nothing oversized
+    packed = bin_pack_sequences(docs, "n_tok", "doc_id", seq_len, num_groups=4)
+    rows = packed.select("doc_id", "n_tok", "bin_id", "bin_offset").collect()
+    assert len(rows) == docs.count()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for b, members in by_bin.items():
+        members.sort(key=lambda r: r["bin_offset"])
+        pos = 0
+        for m in members:
+            assert m["bin_offset"] == pos, (b, m)
+            pos += m["n_tok"]
+        assert pos <= seq_len, (b, pos)
+
+    again = sorted(
+        map(
+            tuple,
+            bin_pack_sequences(
+                docs.repartition(13), "n_tok", "doc_id", seq_len, num_groups=4
+            ).select("doc_id", "bin_id", "bin_offset").collect(),
+        )
+    )
+    assert again == sorted(
+        (r["doc_id"], r["bin_id"], r["bin_offset"]) for r in rows
+    )
+
+    eff = packing_efficiency(packed, "n_tok", seq_len).first()
+    assert eff["n_bins"] == len(by_bin)
+    naive_padding = 1.0 - eff["total_tokens"] / (eff["n_docs"] * seq_len)
+    assert eff["padding_frac"] < naive_padding / 3
+    # single-machine BFD reference over ALL docs (no grouping): the
+    # 4-group distributed answer must land within a couple of bins
+    items = sorted((r["n_tok"] for r in rows), reverse=True)
+    bins = []
+    for n in items:
+        best, best_rem = -1, seq_len + 1
+        for j, rem in enumerate(bins):
+            if n <= rem < best_rem:
+                best, best_rem = j, rem
+        if best < 0:
+            bins.append(seq_len)
+            best = len(bins) - 1
+        bins[best] -= n
+    assert eff["n_bins"] <= len(bins) + 4  # group-boundary slack only
+
+    with pytest.raises(Exception, match="seq_len"):
+        bin_pack_sequences(
+            docs, "n_tok", "doc_id", 5, num_groups=2
+        ).collect()
