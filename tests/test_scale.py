@@ -535,3 +535,45 @@ def test_no_gate_query_plans_a_cartesian_product(spark, tmp_path):
         assert "CartesianProduct" not in s["joins"], (name, s)
         if "BroadcastNestedLoopJoin" in s["joins"]:
             assert name in allowed_bnlj, (name, s["joins"])
+
+
+def test_r9_operator_plan_shapes(spark):
+    """Plan audits for the round-9 families, pinned via plan_summary:
+    (a) cross_doc_repeats never goes cartesian — the pair stage is an
+    equi-join on the seed fingerprint; (b) chunk_dup_stats is
+    join-free (window over the chunk hash) and never cartesian;
+    (c) bin_pack_sequences joins the assignment back broadcast- or
+    hash-keyed, never nested-loop; (d) the fused ParquetWarehouse FK
+    validation rides BroadcastHashJoins."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.cdc import chunk_dup_stats
+    from dw_etl_spark.operators.exact_substr import cross_doc_repeats
+    from dw_etl_spark.operators.packing import bin_pack_sequences
+    from dw_etl_spark.functions.text import token_count
+    from dw_etl_spark.plans.audit import plan_summary
+    from dw_etl_spark.sources.files import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+    bad = ("CartesianProduct", "BroadcastNestedLoopJoin")
+    xd = plan_summary(
+        cross_doc_repeats(docs.limit(40), "text", "doc_id", min_len=30),
+        finalize=True,
+    )
+    assert not any(j in xd["joins"] for j in bad), xd["joins"]
+
+    cd = plan_summary(
+        chunk_dup_stats(docs.limit(40), "text"), finalize=True
+    )
+    assert not any(j in cd["joins"] for j in bad), cd["joins"]
+
+    packed = bin_pack_sequences(
+        docs.withColumn("n_tok", token_count("text")),
+        "n_tok",
+        "doc_id",
+        2048,
+        num_groups=4,
+    )
+    bp = plan_summary(packed, finalize=True)
+    assert not any(j in bp["joins"] for j in bad), bp["joins"]
