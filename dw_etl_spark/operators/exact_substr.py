@@ -336,24 +336,75 @@ def cross_doc_repeats(
     id_col: str,
     min_len: int = 20,
     max_gram_occ: int = 256,
+    winnow: int = 1,
 ) -> DataFrame:
-    """All maximal CROSS-document repeated substrings of length >=
-    ``min_len``: one row (id_a, id_b, pos_a, pos_b, length) per pair of
-    occurrences, id_a < id_b, positions 0-based — the Lee et al. 2022
-    match set, seed-and-extend instead of a suffix array (module
-    docstring). A substring occurring in k docs yields all C(k,2)
-    pairs, and repeated occurrences within a pair yield one row per
-    alignment — exactly the brute-force all-maximal-matches set
-    (pytest-pinned against an O(n·m) DP oracle).
+    """Cross-document repeated substrings of length >= ``min_len``:
+    rows (id_a, id_b, pos_a, pos_b, length), id_a < id_b, positions
+    0-based.
 
-    ``max_gram_occ`` drops seed grams occurring more than that many
-    times in the corpus BEFORE the pair join (quadratic skew lever).
-    A dropped hot gram can split or shorten matches that contain it —
-    at the default the cap only fires on degenerate boilerplate;
-    set it high enough for the corpus's honest repeat multiplicity.
-    60-bit seed hashes make false matches ~1e-9-rare; verify against
-    the text if that ever matters."""
+    ``winnow=1`` (default): EXACT — one row per pair of occurrences,
+    the Lee et al. 2022 all-maximal-matches set, seed-and-extend
+    instead of a suffix array (module docstring). A substring
+    occurring in k docs yields all C(k,2) pairs, and repeated
+    occurrences within a pair yield one row per alignment —
+    pytest-pinned against an O(n·m) DP oracle.
+
+    ``winnow=w > 1``: the SAMPLED detection tier for corpus scale —
+    winnowing/minimizers (Schleimer et al. 2003, the MOSS scheme):
+    per document, from every window of ``w`` consecutive seed grams
+    only the (fp, pos)-minimal gram survives, so only ~2/(w+1) of the
+    positions enter the shuffle and the pair join — THE cost lever at
+    100 TB, where one row per character is the honest but heavy exact
+    price. Identical text regions pick identical relative minimizers,
+    so every true match of length >= min_len + w - 1 is GUARANTEED to
+    surface (shorter matches may be missed); within a match,
+    consecutive picks are <= w apart, so diagonal islands merge with
+    gap tolerance w. Reported rows are then CANDIDATE SPANS: every
+    seed inside them is a true min_len-char match, but a span may
+    bridge two same-diagonal matches separated by < w chars and its
+    length may under-cover a match's tail (sample, not extend).
+    Feed them to a per-pair exact verifier (or straight to the
+    keep-first span cut, which is conservative either way).
+
+    ``max_gram_occ`` drops (surviving) seed grams occurring more than
+    that many times in the corpus BEFORE the pair join (quadratic skew
+    lever). A dropped hot gram can split or shorten matches that
+    contain it — at the default the cap only fires on degenerate
+    boilerplate; set it high enough for the corpus's honest repeat
+    multiplicity. 60-bit seed hashes make false matches ~1e-9-rare;
+    verify against the text if that ever matters."""
+    if winnow < 1:
+        raise ValueError("winnow must be >= 1")
     seeds = _seed_grams(df, text_col, id_col, min_len)
+    if winnow > 1:
+        # Pick(s) = (fp,pos)-min of the w grams starting at this row's
+        # position (struct min = lexicographic = leftmost tie-break;
+        # truncated tail windows keep the doc edge sampled). A position
+        # survives iff SOME window containing it picked it — read off
+        # the trailing w picks, no self-join.
+        fwd = (
+            Window.partitionBy("id")
+            .orderBy("pos")
+            .rowsBetween(0, winnow - 1)
+        )
+        trail = (
+            Window.partitionBy("id")
+            .orderBy("pos")
+            .rowsBetween(-(winnow - 1), 0)
+        )
+        seeds = (
+            seeds.withColumn(
+                "__pick", F.min(F.struct("fp", "pos")).over(fwd)["pos"]
+            )
+            .withColumn(
+                "__sel",
+                F.array_contains(
+                    F.collect_list("__pick").over(trail), F.col("pos")
+                ),
+            )
+            .filter("__sel")
+            .select("id", "pos", "fp")
+        )
     occ_w = Window.partitionBy("fp")
     seeds = seeds.withColumn("__occ", F.count(F.lit(1)).over(occ_w)).filter(
         F.col("__occ") <= int(max_gram_occ)
@@ -375,11 +426,13 @@ def cross_doc_repeats(
             (F.col("pos_a") - F.col("pos_b")).alias("__diag"),
         )
     )
-    # runs of consecutive seed positions on one diagonal == one maximal
-    # match: island-number by gaps in pos_a, then collapse each island
+    # runs of near-consecutive seed positions on one diagonal == one
+    # (maximal, when winnow=1) match: island-number by gaps in pos_a,
+    # then collapse each island. Winnowed picks inside a shared region
+    # are <= winnow apart, hence the gap tolerance.
     run_w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
     gap = F.when(
-        F.col("pos_a") - F.lag("pos_a").over(run_w) == 1, F.lit(0)
+        F.col("pos_a") - F.lag("pos_a").over(run_w) <= int(winnow), F.lit(0)
     ).otherwise(F.lit(1))
     runs = hits.withColumn(
         "__isl", F.sum(gap).over(run_w)

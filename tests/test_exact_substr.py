@@ -305,3 +305,99 @@ def test_cross_doc_dedup_cuts_later_docs_only(spark):
         assert got[rid]["cleaned"] == want, rid
         assert got[rid]["n_removed_chars"] == len(covered)
     assert got[1]["cleaned"] == texts[1]
+
+
+def test_winnowed_cross_doc_guarantee_and_soundness(spark):
+    """winnow=w sampling: (a) GUARANTEE — every brute-force maximal
+    match of length >= min_len + w - 1 surfaces as a reported span on
+    its diagonal whose seeds lie inside the match; (b) SOUNDNESS —
+    every reported span's endpoint seeds are true min_len-char
+    matches (direct substring equality); (c) the sampling actually
+    thins the seed set (~2/(w+1) of positions); (d) w=1 reproduces
+    the exact mode verbatim."""
+    from dw_etl_spark.operators.exact_substr import (
+        _seed_grams,
+        cross_doc_repeats,
+    )
+
+    rows = _xdoc_corpus()
+    texts = dict(rows)
+    L, w = 8, 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = cross_doc_repeats(
+        df, "text", "doc_id", min_len=L, max_gram_occ=10_000, winnow=w
+    ).collect()
+
+    # (b) soundness: both endpoint seeds of each span match exactly
+    for r in rep:
+        a, b = texts[r["id_a"]], texts[r["id_b"]]
+        assert a[r["pos_a"]:r["pos_a"] + L] == b[r["pos_b"]:r["pos_b"] + L]
+        ea, eb = r["pos_a"] + r["length"] - L, r["pos_b"] + r["length"] - L
+        assert a[ea:ea + L] == b[eb:eb + L]
+        assert r["length"] >= L
+
+    # (a) coverage of long-enough true matches
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            ia, ib = ids[x], ids[y]
+            for (pa, pb, ln) in _brute_maximal_matches(
+                texts[ia], texts[ib], L
+            ):
+                if ln < L + w - 1:
+                    continue
+                hit = [
+                    r
+                    for r in rep
+                    if r["id_a"] == ia
+                    and r["id_b"] == ib
+                    and r["pos_a"] - r["pos_b"] == pa - pb
+                    and pa <= r["pos_a"]
+                    and r["pos_a"] + r["length"] <= pa + ln + w  # inside-ish
+                ]
+                assert hit, (ia, ib, pa, pb, ln)
+
+    # (c) the shuffle really shrinks
+    n_all = _seed_grams(df, "text", "doc_id", L).count()
+    # replicate the internal sampling by running with a huge occ cap
+    # and counting distinct surviving seeds via the exact internals:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    seeds = _seed_grams(df, "text", "doc_id", L)
+    fwd = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    trail = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    n_kept = (
+        seeds.withColumn(
+            "__pick", F.min(F.struct("fp", "pos")).over(fwd)["pos"]
+        )
+        .withColumn(
+            "__sel",
+            F.array_contains(
+                F.collect_list("__pick").over(trail), F.col("pos")
+            ),
+        )
+        .filter("__sel")
+        .count()
+    )
+    assert n_kept < 0.62 * n_all, (n_kept, n_all)
+
+    # (d) winnow=1 is byte-identical to the exact mode
+    exact = sorted(
+        map(
+            tuple,
+            cross_doc_repeats(
+                df, "text", "doc_id", min_len=L, max_gram_occ=10_000
+            ).collect(),
+        )
+    )
+    one = sorted(
+        map(
+            tuple,
+            cross_doc_repeats(
+                df, "text", "doc_id", min_len=L, max_gram_occ=10_000,
+                winnow=1,
+            ).collect(),
+        )
+    )
+    assert exact == one
