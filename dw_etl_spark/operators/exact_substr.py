@@ -337,6 +337,7 @@ def cross_doc_repeats(
     min_len: int = 20,
     max_gram_occ: int = 256,
     winnow: int = 1,
+    emit: str = "spans",
 ) -> DataFrame:
     """Cross-document repeated substrings of length >= ``min_len``:
     rows (id_a, id_b, pos_a, pos_b, length), id_a < id_b, positions
@@ -372,9 +373,18 @@ def cross_doc_repeats(
     contain it — at the default the cap only fires on degenerate
     boilerplate; set it high enough for the corpus's honest repeat
     multiplicity. 60-bit seed hashes make false matches ~1e-9-rare;
-    verify against the text if that ever matters."""
+    verify against the text if that ever matters.
+
+    ``emit='seeds'`` returns the raw aligned seed hits (length =
+    min_len, one row per matching gram pair) instead of merged spans
+    — the input ``verify_cross_doc_candidates`` wants: extending every
+    seed recovers the EXACT maximal match around it, so
+    winnowed-detect → seed-emit → verify is exact for every match >=
+    min_len + winnow - 1 at the sampled shuffle cost (pinned)."""
     if winnow < 1:
         raise ValueError("winnow must be >= 1")
+    if emit not in ("spans", "seeds"):
+        raise ValueError(f"emit: {emit!r}")
     seeds = _seed_grams(df, text_col, id_col, min_len)
     if winnow > 1:
         # Pick(s) = (fp,pos)-min of the w grams starting at this row's
@@ -426,6 +436,11 @@ def cross_doc_repeats(
             (F.col("pos_a") - F.col("pos_b")).alias("__diag"),
         )
     )
+    if emit == "seeds":
+        L = int(min_len)
+        return hits.select(
+            "id_a", "id_b", "pos_a", "pos_b", F.lit(L).alias("length")
+        )
     # runs of near-consecutive seed positions on one diagonal == one
     # (maximal, when winnow=1) match: island-number by gaps in pos_a,
     # then collapse each island. Winnowed picks inside a shared region
@@ -577,3 +592,92 @@ def cross_doc_dedup(
             "n_removed_chars"
         ),
     )
+
+
+def verify_cross_doc_candidates(
+    df: DataFrame,
+    seeds: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact per-pair verification/extension of winnowed candidates:
+    (id_a, id_b, pos_a, pos_b, length) MAXIMAL matches, each the full
+    diagonal extension of a candidate seed against the actual text —
+    the second half of the sampled cross-doc ExactSubstr stack:
+
+        cross_doc_repeats(winnow=w, emit='seeds')  →  this
+
+    equals the EXACT mode restricted to matches >= min_len + w - 1
+    (every such match contains a winnowed seed; extending any seed of
+    a match recovers the whole match; duplicates from multiple seeds
+    of one match collapse on the extended coordinates) — pinned.
+    Shorter matches a lucky sample surfaced come out exact too.
+
+    Scale shape: candidates group per (id_a, id_b) pair (collect_list
+    of the pair's seed offsets — bounded by the pair's shared mass),
+    the two texts join in id-keyed (the text moves ONLY for flagged
+    pairs — candidate pairs are rare by construction), and the
+    extension walks O(match length) characters per seed inside one
+    Arrow batch. No corpus-wide work beyond the two id joins."""
+    import pandas as pd
+    from typing import Iterator
+
+    grouped = (
+        seeds.groupBy("id_a", "id_b")
+        .agg(
+            F.collect_list(F.struct("pos_a", "pos_b")).alias("__seeds")
+        )
+    )
+    texts = df.select(
+        F.col(id_col).alias("__tid"), F.col(text_col).alias("__text")
+    )
+    joined = (
+        grouped.join(texts, grouped["id_a"] == texts["__tid"])
+        .drop("__tid")
+        .withColumnRenamed("__text", "__text_a")
+        .join(texts, grouped["id_b"] == texts["__tid"])
+        .drop("__tid")
+        .withColumnRenamed("__text", "__text_b")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for ia, ib, sds, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["__seeds"],
+                pdf["__text_a"], pdf["__text_b"],
+            ):
+                ta = ta or ""
+                tb = tb or ""
+                found = set()
+                for s in sds:
+                    pa, pb = int(s["pos_a"]), int(s["pos_b"])
+                    lo_a, lo_b = pa, pb
+                    while lo_a > 0 and lo_b > 0 and ta[lo_a - 1] == tb[lo_b - 1]:
+                        lo_a -= 1
+                        lo_b -= 1
+                    hi_a, hi_b = pa, pb
+                    na, nb = len(ta), len(tb)
+                    while hi_a < na and hi_b < nb and ta[hi_a] == tb[hi_b]:
+                        hi_a += 1
+                        hi_b += 1
+                    found.add((lo_a, lo_b, hi_a - lo_a))
+                for (qa, qb, ln) in found:
+                    out.append(
+                        {
+                            "id_a": ia,
+                            "id_b": ib,
+                            "pos_a": qa,
+                            "pos_b": qb,
+                            "length": ln,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["id_a", "id_b", "pos_a", "pos_b", "length"]
+            )
+
+    id_t = dict(seeds.dtypes)["id_a"]
+    return joined.mapInPandas(
+        run,
+        f"id_a {id_t}, id_b {id_t}, pos_a long, pos_b long, length long",
+    ).distinct()

@@ -401,3 +401,38 @@ def test_winnowed_cross_doc_guarantee_and_soundness(spark):
         )
     )
     assert exact == one
+
+
+def test_winnowed_detect_plus_verify_equals_exact(spark):
+    """The sampled stack closes exactly: winnow=w seed emission +
+    per-pair diagonal extension returns (a) EVERY exact-mode maximal
+    match of length >= min_len + w - 1, (b) nothing that is not an
+    exact-mode match — at the sampled shuffle cost."""
+    from dw_etl_spark.operators.exact_substr import (
+        cross_doc_repeats,
+        verify_cross_doc_candidates,
+    )
+
+    rows = _xdoc_corpus()
+    L, w = 8, 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seeds = cross_doc_repeats(
+        df, "text", "doc_id", min_len=L, max_gram_occ=10_000,
+        winnow=w, emit="seeds",
+    )
+    verified = {
+        (r["id_a"], r["id_b"], r["pos_a"], r["pos_b"], r["length"])
+        for r in verify_cross_doc_candidates(
+            df, seeds, "text", "doc_id"
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["pos_a"], r["pos_b"], r["length"])
+        for r in cross_doc_repeats(
+            df, "text", "doc_id", min_len=L, max_gram_occ=10_000
+        ).collect()
+    }
+    long_exact = {m for m in exact if m[4] >= L + w - 1}
+    assert long_exact, "fixture must contain long matches"
+    assert long_exact <= verified          # (a) nothing long is missed
+    assert verified <= exact               # (b) everything is real
