@@ -4219,3 +4219,86 @@ def test_bin_pack_sequences_invariants_and_efficiency(spark):
         bin_pack_sequences(
             docs, "n_tok", "doc_id", 5, num_groups=2
         ).collect()
+
+
+def test_r9_curation_story_end_to_end(spark):
+    """The round-9 family composed front-to-back on a planted corpus:
+    near-dup clusters → QUALITY-KEYED survivor selection → cross-doc
+    ExactSubstr cut of block quotes (keep-first) → FIM augmentation →
+    BFD sequence packing. Each stage's planted effect is asserted on
+    the way through, and the packed output preserves every surviving
+    augmented document exactly once within valid bins."""
+    from dw_etl_spark.functions.text import token_count
+    from dw_etl_spark.operators.augment import fim_transform
+    from dw_etl_spark.operators.exact_substr import cross_doc_dedup
+    from dw_etl_spark.operators.graph import cluster_dedup
+    from dw_etl_spark.operators.packing import (
+        bin_pack_sequences,
+        packing_efficiency,
+    )
+    from dw_etl_spark.operators.text_dedup import minhash_lsh_pairs
+    from dw_etl_spark.sources.files import read_table
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # planted: near-dup copies of docs 0-9 (longer → 'best' keeps THEM),
+    # and a quoter doc embedding a big block of doc 3
+    copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail words")).alias("text"),
+    )
+    quote = spark.createDataFrame(
+        [(2000, "intro words " + texts[3][40:160] + " outro words")],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(copies).unionByName(quote)
+
+    # near-dup → keep the BEST (longest) member per cluster
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=2, num_hashes=32, bands=8,
+        min_jaccard=0.5,
+    )
+    kept = cluster_dedup(
+        corpus.withColumn("__q", F.length("text")), pairs, score_col="__q"
+    ).drop("__q")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert all(1000 + i in kept_ids for i in range(10))  # copies won
+    assert not any(i in kept_ids for i in range(10))     # originals lost
+    assert 2000 in kept_ids                              # quoter is no near-dup
+
+    # cross-doc cut: the quoted block (>= 60 chars) leaves the quoter
+    cut = cross_doc_dedup(kept, "text", "doc_id", min_len=60)
+    cleaned = {r["id"]: r for r in cut.collect()}
+    assert cleaned[2000]["n_removed_chars"] >= 100
+    assert cleaned[2000]["cleaned"].startswith("intro words ")
+    # keep-first is by id order: the donor (doc 3's surviving copy,
+    # id 1003) is earlier than the quoter (2000), so ONLY the quoter
+    # pays removal
+    total_removed = sum(r["n_removed_chars"] for r in cleaned.values())
+    assert total_removed == cleaned[2000]["n_removed_chars"]  # only the quoter pays
+
+    # FIM over the cleaned text, then BFD packing of the fim output
+    base = cut.select("id", F.col("cleaned").alias("text"))
+    fim = fim_transform(base, "text", id_col="id", fim_rate=0.5)
+    n_in = base.count()
+    assert fim.count() == n_in
+    packed = bin_pack_sequences(
+        fim.withColumn("n_tok", token_count("fim_text")),
+        "n_tok",
+        "id",
+        seq_len=4096,
+        num_groups=3,
+    )
+    rows = packed.select("id", "n_tok", "bin_id", "bin_offset").collect()
+    assert len(rows) == n_in  # every doc exactly once
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], 0)
+        by_bin[r["bin_id"]] += r["n_tok"]
+    assert all(v <= 4096 for v in by_bin.values())
+    eff = packing_efficiency(packed, "n_tok", 4096).first()
+    assert eff["n_docs"] == n_in and eff["padding_frac"] < 0.9
