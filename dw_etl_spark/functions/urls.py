@@ -167,3 +167,73 @@ def block_domains(
         "left_semi" if keep else "left_anti",
     )
     return joined.drop("__dom")
+
+
+def robots_filter(
+    df: "DataFrame",
+    url_col: str,
+    robots_df: "DataFrame",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+    default_allow: bool = True,
+) -> "DataFrame":
+    """Drop rows whose URL the host's robots.txt disallows for
+    ``agent`` — the crawl-curation politeness/compliance gate.
+    ``robots_df`` is the per-host robots corpus (host, robots_txt) a
+    crawler already fetched; hosts with no row (or a NULL body) fall
+    back to ``default_allow``.
+
+    Scale shape: the robots table is hosts-sized — it BROADCAST-joins
+    onto the rows by ``url_host``; evaluation is an Arrow-batched
+    ``mapInPandas`` that parses each host's robots.txt ONCE per task
+    (stdlib ``urllib.robotparser``, parser cached per host within the
+    batch iterator) — no shuffle beyond the broadcast, no Python in
+    the join path. Parsing semantics are the stdlib's — NOTE: ``urllib.robotparser``
+    applies rules FIRST-MATCH in file order, not RFC 9309
+    longest-match (an ``Allow`` carving an exception out of a broader
+    ``Disallow`` must precede it) — which is also exactly what a
+    Python crawler obeying robots via the stdlib would have
+    enforced."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    marked = df.withColumn("__rb_host", url_host(url_col)).join(
+        F.broadcast(
+            robots_df.select(
+                F.col(host_col).alias("__rb_host"),
+                F.col(robots_col).alias("__rb_txt"),
+            )
+        ),
+        "__rb_host",
+        "left",
+    )
+    out_cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.robotparser import RobotFileParser
+
+        parsers: dict[str, RobotFileParser | None] = {}
+        for pdf in batches:
+            keep = []
+            for url, host, txt in zip(
+                pdf[url_col], pdf["__rb_host"], pdf["__rb_txt"]
+            ):
+                if txt is None or host is None:
+                    keep.append(default_allow)
+                    continue
+                rp = parsers.get(host)
+                if rp is None:
+                    rp = RobotFileParser()
+                    rp.parse(txt.splitlines())
+                    parsers[host] = rp
+                try:
+                    keep.append(rp.can_fetch(agent, url))
+                except Exception:
+                    keep.append(default_allow)
+            yield pdf.loc[keep, out_cols]
+
+    schema = marked.select(*out_cols).schema
+    return marked.mapInPandas(run, schema)

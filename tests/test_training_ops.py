@@ -4302,3 +4302,62 @@ def test_r9_curation_story_end_to_end(spark):
     assert all(v <= 4096 for v in by_bin.values())
     eff = packing_efficiency(packed, "n_tok", 4096).first()
     assert eff["n_docs"] == n_in and eff["padding_frac"] < 0.9
+
+
+def test_robots_filter_obeys_per_host_rules(spark):
+    """robots_filter: per-host robots.txt rules enforced via the
+    stdlib parser (an independent reference by construction), agent
+    override honored, missing/NULL robots falls back to default_allow
+    both ways, and row content passes through untouched."""
+    from dw_etl_spark.functions.urls import robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example.com",
+                # stdlib robotparser applies rules FIRST-MATCH in file
+                # order (not RFC-9309 longest-match): Allow must precede
+                # the broader Disallow to carve out the exception
+                "User-agent: *\nAllow: /private/ok\nDisallow: /private/\n",
+            ),
+            (
+                "b.example.com",
+                "User-agent: trainbot\nDisallow: /\n"
+                "User-agent: *\nDisallow:\n",
+            ),
+            ("c.example.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = [
+        (1, "http://a.example.com/public/x"),
+        (2, "http://a.example.com/private/x"),
+        (3, "http://a.example.com/private/ok"),
+        (4, "http://b.example.com/anything"),
+        (5, "http://c.example.com/null-robots"),
+        (6, "http://nohost.example.net/no-row"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    kept = {
+        r["doc_id"] for r in robots_filter(df, "url", robots).collect()
+    }
+    assert kept == {1, 3, 4, 5, 6}
+
+    bot = {
+        r["doc_id"]
+        for r in robots_filter(df, "url", robots, agent="trainbot").collect()
+    }
+    assert 4 not in bot and 1 in bot  # b.example.com bans trainbot only
+
+    strict = {
+        r["doc_id"]
+        for r in robots_filter(
+            df, "url", robots, default_allow=False
+        ).collect()
+    }
+    assert strict == {1, 3, 4}  # no-robots hosts drop under strict
+
+    out = robots_filter(df, "url", robots).orderBy("doc_id").collect()
+    assert [r["url"] for r in out] == [u for (i, u) in rows if i in kept]
+    assert out[0].asDict().keys() == {"doc_id", "url"}
