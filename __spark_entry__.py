@@ -1569,6 +1569,224 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_rows.unionByName(best_rows).unionByName(cc2_rows)
 
 
+#: coordinates in the corpus_overlap gate sketch — small enough that the
+#: 3·K min rows stay cheap, large enough that the estimates are visibly
+#: close to the exact counts riding alongside them
+_OVERLAP_K = 24
+
+
+def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation from k-mins (KMV-family) sketch state
+    alone: two snapshot slices of ``documents`` (doc_id %3≠0 vs %2≠0 —
+    a genuine ⅓-of-corpus intersection), each reduced to a K-coordinate
+    min-hash state in ONE aggregation pass, then union / intersection /
+    Jaccard / containment answered from the two KB-sized states without
+    ever joining the corpora. The ingest-planning question this exists
+    for at 100 TB: "how much of today's crawl is already in the lake?"
+    — HLL (``distinct_sketch``) can union but cannot intersect; k-mins
+    can (coordinate equality IS the MinHash Jaccard estimator).
+
+    Sections: ``min:a``/``min:b``/``min:u`` pin the sketch state itself
+    (per-coordinate min md5 — a plain relational value the oracle
+    replays verbatim, unlike HLL's opaque binary); ``est:*``,
+    ``jaccard`` and ``containment:a_in_b`` pin the full estimator
+    arithmetic (exact BIGINT prefix sums → one double division, so the
+    replay is bit-identical); ``exact:*`` rows carry the true counts
+    from one flags pass, putting estimate-vs-truth side by side in the
+    gate output. The joined sketch row is lazily persisted so the min
+    and stat sections share the two aggregation passes (session-owned
+    pin, PLANS.md #43)."""
+    from dw_etl_spark.operators.sketches import (
+        kmins_distinct_est,
+        kmins_match_count,
+        kmins_sketch,
+    )
+
+    k = _OVERLAP_K
+    docs = read_table(spark, sf_dir, "documents")
+    side_a = docs.filter(F.col("doc_id") % 3 != 0)
+    side_b = docs.filter(F.col("doc_id") % 2 != 0)
+    from dw_etl_spark.operators.sketches import _sketch_join_key
+
+    # join key derived from the sketch data, not a literal — a literal
+    # folds to a BNLJ; this plans a BroadcastHashJoin (sweep-strict)
+    sa = kmins_sketch(side_a, "text", k=k).select(
+        F.col("kmins").alias("a")
+    ).select(_sketch_join_key(F.col("a")).alias("__j"), "a")
+    sb = kmins_sketch(side_b, "text", k=k).select(
+        F.col("kmins").alias("b")
+    ).select(_sketch_join_key(F.col("b")).alias("__j"), "b")
+    both = (
+        sa.join(F.broadcast(sb), "__j")
+        .select(
+            "a",
+            "b",
+            F.zip_with("a", "b", lambda x, y: F.least(x, y)).alias("u"),
+        )
+        .persist()
+    )
+
+    def _min_rows(col: str) -> DataFrame:
+        return both.select(
+            F.posexplode(F.col(col)).alias("coord", "value_s")
+        ).select(
+            F.lit(f"min:{col}").alias("section"),
+            "coord",
+            "value_s",
+            F.lit(None).cast("double").alias("value_d"),
+        )
+
+    ea = kmins_distinct_est(F.col("a"), k)
+    eb = kmins_distinct_est(F.col("b"), k)
+    eu = kmins_distinct_est(F.col("u"), k)
+    jac = kmins_match_count(F.col("a"), F.col("b")).cast("double") / F.lit(
+        float(k)
+    )
+    ei = jac * eu
+
+    def _stat(section: str, value: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(section).alias("section"), F.round(value, 6).alias("value_d")
+        )
+
+    stat_rows = both.select(
+        F.explode(
+            F.array(
+                _stat("est:a", ea),
+                _stat("est:b", eb),
+                _stat("est:union", eu),
+                _stat("jaccard", jac),
+                _stat("est:intersection", ei),
+                _stat("containment:a_in_b", ei / ea),
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.section").alias("section"),
+        F.lit(-1).alias("coord"),
+        F.lit(None).cast("string").alias("value_s"),
+        F.col("s.value_d").alias("value_d"),
+    )
+
+    flags = (
+        docs.select(
+            "text",
+            (F.col("doc_id") % 3 != 0).cast("int").alias("ina"),
+            (F.col("doc_id") % 2 != 0).cast("int").alias("inb"),
+        )
+        .filter((F.col("ina") == 1) | (F.col("inb") == 1))
+        .groupBy("text")
+        .agg(F.max("ina").alias("fa"), F.max("inb").alias("fb"))
+    )
+    exact_rows = flags.agg(
+        F.sum("fa").alias("na"),
+        F.sum("fb").alias("nb"),
+        F.count(F.lit(1)).alias("nu"),
+        F.sum(F.col("fa") * F.col("fb")).alias("ni"),
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("section"),
+                        F.col(c).cast("double").alias("value_d"),
+                    )
+                    for s, c in [
+                        ("exact:a", "na"),
+                        ("exact:b", "nb"),
+                        ("exact:union", "nu"),
+                        ("exact:intersection", "ni"),
+                    ]
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.section").alias("section"),
+        F.lit(-1).alias("coord"),
+        F.lit(None).cast("string").alias("value_s"),
+        F.col("s.value_d").alias("value_d"),
+    )
+
+    return (
+        _min_rows("a")
+        .unionByName(_min_rows("b"))
+        .unionByName(_min_rows("u"))
+        .unionByName(stat_rows)
+        .unionByName(exact_rows)
+    )
+
+
+def _corpus_overlap_sql() -> str:
+    k = _OVERLAP_K
+    num = repr(float((k - 1) * 16**15))
+    return f"""
+WITH co AS (SELECT unnest(range({k})) AS i),
+ma AS (
+  SELECT i, min(md5('km' || i || ':' || text)) AS m
+  FROM documents, co WHERE doc_id % 3 <> 0 GROUP BY i
+),
+mb AS (
+  SELECT i, min(md5('km' || i || ':' || text)) AS m
+  FROM documents, co WHERE doc_id % 2 <> 0 GROUP BY i
+),
+mu AS (
+  SELECT i, CASE WHEN ma.m <= mb.m THEN ma.m ELSE mb.m END AS m
+  FROM ma JOIN mb USING (i)
+),
+sums AS (
+  SELECT
+    (SELECT sum(('0x' || substr(m, 1, 15))::BIGINT) FROM ma) AS sa,
+    (SELECT sum(('0x' || substr(m, 1, 15))::BIGINT) FROM mb) AS sb,
+    (SELECT sum(('0x' || substr(m, 1, 15))::BIGINT) FROM mu) AS su,
+    (SELECT count(*) FROM ma JOIN mb USING (i) WHERE ma.m = mb.m) AS mt
+),
+flags AS (
+  SELECT text,
+         max(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS fa,
+         max(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS fb
+  FROM documents
+  WHERE doc_id % 3 <> 0 OR doc_id % 2 <> 0
+  GROUP BY text
+)
+SELECT 'min:a' AS section, CAST(i AS INTEGER) AS coord,
+       m AS value_s, CAST(NULL AS DOUBLE) AS value_d FROM ma
+UNION ALL
+SELECT 'min:b', CAST(i AS INTEGER), m, CAST(NULL AS DOUBLE) FROM mb
+UNION ALL
+SELECT 'min:u', CAST(i AS INTEGER), m, CAST(NULL AS DOUBLE) FROM mu
+UNION ALL
+SELECT s.section, CAST(-1 AS INTEGER), CAST(NULL AS VARCHAR), s.value_d
+FROM sums, LATERAL (
+  SELECT * FROM (VALUES
+    ('est:a', round({num} / CAST(sa AS DOUBLE), 6)),
+    ('est:b', round({num} / CAST(sb AS DOUBLE), 6)),
+    ('est:union', round({num} / CAST(su AS DOUBLE), 6)),
+    ('jaccard', round(CAST(mt AS DOUBLE) / {float(k)!r}, 6)),
+    ('est:intersection',
+     round((CAST(mt AS DOUBLE) / {float(k)!r})
+           * ({num} / CAST(su AS DOUBLE)), 6)),
+    ('containment:a_in_b',
+     round(((CAST(mt AS DOUBLE) / {float(k)!r})
+            * ({num} / CAST(su AS DOUBLE)))
+           / ({num} / CAST(sa AS DOUBLE)), 6))
+  ) v(section, value_d)
+) s
+UNION ALL
+SELECT e.section, CAST(-1 AS INTEGER), CAST(NULL AS VARCHAR), e.value_d
+FROM (
+  SELECT sum(fa) AS na, sum(fb) AS nb, count(*) AS nu,
+         sum(fa * fb) AS ni
+  FROM flags
+) ex, LATERAL (
+  SELECT * FROM (VALUES
+    ('exact:a', CAST(na AS DOUBLE)),
+    ('exact:b', CAST(nb AS DOUBLE)),
+    ('exact:union', CAST(nu AS DOUBLE)),
+    ('exact:intersection', CAST(ni AS DOUBLE))
+  ) v(section, value_d)
+) e
+"""
+
+
 def _dedup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE
@@ -3078,14 +3296,30 @@ FROM (VALUES {", ".join(rows)}) AS t(media_id, kind, n_bytes, {cols})
 """
 
 
+def _q_dim_indicator_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both A8 tercile semantics of the indicator dim in ONE gate row:
+    QcutMode='count' is the equal-count ntile (Id tiebreak), 'value' the
+    reference's pd.qcut bin-by-quantile-edge behavior (duplicates=drop).
+    Merged from the former dim_indicator / dim_indicator_qcut pair —
+    the two variants share the whole pivot→seed→interpolate→Id chain
+    and differ only in the bucket step, and the driver sweep caps at 50
+    queries (the freed slot went to corpus_overlap, PLANS.md #47).
+    Both §2 pins (A7 interpolation, A8/W3 terciles in both semantics)
+    stay hash-checked, now distinguished by QcutMode."""
+    count_rows = build_dim_indicator(spark, sf_dir).select(
+        F.lit("count").alias("QcutMode"), "*"
+    )
+    value_rows = build_dim_indicator(spark, sf_dir, qcut="value").select(
+        F.lit("value").alias("QcutMode"), "*"
+    )
+    return count_rows.unionByName(value_rows)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dim_date": build_dim_date,
     "dim_order": build_dim_order,
     "dim_part": build_dim_part,
-    "dim_indicator": build_dim_indicator,
-    "dim_indicator_qcut": lambda spark, sf_dir: build_dim_indicator(
-        spark, sf_dir, qcut="value"
-    ),
+    "dim_indicator": _q_dim_indicator_both,
     "fact_lineitem": build_fact,
     "pricing_summary": _q_pricing_summary,
     "region_revenue": _q_region_revenue,
@@ -3117,6 +3351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": _q_simhash,
     "contamination": _q_contamination,
     "dedup_clusters": _q_dedup_clusters,
+    "corpus_overlap": _q_corpus_overlap,
     "cosine_topk": _q_cosine_topk,
     "lsh_topk": _q_lsh_topk,
     "ivf_topk": _q_ivf_topk,
@@ -3853,8 +4088,12 @@ def oracle_sql() -> dict[str, str]:
         "dim_date": _DIM_DATE_SQL,
         "dim_order": _DIM_ORDER_SQL,
         "dim_part": _DIM_PART_SQL,
-        "dim_indicator": _dim_indicator_sql(),
-        "dim_indicator_qcut": _dim_indicator_sql(qcut="value"),
+        "dim_indicator": (
+            f"SELECT 'count' AS QcutMode, * FROM ({_dim_indicator_sql()})\n"
+            "UNION ALL\n"
+            "SELECT 'value' AS QcutMode, * FROM "
+            f"({_dim_indicator_sql(qcut='value')})"
+        ),
         "fact_lineitem": _FACT_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "region_revenue": _REGION_REVENUE_SQL,
@@ -3936,6 +4175,7 @@ FROM base LEFT JOIN edges USING (lang_pred)
         "simhash_pairs": oracles.simhash_pairs_sql(max_bucket_size=3),
         "contamination": _contamination_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "corpus_overlap": _corpus_overlap_sql(),
         "cosine_topk": f"""
 SELECT 'cos' AS section, query_id, neighbor_id, cos_sim,
        CAST(NULL AS DOUBLE) AS bm25_score, CAST(NULL AS BIGINT) AS rank

@@ -451,3 +451,171 @@ def cms_estimate(
         .groupBy(key_col, *other)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(out_col))
     )
+
+
+# ------------------------------------------------ k-mins (KMV) sketches
+
+#: 64 coordinates: distinct-estimate relative SE ~ 1/sqrt(62) ~ 13 %,
+#: Jaccard SE ~ sqrt(J(1-J)/64); state is 64 fixed-width hex strings
+KMINS_DEFAULT_K = 64
+
+#: numeric value of a 15-hex-digit prefix's denominator (16^15) — the
+#: min-hash fraction is prefix_int / 16^15 in [0, 1)
+_KMINS_SCALE = 16 ** 15
+
+
+def _km_hash(key: F.Column, i: int) -> F.Column:
+    """Coordinate-``i`` hash of a key: md5 under a per-coordinate salt.
+    md5 hex is fixed-width lowercase, so LEXICOGRAPHIC min == numeric
+    min — the sketch state stays a plain string and the DuckDB twin
+    replays it with ``min(md5(...))`` verbatim."""
+    return F.md5(F.concat(F.lit(f"km{i}:"), key.cast("string")))
+
+
+def kmins_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = KMINS_DEFAULT_K,
+    by: list[str] | None = None,
+    out_col: str = "kmins",
+) -> DataFrame:
+    """K-mins (KMV-family) distinct sketch: per group, coordinate ``i``
+    holds min over rows of ``md5('km{i}:' || key)`` — the classic
+    k-independent-min-hash signature (Broder 1997; Bar-Yossef et al.
+    2002 for the distinct estimator).
+
+    Why a second distinct sketch next to HLL: element-wise min is the
+    merge, and EQUALITY of coordinates across two sketches estimates
+    Jaccard — so two corpus snapshots' overlap (union, intersection,
+    containment) falls out of two KB-sized states without ever joining
+    the corpora. HLL unions but cannot intersect; this can.
+
+    One aggregation pass (k ``min`` exprs, map-side combined, all JVM
+    codegen — the shuffle carries k strings per group, not rows). NULL
+    keys are ignored. Unlike HLL's opaque binary, the state is a plain
+    ``array<string>`` — it persists as parquet and replays closed-form
+    in DuckDB, so the gate pins the sketch itself.
+    """
+    key = F.col(key_col)
+    gb = df.filter(key.isNotNull()).groupBy(*(by or []))
+    agg = gb.agg(*[F.min(_km_hash(key, i)).alias(f"__m{i}") for i in range(k)])
+    return agg.select(
+        *(by or []),
+        F.array(*[F.col(f"__m{i}") for i in range(k)]).alias(out_col),
+    )
+
+
+def merge_kmins(
+    df: DataFrame,
+    k: int = KMINS_DEFAULT_K,
+    by: list[str] | None = None,
+    sketch_col: str = "kmins",
+) -> DataFrame:
+    """Merge k-mins states coordinate-wise (element-wise min across
+    rows): idempotent, commutative, associative — increment grouping
+    and order don't matter, same contract as the HLL/quantile/CMS
+    merges. One aggregation pass over sketch rows (KBs each)."""
+    gb = df.groupBy(*(by or []))
+    agg = gb.agg(
+        *[
+            F.min(F.element_at(F.col(sketch_col), i + 1)).alias(f"__m{i}")
+            for i in range(k)
+        ]
+    )
+    return agg.select(
+        *(by or []),
+        F.array(*[F.col(f"__m{i}") for i in range(k)]).alias(sketch_col),
+    )
+
+
+def _kmins_frac_sum(sketch: F.Column) -> F.Column:
+    """Exact integer sum of the 15-hex-digit prefixes — BIGINT addition
+    is order-independent, so the later double division is bit-identical
+    across engines (summing doubles would not be)."""
+    return F.aggregate(
+        F.transform(
+            sketch, lambda x: F.conv(F.substring(x, 1, 15), 16, 10).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmins_distinct_est(sketch: F.Column | str, k: int = KMINS_DEFAULT_K) -> F.Column:
+    """Distinct-count estimate: n-hat = (k-1) * 16^15 / sum(prefix_int)
+    — the unbiased rate estimator for the exponential approximation of
+    coordinate minima (sum of k mins ~ Gamma(k, 1/n)); relative SE
+    ~ 1/sqrt(k-2). The numerator is ONE pre-folded double literal so
+    the replay does a single identical division."""
+    c = F.col(sketch) if isinstance(sketch, str) else sketch
+    num = float((k - 1) * _KMINS_SCALE)
+    return F.lit(num) / _kmins_frac_sum(c).cast("double")
+
+
+def kmins_match_count(a: F.Column | str, b: F.Column | str) -> F.Column:
+    """Number of coordinates where two sketches agree — the MinHash
+    collision count; matches/k is the unbiased Jaccard estimator."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sketch_join_key(sketch: F.Column) -> F.Column:
+    """Constant 1 derived FROM the sketch data (least(1, len(min_0))):
+    a literal join key between two 1-row aggregates constant-folds the
+    condition away and plans a BroadcastNestedLoopJoin; a data-derived
+    key is opaque to the optimizer and plans a plain BroadcastHashJoin
+    (same trick as the csv-quarantine zip in ``__spark_entry__``)."""
+    return F.least(F.lit(1), F.length(F.element_at(sketch, 1)))
+
+
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    k: int = KMINS_DEFAULT_K,
+) -> DataFrame:
+    """Overlap profile of two corpus snapshots from their k-mins
+    sketches alone: one row —
+
+      est_a, est_b        distinct estimates per side
+      est_union           estimate of the merged (element-wise min) state
+      jaccard             matches / k
+      est_intersection    jaccard * est_union (inclusion via MinHash)
+      containment_a_in_b  est_intersection / est_a ("how much of A is
+                          already in B" — the dedup-planning number)
+
+    Cost: one aggregation pass per side (never a join of the corpora);
+    the two 1-row sketch frames combine on a literal key (a broadcast
+    hash join on an aggregate-produced key — no cartesian). At 100 TB
+    the sides are typically different ingest days: sketch each once,
+    persist the KB-sized state, and answer every later overlap question
+    from state alone.
+    """
+    sa = kmins_sketch(df_a, key_col, k=k).select(
+        F.col("kmins").alias("__a")
+    ).select(_sketch_join_key(F.col("__a")).alias("__j"), "__a")
+    sb = kmins_sketch(df_b, key_col, k=k).select(
+        F.col("kmins").alias("__b")
+    ).select(_sketch_join_key(F.col("__b")).alias("__j"), "__b")
+    both = sa.join(F.broadcast(sb), "__j")
+    merged = F.zip_with(F.col("__a"), F.col("__b"), lambda x, y: F.least(x, y))
+    jac = (
+        kmins_match_count(F.col("__a"), F.col("__b")).cast("double")
+        / F.lit(float(k))
+    )
+    est_u = kmins_distinct_est(merged, k)
+    return both.select(
+        kmins_distinct_est(F.col("__a"), k).alias("est_a"),
+        kmins_distinct_est(F.col("__b"), k).alias("est_b"),
+        est_u.alias("est_union"),
+        jac.alias("jaccard"),
+        (jac * est_u).alias("est_intersection"),
+        ((jac * est_u) / kmins_distinct_est(F.col("__a"), k)).alias(
+            "containment_a_in_b"
+        ),
+    )

@@ -114,6 +114,17 @@ _REQUIRED_SECTIONS = {
         ("algo", "eq", "best"),
         ("algo", "eq", "cc2"),
     ],
+    "dim_indicator": [
+        ("QcutMode", "eq", "count"),
+        ("QcutMode", "eq", "value"),
+    ],
+    "corpus_overlap": [
+        ("section", "prefix", "min:"),
+        ("section", "prefix", "est:"),
+        ("section", "prefix", "exact:"),
+        ("section", "eq", "jaccard"),
+        ("section", "eq", "containment:a_in_b"),
+    ],
     "csv_roundtrip": [("PriceCategory", "eq", "__quarantine")],
     "text_features": [("ppl_bucket", "notnull", None)],
     "sampling_splits": [("grp", "prefix", "temp:")],

@@ -159,12 +159,14 @@ def test_approx_profile_sketch_agg_is_expand_free(spark):
 def test_dim_indicator_qcut_plan_has_no_joins(spark):
     """The value-bin tercile variant assigns buckets via inlined literal
     CASE chains (driver-interpolated quantile edges) — zero joins in the
-    plan, same exchange family as the count-based sibling."""
+    plan, same exchange family as the count-based sibling. (The two
+    variants now ship merged under the dim_indicator gate key; the
+    value path is exercised directly here.)"""
     import re
 
-    import __spark_entry__ as e
+    from dw_etl_spark.plans.star_schema import build_dim_indicator
 
-    df = e.queries()["dim_indicator_qcut"](spark, SF_SMOKE)
+    df = build_dim_indicator(spark, SF_SMOKE, qcut="value")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"Join|CartesianProduct", plan)
 

@@ -4361,3 +4361,68 @@ def test_robots_filter_obeys_per_host_rules(spark):
     out = robots_filter(df, "url", robots).orderBy("doc_id").collect()
     assert [r["url"] for r in out] == [u for (i, u) in rows if i in kept]
     assert out[0].asDict().keys() == {"doc_id", "url"}
+
+
+def test_kmins_sketch_merge_invariance_and_overlap_estimates(spark):
+    """K-mins sketch contracts: (1) merging per-increment sketches is
+    byte-identical to one pass over the union (same mergeable-state
+    contract as HLL/quantile/CMS); (2) the distinct estimator lands
+    within the ~1/sqrt(k-2) error band of the truth at k=96; (3) the
+    sketch-only intersection estimate tracks the exact overlap of two
+    planted sets; (4) coordinate matches are exactly k on identical
+    inputs (jaccard estimator = 1)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.sketches import (
+        corpus_overlap,
+        kmins_match_count,
+        kmins_sketch,
+        merge_kmins,
+    )
+
+    k = 96
+    n = 3000
+    df = spark.range(n).select(F.concat(F.lit("key"), F.col("id")).alias("key"))
+
+    one_shot = kmins_sketch(df, "key", k=k).collect()[0]["kmins"]
+    # three increments with overlap (duplicates must not matter)
+    incs = [
+        df.filter(F.col("key").substr(4, 10).cast("long") % 3 != r)
+        for r in range(3)
+    ]
+    per_inc = [kmins_sketch(i, "key", k=k) for i in incs]
+    merged = merge_kmins(
+        per_inc[0].unionByName(per_inc[1]).unionByName(per_inc[2]), k=k
+    ).collect()[0]["kmins"]
+    assert merged == one_shot  # (1) idempotent, grouping-independent
+
+    # (2) estimator accuracy: 4 standard errors at k=96 is ~41%
+    from dw_etl_spark.operators.sketches import kmins_distinct_est
+
+    est = (
+        kmins_sketch(df, "key", k=k)
+        .select(kmins_distinct_est("kmins", k).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(est - n) / n < 4 / math.sqrt(k - 2)
+
+    # (3) overlap of A=[0,2000) and B=[1000,3000): exact intersection
+    # 1000, union 3000, jaccard 1/3
+    a = df.filter(F.col("key").substr(4, 10).cast("long") < 2000)
+    b = df.filter(F.col("key").substr(4, 10).cast("long") >= 1000)
+    row = corpus_overlap(a, b, "key", k=k).collect()[0]
+    assert abs(row["est_union"] - 3000) / 3000 < 4 / math.sqrt(k - 2)
+    assert abs(row["jaccard"] - 1 / 3) < 4 * math.sqrt((1 / 3) * (2 / 3) / k)
+    assert abs(row["est_intersection"] - 1000) / 1000 < 0.75
+    assert 0 < row["containment_a_in_b"] < 1
+
+    # (4) identical inputs: every coordinate matches
+    sk = kmins_sketch(df, "key", k=k)
+    pair = sk.select(F.col("kmins").alias("x")).join(
+        F.broadcast(sk.select(F.lit(1).alias("__j"), F.col("kmins").alias("y"))),
+        F.lit(True),
+    )
+    m = pair.select(kmins_match_count("x", "y").alias("m")).collect()[0]["m"]
+    assert m == k
