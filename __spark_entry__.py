@@ -255,7 +255,16 @@ def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate path — then point-estimated for the exact top-3 values.
     ``cms:``-prefixed rows carry the estimates; the DuckDB twin
     (oracles.cms_topk_sql) replays the identical md5-salted grid, so
-    any estimate drift (or a broken merge) hash-mismatches."""
+    any estimate drift (or a broken merge) hash-mismatches.
+
+    r9 rode-along: ``hh:``-prefixed rows are the TPUT-style
+    distributed EXACT top-5 of lineitem's ``l_suppkey`` frequency
+    (``heavy_hitters.exact_topk`` — per-partition local tops, zero
+    shuffle, then exact verification of the small candidate set; the
+    escalation loop makes the answer the true top-k independent of
+    partitioning, which is what lets it live under the hash gate —
+    the oracle is a plain exact GROUP BY top-5)."""
+    from dw_etl_spark.operators.heavy_hitters import exact_topk
     from dw_etl_spark.operators.sketches import (
         cms_build,
         cms_estimate,
@@ -273,7 +282,12 @@ def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("cms:"), F.col("value")).alias("value"),
         F.col("est").alias("cnt"),
     )
-    return exact.unionByName(cms_rows)
+    li = read_table(spark, sf_dir, "lineitem")
+    hh_rows = exact_topk(li, "l_suppkey", k=5, m=256).select(
+        F.concat(F.lit("hh:"), F.col("l_suppkey").cast("string")).alias("value"),
+        F.col("cnt"),
+    )
+    return exact.unionByName(cms_rows).unionByName(hh_rows)
 
 
 _DESCRIBE_COLS = ["l_quantity", "l_extendedprice"]

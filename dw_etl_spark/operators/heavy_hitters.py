@@ -1,0 +1,152 @@
+"""Distributed EXACT top-k heavy hitters without a full-vocabulary
+shuffle.
+
+The naive exact top-k (``groupBy(key).count()`` + TakeOrdered) shuffles
+one row per DISTINCT key — at 100 TB a token- or URL-keyed count means
+shuffling billions of tail keys that can never reach the top-k. The
+classic fix (TPUT — Cao & Wang, "Efficient top-k query calculation in
+distributed networks", PODC 2004; same family as Misra-Gries per-shard
+summaries) is:
+
+  phase 1  each partition counts ITS OWN rows locally (zero shuffle,
+           ``mapInPandas`` over the partition iterator) and emits only
+           its top-``m`` (key, local_count) pairs plus its m-th local
+           count t_p — the "threshold" row;
+  bound    any key absent from every partition's top-m has total count
+           <= sum_p t_p (it was beaten by m keys in every partition);
+  phase 2  exact counts for the CANDIDATE set only: broadcast the
+           (<= m * n_partitions)-sized candidate keys, semi-join the
+           corpus, one aggregation whose shuffle carries candidate
+           rows only — the tail never moves;
+  proof    if the k-th verified count is STRICTLY greater than the
+           bound, no unseen key can displace (or tie into) the top-k:
+           the result is provably the exact top-k.
+
+``exact_topk`` wraps the three phases in an escalation loop: if the
+proof fails (m too small for the key distribution), m doubles and
+phase 1 re-runs — so the RETURNED ANSWER is always the true top-k,
+independent of partitioning; only the number of full-scan rounds
+varies. Each round costs one corpus scan; size ``m`` off a frequency
+sketch (``sketches.cms_build``) to land in one round. Memory per task
+in phase 1 is one Counter over the partition's distinct keys — bounded
+by ``spark.sql.files.maxPartitionBytes`` worth of rows, the same
+envelope as every other ``mapInPandas`` user in this repo.
+
+Ties: top-k is ordered by (count DESC, key ASC), so the cut is
+deterministic; the proof uses a STRICT inequality so an unseen key
+tying the k-th count can never silently reorder the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _local_tops_frame(df: DataFrame, key_col: str, m: int) -> DataFrame:
+    """Phase 1: per-partition local top-``m`` counts + threshold rows
+    (key=NULL, cnt=t_p). Zero shuffle — the iterator form of
+    ``mapInPandas`` sees each input partition exactly once."""
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType, True),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+
+    def local_tops(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf[key_col].dropna())
+        if not c:
+            return
+        top = c.most_common(m)
+        keys = [k for k, _ in top]
+        cnts = [v for _, v in top]
+        # threshold row: the m-th local count, 0 when the partition's
+        # whole vocabulary fit in m (nothing unseen remains here)
+        thr = cnts[-1] if len(c) > m else 0
+        yield pd.DataFrame(
+            {key_col: keys + [None], "cnt": [*cnts, thr]}
+        ).astype({"cnt": "int64"})
+
+    return df.select(key_col).mapInPandas(local_tops, out_schema)
+
+
+def exact_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    m: int = 64,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact top-``k`` (key, cnt) of ``key_col``'s frequency, ordered
+    (cnt DESC, key ASC), computed without shuffling the vocabulary
+    tail. NULL keys are ignored (``count`` semantics). See module
+    docstring for the phase structure and the exactness proof; raises
+    if the proof cannot be established within ``max_rounds``
+    escalations (pathological only: m grows 2x per round).
+
+    The candidate keys (<= m * n_partitions values) are collected to
+    the driver and re-planted as a literal frame — the same
+    driver-interpolated-parameters pattern as qcut's quantile edges —
+    so the RETURNED frame's lineage is phase 2 only (broadcast
+    candidate semi-join + one candidate-rows aggregation over the
+    corpus), and consuming it costs exactly one corpus scan. Keep
+    ``m * partitions`` modest (thousands, not millions).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = df.sparkSession
+    key_field = df.schema[key_col]
+    for _ in range(max_rounds):
+        local = _local_tops_frame(df, key_col, m).persist()
+        try:
+            bound = int(
+                local.filter(F.col(key_col).isNull())
+                .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("bound"))
+                .collect()[0]["bound"]
+            )
+            cand_keys = [
+                r[0]
+                for r in local.filter(F.col(key_col).isNotNull())
+                .select(key_col)
+                .distinct()
+                .collect()
+            ]
+        finally:
+            local.unpersist()
+        if not cand_keys:  # empty input (bound is 0 too): empty top-k
+            return spark.createDataFrame(
+                [], T.StructType([key_field, T.StructField("cnt", T.LongType())])
+            )
+        candidates = spark.createDataFrame(
+            [(x,) for x in cand_keys], T.StructType([key_field])
+        )
+        exact = (
+            df.select(key_col)
+            .join(F.broadcast(candidates), key_col)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        topk = exact.orderBy(F.col("cnt").desc(), F.col(key_col).asc()).limit(k)
+        rows = topk.collect()
+        kth = int(rows[-1]["cnt"])
+        # proof: the k-th verified count is STRICTLY above the bound
+        # every unseen key is under (ties can't reorder the boundary),
+        # and the candidate set is not truncated below k unless the
+        # bound certifies the vocabulary itself is smaller than k
+        if kth > bound and (len(rows) >= k or bound == 0):
+            return topk
+        m *= 2
+    raise RuntimeError(
+        f"exact_topk: proof not established after {max_rounds} rounds "
+        f"(final m={m}) — key distribution too flat; raise m or use "
+        "a plain groupBy count"
+    )

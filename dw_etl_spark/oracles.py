@@ -1428,4 +1428,16 @@ est AS (
 SELECT value, CAST(cnt AS BIGINT) AS cnt FROM exact
 UNION ALL
 SELECT 'cms:' || value AS value, CAST(est AS BIGINT) AS cnt FROM est
+UNION ALL
+-- hh: rows — heavy_hitters.exact_topk is EXACT and
+-- partitioning-independent by construction (escalation until the
+-- TPUT proof holds), so its twin is a plain top-5 with the same
+-- deterministic (cnt DESC, key ASC) cut
+SELECT 'hh:' || CAST(l_suppkey AS VARCHAR) AS value,
+       CAST(cnt AS BIGINT) AS cnt
+FROM (
+  SELECT l_suppkey, count(*) AS cnt
+  FROM lineitem WHERE l_suppkey IS NOT NULL
+  GROUP BY 1 ORDER BY cnt DESC, l_suppkey ASC LIMIT 5
+)
 """

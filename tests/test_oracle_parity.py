@@ -108,7 +108,10 @@ _REQUIRED_SECTIONS = {
         ("col_name", "prefix", "winsor"),
         ("col_name", "prefix", "zscore"),
     ],
-    "topk_values": [("value", "prefix", "cms:")],
+    "topk_values": [
+        ("value", "prefix", "cms:"),
+        ("value", "prefix", "hh:"),
+    ],
     "dedup_clusters": [
         ("algo", "eq", "label"),
         ("algo", "eq", "best"),

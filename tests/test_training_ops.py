@@ -4426,3 +4426,60 @@ def test_kmins_sketch_merge_invariance_and_overlap_estimates(spark):
     )
     m = pair.select(kmins_match_count("x", "y").alias("m")).collect()[0]["m"]
     assert m == k
+
+
+def test_exact_topk_matches_groupby_and_escalates(spark):
+    """TPUT-style exact top-k contracts: (1) equals the plain
+    groupBy-count top-k under the (cnt DESC, key ASC) order on a
+    skewed fixture; (2) a deliberately tiny initial m still returns
+    the exact answer (the escalation loop, not luck, guarantees
+    correctness); (3) NULL keys are ignored; (4) k larger than the
+    vocabulary returns the whole exact histogram."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.heavy_hitters import exact_topk
+
+    # zipf-ish: key j appears ~ N/(j+1) times, plus some NULLs
+    n = 20000
+    df = (
+        spark.range(n)
+        .select(
+            F.when(
+                F.col("id") % 100 != 0,
+                (
+                    F.floor(
+                        F.pow(F.lit(50.0), (F.col("id") % 1000) / 1000.0)
+                    )
+                ).cast("long"),
+            ).alias("key")
+        )
+        .repartition(16)
+    )
+    truth = [
+        (r["key"], r["cnt"])
+        for r in df.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(7)
+        .collect()
+    ]
+
+    got = [
+        (r["key"], r["cnt"])
+        for r in exact_topk(df, "key", k=7, m=64).collect()
+    ]
+    assert got == truth  # (1)
+
+    got_tiny_m = [
+        (r["key"], r["cnt"])
+        for r in exact_topk(df, "key", k=7, m=2, max_rounds=12).collect()
+    ]
+    assert got_tiny_m == truth  # (2) escalation reaches exactness
+
+    # (4) k >> vocabulary: full histogram, still exact
+    small = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "key string"
+    ).repartition(3)
+    rows = exact_topk(small, "key", k=10, m=4).collect()
+    assert [(r["key"], r["cnt"]) for r in rows] == [("a", 2), ("b", 1)]
