@@ -3045,6 +3045,45 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (did % 5).cast("string"),
         F.lit("#sec"),
     )
+    # r9 rode-along: link extraction under the hash gate. A synthetic
+    # page per doc exercises all four resolution classes (absolute w/
+    # tracking params + default port + fragment, protocol-relative,
+    # root-relative, path-relative) through functions/urls.
+    # extract_links (regex extract → resolve → canonicalize, all JVM
+    # array expressions); the ORACLE derives the expected link list
+    # CLOSED-FORM from doc_id — independent of regex/resolution
+    # implementation — same philosophy as the canonical_url column.
+    from dw_etl_spark.functions.urls import extract_links
+
+    html = F.concat(
+        F.lit('<p>intro</p><a href="/rel/'),
+        did.cast("string"),
+        F.lit('">r</a>'),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<A HREF="https://Ext'),
+                (did % 5).cast("string"),
+                F.lit('.Example.COM:443/p?utm_x=1&z=2#f">e</A>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<a href="//cdn.example'),
+                (did % 4).cast("string"),
+                F.lit('.net/lib.js">c</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="sub/'),
+        (did % 7).cast("string"),
+        F.lit('.html">s</a>'),
+    )
+    page_url = F.concat(
+        F.lit("http://host"),
+        (did % 3).cast("string"),
+        F.lit(".example.org/a/b/page.html"),
+    )
     return docs.select(
         "doc_id",
         *[counts[k].alias(f"n_{k}") for k in counts],
@@ -3052,6 +3091,7 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold_punctuation(nfc_normalize(punct)).alias("normalized"),
         canonicalize_url(messy).alias("canonical_url"),
         url_domain(messy).alias("url_dom"),
+        F.array_join(extract_links(html, page_url), " ").alias("out_links"),
     )
 
 
@@ -3110,6 +3150,22 @@ def _pii_scrub_sql() -> str:
         "'&b=' || CAST(doc_id % 7 AS VARCHAR)"
     )
     dom = "'example' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'"
+    # link rode-along: expected out_links derived closed-form —
+    # root-relative gets the base origin; the absolute link is
+    # canonicalized (host lowercased, :443 dropped, utm_x removed,
+    # fragment dropped); protocol-relative inherits http from the
+    # base; path-relative joins onto the base path's directory /a/b
+    links = (
+        "'http://host' || CAST(doc_id % 3 AS VARCHAR) || "
+        "'.example.org/rel/' || CAST(doc_id AS VARCHAR) || "
+        "CASE WHEN doc_id % 2 = 0 THEN ' https://ext' || "
+        "CAST(doc_id % 5 AS VARCHAR) || '.example.com/p?z=2' "
+        "ELSE '' END || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' http://cdn.example' || "
+        "CAST(doc_id % 4 AS VARCHAR) || '.net/lib.js' ELSE '' END || "
+        "' http://host' || CAST(doc_id % 3 AS VARCHAR) || "
+        "'.example.org/a/b/sub/' || CAST(doc_id % 7 AS VARCHAR) || '.html'"
+    )
     return f"""
 WITH s AS (SELECT doc_id, {synth} AS synth FROM documents)
 SELECT doc_id,
@@ -3117,7 +3173,8 @@ SELECT doc_id,
        {red} AS redacted,
        {normalized} AS normalized,
        {canon} AS canonical_url,
-       {dom} AS url_dom
+       {dom} AS url_dom,
+       {links} AS out_links
 FROM s
 """
 

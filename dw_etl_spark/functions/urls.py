@@ -237,3 +237,96 @@ def robots_filter(
 
     schema = marked.select(*out_cols).schema
     return marked.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------- link extraction
+
+#: double-quoted <a href="..."> values, any attribute order, any case.
+#: Java regex and RE2 agree on this pattern (no backreferences); the
+#: gate oracle derives expected links closed-form anyway.
+_HREF_RE = r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"'
+
+
+def extract_hrefs(html: Column | str) -> Column:
+    """Anchor hrefs from an HTML column as ``array<string>``: fragment
+    stripped (never sent to the server), empty values dropped. Pure
+    JVM regexp — one narrow map, no UDF. Contract: double-quoted
+    ``href`` attributes (the overwhelmingly dominant form in real
+    crawl HTML); single-quoted/bare attributes are a parser's job, not
+    a regex's — route exotic markup through the DOM tier
+    (``operators/readability.py``) first."""
+    raw = F.regexp_extract_all(_col(html), F.lit(_HREF_RE), 1)
+    no_frag = F.transform(raw, lambda h: F.element_at(F.split(h, "#"), 1))
+    return F.filter(no_frag, lambda h: h != "")
+
+
+def resolve_href(base: Column | str, href: Column | str) -> Column:
+    """Resolve an href against its page URL — the RFC 3986 subset a
+    link-graph build needs: absolute (kept), protocol-relative
+    (``//host/p`` — base scheme prepended), root-relative (``/p`` —
+    base origin prepended), and path-relative (joined onto the base
+    path's directory). Dot-segments (``../``) are kept literal, NOT
+    normalized — canonicalize+dedup treats them as distinct URLs,
+    which under-merges but never corrupts; full dot-segment removal
+    is left to callers that need it. NULL when the base has no
+    scheme (not a URL)."""
+    b, h = _col(base), _col(href)
+    scheme = url_scheme(b)
+    auth = F.regexp_extract(b, _AUTH_RE, 1)
+    base_path = F.regexp_extract(b, _PATH_RE, 1)
+    base_dir = F.regexp_replace(base_path, r"/[^/]*$", "")
+    origin = F.concat(scheme, F.lit("://"), auth)
+    is_abs = h.rlike(_SCHEME_RE)
+    is_proto_rel = h.startswith("//")
+    is_root = h.startswith("/") & ~is_proto_rel
+    resolved = (
+        F.when(is_abs, h)
+        .when(is_proto_rel, F.concat(scheme, F.lit(":"), h))
+        .when(is_root, F.concat(origin, h))
+        .otherwise(F.concat(origin, base_dir, F.lit("/"), h))
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(resolved)
+
+
+def extract_links(
+    html: Column | str, base: Column | str, canonical: bool = True
+) -> Column:
+    """Outgoing links of a page: hrefs extracted, resolved against the
+    page URL, and (by default) canonicalized — the per-document column
+    a crawl frontier / link-graph build starts from. Whole chain is
+    JVM array expressions over one row; zero shuffle until the caller
+    aggregates."""
+    hrefs = extract_hrefs(html)
+    b = _col(base)
+    resolved = F.transform(hrefs, lambda h: resolve_href(b, h))
+    links = F.filter(resolved, lambda x: x.isNotNull())
+    if canonical:
+        links = F.transform(links, canonicalize_url)
+    return links
+
+
+def host_link_edges(
+    df: DataFrame,
+    html_col: str,
+    base_col: str,
+    weight_out: str = "n",
+) -> DataFrame:
+    """Host-level link graph from raw pages: ``(src_host, dst_host,
+    n)`` with edge multiplicity — the input ``graph.pagerank`` /
+    ``pagerank_fixed`` expect (feed ``select('src_host', 'dst_host')``
+    as the edge list). One explode + ONE aggregation shuffle keyed on
+    the host pair; at crawl scale host-pair cardinality is orders of
+    magnitude below page-pair, so the aggregate is the compaction
+    step, not a bottleneck. Self-loop host edges (intra-site links)
+    are kept — PageRank callers typically filter them; dropping data
+    is the caller's decision."""
+    links = extract_links(html_col, base_col)
+    return (
+        df.select(
+            url_host(_col(base_col)).alias("src_host"),
+            F.explode(links).alias("__l"),
+        )
+        .select("src_host", url_host(F.col("__l")).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias(weight_out))
+    )

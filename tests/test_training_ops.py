@@ -4483,3 +4483,88 @@ def test_exact_topk_matches_groupby_and_escalates(spark):
     ).repartition(3)
     rows = exact_topk(small, "key", k=10, m=4).collect()
     assert [(r["key"], r["cnt"]) for r in rows] == [("a", 2), ("b", 1)]
+
+
+def test_link_extraction_resolution_and_host_graph(spark):
+    """Link extraction contracts: (1) resolve_href agrees with
+    urllib.parse.urljoin on the supported resolution classes
+    (absolute / protocol-relative / root-relative / path-relative,
+    no dot-segments); (2) extract_hrefs strips fragments, drops
+    empties, handles attribute order and case; (3) host_link_edges
+    aggregates multiplicity and feeds pagerank_fixed directly."""
+    from urllib.parse import urljoin
+
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.functions.urls import (
+        extract_hrefs,
+        extract_links,
+        host_link_edges,
+        resolve_href,
+    )
+
+    base = "http://www.site.com/a/b/page.html"
+    hrefs = [
+        "https://other.org/x?q=1",        # absolute
+        "//cdn.net/lib.js",               # protocol-relative
+        "/root/p",                        # root-relative
+        "sub/q.html",                     # path-relative
+        "q2.html",                        # path-relative sibling
+    ]
+    df = spark.createDataFrame([(base, h) for h in hrefs], "b string, h string")
+    got = {
+        r["h"]: r["r"]
+        for r in df.select("h", resolve_href("b", "h").alias("r")).collect()
+    }
+    for h in hrefs:
+        assert got[h] == urljoin(base, h), (h, got[h], urljoin(base, h))
+
+    html = (
+        '<p>x</p><a class="z" href="/one">1</a>'
+        '<A HREF="/two#frag">2</A>'
+        '<a href="">empty</a>'
+        '<a href="https://abs.example.com/p">3</a>'
+    )
+    hdf = spark.createDataFrame([(html, base)], "html string, url string")
+    assert hdf.select(extract_hrefs("html").alias("h")).collect()[0]["h"] == [
+        "/one",
+        "/two",
+        "https://abs.example.com/p",
+    ]
+    links = hdf.select(extract_links("html", "url").alias("l")).collect()[0]["l"]
+    assert links == [
+        "http://www.site.com/one",
+        "http://www.site.com/two",
+        "https://abs.example.com/p",
+    ]
+
+    # host graph: two pages on a.com linking b.com twice + self-loop
+    pages = spark.createDataFrame(
+        [
+            ('<a href="http://b.com/1">x</a><a href="http://b.com/2">y</a>',
+             "http://a.com/p1"),
+            ('<a href="/local">l</a><a href="http://b.com/3">z</a>',
+             "http://a.com/p2"),
+        ],
+        "html string, url string",
+    )
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n"]
+        for r in host_link_edges(pages, "html", "url").collect()
+    }
+    assert edges == {("a.com", "b.com"): 3, ("a.com", "a.com"): 1}
+
+    # composition: the aggregated edges ARE a pagerank edge list
+    from dw_etl_spark.operators.graph import pagerank_fixed
+
+    pr = pagerank_fixed(
+        host_link_edges(pages, "html", "url")
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
+        src="src",
+        dst="dst",
+        rounds=3,
+    )
+    ranks = {r[0]: r[1] for r in pr.collect()}
+    assert set(ranks) == {"a.com", "b.com"}
+    assert ranks["b.com"] > ranks["a.com"]
