@@ -283,7 +283,12 @@ def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("cnt"),
     )
     li = read_table(spark, sf_dir, "lineitem")
-    hh_rows = exact_topk(li, "l_suppkey", k=5, m=256).select(
+    # m sized ABOVE the supplier vocabulary (SF-proportional: 1k at
+    # sf0.1) so the TPUT proof lands in one round on this uniform key
+    # distribution — "size m off a frequency sketch" per the module
+    # docstring; a small m is correct but escalates through extra
+    # full scans (observed: 3 rounds ~ +2 s at sf0.1 with m=256)
+    hh_rows = exact_topk(li, "l_suppkey", k=5, m=2048).select(
         F.concat(F.lit("hh:"), F.col("l_suppkey").cast("string")).alias("value"),
         F.col("cnt"),
     )
@@ -3376,13 +3381,21 @@ def _q_dim_indicator_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     and differ only in the bucket step, and the driver sweep caps at 50
     queries (the freed slot went to corpus_overlap, PLANS.md #47).
     Both §2 pins (A7 interpolation, A8/W3 terciles in both semantics)
-    stay hash-checked, now distinguished by QcutMode."""
-    count_rows = build_dim_indicator(spark, sf_dir).select(
+    stay hash-checked, now distinguished by QcutMode.
+
+    The pivot→seed→interpolate→Id prefix is bucket-independent:
+    materialize it ONCE (localCheckpoint — dim-sized, MBs) and bucket
+    twice, instead of paying the window chain per variant (it is the
+    dominant cost; the r9 merge initially doubled it)."""
+    from dw_etl_spark.plans.star_schema import interpolated_indicator_base
+
+    base = interpolated_indicator_base(spark, sf_dir).localCheckpoint()
+    count_rows = build_dim_indicator(spark, sf_dir, base=base).select(
         F.lit("count").alias("QcutMode"), "*"
     )
-    value_rows = build_dim_indicator(spark, sf_dir, qcut="value").select(
-        F.lit("value").alias("QcutMode"), "*"
-    )
+    value_rows = build_dim_indicator(
+        spark, sf_dir, qcut="value", base=base
+    ).select(F.lit("value").alias("QcutMode"), "*")
     return count_rows.unionByName(value_rows)
 
 

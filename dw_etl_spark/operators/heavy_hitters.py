@@ -106,22 +106,12 @@ def exact_topk(
     spark = df.sparkSession
     key_field = df.schema[key_col]
     for _ in range(max_rounds):
-        local = _local_tops_frame(df, key_col, m).persist()
-        try:
-            bound = int(
-                local.filter(F.col(key_col).isNull())
-                .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("bound"))
-                .collect()[0]["bound"]
-            )
-            cand_keys = [
-                r[0]
-                for r in local.filter(F.col(key_col).isNotNull())
-                .select(key_col)
-                .distinct()
-                .collect()
-            ]
-        finally:
-            local.unpersist()
+        # one phase-1 job: threshold rows (NULL key) and candidates
+        # come out of a single collect of the (<= (m+1) * n_partitions)
+        # -row local-tops frame
+        local_rows = _local_tops_frame(df, key_col, m).collect()
+        bound = sum(r["cnt"] for r in local_rows if r[key_col] is None)
+        cand_keys = list({r[key_col] for r in local_rows if r[key_col] is not None})
         if not cand_keys:  # empty input (bound is 0 too): empty top-k
             return spark.createDataFrame(
                 [], T.StructType([key_field, T.StructField("cnt", T.LongType())])

@@ -86,25 +86,12 @@ def build_dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_dim_indicator(
-    spark: SparkSession, sf_dir: str, qcut: str = "count"
-) -> DataFrame:
-    """DIM_CountryIndicator role (transform.py:256-356), full chain:
-    pivot long→wide (A4) → group-head null seed (A5/A6) → per-group
-    linear interpolation (A7) → sequential Id (F7) → per-'year' tercile
-    buckets (A8/W3).
-
-    events role: user_id = country, day-of-month = year axis,
-    event_type = indicator code, value = indicator value.
-
-    ``qcut`` picks the A8 tercile semantics: ``"count"`` (equal-count
-    ntile, deterministic via Id tiebreak) or ``"value"`` — the
-    reference's actual ``pd.qcut`` bin-by-quantile-edge behavior
-    (transform.py:335), where ties share a bin and duplicate edges
-    collapse the label set (duplicates='drop').
-    """
-    if qcut not in ("count", "value"):
-        raise ValueError(f"qcut must be 'count' or 'value', got {qcut!r}")
+def interpolated_indicator_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-independent prefix of the indicator-dim chain: pivot
+    long→wide (A4) → group-head null seed (A5/A6) → per-group linear
+    interpolation (A7) → sequential Id (F7). Split out so a caller
+    producing BOTH tercile semantics (the merged dim_indicator gate
+    query) materializes this chain once and buckets twice."""
     events = read_table(spark, sf_dir, "events")
     long_form = events.select(
         F.col("user_id").alias("UserId"),
@@ -125,8 +112,48 @@ def build_dim_indicator(
     filled = interpolate_by_group(
         seeded, group_by=["UserId"], order_by="Day", cols=EVENT_TYPES
     )
-    with_id = add_sequential_id(filled, order_by=["UserId", "Day"])
-    if qcut == "value":
+    return add_sequential_id(filled, order_by=["UserId", "Day"])
+
+
+def build_dim_indicator(
+    spark: SparkSession,
+    sf_dir: str,
+    qcut: str = "count",
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """DIM_CountryIndicator role (transform.py:256-356), full chain:
+    pivot long→wide (A4) → group-head null seed (A5/A6) → per-group
+    linear interpolation (A7) → sequential Id (F7) → per-'year' tercile
+    buckets (A8/W3).
+
+    events role: user_id = country, day-of-month = year axis,
+    event_type = indicator code, value = indicator value.
+
+    ``qcut`` picks the A8 tercile semantics: ``"count"`` (equal-count
+    ntile, deterministic via Id tiebreak) or ``"value"`` — the
+    reference's actual ``pd.qcut`` bin-by-quantile-edge behavior
+    (transform.py:335), where ties share a bin and duplicate edges
+    collapse the label set (duplicates='drop').
+
+    ``base`` injects a precomputed (typically already-materialized)
+    ``interpolated_indicator_base`` frame so two bucket variants can
+    share one chain; the caller owns its lifecycle then.
+    """
+    if qcut not in ("count", "value"):
+        raise ValueError(f"qcut must be 'count' or 'value', got {qcut!r}")
+    caller_owns_base = base is not None
+    with_id = base if caller_owns_base else interpolated_indicator_base(
+        spark, sf_dir
+    )
+    if qcut == "value" and caller_owns_base:
+        bucketed = qcut_by_group_expr(
+            with_id,
+            group_by=["Day"],
+            value_col=list(EVENT_TYPES),
+            n=3,
+            out_col=[f"{c}Bucket" for c in EVENT_TYPES],
+        )
+    elif qcut == "value":
         # qcut_by_group_expr reads the frame twice (histogram pass +
         # bucket assembly); pin the dim-sized interpolated frame so the
         # pivot/window chain runs once, not twice (dedup_clusters
