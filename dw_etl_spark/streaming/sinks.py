@@ -595,3 +595,72 @@ def bm25_index_stream_writer(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def kmins_batch_applier(
+    state_dir: str,
+    key_col: str,
+    k: int = 64,
+) -> Callable[[DataFrame, int], None]:
+    """Per-epoch merge step of ``kmins_stream_writer`` — maintain a
+    persisted k-mins (KMV) distinct/overlap sketch from micro-batches.
+
+    Replay contract: a k-mins merge is an element-wise MIN —
+    IDEMPOTENT, unlike the CMS sum — so a replayed epoch re-merges to
+    the identical state and needs NO epoch watermark; the only
+    machinery kept from ``cms_batch_applier`` is the rename-aside
+    directory swap (a crash at any point leaves the previous committed
+    state or the new one, never nothing — ``_recover_swap`` at entry).
+    State is one k-string row (``{state_dir}/kmins``); per-epoch work
+    is one aggregation pass over the batch plus a 2-row merge. Any
+    later job answers "distinct so far?" via ``kmins_distinct_est`` or
+    overlap-vs-another-corpus via coordinate matching, never rescanning
+    the stream's history.
+    """
+    from dw_etl_spark.operators.sketches import kmins_sketch, merge_kmins
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        keyed = batch.filter(F.col(key_col).isNotNull())
+        if keyed.isEmpty():
+            return
+        bs = batch.sparkSession
+        _recover_swap(state_dir)
+        from pathlib import Path
+
+        inc = kmins_sketch(keyed, key_col, k=k)
+        if Path(f"{state_dir}/kmins").exists():
+            prev = bs.read.parquet(f"{state_dir}/kmins")
+            merged = merge_kmins(prev.unionByName(inc), k=k)
+        else:
+            merged = inc
+        staging = f"{state_dir}__staging"
+        merged.coalesce(1).write.mode("overwrite").parquet(f"{staging}/kmins")
+        _commit_swap(state_dir)
+
+    return apply_batch
+
+
+def kmins_stream_writer(
+    stream: DataFrame,
+    state_dir: str,
+    key_col: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Maintain a persisted k-mins sketch from a stream — the fourth
+    mergeable-state sketch with a streaming arm (HLL/quantile/CMS/
+    k-mins): each micro-batch contributes one aggregation pass; the
+    KB-sized state answers distinct-count AND cross-corpus overlap
+    questions (``sketches.corpus_overlap`` semantics) without
+    rescanning history. Idempotent merge → replay-safe by
+    construction; see ``kmins_batch_applier``. Returns the started
+    ``StreamingQuery``; callers ``awaitTermination()``."""
+    writer = stream.writeStream.foreachBatch(
+        kmins_batch_applier(state_dir, key_col, k)
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -556,3 +556,54 @@ def test_cms_applier_crash_recovery_never_loses_state(spark, tmp_path):
         apply(batch, 1)
         assert estimates(state) == {k: 2 * v for k, v in exact.items()}, crash
         assert not old.exists() and not staging.exists()
+
+
+def test_kmins_stream_writer_state_equals_one_shot_and_replay(spark, tmp_path):
+    """Streaming k-mins maintenance: after the availableNow run the
+    persisted sketch is BYTE-IDENTICAL to a one-shot batch sketch over
+    the same rows (mergeable-state contract), replaying any batch is a
+    no-op because the min-merge is idempotent (no watermark machinery
+    to go wrong), and the state answers a corpus-overlap question
+    against a batch-side sketch."""
+    from dw_etl_spark.operators.sketches import (
+        kmins_match_count,
+        kmins_sketch,
+    )
+    from dw_etl_spark.streaming.sinks import (
+        kmins_batch_applier,
+        kmins_stream_writer,
+    )
+
+    K = 32
+    state = str(tmp_path / "km_state")
+    q = kmins_stream_writer(
+        read_events_stream(spark, SF_SMOKE).select("user_id"),
+        state_dir=state,
+        key_col="user_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=K,
+    )
+    q.awaitTermination()
+
+    events = read_table(spark, SF_SMOKE, "events")
+    one_shot = kmins_sketch(events, "user_id", k=K).collect()[0]["kmins"]
+    streamed = spark.read.parquet(f"{state}/kmins").collect()[0]["kmins"]
+    assert streamed == one_shot
+
+    # idempotent replay: re-applying the full corpus changes nothing
+    kmins_batch_applier(state, "user_id", K)(events.select("user_id"), 999)
+    assert (
+        spark.read.parquet(f"{state}/kmins").collect()[0]["kmins"]
+        == one_shot
+    )
+
+    # the persisted state is directly usable for overlap questions:
+    # against a sketch of the SAME key set every coordinate matches
+    batch_side = kmins_sketch(events, "user_id", k=K).collect()[0]["kmins"]
+    df = spark.createDataFrame(
+        [(streamed, batch_side)],
+        "a array<string>, b array<string>",
+    )
+    assert df.select(kmins_match_count("a", "b").alias("m")).collect()[0][
+        "m"
+    ] == K
