@@ -1585,7 +1585,26 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "component",
     )
-    return label_rows.unionByName(best_rows).unionByName(cc2_rows)
+    # r9 rode-along: LEAKAGE-SAFE SPLITS — train/val/test assigned per
+    # near-dup CLUSTER (``sampling.cluster_safe_split``), so the
+    # planted copy pairs provably land in the same split (doc and
+    # doc+100000 share a component, hence a bucket, hence a split);
+    # the oracle replays the same md5-bucket rule over the same
+    # recursive-CTE components. Shares the cached CC labeling.
+    from dw_etl_spark.operators.sampling import cluster_safe_split
+
+    split_rows = cluster_safe_split(
+        corpus.select("doc_id"), "doc_id", components=comp
+    ).select(
+        F.concat(F.lit("split:"), F.col("split")).alias("algo"),
+        "doc_id",
+        "component",
+    )
+    return (
+        label_rows.unionByName(best_rows)
+        .unionByName(cc2_rows)
+        .unionByName(split_rows)
+    )
 
 
 #: coordinates in the corpus_overlap gate sketch — small enough that the
@@ -1853,6 +1872,22 @@ UNION ALL
 -- contiguous 0..n-1 in the fixture, n >= 500 at every gate SF)
 SELECT 'cc2' AS algo, doc_id, doc_id - doc_id % 4 AS component
 FROM documents WHERE doc_id < 64
+UNION ALL
+-- split section: leakage-safe split = md5-bucket of the COMPONENT id
+-- (sampling.hash_bucket rule: first 15 hex chars of md5('csplit|' ||
+-- component) as int, mod 10000; <1000 val, <2000 test, else train)
+SELECT 'split:' || CASE WHEN bucket < 1000 THEN 'val'
+                        WHEN bucket < 2000 THEN 'test'
+                        ELSE 'train' END AS algo,
+       doc_id, component
+FROM (
+  SELECT c.doc_id,
+         coalesce(p.component, c.doc_id) AS component,
+         ('0x' || substr(md5('csplit|' ||
+            CAST(coalesce(p.component, c.doc_id) AS VARCHAR)), 1, 15)
+         )::BIGINT % 10000 AS bucket
+  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
+)
 """
 
 

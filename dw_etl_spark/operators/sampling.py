@@ -361,3 +361,57 @@ def temperature_mix(
         cond = F.col(group_col).eqNullSafe(F.lit(g))
         expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
     return df.filter(b < expr.otherwise(F.lit(0)))
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame | None = None,
+    components: DataFrame | None = None,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "csplit",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split unit is the
+    NEAR-DUP CLUSTER, not the document. Splitting by doc id lets two
+    near-duplicates straddle train and eval — the classic silent
+    eval-contamination leak (the reason Lee et al. 2022 deduplicate
+    across splits); here every document inherits its connected
+    component's split, so a near-dup pair can never be separated.
+
+    Pass either ``pairs`` (near-dup edges, e.g. ``minhash_lsh_pairs``
+    output — components are derived) or a precomputed ``components``
+    frame (id, component) to share one CC labeling across consumers.
+    Docs absent from ``components`` are their own singleton cluster.
+    The component id is hash-bucketed with the SAME contiguous-range
+    rule as ``train_val_test_split`` (deterministic, engine-portable,
+    stable under corpus growth: a new near-dup edge can move a doc
+    BETWEEN splits only by merging its cluster — exactly the point).
+
+    Output: the input columns + ``component`` + ``split`` ('train' /
+    'val' / 'test'). Cost: one left join against the components frame
+    (pairs-participants only — typically far smaller than the corpus)
+    plus a narrow map; no extra shuffle beyond the join.
+    """
+    if (pairs is None) == (components is None):
+        raise ValueError("pass exactly one of pairs= or components=")
+    if components is None:
+        from dw_etl_spark.operators.graph import connected_components
+
+        components = connected_components(pairs)
+    comp = components.select(
+        F.col("id").alias("__cid"), F.col("component").alias("__comp_in")
+    )
+    labeled = df.join(comp, df[id_col] == comp["__cid"], "left").select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("__comp_in"), df[id_col]).alias("component"),
+    )
+    b = hash_bucket("component", salt)
+    v = int(round(val_fraction * BUCKETS))
+    t = int(round(test_fraction * BUCKETS))
+    split = (
+        F.when(b < v, F.lit("val"))
+        .when(b < v + t, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return labeled.select("*", split.alias("split"))

@@ -116,6 +116,7 @@ _REQUIRED_SECTIONS = {
         ("algo", "eq", "label"),
         ("algo", "eq", "best"),
         ("algo", "eq", "cc2"),
+        ("algo", "prefix", "split:"),
     ],
     "dim_indicator": [
         ("QcutMode", "eq", "count"),

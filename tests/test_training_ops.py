@@ -4568,3 +4568,55 @@ def test_link_extraction_resolution_and_host_graph(spark):
     ranks = {r[0]: r[1] for r in pr.collect()}
     assert set(ranks) == {"a.com", "b.com"}
     assert ranks["b.com"] > ranks["a.com"]
+
+
+def test_cluster_safe_split_never_separates_near_dups(spark):
+    """Leakage-safe split contracts: (1) every near-dup pair lands in
+    the same split (the property doc-level splits violate); (2) splits
+    are disjoint + exhaustive; (3) singleton docs use their own id as
+    component; (4) deterministic across calls; (5) exactly one of
+    pairs=/components= is accepted."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+    # pairs chain ids (3i, 3i+1, 3i+2) into 3-doc clusters
+    pairs = (
+        spark.range(400)
+        .filter(F.col("id") % 3 != 2)
+        .select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        .filter(F.col("id_b") < 400)
+    )
+    out = cluster_safe_split(docs, "doc_id", pairs=pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    comp_of = {r["doc_id"]: r["component"] for r in out}
+    assert len(split_of) == 400 and set(split_of.values()) <= {
+        "train", "val", "test"
+    }
+    for r in pairs.collect():  # (1) pair members share a split
+        assert split_of[r["id_a"]] == split_of[r["id_b"]]
+        assert comp_of[r["id_a"]] == comp_of[r["id_b"]]
+    # (3) 399 is its own singleton only when 3-chain math says so;
+    # check a guaranteed singleton: with 400 % 3 != 0, doc 399 chains.
+    # Use an explicit singleton instead:
+    lone = cluster_safe_split(
+        spark.createDataFrame([(9999,)], "doc_id long"),
+        "doc_id",
+        components=spark.createDataFrame([], "id long, component long"),
+    ).collect()[0]
+    assert lone["component"] == 9999
+    # (4) deterministic
+    again = {
+        r["doc_id"]: r["split"]
+        for r in cluster_safe_split(docs, "doc_id", pairs=pairs).collect()
+    }
+    assert again == split_of
+    # (5) argument contract
+    with _pytest.raises(ValueError):
+        cluster_safe_split(docs, "doc_id")
+    # all three splits are populated at this cluster count
+    assert set(split_of.values()) == {"train", "val", "test"}
