@@ -1928,6 +1928,21 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"),
         F.slice(tokens("text"), 1, oracles.BM25_GATE_QLEN).alias("qtoks"),
     )
+    # r9 rode-along: int8-quantized cosine (section='q8') — absmax
+    # quantization + cosine on the codes (scales cancel; exact BIGINT
+    # folds make the replay bit-identical). Same query framing as
+    # 'cos', so the two sections' ranks are directly comparable in the
+    # gate output — the quantization-quality evidence rides the gate.
+    from dw_etl_spark.operators.similarity import int8_cosine_topk
+
+    q8 = int8_cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).select(
+        F.lit("q8").alias("section"),
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.lit(None).cast("double").alias("bm25_score"),
+        F.lit(None).cast("long").alias("rank"),
+    )
     rr = retrieve_rerank(
         docs,
         queries,
@@ -1951,7 +1966,7 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_score",
         F.col("rank").cast("long").alias("rank"),
     )
-    return cos.unionByName(rr)
+    return cos.unionByName(q8).unionByName(rr)
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4299,6 +4314,10 @@ FROM base LEFT JOIN edges USING (lang_pred)
 SELECT 'cos' AS section, query_id, neighbor_id, cos_sim,
        CAST(NULL AS DOUBLE) AS bm25_score, CAST(NULL AS BIGINT) AS rank
 FROM ({oracles.cosine_topk_sql()})
+UNION ALL
+SELECT 'q8' AS section, query_id, neighbor_id, cos_sim,
+       CAST(NULL AS DOUBLE) AS bm25_score, CAST(NULL AS BIGINT) AS rank
+FROM ({oracles.int8_cosine_topk_sql()})
 UNION ALL
 SELECT 'rr' AS section, query_id, id AS neighbor_id, cos_sim,
        bm25_score, CAST(rank AS BIGINT) AS rank

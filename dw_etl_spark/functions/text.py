@@ -552,3 +552,40 @@ def html_to_text(col: Column | str) -> Column:
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{2,}", "\n")
     return F.btrim(t, F.lit(" \n\t\r"))
+
+
+def compression_ratio(col: Column | str, level: int = 6) -> Column:
+    """zlib-compressed bytes / raw UTF-8 bytes, in (0, ~1.05]; NULL on
+    NULL, 0-length texts map to NULL (no meaningful ratio). The
+    standard cheap redundancy signal for crawl quality filtering
+    (RefinedWeb/Dolma family): boilerplate, keyword stuffing and
+    template spam compress far below prose (~0.2-0.35 vs ~0.4-0.6 for
+    natural text); pair with ``char_entropy`` — entropy sees character
+    DISTRIBUTION, this sees REPETITION STRUCTURE at any range, so each
+    catches spam the other misses.
+
+    Arrow-batched ``pandas_udf`` (zlib is not expressible as a JVM
+    expression) — keep it behind the cheap JVM prefilters like the
+    other Python-tier scorers; verification tier is pytest (direct
+    zlib replay), same as readability/CDC: no SQL closed form exists.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = level
+
+    def _ratio(s):
+        def one(x):
+            if x is None:
+                return None
+            raw = x.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, lvl)) / len(raw)
+
+        return s.map(one)
+
+    return pandas_udf(_ratio, "double")(
+        F.col(col) if isinstance(col, str) else col
+    )

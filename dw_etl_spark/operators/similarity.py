@@ -1091,3 +1091,99 @@ def embedding_profile(
         F.round(F.max(F.when(ok, nrm)), 6).alias("norm_max"),
         F.lit(expected_dim).cast("int").alias("dim"),
     )
+
+
+# ------------------------------------------------- int8 quantization
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric absmax int8 quantization of an embedding:
+    ``struct(scale double, q array<int>)`` with codes in [-127, 127]
+    and ``x ≈ q·scale`` (per-coordinate error ≤ scale/2). At 100 TB an
+    embedding column is routinely the widest thing in the lake — 4→1
+    bytes/dim cuts storage and shuffle bandwidth 4× while keeping
+    cosine ranking nearly intact (pytest pins recall@k on the fixture).
+    Pure JVM array expressions; write ``q`` as the stored column and
+    keep ``scale`` alongside (dot/L2 reconstruction needs it; cosine
+    does NOT — scale cancels, see ``int8_cosine``). Zero vectors map
+    to scale 0 with all-zero codes."""
+    dv = _as_double(vec)
+    amax = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax == F.lit(0.0),
+        F.transform(dv, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(dv, lambda x: F.round(x / scale, 0).cast("int"))
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qs: Column) -> Column:
+    """Reconstruct ``array<double>`` from a ``quantize_int8`` struct."""
+    return F.transform(qs["q"], lambda v: v.cast("double") * qs["scale"])
+
+
+def int8_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine directly on int8 code arrays — the per-vector scales
+    cancel, so quantized cosine needs no dequantization. The dot and
+    both squared norms accumulate as EXACT BIGINTs (order-independent),
+    leaving one double expression at the end — bit-identical to the
+    DuckDB replay, which is what lets quantized ANN run under the
+    hash gate."""
+    zero = F.lit(0).cast("long")
+    dotq = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        qa, zero, lambda acc, x: acc + (x * x).cast("long")
+    )
+    nb = F.aggregate(
+        qb, zero, lambda acc, x: acc + (x * x).cast("long")
+    )
+    return dotq.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+def int8_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """``cosine_topk`` over absmax-int8-quantized vectors — the
+    storage-tier ANN baseline: identical plan shape (broadcast the
+    small query side, window top-k with the (rounded score DESC, id
+    ASC) cut), but every vector is 4× narrower. Quantization happens
+    inline here for gate/test symmetry; a production pipeline stores
+    the quantized column once and feeds it in pre-quantized."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_int8(F.col(vec_col))["q"].alias("qq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_int8(F.col(vec_col))["q"].alias("cq"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(int8_cosine(F.col("qq"), F.col("cq")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

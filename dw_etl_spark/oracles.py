@@ -483,6 +483,44 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
+def int8_cosine_topk_sql(k: int = 5, query_max_id: int = 10) -> str:
+    """SQL twin of ``similarity.int8_cosine_topk``: absmax int8
+    quantization replayed closed-form (scale = list_max(|x|)/127,
+    codes = round(x/scale) — DuckDB and Spark both round half away
+    from zero), then cosine on the CODES with exact BIGINT dot/norm
+    sums so the single final double division is bit-identical."""
+    qz = (
+        "list_transform({e}, x -> CAST(round(CAST(x AS DOUBLE) / "
+        "(list_max(list_transform({e}, y -> abs(CAST(y AS DOUBLE)))) "
+        "/ 127.0)) AS INTEGER))"
+    )
+    dotq = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.qv[i] AS BIGINT) * c.qv[i])) AS DOUBLE)"
+    )
+    nrm = (
+        "sqrt(CAST(list_sum(list_transform(range(1, 65), "
+        "i -> CAST({s}.qv[i] AS BIGINT) * {s}.qv[i])) AS DOUBLE))"
+    )
+    cos = f"round({dotq} / ({nrm.format(s='q')} * {nrm.format(s='c')}), 6)"
+    return f"""
+WITH quant AS (
+  SELECT vec_id, {qz.format(e='embedding')} AS qv FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM (SELECT * FROM quant WHERE vec_id < {query_max_id}) q
+  CROSS JOIN quant c
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 #: retrieve-rerank rode-along (rr: rows of cosine_topk): BM25 recall of
 #: the top-M lexical candidates per every-17th-doc prefix query (the
 #: bm25 gate framing, hot-term cap active), then 64-dim cosine re-rank

@@ -96,6 +96,7 @@ _REQUIRED_SECTIONS = {
     ],
     "cosine_topk": [
         ("section", "eq", "cos"),
+        ("section", "eq", "q8"),
         ("section", "eq", "rr"),
     ],
     "profile_metrics": [

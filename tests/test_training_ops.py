@@ -4620,3 +4620,120 @@ def test_cluster_safe_split_never_separates_near_dups(spark):
         cluster_safe_split(docs, "doc_id")
     # all three splits are populated at this cluster count
     assert set(split_of.values()) == {"train", "val", "test"}
+
+
+def test_compression_ratio_matches_zlib_and_separates_spam(spark):
+    """compression_ratio: (1) exact match to a driver-side zlib replay;
+    (2) NULL/empty contract; (3) the signal separates repetitive spam
+    from prose (the property quality filters rely on)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.functions.text import compression_ratio
+
+    prose = (
+        "The expedition crossed the ridge at dawn, descending through "
+        "larch forest toward the river none of them had mapped."
+    )
+    spam = "buy cheap buy cheap buy cheap " * 20
+    rows = [("p", prose), ("s", spam), ("e", ""), ("n", None)]
+    df = spark.createDataFrame(rows, "k string, text string")
+    got = {
+        r["k"]: r["cr"]
+        for r in df.select(
+            "k", compression_ratio("text").alias("cr")
+        ).collect()
+    }
+    for k, txt in rows:
+        if txt:
+            want = len(zlib.compress(txt.encode("utf-8"), 6)) / len(
+                txt.encode("utf-8")
+            )
+            assert abs(got[k] - want) < 1e-12, k
+        else:
+            assert got[k] is None, k
+    assert got["s"] < 0.2 < got["p"]  # spam compresses far below prose
+
+
+def test_int8_quantization_roundtrip_and_ann_recall(spark):
+    """int8 quantization contracts: (1) reconstruction error is
+    bounded by scale/2 per coordinate; (2) zero vectors survive
+    (scale 0, codes 0); (3) quantized cosine tracks exact cosine
+    (|Δ| small); (4) quantized top-k keeps high recall vs exact
+    top-k on the embeddings fixture."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+        dequantize_int8,
+        int8_cosine,
+        int8_cosine_topk,
+        quantize_int8,
+    )
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        quantize_int8(F.col("embedding")).alias("qs"),
+    ).select(
+        "vec_id",
+        "v",
+        F.col("qs.scale").alias("scale"),
+        dequantize_int8(F.col("qs")).alias("back"),
+    )
+    bad = qd.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    F.transform("v", lambda x: x.cast("double")),
+                    "back",
+                    lambda a, b: F.abs(a - b) - F.col("scale") / 2 - 1e-9,
+                )
+            )
+        ).alias("worst")
+    ).collect()[0]["worst"]
+    assert bad <= 0  # (1) |x - q*scale| <= scale/2 everywhere
+
+    z = spark.createDataFrame([([0.0] * 4,)], "embedding array<double>")
+    zrow = z.select(quantize_int8(F.col("embedding")).alias("q")).collect()[0]["q"]
+    assert zrow["scale"] == 0.0 and list(zrow["q"]) == [0, 0, 0, 0]  # (2)
+
+    # (3) quantized cosine ≈ exact cosine on real vector pairs
+    pair = (
+        emb.filter(F.col("vec_id") < 2)
+        .crossJoin(
+            emb.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 12)).select(
+                F.col("embedding").alias("e2")
+            )
+        )
+        .select(
+            cosine(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.transform("e2", lambda x: x.cast("double")),
+            ).alias("c"),
+            int8_cosine(
+                quantize_int8(F.col("embedding"))["q"],
+                quantize_int8(F.col("e2"))["q"],
+            ).alias("cq"),
+        )
+    )
+    drift = pair.select(F.max(F.abs(F.col("c") - F.col("cq"))).alias("d")).collect()[0]["d"]
+    assert drift < 0.02
+
+    # (4) recall@5 of quantized ANN vs exact
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in int8_cosine_topk(queries, emb, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
