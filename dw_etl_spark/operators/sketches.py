@@ -578,9 +578,10 @@ def corpus_overlap(
     df_b: DataFrame,
     key_col: str,
     k: int = KMINS_DEFAULT_K,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Overlap profile of two corpus snapshots from their k-mins
-    sketches alone: one row —
+    sketches alone: one row (per ``by`` group when given) —
 
       est_a, est_b        distinct estimates per side
       est_union           estimate of the merged (element-wise min) state
@@ -589,20 +590,35 @@ def corpus_overlap(
       containment_a_in_b  est_intersection / est_a ("how much of A is
                           already in B" — the dedup-planning number)
 
-    Cost: one aggregation pass per side (never a join of the corpora);
-    the two 1-row sketch frames combine on a literal key (a broadcast
-    hash join on an aggregate-produced key — no cartesian). At 100 TB
-    the sides are typically different ingest days: sketch each once,
-    persist the KB-sized state, and answer every later overlap question
-    from state alone.
+    Cost: one aggregation pass per side (never a join of the corpora).
+    Ungrouped, the two 1-row sketch frames combine on a key derived
+    from sketch data (a broadcast hash join — a literal key would fold
+    to a cartesian); grouped, they inner-join on the ``by`` keys, so
+    only groups present on BOTH sides report (a group absent from one
+    side has no overlap question to answer). The production shape is
+    ``by=['lang']`` / ``by=['source']``: per-slice "how much of today's
+    crawl is already in the lake?" from two sketch-rows-per-slice
+    states. At 100 TB sketch each side once, persist the KB-sized
+    state, and answer every later overlap question from state alone.
     """
-    sa = kmins_sketch(df_a, key_col, k=k).select(
-        F.col("kmins").alias("__a")
-    ).select(_sketch_join_key(F.col("__a")).alias("__j"), "__a")
-    sb = kmins_sketch(df_b, key_col, k=k).select(
-        F.col("kmins").alias("__b")
-    ).select(_sketch_join_key(F.col("__b")).alias("__j"), "__b")
-    both = sa.join(F.broadcast(sb), "__j")
+    if by:
+        sa = kmins_sketch(df_a, key_col, k=k, by=by).withColumnRenamed(
+            "kmins", "__a"
+        )
+        sb = kmins_sketch(df_b, key_col, k=k, by=by).withColumnRenamed(
+            "kmins", "__b"
+        )
+        both = sa.join(sb, by)
+        head: list = list(by)
+    else:
+        sa = kmins_sketch(df_a, key_col, k=k).select(
+            F.col("kmins").alias("__a")
+        ).select(_sketch_join_key(F.col("__a")).alias("__j"), "__a")
+        sb = kmins_sketch(df_b, key_col, k=k).select(
+            F.col("kmins").alias("__b")
+        ).select(_sketch_join_key(F.col("__b")).alias("__j"), "__b")
+        both = sa.join(F.broadcast(sb), "__j")
+        head = []
     merged = F.zip_with(F.col("__a"), F.col("__b"), lambda x, y: F.least(x, y))
     jac = (
         kmins_match_count(F.col("__a"), F.col("__b")).cast("double")
@@ -610,6 +626,7 @@ def corpus_overlap(
     )
     est_u = kmins_distinct_est(merged, k)
     return both.select(
+        *head,
         kmins_distinct_est(F.col("__a"), k).alias("est_a"),
         kmins_distinct_est(F.col("__b"), k).alias("est_b"),
         est_u.alias("est_union"),

@@ -4737,3 +4737,40 @@ def test_int8_quantization_roundtrip_and_ann_recall(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_corpus_overlap_grouped_matches_per_group_ungrouped(spark):
+    """Grouped corpus_overlap == running the ungrouped form per group
+    (slice-and-dice consistency), and only groups present on both
+    sides report."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.sketches import corpus_overlap
+
+    k = 48
+    df = spark.range(2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    a = df.filter(F.col("id") % 3 != 0)
+    b = df.filter(F.col("id") % 5 != 0)
+    grouped = {
+        r["lang"]: (r["est_a"], r["jaccard"], r["est_intersection"])
+        for r in corpus_overlap(a, b, "key", k=k, by=["lang"]).collect()
+    }
+    assert set(grouped) == {"en", "de"}
+    for lang in ("en", "de"):
+        solo = corpus_overlap(
+            a.filter(F.col("lang") == lang),
+            b.filter(F.col("lang") == lang),
+            "key",
+            k=k,
+        ).collect()[0]
+        assert grouped[lang] == (
+            solo["est_a"], solo["jaccard"], solo["est_intersection"]
+        ), lang
+
+    # a group missing on one side yields no row (inner join semantics)
+    only_en_b = b.filter(F.col("lang") == "en")
+    rows = corpus_overlap(a, only_en_b, "key", k=k, by=["lang"]).collect()
+    assert [r["lang"] for r in rows] == ["en"]
