@@ -140,3 +140,139 @@ def exact_topk(
         f"(final m={m}) — key distribution too flat; raise m or use "
         "a plain groupBy count"
     )
+
+
+def _local_tops_frame_by(
+    df: DataFrame, key_col: str, by: list[str], m: int
+) -> DataFrame:
+    """Grouped phase 1: per-partition, per-GROUP local top-``m`` counts
+    plus one threshold row per (partition, group). Still zero shuffle;
+    per-task memory is one Counter over the partition's distinct
+    (group, key) pairs."""
+    fields = [df.schema[c] for c in by] + [
+        T.StructField(key_col, df.schema[key_col].dataType, True),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+    out_schema = T.StructType(fields)
+    cols = [*by, key_col]
+
+    def local_tops(batches):
+        from collections import Counter, defaultdict
+
+        import pandas as pd
+
+        per_group: dict = defaultdict(Counter)
+        for pdf in batches:
+            sub = pdf[cols].dropna(subset=[key_col])
+            for row in sub.itertuples(index=False):
+                per_group[row[:-1]][row[-1]] += 1
+        if not per_group:
+            return
+        out_rows = []
+        for g, c in per_group.items():
+            top = c.most_common(m)
+            for key, cnt in top:
+                out_rows.append((*g, key, cnt))
+            thr = top[-1][1] if len(c) > m else 0
+            out_rows.append((*g, None, thr))
+        yield pd.DataFrame(out_rows, columns=[*by, key_col, "cnt"]).astype(
+            {"cnt": "int64"}
+        )
+
+    return df.select(*cols).mapInPandas(local_tops, out_schema)
+
+
+def exact_topk_by(
+    df: DataFrame,
+    key_col: str,
+    by: list[str],
+    k: int = 10,
+    m: int = 64,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Grouped ``exact_topk``: the true top-``k`` of ``key_col`` WITHIN
+    each ``by`` group ("top URLs per language"), same TPUT proof per
+    group, same escalation loop (all groups escalate together — the
+    full scan is the unit of cost, so per-group m bookkeeping buys
+    nothing). Output (by..., key, cnt), k rows per group, ordered
+    within each group by (cnt DESC, key ASC).
+
+    Driver state per round is the collected local-tops frame —
+    <= (m+1) * n_partitions * n_groups rows — plus k * n_groups proof
+    rows; meant for MODEST group counts (languages, sources, buckets),
+    not per-host fan-outs. NULL keys are ignored; NULL group values
+    are groups like any other value is NOT supported (dropna applies
+    to the key only — a NULL group key would collide with the
+    threshold-row marker, so filter those upstream).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not by:
+        raise ValueError("by must be non-empty; use exact_topk instead")
+    spark = df.sparkSession
+    from pyspark.sql import Window
+
+    for _ in range(max_rounds):
+        local_rows = _local_tops_frame_by(df, key_col, by, m).collect()
+        bounds: dict = {}
+        cand: dict = {}
+        for r in local_rows:
+            g = tuple(r[c] for c in by)
+            if r[key_col] is None:
+                bounds[g] = bounds.get(g, 0) + r["cnt"]
+            else:
+                cand.setdefault(g, set()).add(r[key_col])
+        if not cand:
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [df.schema[c] for c in by]
+                    + [
+                        T.StructField(
+                            key_col, df.schema[key_col].dataType, True
+                        ),
+                        T.StructField("cnt", T.LongType(), False),
+                    ]
+                ),
+            )
+        cand_rows = [(*g, key) for g, keys in cand.items() for key in keys]
+        candidates = spark.createDataFrame(
+            cand_rows,
+            T.StructType(
+                [df.schema[c] for c in by]
+                + [T.StructField(key_col, df.schema[key_col].dataType, True)]
+            ),
+        )
+        exact = (
+            df.select(*by, key_col)
+            .join(F.broadcast(candidates), [*by, key_col])
+            .groupBy(*by, key_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy(*by).orderBy(
+            F.col("cnt").desc(), F.col(key_col).asc()
+        )
+        topk = (
+            exact.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        rows = topk.collect()
+        per_group: dict = {}
+        for r in rows:
+            g = tuple(r[c] for c in by)
+            per_group.setdefault(g, []).append(int(r["cnt"]))
+        ok = True
+        for g, cnts in per_group.items():
+            bound_g = bounds.get(g, 0)
+            kth = min(cnts)
+            if not (kth > bound_g and (len(cnts) >= k or bound_g == 0)):
+                ok = False
+                break
+        if ok:
+            return topk
+        m *= 2
+    raise RuntimeError(
+        f"exact_topk_by: proof not established after {max_rounds} rounds "
+        f"(final m={m}) — a group's key distribution is too flat; raise m"
+    )

@@ -4774,3 +4774,56 @@ def test_corpus_overlap_grouped_matches_per_group_ungrouped(spark):
     only_en_b = b.filter(F.col("lang") == "en")
     rows = corpus_overlap(a, only_en_b, "key", k=k, by=["lang"]).collect()
     assert [r["lang"] for r in rows] == ["en"]
+
+
+def test_exact_topk_by_matches_grouped_groupby(spark):
+    """Grouped TPUT top-k: equals the plain per-group groupBy-count
+    top-k under the within-group (cnt DESC, key ASC) order, exact even
+    when the initial m forces escalation, k rows per group (fewer when
+    a group's vocabulary is smaller)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.heavy_hitters import exact_topk_by
+
+    n = 12000
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+            F.floor(
+                F.pow(F.lit(30.0), (F.col("id") % 700) / 700.0)
+            ).cast("long").alias("key"),
+        )
+        .repartition(16)
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("key").asc()
+    )
+    truth = sorted(
+        (r["lang"], r["key"], r["cnt"])
+        for r in df.groupBy("lang", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .drop("rn")
+        .collect()
+    )
+    got = sorted(
+        (r["lang"], r["key"], r["cnt"])
+        for r in exact_topk_by(df, "key", ["lang"], k=4, m=8, max_rounds=12).collect()
+    )
+    assert got == truth
+    langs = {g[0] for g in got}
+    assert langs == {"en", "de"}
+
+    # small-vocab group: returns its whole histogram, still exact
+    tiny = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")],
+        "g string, key string",
+    ).repartition(3)
+    rows = sorted(
+        (r["g"], r["key"], r["cnt"])
+        for r in exact_topk_by(tiny, "key", ["g"], k=5, m=4).collect()
+    )
+    assert rows == [("a", "x", 2), ("a", "y", 1), ("b", "z", 1)]
