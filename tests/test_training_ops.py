@@ -4827,3 +4827,41 @@ def test_exact_topk_by_matches_grouped_groupby(spark):
         for r in exact_topk_by(tiny, "key", ["g"], k=5, m=4).collect()
     )
     assert rows == [("a", "x", 2), ("a", "y", 1), ("b", "z", 1)]
+
+
+def test_exact_topk_scale_path_matches_collect_path(spark):
+    """Forcing the executor-dedup phase-1 path (max_collect_rows=1)
+    returns the identical answer to the raw-collect path for both the
+    ungrouped and grouped forms."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.heavy_hitters import exact_topk, exact_topk_by
+
+    df = (
+        spark.range(6000)
+        .select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+            (F.col("id") % 37).alias("key"),
+        )
+        .repartition(8)
+    )
+    fast = sorted(
+        (r["key"], r["cnt"]) for r in exact_topk(df, "key", k=6, m=64).collect()
+    )
+    scale = sorted(
+        (r["key"], r["cnt"])
+        for r in exact_topk(df, "key", k=6, m=64, max_collect_rows=1).collect()
+    )
+    assert fast == scale
+
+    fast_g = sorted(
+        (r["g"], r["key"], r["cnt"])
+        for r in exact_topk_by(df, "key", ["g"], k=6, m=64).collect()
+    )
+    scale_g = sorted(
+        (r["g"], r["key"], r["cnt"])
+        for r in exact_topk_by(
+            df, "key", ["g"], k=6, m=64, max_collect_rows=1
+        ).collect()
+    )
+    assert fast_g == scale_g
