@@ -292,7 +292,27 @@ def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("hh:"), F.col("l_suppkey").cast("string")).alias("value"),
         F.col("cnt"),
     )
-    return exact.unionByName(cms_rows).unionByName(hh_rows)
+    # r9 rode-along: the GROUPED form — exact top-2 suppliers WITHIN
+    # each l_returnflag (``exact_topk_by``, same per-group TPUT proof);
+    # oracle = per-flag window top-2 with the (cnt DESC, key ASC) cut
+    from dw_etl_spark.operators.heavy_hitters import exact_topk_by
+
+    hhg_rows = exact_topk_by(
+        li, "l_suppkey", ["l_returnflag"], k=2, m=2048
+    ).select(
+        F.concat(
+            F.lit("hhg:"),
+            F.col("l_returnflag"),
+            F.lit(":"),
+            F.col("l_suppkey").cast("string"),
+        ).alias("value"),
+        F.col("cnt"),
+    )
+    return (
+        exact.unionByName(cms_rows)
+        .unionByName(hh_rows)
+        .unionByName(hhg_rows)
+    )
 
 
 _DESCRIBE_COLS = ["l_quantity", "l_extendedprice"]
@@ -1744,12 +1764,53 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.value_d").alias("value_d"),
     )
 
+    # r9 rode-along: the GROUPED form (by=) — per-slice overlap, the
+    # production shape ("per language / per source"). Group =
+    # (doc_id div 2) % 2 so BOTH groups exist on both sides (plain
+    # parity would collapse side_b, which is odd-only); sections
+    # 'g<g>:est:*' / 'g<g>:jaccard' replay per-group in the oracle
+    # with the same one-final-division arithmetic.
+    from dw_etl_spark.operators.sketches import corpus_overlap as _co
+
+    ga = side_a.withColumn("g", F.expr("CAST((doc_id div 2) % 2 AS INT)"))
+    gb = side_b.withColumn("g", F.expr("CAST((doc_id div 2) % 2 AS INT)"))
+    grouped = _co(ga, gb, "text", k=k, by=["g"])
+    g_rows = grouped.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.concat(
+                            F.lit("g"),
+                            F.col("g").cast("string"),
+                            F.lit(f":{name}"),
+                        ).alias("section"),
+                        F.round(F.col(name), 6).alias("value_d"),
+                    )
+                    for name in (
+                        "est_a",
+                        "est_b",
+                        "est_union",
+                        "jaccard",
+                        "est_intersection",
+                        "containment_a_in_b",
+                    )
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.section").alias("section"),
+        F.lit(-1).alias("coord"),
+        F.lit(None).cast("string").alias("value_s"),
+        F.col("s.value_d").alias("value_d"),
+    )
     return (
         _min_rows("a")
         .unionByName(_min_rows("b"))
         .unionByName(_min_rows("u"))
         .unionByName(stat_rows)
         .unionByName(exact_rows)
+        .unionByName(g_rows)
     )
 
 
@@ -1765,6 +1826,16 @@ ma AS (
 mb AS (
   SELECT i, min(md5('km' || i || ':' || text)) AS m
   FROM documents, co WHERE doc_id % 2 <> 0 GROUP BY i
+),
+mag AS (
+  SELECT (doc_id // 2) % 2 AS g, i,
+         min(md5('km' || i || ':' || text)) AS m
+  FROM documents, co WHERE doc_id % 3 <> 0 GROUP BY g, i
+),
+mbg AS (
+  SELECT (doc_id // 2) % 2 AS g, i,
+         min(md5('km' || i || ':' || text)) AS m
+  FROM documents, co WHERE doc_id % 2 <> 0 GROUP BY g, i
 ),
 mu AS (
   SELECT i, CASE WHEN ma.m <= mb.m THEN ma.m ELSE mb.m END AS m
@@ -1822,6 +1893,38 @@ FROM (
     ('exact:intersection', CAST(ni AS DOUBLE))
   ) v(section, value_d)
 ) e
+UNION ALL
+-- grouped form: per-slice overlap, group = (doc_id // 2) % 2
+SELECT 'g' || CAST(g AS VARCHAR) || ':' || s.section,
+       CAST(-1 AS INTEGER), CAST(NULL AS VARCHAR), s.value_d
+FROM (
+  SELECT g,
+    (SELECT sum(('0x' || substr(m, 1, 15))::BIGINT)
+     FROM mag WHERE mag.g = gs.g) AS sa,
+    (SELECT sum(('0x' || substr(m, 1, 15))::BIGINT)
+     FROM mbg WHERE mbg.g = gs.g) AS sb,
+    (SELECT sum(('0x' || substr(
+        CASE WHEN a.m <= b.m THEN a.m ELSE b.m END, 1, 15))::BIGINT)
+     FROM mag a JOIN mbg b ON a.g = b.g AND a.i = b.i
+     WHERE a.g = gs.g) AS su,
+    (SELECT count(*) FROM mag a JOIN mbg b ON a.g = b.g AND a.i = b.i
+     WHERE a.g = gs.g AND a.m = b.m) AS mt
+  FROM (SELECT DISTINCT g FROM mag INTERSECT SELECT DISTINCT g FROM mbg) gs
+) sums_g, LATERAL (
+  SELECT * FROM (VALUES
+    ('est_a', round({num} / CAST(sa AS DOUBLE), 6)),
+    ('est_b', round({num} / CAST(sb AS DOUBLE), 6)),
+    ('est_union', round({num} / CAST(su AS DOUBLE), 6)),
+    ('jaccard', round(CAST(mt AS DOUBLE) / {float(k)!r}, 6)),
+    ('est_intersection',
+     round((CAST(mt AS DOUBLE) / {float(k)!r})
+           * ({num} / CAST(su AS DOUBLE)), 6)),
+    ('containment_a_in_b',
+     round(((CAST(mt AS DOUBLE) / {float(k)!r})
+            * ({num} / CAST(su AS DOUBLE)))
+           / ({num} / CAST(sa AS DOUBLE)), 6))
+  ) v(section, value_d)
+) s
 """
 
 

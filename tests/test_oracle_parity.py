@@ -112,6 +112,7 @@ _REQUIRED_SECTIONS = {
     "topk_values": [
         ("value", "prefix", "cms:"),
         ("value", "prefix", "hh:"),
+        ("value", "prefix", "hhg:"),
     ],
     "dedup_clusters": [
         ("algo", "eq", "label"),
@@ -129,6 +130,8 @@ _REQUIRED_SECTIONS = {
         ("section", "prefix", "exact:"),
         ("section", "eq", "jaccard"),
         ("section", "eq", "containment:a_in_b"),
+        ("section", "prefix", "g0:"),
+        ("section", "prefix", "g1:"),
     ],
     "csv_roundtrip": [("PriceCategory", "eq", "__quarantine")],
     "text_features": [("ppl_bucket", "notnull", None)],
