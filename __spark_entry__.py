@@ -292,19 +292,30 @@ def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("hh:"), F.col("l_suppkey").cast("string")).alias("value"),
         F.col("cnt"),
     )
-    # r9 rode-along: the GROUPED form — exact top-2 suppliers WITHIN
-    # each l_returnflag (``exact_topk_by``, same per-group TPUT proof);
-    # oracle = per-flag window top-2 with the (cnt DESC, key ASC) cut
+    # r9 rode-along: the GROUPED form — exact top-2 part-key BUCKETS
+    # within each l_returnflag (``exact_topk_by``, same per-group TPUT
+    # proof); oracle = per-flag window top-2 with the (cnt DESC, key
+    # ASC) cut. The key is bucketed (l_partkey % 97) so the grouped
+    # fixture pins SEMANTICS at a 97-key vocabulary — the ungrouped
+    # hh: row above keeps the realistic full-vocabulary fixture (a
+    # uniform 1000-key grouped fixture tripled the row's cost for no
+    # extra coverage: TPUT's worst case is flat distributions)
     from dw_etl_spark.operators.heavy_hitters import exact_topk_by
 
     hhg_rows = exact_topk_by(
-        li, "l_suppkey", ["l_returnflag"], k=2, m=2048
+        li.select(
+            "l_returnflag", F.pmod(F.col("l_partkey"), F.lit(97)).alias("pkb")
+        ),
+        "pkb",
+        ["l_returnflag"],
+        k=2,
+        m=256,
     ).select(
         F.concat(
             F.lit("hhg:"),
             F.col("l_returnflag"),
             F.lit(":"),
-            F.col("l_suppkey").cast("string"),
+            F.col("pkb").cast("string"),
         ).alias("value"),
         F.col("cnt"),
     )
@@ -1653,25 +1664,40 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one flags pass, putting estimate-vs-truth side by side in the
     gate output. The joined sketch row is lazily persisted so the min
     and stat sections share the two aggregation passes (session-owned
-    pin, PLANS.md #43)."""
+    pin, PLANS.md #43).
+
+    The grouped (by=) sections and the ungrouped ones share ONE sketch
+    pass per side: each side is sketched per group ((doc_id div 2) % 2
+    — both groups exist on both sides), lazily persisted, and the
+    ungrouped sketch is ``merge_kmins`` of the group rows — correct by
+    the mergeable-state contract (pytest-pinned byte-identity), and it
+    means adding the grouped sections cost zero extra corpus scans."""
     from dw_etl_spark.operators.sketches import (
+        _sketch_join_key,
         kmins_distinct_est,
         kmins_match_count,
         kmins_sketch,
+        merge_kmins,
     )
 
     k = _OVERLAP_K
     docs = read_table(spark, sf_dir, "documents")
     side_a = docs.filter(F.col("doc_id") % 3 != 0)
     side_b = docs.filter(F.col("doc_id") % 2 != 0)
-    from dw_etl_spark.operators.sketches import _sketch_join_key
+    grp = F.expr("CAST((doc_id div 2) % 2 AS INT)")
+    sga = kmins_sketch(
+        side_a.withColumn("g", grp), "text", k=k, by=["g"]
+    ).persist()
+    sgb = kmins_sketch(
+        side_b.withColumn("g", grp), "text", k=k, by=["g"]
+    ).persist()
 
     # join key derived from the sketch data, not a literal — a literal
     # folds to a BNLJ; this plans a BroadcastHashJoin (sweep-strict)
-    sa = kmins_sketch(side_a, "text", k=k).select(
+    sa = merge_kmins(sga, k=k).select(
         F.col("kmins").alias("a")
     ).select(_sketch_join_key(F.col("a")).alias("__j"), "a")
-    sb = kmins_sketch(side_b, "text", k=k).select(
+    sb = merge_kmins(sgb, k=k).select(
         F.col("kmins").alias("b")
     ).select(_sketch_join_key(F.col("b")).alias("__j"), "b")
     both = (
@@ -1765,16 +1791,32 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # r9 rode-along: the GROUPED form (by=) — per-slice overlap, the
-    # production shape ("per language / per source"). Group =
-    # (doc_id div 2) % 2 so BOTH groups exist on both sides (plain
-    # parity would collapse side_b, which is odd-only); sections
+    # production shape ("per language / per source"); sections
     # 'g<g>:est:*' / 'g<g>:jaccard' replay per-group in the oracle
-    # with the same one-final-division arithmetic.
-    from dw_etl_spark.operators.sketches import corpus_overlap as _co
-
-    ga = side_a.withColumn("g", F.expr("CAST((doc_id div 2) % 2 AS INT)"))
-    gb = side_b.withColumn("g", F.expr("CAST((doc_id div 2) % 2 AS INT)"))
-    grouped = _co(ga, gb, "text", k=k, by=["g"])
+    # with the same one-final-division arithmetic. Reads the SAME
+    # persisted grouped sketch frames the ungrouped sections were
+    # merged from — no extra corpus pass (join is 2 rows x 2 rows on
+    # the group key, the same inner-join semantics as corpus_overlap).
+    ma = F.zip_with("__ga", "__gb", lambda x, y: F.least(x, y))
+    gjac = (
+        kmins_match_count(F.col("__ga"), F.col("__gb")).cast("double")
+        / F.lit(float(k))
+    )
+    g_est_u = kmins_distinct_est(ma, k)
+    g_est_a = kmins_distinct_est(F.col("__ga"), k)
+    grouped = (
+        sga.withColumnRenamed("kmins", "__ga")
+        .join(sgb.withColumnRenamed("kmins", "__gb"), "g")
+        .select(
+            "g",
+            g_est_a.alias("est_a"),
+            kmins_distinct_est(F.col("__gb"), k).alias("est_b"),
+            g_est_u.alias("est_union"),
+            gjac.alias("jaccard"),
+            (gjac * g_est_u).alias("est_intersection"),
+            ((gjac * g_est_u) / g_est_a).alias("containment_a_in_b"),
+        )
+    )
     g_rows = grouped.select(
         F.explode(
             F.array(

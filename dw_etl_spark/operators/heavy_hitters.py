@@ -63,7 +63,10 @@ def _local_tops_frame(df: DataFrame, key_col: str, m: int) -> DataFrame:
 
         c: Counter = Counter()
         for pdf in batches:
-            c.update(pdf[key_col].dropna())
+            # vectorized per Arrow batch; the Python loop runs over
+            # DISTINCT keys, not rows
+            for key, n in pdf[key_col].dropna().value_counts().items():
+                c[key] += int(n)
         if not c:
             return
         top = c.most_common(m)
@@ -192,8 +195,14 @@ def _local_tops_frame_by(
         per_group: dict = defaultdict(Counter)
         for pdf in batches:
             sub = pdf[cols].dropna(subset=[key_col])
-            for row in sub.itertuples(index=False):
-                per_group[row[:-1]][row[-1]] += 1
+            if sub.empty:
+                continue
+            # vectorized: one groupby per Arrow batch; the Python loop
+            # below runs over DISTINCT (group, key) pairs, not rows
+            vc = sub.groupby(cols, sort=False).size()
+            for idx, n in vc.items():
+                t = idx if isinstance(idx, tuple) else (idx,)
+                per_group[t[:-1]][t[-1]] += int(n)
         if not per_group:
             return
         out_rows = []

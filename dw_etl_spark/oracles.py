@@ -1479,17 +1479,16 @@ FROM (
   GROUP BY 1 ORDER BY cnt DESC, l_suppkey ASC LIMIT 5
 )
 UNION ALL
--- hhg: rows — the grouped form (exact_topk_by): exact top-2
--- suppliers within each returnflag, same deterministic cut per group
-SELECT 'hhg:' || l_returnflag || ':' || CAST(l_suppkey AS VARCHAR)
-         AS value,
+-- hhg: rows — the grouped form (exact_topk_by): exact top-2 part-key
+-- buckets within each returnflag, same deterministic cut per group
+SELECT 'hhg:' || l_returnflag || ':' || CAST(pkb AS VARCHAR) AS value,
        CAST(cnt AS BIGINT) AS cnt
 FROM (
-  SELECT l_returnflag, l_suppkey, count(*) AS cnt,
+  SELECT l_returnflag, l_partkey % 97 AS pkb, count(*) AS cnt,
          row_number() OVER (
            PARTITION BY l_returnflag
-           ORDER BY count(*) DESC, l_suppkey ASC) AS rn
-  FROM lineitem WHERE l_suppkey IS NOT NULL
+           ORDER BY count(*) DESC, l_partkey % 97 ASC) AS rn
+  FROM lineitem WHERE l_partkey IS NOT NULL
   GROUP BY 1, 2
 ) WHERE rn <= 2
 """
