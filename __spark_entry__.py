@@ -3253,7 +3253,10 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array expressions); the ORACLE derives the expected link list
     # CLOSED-FORM from doc_id — independent of regex/resolution
     # implementation — same philosophy as the canonical_url column.
-    from dw_etl_spark.functions.urls import extract_links
+    from dw_etl_spark.functions.urls import (
+        extract_links,
+        extract_links_with_text,
+    )
 
     html = F.concat(
         F.lit('<p>intro</p><a href="/rel/'),
@@ -3292,6 +3295,13 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonicalize_url(messy).alias("canonical_url"),
         url_domain(messy).alias("url_dom"),
         F.array_join(extract_links(html, page_url), " ").alias("out_links"),
+        F.array_join(
+            F.transform(
+                extract_links_with_text(html, page_url),
+                lambda p: F.concat(p["url"], F.lit("|"), p["text"]),
+            ),
+            " ",
+        ).alias("anchors"),
     )
 
 
@@ -3366,6 +3376,20 @@ def _pii_scrub_sql() -> str:
         "' http://host' || CAST(doc_id % 3 AS VARCHAR) || "
         "'.example.org/a/b/sub/' || CAST(doc_id % 7 AS VARCHAR) || '.html'"
     )
+    # anchor rode-along: same expected URLs, each tagged with its
+    # anchor text (r / e / c / s in the fixture markup)
+    anchors = (
+        "'http://host' || CAST(doc_id % 3 AS VARCHAR) || "
+        "'.example.org/rel/' || CAST(doc_id AS VARCHAR) || '|r' || "
+        "CASE WHEN doc_id % 2 = 0 THEN ' https://ext' || "
+        "CAST(doc_id % 5 AS VARCHAR) || '.example.com/p?z=2|e' "
+        "ELSE '' END || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' http://cdn.example' || "
+        "CAST(doc_id % 4 AS VARCHAR) || '.net/lib.js|c' ELSE '' END || "
+        "' http://host' || CAST(doc_id % 3 AS VARCHAR) || "
+        "'.example.org/a/b/sub/' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.html|s'"
+    )
     return f"""
 WITH s AS (SELECT doc_id, {synth} AS synth FROM documents)
 SELECT doc_id,
@@ -3374,7 +3398,8 @@ SELECT doc_id,
        {normalized} AS normalized,
        {canon} AS canonical_url,
        {dom} AS url_dom,
-       {links} AS out_links
+       {links} AS out_links,
+       {anchors} AS anchors
 FROM s
 """
 

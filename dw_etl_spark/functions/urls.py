@@ -330,3 +330,58 @@ def host_link_edges(
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias(weight_out))
     )
+
+
+#: anchor pairs: group 1 = href, group 2 = inner text (non-greedy, no
+#: nested tags stripped — strip_html downstream for that). One pattern
+#: used for BOTH extraction calls so the two arrays always align.
+_ANCHOR_RE = r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_anchor_pairs(html: Column | str) -> Column:
+    """Anchor (href, text) pairs as ``array<struct<href,text>>`` — the
+    anchor text is the classic relevance/quality signal a link graph
+    carries beyond its topology (what OTHER pages call this page).
+    Same double-quoted-href contract as ``extract_hrefs``; inner text
+    is raw markup (run it through the HTML→text tier if anchors nest
+    tags). Fragments are stripped from hrefs, empty hrefs dropped;
+    pure JVM — two ``regexp_extract_all`` calls over ONE pattern,
+    zipped, so the arrays align by construction."""
+    c = _col(html)
+    hrefs = F.regexp_extract_all(c, F.lit(_ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(c, F.lit(_ANCHOR_RE), 2)
+    pairs = F.zip_with(
+        hrefs,
+        texts,
+        lambda h, t: F.struct(
+            F.element_at(F.split(h, "#"), 1).alias("href"), t.alias("text")
+        ),
+    )
+    return F.filter(pairs, lambda p: p["href"] != "")
+
+
+def extract_links_with_text(
+    html: Column | str, base: Column | str, canonical: bool = True
+) -> Column:
+    """``extract_anchor_pairs`` with hrefs resolved against the page
+    URL (and canonicalized): ``array<struct<url,text>>`` — explode it
+    and aggregate by ``url_host(url)`` for per-destination anchor-text
+    profiles (the dst-host description signal)."""
+    b = _col(base)
+    pairs = extract_anchor_pairs(html)
+    resolved = F.transform(
+        pairs,
+        lambda p: F.struct(
+            resolve_href(b, p["href"]).alias("url"), p["text"].alias("text")
+        ),
+    )
+    live = F.filter(resolved, lambda p: p["url"].isNotNull())
+    if canonical:
+        live = F.transform(
+            live,
+            lambda p: F.struct(
+                canonicalize_url(p["url"]).alias("url"),
+                p["text"].alias("text"),
+            ),
+        )
+    return live

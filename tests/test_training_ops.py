@@ -4865,3 +4865,39 @@ def test_exact_topk_scale_path_matches_collect_path(spark):
         ).collect()
     )
     assert fast_g == scale_g
+
+
+def test_anchor_text_extraction_pairs_align(spark):
+    """Anchor-pair extraction: href and text always align (one pattern
+    drives both extractions), fragments stripped, empty hrefs dropped,
+    resolution + canonicalization applied in the with-text form."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.functions.urls import (
+        extract_anchor_pairs,
+        extract_links_with_text,
+    )
+
+    html = (
+        '<a href="/a#frag">Alpha</a> plain '
+        '<A class="x" HREF="https://Other.ORG:443/b?utm_s=1&q=2">Beta</A>'
+        '<a href="">skipme</a>'
+        '<a href="c.html">Gamma</a>'
+    )
+    df = spark.createDataFrame(
+        [(html, "http://h.example.com/d/page.html")], "html string, url string"
+    )
+    pairs = df.select(extract_anchor_pairs("html").alias("p")).collect()[0]["p"]
+    assert [(p["href"], p["text"]) for p in pairs] == [
+        ("/a", "Alpha"),
+        ("https://Other.ORG:443/b?utm_s=1&q=2", "Beta"),
+        ("c.html", "Gamma"),
+    ]
+    links = df.select(
+        extract_links_with_text("html", "url").alias("l")
+    ).collect()[0]["l"]
+    assert [(p["url"], p["text"]) for p in links] == [
+        ("http://h.example.com/a", "Alpha"),
+        ("https://other.org/b?q=2", "Beta"),
+        ("http://h.example.com/d/c.html", "Gamma"),
+    ]
