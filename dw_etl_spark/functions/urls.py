@@ -385,3 +385,41 @@ def extract_links_with_text(
             ),
         )
     return live
+
+
+def host_anchor_terms(
+    df: DataFrame,
+    html_col: str,
+    base_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Per-DESTINATION-host anchor-text term profile: ``(dst_host,
+    term, n, rank)`` — the top-``top_n`` tokens other pages use when
+    linking to a host (the classic description signal: a host's anchor
+    profile describes it better than its own boilerplate). Pipeline:
+    explode resolved (url, text) pairs → tokenize the anchor text →
+    one (dst_host, term)-keyed count shuffle → per-host window top-n
+    with the (n DESC, term ASC) deterministic cut. Anchor-term
+    cardinality per host is tiny compared to the corpus, so the
+    aggregate is the compaction step; for a frontier-scale host count
+    swap the window for ``heavy_hitters.exact_topk_by``."""
+    from pyspark.sql import Window
+
+    from dw_etl_spark.functions.text import tokens
+
+    pairs = df.select(
+        F.explode(extract_links_with_text(html_col, base_col)).alias("p")
+    ).select(
+        url_host(F.col("p.url")).alias("dst_host"),
+        F.explode(tokens(F.col("p.text"))).alias("term"),
+    )
+    counts = pairs.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )

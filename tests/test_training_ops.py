@@ -4901,3 +4901,31 @@ def test_anchor_text_extraction_pairs_align(spark):
         ("https://other.org/b?q=2", "Beta"),
         ("http://h.example.com/d/c.html", "Gamma"),
     ]
+
+
+def test_host_anchor_terms_profiles_destinations(spark):
+    """Anchor-term profiles aggregate what OTHER pages call a host:
+    counts keyed by destination host, deterministic per-host top-n."""
+    from dw_etl_spark.functions.urls import host_anchor_terms
+
+    pages = spark.createDataFrame(
+        [
+            ('<a href="http://b.com/1">great docs</a>'
+             '<a href="http://b.com/2">docs here</a>',
+             "http://a.com/p1"),
+            ('<a href="http://b.com/3">docs</a>'
+             '<a href="http://c.com/x">tiny page</a>',
+             "http://a2.com/p2"),
+        ],
+        "html string, url string",
+    )
+    rows = sorted(
+        (r["dst_host"], r["term"], r["n"], r["rank"])
+        for r in host_anchor_terms(pages, "html", "url", top_n=2).collect()
+    )
+    assert rows == [
+        ("b.com", "docs", 3, 1),
+        ("b.com", "great", 1, 2),
+        ("c.com", "page", 1, 1),
+        ("c.com", "tiny", 1, 2),
+    ]
