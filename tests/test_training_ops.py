@@ -4929,3 +4929,71 @@ def test_host_anchor_terms_profiles_destinations(spark):
         ("c.com", "page", 1, 1),
         ("c.com", "tiny", 1, 2),
     ]
+
+
+def test_crawl_graph_story_end_to_end(spark):
+    """Crawl-graph composition: raw HTML pages → robots compliance →
+    link extraction → host-level edge aggregation → PageRank → anchor
+    profiles, each stage feeding the next. Pins that the family's
+    pieces actually compose: the robots-blocked page contributes no
+    edges, the most-linked host ranks first, and its anchor profile is
+    what OTHER hosts call it."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.functions.urls import (
+        host_anchor_terms,
+        host_link_edges,
+        robots_filter,
+    )
+    from dw_etl_spark.operators.graph import pagerank_fixed
+
+    pages = spark.createDataFrame(
+        [
+            ('<a href="http://hub.com/a">useful hub</a>'
+             '<a href="http://spam.com/z">junk</a>',
+             "http://site1.com/p"),
+            ('<a href="http://hub.com/b">great hub</a>',
+             "http://site2.com/q"),
+            # this page is robots-blocked and must contribute nothing
+            ('<a href="http://spam.com/y">junk link</a>',
+             "http://blocked.com/private/x"),
+        ],
+        "html string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("blocked.com", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string",
+    )
+    allowed = robots_filter(pages, "url", robots)
+    assert allowed.count() == 2
+
+    edges = host_link_edges(allowed, "html", "url")
+    got = {
+        (r["src_host"], r["dst_host"]): r["n"] for r in edges.collect()
+    }
+    assert got == {
+        ("site1.com", "hub.com"): 1,
+        ("site1.com", "spam.com"): 1,
+        ("site2.com", "hub.com"): 1,
+    }
+
+    pr = {
+        r[0]: r[1]
+        for r in pagerank_fixed(
+            edges.select(
+                F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+            ),
+            src="src",
+            dst="dst",
+            rounds=3,
+        ).collect()
+    }
+    assert pr["hub.com"] == max(pr.values())  # most-linked host wins
+
+    terms = {
+        (r["dst_host"], r["term"])
+        for r in host_anchor_terms(allowed, "html", "url", top_n=2).collect()
+    }
+    assert ("hub.com", "hub") in terms
+    # the blocked page's anchor text never reaches the profile
+    assert ("spam.com", "link") not in terms
