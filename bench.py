@@ -115,6 +115,10 @@ def main() -> None:
             "pipeline_sec_median": round(
                 statistics.median(pipeline_runs), 3
             ),
+            # per-run list (r10, VERDICT r9 #1/#5): makes a first-runs-
+            # heavy regression visible in the artifact itself — the
+            # first run carries one-time codegen/JIT cost by design
+            "pipeline_runs": [round(t, 3) for t in pipeline_runs],
         }
     )
     print(payload)

@@ -13,10 +13,11 @@ Two backends behind one interface:
 
 - ``ParquetWarehouse`` — the lake-native scale path. A data lake has no
   enforced PK/FK DDL, so constraints become *validated invariants*:
-  PK = non-null + unique (one distinct-count job), FK = no orphans
-  (one left-anti probe). The write is a parquet overwrite — the moral
-  equivalent of the reference's drop-then-recreate load. This is the
-  backend the tests and bench exercise.
+  PK = non-null + unique, FK = no orphans. Every load is a staged
+  parquet write promoted by rename-aside swap — the moral equivalent
+  of the reference's drop-then-recreate load, with the previous table
+  preserved on any validation failure or crash. This is the backend
+  the tests and bench exercise.
 
 - ``JdbcWarehouse`` — the reference-shaped path for a real RDBMS:
   ``df.write.jdbc`` (executor-parallel batched INSERTs — the scalable
@@ -117,17 +118,31 @@ class ParquetWarehouse:
     def _path(self, name: str) -> str:
         return str(self.base / name)
 
+    def _recover(self, name: str) -> None:
+        """Sweep the leftovers of a load that crashed mid-swap: an
+        orphaned ``__staging`` (uncommitted partial write) is dropped,
+        an orphaned ``__old`` resolves to whichever side the swap
+        committed — same invariants as the streaming state sinks
+        (``streaming/sinks.py:_recover_swap``), reused verbatim. Runs
+        on every table access; two ``Path.exists`` probes when clean."""
+        from dw_etl_spark.streaming.sinks import _recover_swap
+
+        _recover_swap(self._path(name))
+
     def table_exists(self, name: str) -> bool:  # S8
+        self._recover(name)
         return Path(self._path(name)).exists()
 
     def drop_table(self, name: str) -> None:  # S9
         import shutil
 
+        self._recover(name)
         p = Path(self._path(name))
         if p.exists():
             shutil.rmtree(p)
 
     def read_table(self, name: str) -> DataFrame:  # S6-ish
+        self._recover(name)
         return self.spark.read.parquet(self._path(name))
 
     def introspect(self, name: str) -> DataFrame:  # S13
@@ -152,78 +167,82 @@ class ParquetWarehouse:
         the scale lever the reference's flat tables lack (partition
         pruning on the read side).
 
-        Pass structure (r9): the PK check is one aggregation pass; the
-        FK checks RIDE THE WRITE PASS — each parent's distinct key set
+        Pass structure (r10 — one lineage computation total): every
+        write lands in a ``__staging`` directory first. The FK checks
+        RIDE THE WRITE PASS — each parent's distinct key set
         broadcast-left-joins a hit marker onto the outgoing rows and an
         ``observe`` node counts orphans while the rows stream to
-        parquet, so a fact with two FKs costs 2 passes total (PK agg +
-        write), not 4. The write lands in a ``__staging`` directory and
-        is only swapped live (rename-aside) after the observed orphan
-        counts come back zero — a failed FK validation leaves the
-        PREVIOUS table intact, which plain mode('overwrite') (delete
-        target, then write) could not guarantee.
+        parquet. The PK check runs AFTER the write against the WRITTEN
+        parquet (``countDistinct`` is not allowed in observed metrics),
+        which Catalyst column-prunes to a scan of just the PK columns —
+        a few MB of encoded longs, not a second pass over the input
+        lineage. Staging is promoted live (rename-aside
+        ``_commit_swap``) only after both checks pass, so ANY failed
+        validation — PK or FK — leaves the PREVIOUS table intact, which
+        plain mode('overwrite') (delete target, then write) could not
+        guarantee. An orphaned ``__staging``/``__old`` from a crashed
+        earlier load is swept before writing (``_recover``).
 
-        The frame is pinned for the duration of the load (``pin``): the
-        PK check and the write are separate actions, and without a
-        persist each recomputes the full upstream lineage. Pass
-        ``pin=False`` when the caller manages the frame's cache
-        lifecycle itself (``load_star_schema`` does, because a dim
-        outlives its own write as the fact's FK parent).
+        The input lineage is computed exactly once (by the staged
+        write), so nothing is persisted here. ``pin`` is kept for API
+        compatibility and ignored — the r9 design needed it because the
+        PK aggregation and the write were two actions over ``df``; the
+        written-parquet PK check removed the second action.
         """
-        from pyspark import StorageLevel
+        import shutil
+
         from pyspark.sql import Observation
 
+        del pin  # single-action design: no double computation to pin
         for c, t in spec.column_types.items():  # S12: cast before write
             df = df.withColumn(c, F.col(c).cast(t))
-        if pin:
-            df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            check_primary_key(df, spec.primary_key)
-            fks = [
-                fk
-                for fk in spec.foreign_keys
-                if parents and fk.ref_table in parents
-            ]
-            out, obs = df, None
-            if fks:
-                obs = Observation()
-                metrics = []
-                for i, fk in enumerate(fks):
-                    pcols = [f"__p{i}_{j}" for j in range(len(fk.columns))]
-                    pkeys = (
-                        parents[fk.ref_table]
-                        .select(
-                            *[
-                                F.col(rc).alias(pc)
-                                for rc, pc in zip(fk.ref_columns, pcols)
-                            ]
-                        )
-                        .distinct()
-                        .withColumn(f"__hit{i}", F.lit(1))
+        fks = [
+            fk
+            for fk in spec.foreign_keys
+            if parents and fk.ref_table in parents
+        ]
+        out, obs = df, None
+        if fks:
+            obs = Observation()
+            metrics = []
+            for i, fk in enumerate(fks):
+                pcols = [f"__p{i}_{j}" for j in range(len(fk.columns))]
+                pkeys = (
+                    parents[fk.ref_table]
+                    .select(
+                        *[
+                            F.col(rc).alias(pc)
+                            for rc, pc in zip(fk.ref_columns, pcols)
+                        ]
                     )
-                    cond = None
-                    for c, pc in zip(fk.columns, pcols):
-                        clause = out[c] == F.col(pc)
-                        cond = clause if cond is None else cond & clause
-                    out = out.join(F.broadcast(pkeys), cond, "left").drop(
-                        *pcols
-                    )
-                    non_null = F.lit(True)
-                    for c in fk.columns:
-                        non_null = non_null & F.col(c).isNotNull()
-                    metrics.append(
-                        F.sum(
-                            F.when(
-                                non_null & F.col(f"__hit{i}").isNull(),
-                                F.lit(1),
-                            ).otherwise(F.lit(0))
-                        ).alias(f"orphans_{i}")
-                    )
-                out = out.observe(obs, *metrics).drop(
-                    *[f"__hit{i}" for i in range(len(fks))]
+                    .distinct()
+                    .withColumn(f"__hit{i}", F.lit(1))
                 )
-            live = self._path(spec.name)
-            target = f"{live}__staging" if fks else live
+                cond = None
+                for c, pc in zip(fk.columns, pcols):
+                    clause = out[c] == F.col(pc)
+                    cond = clause if cond is None else cond & clause
+                out = out.join(F.broadcast(pkeys), cond, "left").drop(
+                    *pcols
+                )
+                non_null = F.lit(True)
+                for c in fk.columns:
+                    non_null = non_null & F.col(c).isNotNull()
+                metrics.append(
+                    F.sum(
+                        F.when(
+                            non_null & F.col(f"__hit{i}").isNull(),
+                            F.lit(1),
+                        ).otherwise(F.lit(0))
+                    ).alias(f"orphans_{i}")
+                )
+            out = out.observe(obs, *metrics).drop(
+                *[f"__hit{i}" for i in range(len(fks))]
+            )
+        live = self._path(spec.name)
+        self._recover(spec.name)
+        target = f"{live}__staging"
+        try:
             writer = out.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
@@ -233,19 +252,22 @@ class ParquetWarehouse:
                 for i, fk in enumerate(fks):
                     orphans = got[f"orphans_{i}"]
                     if orphans:
-                        import shutil
-
-                        shutil.rmtree(target, ignore_errors=True)
                         raise ConstraintViolation(
                             f"FK {fk.name}: {orphans} child rows have no "
                             f"parent in {fk.ref_table}"
                         )
-                from dw_etl_spark.streaming.sinks import _commit_swap
+            if spec.primary_key:
+                # explicit schema: partition columns read back with
+                # their written types, not dir-name inference (a PK
+                # overlapping partition_by must not merge '1'/'01')
+                written = self.spark.read.schema(df.schema).parquet(target)
+                check_primary_key(written, spec.primary_key)
+        except BaseException:
+            shutil.rmtree(target, ignore_errors=True)
+            raise
+        from dw_etl_spark.streaming.sinks import _commit_swap
 
-                _commit_swap(live)
-        finally:
-            if pin:
-                df.unpersist()
+        _commit_swap(live)
 
 
 # Spark dtype → SQL DDL type (reference load.py:21-33 get_id_datatype).
@@ -464,27 +486,42 @@ def load_star_schema(
     """Reference load stage (jobs.py:41-47, load.py:82-168): dims first,
     fact last so FK targets exist; with JDBC, FKs dropped up front.
 
-    Dims are pinned across the whole load — each serves as its own
-    write input AND as the broadcast parent of the fact's FK checks.
-    """
-    from pyspark import StorageLevel
+    With the parquet backend the fact's FK parents are the JUST-WRITTEN
+    dim parquet tables, not pinned dim lineages: the parent side of
+    each FK check is a column-pruned distinct over key columns of a
+    file that already exists, so nothing is persisted and every
+    table's lineage is computed exactly once — by its own staged
+    write. (With JDBC the database enforces the FKs itself.)
 
+    Dim loads are independent of each other (only the fact depends on
+    them), so the parquet backend submits them as CONCURRENT Spark
+    jobs — the same parallelism the reference's Dagster DAG gets from
+    independent load nodes (jobs.py:41-47). Small dim jobs overlap
+    their scheduling/IO gaps; the fact still loads last. The JDBC
+    path stays sequential: embedded-driver DDL is not safely
+    concurrent and the reference's RDBMS load was serial anyway.
+    """
     if isinstance(warehouse, JdbcWarehouse):
         for spec in specs.values():
             for fk in spec.foreign_keys:
                 warehouse.drop_foreign_key(spec.name, fk.name)
-    dims = {
-        n: df.persist(StorageLevel.MEMORY_AND_DISK)
-        for n, df in tables.items()
-        if n != fact_name
-    }
-    pin_kw = {"pin": False} if isinstance(warehouse, ParquetWarehouse) else {}
-    try:
-        for name, df in dims.items():
-            warehouse.write_table(df, specs[name], **pin_kw)
-        warehouse.write_table(
-            tables[fact_name], specs[fact_name], parents=dims
-        )
-    finally:
-        for df in dims.values():
-            df.unpersist()
+    dim_names = [n for n in tables if n != fact_name]
+    parents: dict[str, DataFrame] = {}
+    if isinstance(warehouse, ParquetWarehouse) and len(dim_names) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(dim_names))) as ex:
+            futures = {
+                n: ex.submit(warehouse.write_table, tables[n], specs[n])
+                for n in dim_names
+            }
+            for n in dim_names:  # surface the first failure, in order
+                futures[n].result()
+    else:
+        for name in dim_names:
+            warehouse.write_table(tables[name], specs[name])
+    if isinstance(warehouse, ParquetWarehouse):
+        parents = {n: warehouse.read_table(n) for n in dim_names}
+    warehouse.write_table(
+        tables[fact_name], specs[fact_name], parents=parents or None
+    )

@@ -83,6 +83,77 @@ def test_load_star_schema_end_to_end(spark, tmp_path):
     assert wh.read_table("FACT_LineItem").count() == star["FACT_LineItem"].count()
 
 
+def test_parquet_warehouse_validation_failure_preserves_previous_table(
+    spark, tmp_path
+):
+    """r10: every load stages + swaps, so a FAILED load — PK or FK —
+    leaves the previously committed table intact and no staging orphan
+    behind (VERDICT r9 #4 family)."""
+    from pathlib import Path
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    good = spark.createDataFrame([(1, "x"), (2, "y")], ["Id", "V"])
+    spec = TableSpec("T", primary_key=["Id"])
+    wh.write_table(good, spec)
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], ["Id", "V"])
+    with pytest.raises(ConstraintViolation, match="not unique"):
+        wh.write_table(dup, spec)
+    assert not Path(str(tmp_path / "T__staging")).exists()
+    assert sorted(r["V"] for r in wh.read_table("T").collect()) == ["x", "y"]
+
+    parent = spark.createDataFrame([(1,)], ["Id"])
+    orphaned = spark.createDataFrame([(1, 1), (2, 99)], ["Id", "DimId"])
+    fk_spec = TableSpec(
+        "T",
+        primary_key=["Id"],
+        foreign_keys=[ForeignKey(["DimId"], "DIM_P", ["Id"])],
+    )
+    with pytest.raises(ConstraintViolation, match="no parent"):
+        wh.write_table(orphaned, fk_spec, parents={"DIM_P": parent})
+    assert not Path(str(tmp_path / "T__staging")).exists()
+    assert sorted(r["V"] for r in wh.read_table("T").collect()) == ["x", "y"]
+
+
+def test_parquet_warehouse_recovers_orphaned_staging(spark, tmp_path):
+    """r10 (VERDICT r9 #4): a crash between the staged write and the
+    swap leaves ``__staging`` (and possibly ``__old``) beside the live
+    table; the next access sweeps them via the streaming sinks'
+    ``_recover_swap`` invariants — previous table intact, orphans gone,
+    and a crash BETWEEN the two swap renames (live gone, ``__old``
+    present) restores the committed state."""
+    from pathlib import Path
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "x")], ["Id", "V"])
+    wh.write_table(df, TableSpec("T", primary_key=["Id"]))
+
+    # crash after staged write, before swap
+    staging = Path(str(tmp_path / "T__staging"))
+    staging.mkdir()
+    (staging / "part-junk.parquet").write_bytes(b"partial")
+    assert wh.table_exists("T")
+    assert not staging.exists()
+    assert [r["V"] for r in wh.read_table("T").collect()] == ["x"]
+
+    # crash between the swap's two renames: live moved aside, staging
+    # not yet promoted — recovery must restore the aside copy
+    live = Path(str(tmp_path / "T"))
+    old = Path(str(tmp_path / "T__old"))
+    live.rename(old)
+    staging.mkdir()
+    assert wh.table_exists("T")
+    assert not old.exists() and not staging.exists()
+    assert [r["V"] for r in wh.read_table("T").collect()] == ["x"]
+
+    # a fresh write over the recovered table still works end-to-end
+    wh.write_table(
+        spark.createDataFrame([(2, "y")], ["Id", "V"]),
+        TableSpec("T", primary_key=["Id"]),
+    )
+    assert [r["V"] for r in wh.read_table("T").collect()] == ["y"]
+
+
 def test_jdbc_ddl_generation(spark):
     assert ddl_drop_table("T") == "DROP TABLE IF EXISTS T"
     stmts = ddl_set_primary_key("T", ["Id"], {"Id": "BIGINT"})
