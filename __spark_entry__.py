@@ -1858,7 +1858,7 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_overlap_sql() -> str:
     k = _OVERLAP_K
-    num = repr(float((k - 1) * 16**15))
+    num = repr(float((k - 1) * 16**14))
     return f"""
 WITH co AS (SELECT unnest(range({k})) AS i),
 ma AS (
@@ -1885,9 +1885,9 @@ mu AS (
 ),
 sums AS (
   SELECT
-    (SELECT sum(('0x' || substr(m, 1, 15))::BIGINT) FROM ma) AS sa,
-    (SELECT sum(('0x' || substr(m, 1, 15))::BIGINT) FROM mb) AS sb,
-    (SELECT sum(('0x' || substr(m, 1, 15))::BIGINT) FROM mu) AS su,
+    (SELECT sum(('0x' || substr(m, 1, 14))::BIGINT) FROM ma) AS sa,
+    (SELECT sum(('0x' || substr(m, 1, 14))::BIGINT) FROM mb) AS sb,
+    (SELECT sum(('0x' || substr(m, 1, 14))::BIGINT) FROM mu) AS su,
     (SELECT count(*) FROM ma JOIN mb USING (i) WHERE ma.m = mb.m) AS mt
 ),
 flags AS (
@@ -1941,12 +1941,12 @@ SELECT 'g' || CAST(g AS VARCHAR) || ':' || s.section,
        CAST(-1 AS INTEGER), CAST(NULL AS VARCHAR), s.value_d
 FROM (
   SELECT g,
-    (SELECT sum(('0x' || substr(m, 1, 15))::BIGINT)
+    (SELECT sum(('0x' || substr(m, 1, 14))::BIGINT)
      FROM mag WHERE mag.g = gs.g) AS sa,
-    (SELECT sum(('0x' || substr(m, 1, 15))::BIGINT)
+    (SELECT sum(('0x' || substr(m, 1, 14))::BIGINT)
      FROM mbg WHERE mbg.g = gs.g) AS sb,
     (SELECT sum(('0x' || substr(
-        CASE WHEN a.m <= b.m THEN a.m ELSE b.m END, 1, 15))::BIGINT)
+        CASE WHEN a.m <= b.m THEN a.m ELSE b.m END, 1, 14))::BIGINT)
      FROM mag a JOIN mbg b ON a.g = b.g AND a.i = b.i
      WHERE a.g = gs.g) AS su,
     (SELECT count(*) FROM mag a JOIN mbg b ON a.g = b.g AND a.i = b.i

@@ -459,9 +459,16 @@ def cms_estimate(
 #: Jaccard SE ~ sqrt(J(1-J)/64); state is 64 fixed-width hex strings
 KMINS_DEFAULT_K = 64
 
-#: numeric value of a 15-hex-digit prefix's denominator (16^15) — the
-#: min-hash fraction is prefix_int / 16^15 in [0, 1)
-_KMINS_SCALE = 16 ** 15
+#: numeric value of a 14-hex-digit prefix's denominator (16^14) — the
+#: min-hash fraction is prefix_int / 16^14 in [0, 1). 14 digits = 56
+#: bits, so a sum of k <= 128 prefixes stays under int64 max even when
+#: a group holds very few distinct keys (each min then approaches the
+#: full 2^56 range): 128 * (2^56 - 1) < 2^63 - 1. 15 digits (60 bits)
+#: silently wrapped the BIGINT sum for groups with < ~k/8 distincts
+#: (r10 advice fix) — Spark's non-ANSI sum wraps where DuckDB's
+#: promotes to HUGEINT, so small groups returned negative estimates
+#: AND diverged from the oracle twin.
+_KMINS_SCALE = 16 ** 14
 
 
 def _km_hash(key: F.Column, i: int) -> F.Column:
@@ -495,7 +502,15 @@ def kmins_sketch(
     keys are ignored. Unlike HLL's opaque binary, the state is a plain
     ``array<string>`` — it persists as parquet and replays closed-form
     in DuckDB, so the gate pins the sketch itself.
+
+    ``k`` is capped at 128: the estimator sums k 56-bit prefixes in a
+    BIGINT, which is overflow-proof exactly up to 128 coordinates.
     """
+    if k > 128:
+        raise ValueError(
+            f"kmins k={k} exceeds 128 — the 56-bit prefix sum in "
+            "kmins_distinct_est is only overflow-proof for k <= 128"
+        )
     key = F.col(key_col)
     gb = df.filter(key.isNotNull()).groupBy(*(by or []))
     agg = gb.agg(*[F.min(_km_hash(key, i)).alias(f"__m{i}") for i in range(k)])
@@ -529,12 +544,13 @@ def merge_kmins(
 
 
 def _kmins_frac_sum(sketch: F.Column) -> F.Column:
-    """Exact integer sum of the 15-hex-digit prefixes — BIGINT addition
+    """Exact integer sum of the 14-hex-digit prefixes — BIGINT addition
     is order-independent, so the later double division is bit-identical
-    across engines (summing doubles would not be)."""
+    across engines (summing doubles would not be). 14 digits keeps the
+    sum overflow-free for any input up to k=128 (see _KMINS_SCALE)."""
     return F.aggregate(
         F.transform(
-            sketch, lambda x: F.conv(F.substring(x, 1, 15), 16, 10).cast("long")
+            sketch, lambda x: F.conv(F.substring(x, 1, 14), 16, 10).cast("long")
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
@@ -542,7 +558,7 @@ def _kmins_frac_sum(sketch: F.Column) -> F.Column:
 
 
 def kmins_distinct_est(sketch: F.Column | str, k: int = KMINS_DEFAULT_K) -> F.Column:
-    """Distinct-count estimate: n-hat = (k-1) * 16^15 / sum(prefix_int)
+    """Distinct-count estimate: n-hat = (k-1) * 16^14 / sum(prefix_int)
     — the unbiased rate estimator for the exponential approximation of
     coordinate minima (sum of k mins ~ Gamma(k, 1/n)); relative SE
     ~ 1/sqrt(k-2). The numerator is ONE pre-folded double literal so

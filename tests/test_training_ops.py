@@ -4829,6 +4829,48 @@ def test_exact_topk_by_matches_grouped_groupby(spark):
     assert rows == [("a", "x", 2), ("a", "y", 1), ("b", "z", 1)]
 
 
+def test_kmins_estimator_is_sane_for_tiny_groups(spark):
+    """r10 advice fix: with 15-hex-digit (60-bit) prefixes the BIGINT
+    prefix sum silently wrapped whenever a group held fewer than ~k/8
+    distinct keys (expected sum ~ k*2^60/(n+1) > int64 max), returning
+    negative/garbage estimates. 14 digits (56 bits) are overflow-proof
+    for k <= 128: a 2-distinct corpus and 1-distinct by= groups must
+    give small POSITIVE estimates, and k > 128 is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.sketches import (
+        corpus_overlap,
+        kmins_distinct_est,
+        kmins_sketch,
+    )
+
+    two = spark.createDataFrame(
+        [("a",), ("b",), ("a",)], "key string"
+    )
+    est = (
+        kmins_sketch(two, "key", k=64)
+        .select(kmins_distinct_est("kmins", 64).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert 0 < est < 50  # was negative/garbage under the 60-bit sum
+
+    # grouped: every group has ONE distinct key — worst case for the sum
+    grouped = spark.createDataFrame(
+        [("g1", "x"), ("g1", "x"), ("g2", "y")], "g string, key string"
+    )
+    rows = corpus_overlap(
+        grouped, grouped, "key", k=64, by=["g"]
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0 < r["est_a"] < 30 and 0 < r["est_union"] < 30
+        assert r["jaccard"] == 1.0
+
+    with pytest.raises(ValueError, match="k <= 128"):
+        kmins_sketch(two, "key", k=256)
+
+
 def test_exact_topk_returns_literal_frame_and_rejects_null_groups(spark):
     """r10 (VERDICT r9 #3 + advice): (a) the returned frame is the
     verified proof rows re-planted as literals — consuming it runs NO
