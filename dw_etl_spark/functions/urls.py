@@ -243,8 +243,11 @@ def robots_filter(
 
 #: double-quoted <a href="..."> values, any attribute order, any case.
 #: Java regex and RE2 agree on this pattern (no backreferences); the
-#: gate oracle derives expected links closed-form anyway.
-_HREF_RE = r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"'
+#: gate oracle derives expected links closed-form anyway. The href
+#: attribute name must follow whitespace (``<a\s(?:[^>]*\s)?href``) so
+#: lookalike attributes (``data-href=...``) don't yield false links
+#: (r10 advice fix).
+_HREF_RE = r'(?i)<a\s(?:[^>]*\s)?href\s*=\s*"([^"]*)"'
 
 
 def extract_hrefs(html: Column | str) -> Column:
@@ -260,16 +263,50 @@ def extract_hrefs(html: Column | str) -> Column:
     return F.filter(no_frag, lambda h: h != "")
 
 
+def remove_dot_segments(path: Column | str) -> Column:
+    """RFC 3986 §5.2.4 remove-dot-segments as pure JVM array
+    expressions (one fold — no UDF, no loop): ``.`` segments drop,
+    ``..`` pops the previous segment, traversal above the root is
+    clamped at ``/`` (cannot escape the origin), and a trailing
+    ``.``/``..`` keeps the directory's trailing slash (urljoin parity,
+    pytest-pinned). Input is an absolute path (``/...``) WITHOUT
+    query/fragment — ``resolve_href`` splits those off first."""
+    p = _col(path)
+    segs = F.split(p, "/")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            # pop — but never the leading '' that anchors the root
+            .when(
+                (s == "..") & (F.size(acc) > 1),
+                F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+            )
+            .when(s == "..", acc)
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    joined = F.array_join(folded, "/")
+    last = F.element_at(segs, -1)
+    return F.when(
+        last.isin(".", ".."), F.concat(joined, F.lit("/"))
+    ).otherwise(joined)
+
+
 def resolve_href(base: Column | str, href: Column | str) -> Column:
     """Resolve an href against its page URL — the RFC 3986 subset a
-    link-graph build needs: absolute (kept), protocol-relative
+    link-graph build needs: absolute (kept verbatim), protocol-relative
     (``//host/p`` — base scheme prepended), root-relative (``/p`` —
-    base origin prepended), and path-relative (joined onto the base
-    path's directory). Dot-segments (``../``) are kept literal, NOT
-    normalized — canonicalize+dedup treats them as distinct URLs,
-    which under-merges but never corrupts; full dot-segment removal
-    is left to callers that need it. NULL when the base has no
-    scheme (not a URL)."""
+    base origin prepended), query-only (``?page=2`` — appended to the
+    FULL base path per §5.3, r10 advice fix), and path-relative (joined
+    onto the base path's directory). Relative resolutions run through
+    ``remove_dot_segments`` (§5.2.4) so ``./``/``../`` links land on
+    the same node as their normalized duplicates in the link graph;
+    absolute and protocol-relative hrefs pass through verbatim
+    (normalizing someone else's URL is a canonicalizer's decision, not
+    a resolver's). NULL when the base has no scheme (not a URL).
+    Pytest-pinned against ``urllib.parse.urljoin`` on every class."""
     b, h = _col(base), _col(href)
     scheme = url_scheme(b)
     auth = F.regexp_extract(b, _AUTH_RE, 1)
@@ -279,11 +316,23 @@ def resolve_href(base: Column | str, href: Column | str) -> Column:
     is_abs = h.rlike(_SCHEME_RE)
     is_proto_rel = h.startswith("//")
     is_root = h.startswith("/") & ~is_proto_rel
+    is_query = h.startswith("?")
+    # merged relative path (root- or dir-relative), query split off so
+    # dot-segment removal only ever sees the path
+    merged = F.when(is_root, h).otherwise(
+        F.concat(base_dir, F.lit("/"), h)
+    )
+    qpos = F.instr(merged, "?")
+    mpath = F.when(qpos > 0, F.substring(merged, F.lit(1), qpos - 1)).otherwise(
+        merged
+    )
+    mquery = F.when(qpos > 0, F.substr(merged, qpos)).otherwise(F.lit(""))
+    rel = F.concat(origin, remove_dot_segments(mpath), mquery)
     resolved = (
         F.when(is_abs, h)
         .when(is_proto_rel, F.concat(scheme, F.lit(":"), h))
-        .when(is_root, F.concat(origin, h))
-        .otherwise(F.concat(origin, base_dir, F.lit("/"), h))
+        .when(is_query, F.concat(origin, base_path, h))
+        .otherwise(rel)
     )
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(resolved)
 
@@ -335,7 +384,12 @@ def host_link_edges(
 #: anchor pairs: group 1 = href, group 2 = inner text (non-greedy, no
 #: nested tags stripped — strip_html downstream for that). One pattern
 #: used for BOTH extraction calls so the two arrays always align.
-_ANCHOR_RE = r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+#: ``(?s)`` lets the inner text span newlines — real crawl HTML wraps
+#: anchor text freely, and without it extract_anchor_pairs silently
+#: dropped multi-line anchors that extract_hrefs still saw, making the
+#: two link sets disagree (r10 advice fix). Same whitespace-anchored
+#: href attribute as _HREF_RE (no data-href false positives).
+_ANCHOR_RE = r'(?is)<a\s(?:[^>]*\s)?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
 
 
 def extract_anchor_pairs(html: Column | str) -> Column:
@@ -392,17 +446,30 @@ def host_anchor_terms(
     html_col: str,
     base_col: str,
     top_n: int = 5,
+    exact: bool = False,
+    m: int = 64,
 ) -> DataFrame:
     """Per-DESTINATION-host anchor-text term profile: ``(dst_host,
     term, n, rank)`` — the top-``top_n`` tokens other pages use when
     linking to a host (the classic description signal: a host's anchor
     profile describes it better than its own boilerplate). Pipeline:
     explode resolved (url, text) pairs → tokenize the anchor text →
-    one (dst_host, term)-keyed count shuffle → per-host window top-n
-    with the (n DESC, term ASC) deterministic cut. Anchor-term
-    cardinality per host is tiny compared to the corpus, so the
-    aggregate is the compaction step; for a frontier-scale host count
-    swap the window for ``heavy_hitters.exact_topk_by``."""
+    top-``top_n`` per host with the (n DESC, term ASC) deterministic
+    cut. Rows whose destination host is empty (garbage links) drop.
+
+    Two physical strategies, identical output (pytest-pinned equal):
+
+    - ``exact=False`` (default): one (dst_host, term)-keyed count
+      shuffle + per-host window top-n. Right when the per-host term
+      cardinality is modest — the aggregate is the compaction step.
+    - ``exact=True``: routes through ``heavy_hitters.exact_topk_by``
+      (TPUT) — per-partition local tops with the threshold-sum proof,
+      so the anchor-term TAIL never shuffles. The frontier-scale path:
+      at billions of (host, term) pairs the window path's count
+      shuffle carries the whole vocabulary; TPUT ships only each
+      partition's top-``m`` per host. ``m`` sizes phase 1 (escalates
+      automatically if the proof fails).
+    """
     from pyspark.sql import Window
 
     from dw_etl_spark.functions.text import tokens
@@ -412,12 +479,20 @@ def host_anchor_terms(
     ).select(
         url_host(F.col("p.url")).alias("dst_host"),
         F.explode(tokens(F.col("p.text"))).alias("term"),
-    )
-    counts = pairs.groupBy("dst_host", "term").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    ).filter(F.col("dst_host") != "")
     w = Window.partitionBy("dst_host").orderBy(
         F.col("n").desc(), F.col("term").asc()
+    )
+    if exact:
+        from dw_etl_spark.operators.heavy_hitters import exact_topk_by
+
+        counts = exact_topk_by(
+            pairs, "term", ["dst_host"], k=top_n, m=m
+        ).withColumnRenamed("cnt", "n")
+        # rank over the k-rows-per-host literal frame — driver-sized
+        return counts.withColumn("rank", F.row_number().over(w))
+    counts = pairs.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).alias("n")
     )
     return (
         counts.withColumn("rank", F.row_number().over(w))

@@ -4510,6 +4510,15 @@ def test_link_extraction_resolution_and_host_graph(spark):
         "/root/p",                        # root-relative
         "sub/q.html",                     # path-relative
         "q2.html",                        # path-relative sibling
+        # r10: query-only + dot-segment classes (advice + verdict #8)
+        "?page=2",                        # query-only (full base path)
+        "./same/dir.html",                # explicit current dir
+        "../up.html",                     # one level up
+        "../../x/../y.html",              # nested ups + mid-path ..
+        "../../../../above-root.html",    # traversal above root clamps
+        "/root/../clamped/./z.html",      # root-relative with dots
+        "..",                             # bare parent -> trailing /
+        "sub/../other/q.html?a=1",        # dots with a query suffix
     ]
     df = spark.createDataFrame([(base, h) for h in hrefs], "b string, h string")
     got = {
@@ -4969,6 +4978,66 @@ def test_anchor_text_extraction_pairs_align(spark):
         ("https://other.org/b?q=2", "Beta"),
         ("http://h.example.com/d/c.html", "Gamma"),
     ]
+
+
+def test_anchor_regex_multiline_text_and_attribute_lookalikes(spark):
+    """r10 advice fixes: (a) anchor inner text spanning NEWLINES is
+    extracted (real crawl HTML wraps anchors; the old pattern dropped
+    them from extract_anchor_pairs while extract_hrefs still saw the
+    href — the two link sets disagreed); (b) ``data-href``/lookalike
+    attributes yield NO link in either extractor (the attribute name
+    must follow whitespace)."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.functions.urls import extract_anchor_pairs, extract_hrefs
+
+    html = (
+        '<a href="/wrapped">line one\n  line two</a>'
+        '<a data-href="/fake">not a link</a>'
+        '<a class="y" href="/real">ok</a>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    hrefs = df.select(extract_hrefs("html").alias("h")).collect()[0]["h"]
+    assert hrefs == ["/wrapped", "/real"]
+    pairs = df.select(extract_anchor_pairs("html").alias("p")).collect()[0]["p"]
+    assert [(p["href"], p["text"]) for p in pairs] == [
+        ("/wrapped", "line one\n  line two"),
+        ("/real", "ok"),
+    ]
+    # the two extractors agree on the href set — the advice's invariant
+    assert [p["href"] for p in pairs] == hrefs
+
+
+def test_host_anchor_terms_exact_path_matches_window_path(spark):
+    """r10 (VERDICT r9 #7): ``exact=True`` routes the per-host top-n
+    through TPUT ``exact_topk_by`` — the frontier-scale path — and
+    returns the identical profile to the window path on the same
+    fixture (including tie-cut determinism)."""
+    from dw_etl_spark.functions.urls import host_anchor_terms
+
+    pages = spark.createDataFrame(
+        [
+            ('<a href="http://b.com/1">great docs</a>'
+             '<a href="http://b.com/2">docs here now</a>',
+             "http://a.com/p1"),
+            ('<a href="http://b.com/3">docs great</a>'
+             '<a href="http://c.com/x">tiny page</a>',
+             "http://a2.com/p2"),
+        ],
+        "html string, url string",
+    ).repartition(3)
+    key = lambda r: (r["dst_host"], r["term"], r["n"], r["rank"])
+    win = sorted(
+        key(r)
+        for r in host_anchor_terms(pages, "html", "url", top_n=2).collect()
+    )
+    exact = sorted(
+        key(r)
+        for r in host_anchor_terms(
+            pages, "html", "url", top_n=2, exact=True, m=4
+        ).collect()
+    )
+    assert win == exact and len(win) == 4
 
 
 def test_host_anchor_terms_profiles_destinations(spark):
