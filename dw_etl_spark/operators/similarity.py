@@ -1168,8 +1168,101 @@ def int8_cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         quantize_int8(F.col(vec_col))["q"].alias("cq"),
     )
-    scored = (
+    scored = (  # brute-force-over-codes baseline (int8_cosine_topk)
         c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(int8_cosine(F.col("qq"), F.col("cq")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _codes_as_double(codes: Column) -> Column:
+    return F.transform(codes, lambda v: v.cast("double"))
+
+
+def int8_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """IVF cluster routing composed with int8 storage codes — the
+    quantized ANN scale path (r10): ``int8_cosine_topk`` is the exact
+    brute-force baseline over codes; this runs the SAME int8 scorer
+    over ``ivf_topk``'s inverted-list routing, so a lake that stores
+    only the 4×-narrower code column gets sub-linear ANN without ever
+    materializing float vectors.
+
+    Everything runs in CODE SPACE: centroids are trained on the code
+    arrays (absmax codes preserve each vector's direction — the scale
+    cancels in cosine — so code-space clustering routes like float
+    clustering up to quantization error), assignment/probing rank the
+    same broadcast centroid row as ``ivf_topk``, and co-listed pairs
+    score with the BIGINT-exact ``int8_cosine``. Work per query ≈
+    nprobe/n_centroids of the corpus; ``nprobe == n_centroids``
+    degrades to exact-over-codes. Recall vs the FLOAT IVF path is
+    pytest-pinned. Quantization happens inline for test symmetry;
+    production feeds a pre-quantized code column."""
+    spark = corpus.sparkSession
+    qcodes = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_int8(F.col(vec_col))["q"].alias("qq"),
+    )
+    ccodes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_int8(F.col(vec_col))["q"].alias("cq"),
+    )
+    if centroids is None:
+        code_corpus = ccodes.select(
+            F.col("neighbor_id").alias(id_col),
+            _codes_as_double(F.col("cq")).alias("__cv"),
+        )
+        centroids = ivf_centroids(code_corpus, "__cv", id_col, n_centroids)
+    cent_df = _centroid_frame(spark, centroids)
+    c = ccodes.crossJoin(F.broadcast(cent_df)).select(
+        "neighbor_id",
+        "cq",
+        F.element_at(
+            _ranked_centroids(_codes_as_double(F.col("cq")), F.col("__cents")),
+            1,
+        )["cid"].alias("cid"),
+    )
+    q = qcodes.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "qq",
+        F.explode(
+            F.transform(
+                F.slice(
+                    _ranked_centroids(
+                        _codes_as_double(F.col("qq")), F.col("__cents")
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    )
+    scored = (
+        c.join(q, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

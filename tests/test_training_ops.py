@@ -4748,6 +4748,66 @@ def test_int8_quantization_roundtrip_and_ann_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_int8_ivf_topk_composes_codes_with_routing(spark):
+    """r10 (VERDICT r9 #4): the quantized ANN composition — IVF
+    routing trained and probed in int8 CODE space, pairs scored with
+    the BIGINT-exact int8 cosine. Pins: (1) recall@5 vs the FLOAT IVF
+    path >= 0.9 on the embeddings fixture (same n_centroids/nprobe —
+    quantization must not break routing); (2) nprobe == n_centroids
+    degrades to the exact-over-codes brute force (int8_cosine_topk);
+    (3) the plan broadcasts the centroid row (no cartesian against
+    the corpus)."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.similarity import (
+        int8_cosine_topk,
+        int8_ivf_topk,
+        ivf_topk,
+    )
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    flt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            queries, emb, dim, k=5, n_centroids=8, nprobe=4
+        ).collect()
+    }
+    q8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in int8_ivf_topk(
+            queries, emb, dim, k=5, n_centroids=8, nprobe=4
+        ).collect()
+    }
+    recall = len(flt & q8) / len(flt)
+    assert recall >= 0.9, recall
+
+    # (2) full probe == exact over codes
+    full = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in int8_ivf_topk(
+            queries, emb, dim, k=5, n_centroids=4, nprobe=4
+        ).collect()
+    )
+    brute = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in int8_cosine_topk(queries, emb, k=5).collect()
+    )
+    assert full == brute
+
+    plan = (
+        int8_ivf_topk(queries, emb, dim, k=5, n_centroids=8, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_corpus_overlap_grouped_matches_per_group_ungrouped(spark):
     """Grouped corpus_overlap == running the ungrouped form per group
     (slice-and-dice consistency), and only groups present on both
