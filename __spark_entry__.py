@@ -2088,6 +2088,26 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("bm25_score"),
         F.lit(None).cast("long").alias("rank"),
     )
+    # r10 rode-along: quantized ANN ROUTING (section='q8ivf') — the
+    # int8 codes composed with IVF inverted-list routing, trained and
+    # probed in code space (int8_ivf_topk). 'q8' stays the exact
+    # brute-force-over-codes baseline; this gates the sub-linear path
+    # a code-only lake would actually serve queries from. Every
+    # pre-round quantity is integer-exact in both engines, so the
+    # assignment ranking and pair scores replay bit-identically.
+    from dw_etl_spark.operators.similarity import int8_ivf_topk
+
+    q8ivf = int8_ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5,
+        n_centroids=16, nprobe=4,
+    ).select(
+        F.lit("q8ivf").alias("section"),
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.lit(None).cast("double").alias("bm25_score"),
+        F.lit(None).cast("long").alias("rank"),
+    )
     rr = retrieve_rerank(
         docs,
         queries,
@@ -2111,7 +2131,7 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_score",
         F.col("rank").cast("long").alias("rank"),
     )
-    return cos.unionByName(q8).unionByName(rr)
+    return cos.unionByName(q8).unionByName(q8ivf).unionByName(rr)
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4488,6 +4508,10 @@ UNION ALL
 SELECT 'q8' AS section, query_id, neighbor_id, cos_sim,
        CAST(NULL AS DOUBLE) AS bm25_score, CAST(NULL AS BIGINT) AS rank
 FROM ({oracles.int8_cosine_topk_sql()})
+UNION ALL
+SELECT 'q8ivf' AS section, query_id, neighbor_id, cos_sim,
+       CAST(NULL AS DOUBLE) AS bm25_score, CAST(NULL AS BIGINT) AS rank
+FROM ({oracles.int8_ivf_topk_sql()})
 UNION ALL
 SELECT 'rr' AS section, query_id, id AS neighbor_id, cos_sim,
        bm25_score, CAST(rank AS BIGINT) AS rank

@@ -521,6 +521,85 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
+def int8_ivf_topk_sql(
+    k: int = 5, query_max_id: int = 10, n_centroids: int = 16, nprobe: int = 4
+) -> str:
+    """SQL twin of ``similarity.int8_ivf_topk`` — quantized ANN with
+    IVF routing, all in CODE space: the same absmax quantization as
+    ``int8_cosine_topk_sql``, the same id-keyed md5 centroid sample as
+    ``ivf_topk_sql`` (the sample is vector-independent, so float and
+    code space pick the SAME rows), assignment/probes ranked by
+    (rounded code-cosine DESC, cid ASC), co-listed pairs scored with
+    the exact-BIGINT int8 cosine. Every pre-round quantity is integer-
+    exact in both engines (code dots ≤ 64·127² ≪ 2^53), so the single
+    rounded division per stage is bit-identical."""
+    qz = (
+        "list_transform({e}, x -> CAST(round(CAST(x AS DOUBLE) / "
+        "(list_max(list_transform({e}, y -> abs(CAST(y AS DOUBLE)))) "
+        "/ 127.0)) AS INTEGER))"
+    )
+    # assignment cosine over code arrays as doubles (integer-exact)
+    cdot = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(e.qv[i] AS DOUBLE) * c.qv[i])) AS DOUBLE)"
+    )
+    cnrm = (
+        "sqrt(CAST(list_sum(list_transform(range(1, 65), "
+        "i -> CAST({s}.qv[i] AS DOUBLE) * {s}.qv[i])) AS DOUBLE))"
+    )
+    rcos = f"round({cdot} / ({cnrm.format(s='e')} * {cnrm.format(s='c')}), 6)"
+    # pair scoring: exact BIGINT folds, one double division (the
+    # int8_cosine contract)
+    dotq = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.qqv[i] AS BIGINT) * a.cqv[i])) AS DOUBLE)"
+    )
+    nrm = (
+        "sqrt(CAST(list_sum(list_transform(range(1, 65), "
+        "i -> CAST({s}.{v}[i] AS BIGINT) * {s}.{v}[i])) AS DOUBLE))"
+    )
+    pcos = (
+        f"round({dotq} / ({nrm.format(s='q', v='qqv')} * "
+        f"{nrm.format(s='a', v='cqv')}), 6)"
+    )
+    return f"""
+WITH quant AS (
+  SELECT vec_id, {qz.format(e='embedding')} AS qv FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         qv
+  FROM quant
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_centroids}
+),
+ranked AS (
+  SELECT e.vec_id, e.qv, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {rcos} DESC, c.cid ASC) AS rn
+  FROM quant e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, qv AS cqv, cid FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qqv, cid
+  FROM ranked WHERE rn <= {nprobe} AND vec_id < {query_max_id}
+),
+scored AS (
+  SELECT q.query_id, a.neighbor_id, {pcos} AS cos_sim
+  FROM assigned a JOIN probes q USING (cid)
+  WHERE q.query_id <> a.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 #: retrieve-rerank rode-along (rr: rows of cosine_topk): BM25 recall of
 #: the top-M lexical candidates per every-17th-doc prefix query (the
 #: bm25 gate framing, hot-term cap active), then 64-dim cosine re-rank

@@ -97,6 +97,7 @@ _REQUIRED_SECTIONS = {
     "cosine_topk": [
         ("section", "eq", "cos"),
         ("section", "eq", "q8"),
+        ("section", "eq", "q8ivf"),
         ("section", "eq", "rr"),
     ],
     "profile_metrics": [
