@@ -44,6 +44,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _literal_frame(spark, rows, schema: T.StructType) -> DataFrame:
+    """Re-plant driver-verified rows as a PURE-EXPRESSION literal frame
+    (explode of an array of struct literals) — no Python-RDD
+    serialization (``createDataFrame(list_of_rows)`` plans a
+    ``Scan ExistingRDD`` and pays a Python worker round-trip per call,
+    PLANS.md #8's ~0.5-1 s lesson) and no live lineage. Order of
+    ``rows`` is preserved (single-partition explode of an ordered
+    array literal)."""
+    structs = [
+        F.struct(
+            *[
+                F.lit(r[f.name]).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        for r in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("__s"))
+        .select("__s.*")
+    )
+
+
 def _local_tops_frame(df: DataFrame, key_col: str, m: int) -> DataFrame:
     """Phase 1: per-partition local top-``m`` counts + threshold rows
     (key=NULL, cnt=t_p). Zero shuffle — the iterator form of
@@ -166,7 +190,7 @@ def exact_topk(
         # and the candidate set is not truncated below k unless the
         # bound certifies the vocabulary itself is smaller than k
         if kth > bound and (len(rows) >= k or bound == 0):
-            return spark.createDataFrame(rows, topk.schema)
+            return _literal_frame(spark, rows, topk.schema)
         m *= 2
     raise RuntimeError(
         f"exact_topk: proof not established after {max_rounds} rounds "
@@ -353,7 +377,7 @@ def exact_topk_by(
                 ok = False
                 break
         if ok:
-            return spark.createDataFrame(rows, topk.schema)
+            return _literal_frame(spark, rows, topk.schema)
         m *= 2
     raise RuntimeError(
         f"exact_topk_by: proof not established after {max_rounds} rounds "

@@ -1231,6 +1231,12 @@ def int8_ivf_topk(
         quantize_int8(F.col(vec_col))["q"].alias("cq"),
     )
     if centroids is None:
+        # the corpus-quantization pass would otherwise run twice — once
+        # under the centroid-training collect and once in the
+        # assignment plan; pin the (narrow: id + 64 ints) code frame so
+        # the training job materializes it and assignment reuses the
+        # blocks (lazy localCheckpoint, the dedup_clusters precedent)
+        ccodes = ccodes.localCheckpoint(eager=False)
         code_corpus = ccodes.select(
             F.col("neighbor_id").alias(id_col),
             _codes_as_double(F.col("cq")).alias("__cv"),

@@ -4954,8 +4954,9 @@ def test_exact_topk_returns_literal_frame_and_rejects_null_groups(spark):
     df = spark.range(2000).select((F.col("id") % 13).alias("key")).repartition(4)
     top = exact_topk(df, "key", k=3, m=64)
     plan = top._jdf.queryExecution().executedPlan().toString()
-    # literal rows (local table / existing-RDD scan), not live lineage
-    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    # literal rows (a constant-folded explode over range(1) — pure
+    # expressions, no Python RDD, no live lineage)
+    assert "explode" in plan and "Range" in plan
     assert "parquet" not in plan.lower() and "Exchange" not in plan
     assert [int(r["cnt"]) for r in top.collect()] == [154, 154, 154]
 
