@@ -154,6 +154,37 @@ def test_parquet_warehouse_recovers_orphaned_staging(spark, tmp_path):
     assert [r["V"] for r in wh.read_table("T").collect()] == ["y"]
 
 
+def test_load_star_schema_concurrent_dim_failure_surfaces_cleanly(
+    spark, tmp_path
+):
+    """r10: dim loads run as concurrent Spark jobs — a PK violation in
+    ONE dim must surface as ConstraintViolation from load_star_schema,
+    leave NO __staging orphan for any table, and keep the good dims'
+    committed tables readable."""
+    from pathlib import Path
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    good1 = spark.createDataFrame([(1, "a"), (2, "b")], ["Id", "V"])
+    good2 = spark.createDataFrame([(7, "x")], ["Id", "V"])
+    dup = spark.createDataFrame([(1, "p"), (1, "q")], ["Id", "V"])
+    fact = spark.createDataFrame([(1, 1)], ["Id", "D1"])
+    tables = {"DIM_A": good1, "DIM_B": dup, "DIM_C": good2, "FACT": fact}
+    specs = {n: TableSpec(n, primary_key=["Id"]) for n in tables}
+    with pytest.raises(ConstraintViolation, match="not unique"):
+        load_star_schema(wh, tables, specs, fact_name="FACT")
+    for n in tables:
+        assert not Path(str(tmp_path / f"{n}__staging")).exists(), n
+    # the failing dim never committed; the good dims did (their jobs
+    # are independent — partial progress is fine, replay is idempotent)
+    assert not wh.table_exists("DIM_B")
+    assert sorted(r["V"] for r in wh.read_table("DIM_A").collect()) == ["a", "b"]
+    assert [r["V"] for r in wh.read_table("DIM_C").collect()] == ["x"]
+    # a corrected rerun completes end-to-end
+    tables["DIM_B"] = spark.createDataFrame([(1, "p"), (2, "q")], ["Id", "V"])
+    load_star_schema(wh, tables, specs, fact_name="FACT")
+    assert wh.table_exists("FACT") and wh.table_exists("DIM_B")
+
+
 def test_jdbc_ddl_generation(spark):
     assert ddl_drop_table("T") == "DROP TABLE IF EXISTS T"
     stmts = ddl_set_primary_key("T", ["Id"], {"Id": "BIGINT"})
