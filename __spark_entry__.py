@@ -474,6 +474,28 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lerp_quantile_sq(rel: str, col: str, p: float) -> str:
+    """Scalar subquery replaying the ENGINE's exact-rank quantile lerp
+    (``vlo + (vhi - vlo) * frac`` at rank ``(n-1)*p`` — the arithmetic
+    of Spark ``percentile`` and ``bracketed_exact_percentiles``) over
+    the sorted value list. r10: replaces ``quantile_cont`` in the
+    oracles — DuckDB interpolates ``lo*(1-f)+hi*f``, which is 1 ulp
+    off the lerp whenever the rank fraction is nonzero (even at
+    lo == hi), and a data point sitting exactly on an edge then flips
+    a comparison on the oracle side only (bit the CCNet terciles at
+    sf0.1; this closes the class for the describe percentiles, PSI
+    breakpoints, and winsor fences too)."""
+    h = f"(CAST(n AS BIGINT) - 1) * ({p!r})"
+    lo = f"vs[CAST(floor({h}) AS INT) + 1]"
+    hi = f"vs[CAST(ceil({h}) AS INT) + 1]"
+    return (
+        f"(WITH sv AS (SELECT list_sort(list({col}) "
+        f"FILTER (WHERE {col} IS NOT NULL)) AS vs, "
+        f"CAST(count({col}) AS BIGINT) AS n FROM {rel}) "
+        f"SELECT {lo} + ({hi} - {lo}) * ({h} - floor({h})) FROM sv)"
+    )
+
+
 def _describe_stats_sql() -> str:
     blocks = []
     for c in _DESCRIBE_COLS:
@@ -487,7 +509,7 @@ def _describe_stats_sql() -> str:
         for p in _DESCRIBE_PCTS:
             blocks.append(
                 f"SELECT '{c}', 'p{int(p * 100):02d}', "
-                f"quantile_cont({c}, {p}) FROM lineitem"
+                + _lerp_quantile_sq("lineitem", c, p)
             )
     # drift rode-alongs: KS via running CDFs at every distinct value,
     # PSI over reference-decile bins, JSD over the union vocabulary —
@@ -509,7 +531,10 @@ def _describe_stats_sql() -> str:
               - cum_b / CAST((SELECT count(*) FROM ob) AS DOUBLE)))
   FROM cdf)"""
     )
-    psi_qs = ", ".join(str(i / 10) for i in range(1, 10))
+    psi_edges = " UNION ALL ".join(
+        f"SELECT {_lerp_quantile_sq('pa', 'v', i / 10)} AS e"
+        for i in range(1, 10)
+    )
     blocks.append(
         f"""SELECT 'drift:o_totalprice', 'psi', (
   WITH pa AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
@@ -517,8 +542,7 @@ def _describe_stats_sql() -> str:
   pb AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
          WHERE o_orderkey % 10 = 1),
   eo AS (SELECT e, row_number() OVER (ORDER BY e) AS r FROM (
-           SELECT DISTINCT unnest(quantile_cont(v, [{psi_qs}])) AS e
-           FROM pa)),
+           SELECT DISTINCT e FROM ({psi_edges}))),
   bins AS (SELECT 0 AS bin UNION ALL SELECT CAST(r AS INTEGER) FROM eo),
   ca AS (SELECT bin, count(*) AS c FROM (
            SELECT (SELECT count(*) FROM eo WHERE eo.e < pa.v) AS bin
@@ -556,11 +580,10 @@ def _describe_stats_sql() -> str:
   FROM j)"""
     )
     blocks.append(
-        """SELECT 'winsor:l_extendedprice', m.metric, m.v FROM (
+        f"""SELECT 'winsor:l_extendedprice', m.metric, m.v FROM (
   WITH wl AS (SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 10 = 0),
-  wb AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
-                quantile_cont(l_extendedprice, 0.99) AS hi
-         FROM wl),
+  wb AS (SELECT {_lerp_quantile_sq('wl', 'l_extendedprice', 0.01)} AS lo,
+                {_lerp_quantile_sq('wl', 'l_extendedprice', 0.99)} AS hi),
   wv AS (SELECT least(greatest(l_extendedprice, (SELECT lo FROM wb)),
                       (SELECT hi FROM wb)) AS v FROM wl)
   SELECT 'mean' AS metric, avg(v) AS v FROM wv
@@ -3792,10 +3815,27 @@ def _dim_indicator_sql(qcut: str = "count") -> str:
     rounded = ", ".join(f"round({c}, 6) AS {c}" for c in cols)
     bucket_names = ", ".join(f"{c}Bucket" for c in cols)
     if qcut == "value":
+        # r10 hardening (same fix as text_features' edges): replay the
+        # engine's lerp closed-form over the sorted value list instead
+        # of quantile_cont — DuckDB's quantile_cont interpolates
+        # lo*(1-f)+hi*f, 1 ulp off the engine's lo+(hi-lo)*f whenever
+        # the rank fraction is nonzero, and a data point sitting
+        # exactly on an edge then flips buckets on the oracle side.
+        def _lerp(c: str, q: str) -> str:
+            h = f"(CAST({c}_n AS BIGINT) - 1) * ({q})"
+            lo = f"{c}_vs[CAST(floor({h}) AS INT) + 1]"
+            hi = f"{c}_vs[CAST(ceil({h}) AS INT) + 1]"
+            return f"{lo} + ({hi} - {lo}) * ({h} - floor({h}))"
+
         edge_aggs = ",\n    ".join(
-            f"quantile_cont({c}, 1.0/3.0) AS {c}_r1,\n    "
-            f"quantile_cont({c}, 2.0/3.0) AS {c}_r2,\n    "
-            f"min({c}) AS {c}_mn,\n    max({c}) AS {c}_mx"
+            f"list_sort(list({c}) FILTER (WHERE {c} IS NOT NULL)) AS {c}_vs"
+            f",\n    count({c}) AS {c}_n"
+            for c in cols
+        )
+        edge_calcs = ",\n    ".join(
+            f"{_lerp(c, '1.0/3.0')} AS {c}_r1,\n    "
+            f"{_lerp(c, '2.0/3.0')} AS {c}_r2,\n    "
+            f"{c}_vs[1] AS {c}_mn,\n    {c}_vs[{c}_n] AS {c}_mx"
             for c in cols
         )
         # duplicates='drop' collapse, same rule as _qcut_labels: 3 bins
@@ -3852,11 +3892,16 @@ with_id AS (
   SELECT CAST(row_number() OVER (ORDER BY UserId, Day) AS BIGINT) AS Id, *
   FROM interp
 ),
-edges AS (
+edge_lists AS (
   SELECT Day,
     {edge_aggs}
   FROM with_id
   GROUP BY Day
+),
+edges AS (
+  SELECT Day,
+    {edge_calcs}
+  FROM edge_lists
 )
 SELECT Id, UserId, Day, {rounded},
     {vbuckets}
@@ -4441,8 +4486,16 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": _JSON_EXTRACT_SQL,
         "text_features": (
             # base: features + the three LM scores; outer layer: the
-            # r8 CCNet tercile CASE (same edge arithmetic + collapse
-            # rule as the dim_indicator_qcut value-path replay)
+            # r8 CCNet tercile CASE. r10 fix: edges replay the ENGINE's
+            # lerp closed-form (vs[floor(h)] + (vs[ceil(h)] -
+            # vs[floor(h)]) * frac with h = (n-1)*(i/3) — qcut.py
+            # _group_quantile_edges) instead of quantile_cont: DuckDB's
+            # quantile_cont interpolates as lo*(1-f)+hi*f, which is
+            # 1 ulp off the lerp when f != 0 even at lo == hi, and at
+            # sf0.1 17 docs sat EXACTLY on the r2 edge — the <= compare
+            # flipped middle->tail on the oracle side only. The sketch-
+            # median replay below ('qsketch:' rows) had the same shape
+            # from day one; this aligns the tercile edges with it.
             f"""
 WITH base AS (
   SELECT t.*, b.logppl2, k.logppl_kn
@@ -4450,12 +4503,23 @@ WITH base AS (
   JOIN ({oracles.bigram_logppl_sql()}) b ON t.doc_id = b.id
   JOIN ({oracles.kn_bigram_logppl_sql()}) k ON t.doc_id = k.id
 ),
+sorted_vals AS (
+  SELECT lang_pred, list_sort(list(logppl_kn)) AS vs,
+         CAST(count(logppl_kn) AS BIGINT) AS n
+  FROM base WHERE logppl_kn IS NOT NULL GROUP BY 1
+),
 edges AS (
   SELECT lang_pred,
-         quantile_cont(logppl_kn, 1.0/3.0) AS r1,
-         quantile_cont(logppl_kn, 2.0/3.0) AS r2,
-         min(logppl_kn) AS mn, max(logppl_kn) AS mx
-  FROM base GROUP BY 1
+         vs[CAST(floor((n - 1) * (1.0/3.0)) AS INT) + 1]
+           + (vs[CAST(ceil((n - 1) * (1.0/3.0)) AS INT) + 1]
+              - vs[CAST(floor((n - 1) * (1.0/3.0)) AS INT) + 1])
+             * ((n - 1) * (1.0/3.0) - floor((n - 1) * (1.0/3.0))) AS r1,
+         vs[CAST(floor((n - 1) * (2.0/3.0)) AS INT) + 1]
+           + (vs[CAST(ceil((n - 1) * (2.0/3.0)) AS INT) + 1]
+              - vs[CAST(floor((n - 1) * (2.0/3.0)) AS INT) + 1])
+             * ((n - 1) * (2.0/3.0) - floor((n - 1) * (2.0/3.0))) AS r2,
+         vs[1] AS mn, vs[n] AS mx
+  FROM sorted_vals
 )
 SELECT base.*,
        CASE WHEN logppl_kn IS NULL THEN NULL
