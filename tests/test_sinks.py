@@ -154,6 +154,37 @@ def test_parquet_warehouse_recovers_orphaned_staging(spark, tmp_path):
     assert [r["V"] for r in wh.read_table("T").collect()] == ["y"]
 
 
+def test_parquet_warehouse_partitioned_write_with_pk_on_partition_column(
+    spark, tmp_path
+):
+    """r10: the PK check reads the WRITTEN parquet back with the
+    original schema, so a PK that overlaps ``partition_by`` keeps its
+    written types (directory-name inference must not merge distinct
+    keys like '1'/'01') and uniqueness still validates; a duplicate
+    across partitions is still caught."""
+    from pathlib import Path
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [("1", 10, "a"), ("01", 11, "b"), ("2", 12, "c")],
+        ["Bucket", "Id", "V"],
+    )
+    spec = TableSpec("T", primary_key=["Bucket", "Id"])
+    wh.write_table(df, spec, partition_by=["Bucket"])
+    back = wh.read_table("T")
+    assert back.count() == 3
+    assert sorted(
+        p.name for p in Path(str(tmp_path / "T")).iterdir() if p.is_dir()
+    ) == ["Bucket=01", "Bucket=1", "Bucket=2"]
+
+    dup = spark.createDataFrame(
+        [("1", 10, "a"), ("1", 10, "b")], ["Bucket", "Id", "V"]
+    )
+    with pytest.raises(ConstraintViolation, match="not unique"):
+        wh.write_table(dup, spec, partition_by=["Bucket"])
+    assert back.count() == 3  # previous table preserved
+
+
 def test_load_star_schema_concurrent_dim_failure_surfaces_cleanly(
     spark, tmp_path
 ):
