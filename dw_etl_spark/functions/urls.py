@@ -305,8 +305,11 @@ def resolve_href(base: Column | str, href: Column | str) -> Column:
     the same node as their normalized duplicates in the link graph;
     absolute and protocol-relative hrefs pass through verbatim
     (normalizing someone else's URL is a canonicalizer's decision, not
-    a resolver's). NULL when the base has no scheme (not a URL).
-    Pytest-pinned against ``urllib.parse.urljoin`` on every class."""
+    a resolver's). NULL when the base has no scheme (not a URL), and
+    NULL for empty/fragment-only hrefs (same-document references — a
+    link graph wants them dropped, which the NULL filter downstream
+    already does). Pytest-pinned against ``urllib.parse.urljoin`` on
+    every resolving class."""
     b, h = _col(base), _col(href)
     scheme = url_scheme(b)
     auth = F.regexp_extract(b, _AUTH_RE, 1)
@@ -317,6 +320,11 @@ def resolve_href(base: Column | str, href: Column | str) -> Column:
     is_proto_rel = h.startswith("//")
     is_root = h.startswith("/") & ~is_proto_rel
     is_query = h.startswith("?")
+    # empty and fragment-only hrefs are same-document references —
+    # NULL so link-graph callers drop them (extract_links strips
+    # fragments before resolving, so these reach here only via direct
+    # calls); NULL hrefs propagate as NULL through the when-chain
+    is_self = h.isNull() | (h == "") | h.startswith("#")
     # merged relative path (root- or dir-relative), query split off so
     # dot-segment removal only ever sees the path
     merged = F.when(is_root, h).otherwise(
@@ -329,7 +337,8 @@ def resolve_href(base: Column | str, href: Column | str) -> Column:
     mquery = F.when(qpos > 0, F.substr(merged, qpos)).otherwise(F.lit(""))
     rel = F.concat(origin, remove_dot_segments(mpath), mquery)
     resolved = (
-        F.when(is_abs, h)
+        F.when(is_self, F.lit(None).cast("string"))
+        .when(is_abs, h)
         .when(is_proto_rel, F.concat(scheme, F.lit(":"), h))
         .when(is_query, F.concat(origin, base_path, h))
         .otherwise(rel)

@@ -4528,6 +4528,15 @@ def test_link_extraction_resolution_and_host_graph(spark):
     for h in hrefs:
         assert got[h] == urljoin(base, h), (h, got[h], urljoin(base, h))
 
+    # r10: same-document references resolve to NULL (dropped from link
+    # graphs) rather than a bogus path-relative join
+    selfs = spark.createDataFrame(
+        [(base, ""), (base, "#frag")], "b string, h string"
+    )
+    assert [
+        r["r"] for r in selfs.select(resolve_href("b", "h").alias("r")).collect()
+    ] == [None, None]
+
     html = (
         '<p>x</p><a class="z" href="/one">1</a>'
         '<A HREF="/two#frag">2</A>'
