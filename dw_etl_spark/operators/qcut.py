@@ -92,6 +92,37 @@ def _qcut_labels(n_bins: int, labels: list[str]) -> list[str]:
 _HIST_EDGE_CAP = 2_000_000  # max collected (group, col, value) hist rows
 
 
+class _SqlLiteralUnsupported(TypeError):
+    """A group-key type the SQL-string fast assembly can't render."""
+
+
+def _sql_literal(v) -> str:
+    """Render a Python value as a Spark SQL literal with the SAME
+    runtime semantics as ``F.lit(v)``: NULL, BOOLEAN, integral,
+    ``D``-suffixed double (``repr`` round-trips float64 exactly and
+    Spark parses the ``D`` suffix as DoubleType — an unsuffixed
+    decimal literal would parse as DECIMAL), backslash-escaped string
+    (Spark's default parser mode unescapes ``\\'``/``\\\\``). Raises
+    ``_SqlLiteralUnsupported`` for anything else — the caller keeps a
+    Column-based fallback."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"{v}L"
+    if isinstance(v, float):
+        import math
+
+        if not math.isfinite(v):  # inf/nan have no SQL literal form
+            raise _SqlLiteralUnsupported("non-finite float")
+        return f"{v!r}D"
+    if isinstance(v, str):
+        escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{escaped}'"
+    raise _SqlLiteralUnsupported(type(v).__name__)
+
+
 def _group_quantile_edges(
     df: DataFrame, group_by: list[str], value_cols: list[str], n: int
 ) -> dict[tuple, dict[str, list[float]]] | None:
@@ -243,10 +274,17 @@ def qcut_by_group_expr(
     if edge_map is not None and len(edge_map) > max_literal_groups:
         edge_map = None  # too many groups for a literal CASE — join instead
     if edge_map is not None:
+        # assemble each column's group-dispatch CASE as ONE SQL string
+        # and parse it once (r10): the Column-by-Column `.when()` chain
+        # cost ~2.5 s of driver py4j round-trips at 30 groups × 5
+        # columns (measured on dim_indicator — the data exec was 0.4 s).
+        # Semantics are identical: `<=>` is eqNullSafe, `D`-suffixed
+        # doubles are the same literals, repr round-trips float64
+        # exactly. Falls back to the Column chain when a group key has
+        # a type the SQL renderer doesn't cover (dates, binary, ...).
         out = df
         for vc, oc in zip(value_cols, out_cols):
-            v = F.col(vc)
-            expr = None
+            branches = []
             for key, cols in edge_map.items():
                 if vc not in cols:
                     continue
@@ -256,17 +294,53 @@ def qcut_by_group_expr(
                     continue
                 lbs = _qcut_labels(k, labels)
                 inner = uniq[1:-1]
-                assign = F.lit(lbs[-1])
-                for e, lb in zip(reversed(inner), reversed(lbs[:-1])):
-                    assign = F.when(v <= F.lit(e), F.lit(lb)).otherwise(assign)
-                cond = None
-                for g, kv in zip(group_by, key):
-                    c = F.col(g).eqNullSafe(F.lit(kv))
-                    cond = c if cond is None else cond & c
-                expr = F.when(cond, assign) if expr is None else expr.when(cond, assign)
-            if expr is None:
+                branches.append((key, inner, lbs))
+            if not branches:
                 out = out.withColumn(oc, F.lit(None).cast("string"))
-            else:
+                continue
+            try:
+                sql_branches = []
+                for key, inner, lbs in branches:
+                    cond = " AND ".join(
+                        f"`{g}` <=> {_sql_literal(kv)}"
+                        for g, kv in zip(group_by, key)
+                    )
+                    whens = "".join(
+                        f" WHEN `{vc}` <= {_sql_literal(e)} "
+                        f"THEN {_sql_literal(lb)}"
+                        for e, lb in zip(inner, lbs[:-1])
+                    )
+                    assign = (
+                        f"CASE{whens} ELSE {_sql_literal(lbs[-1])} END"
+                        if whens
+                        else _sql_literal(lbs[-1])
+                    )
+                    sql_branches.append(f"WHEN {cond} THEN ({assign})")
+                chain = "CASE " + " ".join(sql_branches) + " END"
+                out = out.withColumn(
+                    oc,
+                    F.expr(
+                        f"CASE WHEN `{vc}` IS NOT NULL THEN ({chain}) END"
+                    ),
+                )
+            except _SqlLiteralUnsupported:
+                v = F.col(vc)
+                expr = None
+                for key, inner, lbs in branches:
+                    assign = F.lit(lbs[-1])
+                    for e, lb in zip(reversed(inner), reversed(lbs[:-1])):
+                        assign = F.when(v <= F.lit(e), F.lit(lb)).otherwise(
+                            assign
+                        )
+                    cond = None
+                    for g, kv in zip(group_by, key):
+                        c = F.col(g).eqNullSafe(F.lit(kv))
+                        cond = c if cond is None else cond & c
+                    expr = (
+                        F.when(cond, assign)
+                        if expr is None
+                        else expr.when(cond, assign)
+                    )
                 out = out.withColumn(oc, F.when(v.isNotNull(), expr))
         return out
 
