@@ -474,25 +474,48 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lerp_quantile_sq(rel: str, col: str, p: float) -> str:
-    """Scalar subquery replaying the ENGINE's exact-rank quantile lerp
-    (``vlo + (vhi - vlo) * frac`` at rank ``(n-1)*p`` — the arithmetic
-    of Spark ``percentile`` and ``bracketed_exact_percentiles``) over
-    the sorted value list. r10: replaces ``quantile_cont`` in the
-    oracles — DuckDB interpolates ``lo*(1-f)+hi*f``, which is 1 ulp
-    off the lerp whenever the rank fraction is nonzero (even at
-    lo == hi), and a data point sitting exactly on an edge then flips
-    a comparison on the oracle side only (bit the CCNet terciles at
-    sf0.1; this closes the class for the describe percentiles, PSI
-    breakpoints, and winsor fences too)."""
-    h = f"(CAST(n AS BIGINT) - 1) * ({p!r})"
-    lo = f"vs[CAST(floor({h}) AS INT) + 1]"
-    hi = f"vs[CAST(ceil({h}) AS INT) + 1]"
+def _lerp_sorted_sql(vs: str, n: str, p_sql: str) -> str:
+    """THE engine-lerp fragment — the single source of truth every
+    quantile-edge oracle composes (CCNet terciles, dim_indicator
+    value-qcut, describe percentiles, PSI breakpoints, winsor fences).
+    Replays ``vlo + (vhi - vlo) * frac`` at rank ``h = (n-1) * p`` —
+    the arithmetic of Spark ``percentile``, ``qcut``'s histogram lerp
+    and ``bracketed_exact_percentiles`` — over a sorted value-list
+    column. r10: replaces ``quantile_cont`` in the oracles — DuckDB
+    interpolates ``lo*(1-f)+hi*f``, 1 ulp off the lerp whenever the
+    rank fraction is nonzero (even at lo == hi), and a data point
+    sitting exactly on an edge then flips a comparison on the oracle
+    side only (bit the CCNet terciles at sf0.1).
+
+    ``p_sql`` must be a DOUBLE-typed SQL expression: a BARE decimal
+    literal types as DECIMAL in DuckDB and computes h in exact decimal
+    arithmetic — e.g. p=0.7, n=91 gives h=63 exactly where the
+    engine's float64 gives 62.99999999999999, floor 62: a different
+    bracket index entirely (review finding, r10)."""
+    h = f"(CAST({n} AS BIGINT) - 1) * ({p_sql})"
+    lo = f"{vs}[CAST(floor({h}) AS INT) + 1]"
+    hi = f"{vs}[CAST(ceil({h}) AS INT) + 1]"
+    return f"{lo} + ({hi} - {lo}) * ({h} - floor({h}))"
+
+
+def _sorted_vals_sql(rel: str, col: str) -> str:
+    """The (vs, n) sorted-list relation the lerp fragment reads —
+    compute ONCE per source relation and evaluate every percentile
+    over it (each copy re-sorts the relation)."""
     return (
-        f"(WITH sv AS (SELECT list_sort(list({col}) "
-        f"FILTER (WHERE {col} IS NOT NULL)) AS vs, "
-        f"CAST(count({col}) AS BIGINT) AS n FROM {rel}) "
-        f"SELECT {lo} + ({hi} - {lo}) * ({h} - floor({h})) FROM sv)"
+        f"SELECT list_sort(list({col}) FILTER (WHERE {col} IS NOT NULL)) "
+        f"AS vs, CAST(count({col}) AS BIGINT) AS n FROM {rel}"
+    )
+
+
+def _lerp_quantile_sq(rel: str, col: str, p: float) -> str:
+    """One-off scalar-subquery form of the lerp (sorts ``rel`` per
+    call — fine for a single fence; batch percentiles over one
+    ``_sorted_vals_sql`` relation instead)."""
+    p_sql = f"CAST({p!r} AS DOUBLE)"
+    return (
+        f"(WITH sv AS ({_sorted_vals_sql(rel, col)}) "
+        f"SELECT {_lerp_sorted_sql('vs', 'n', p_sql)} FROM sv)"
     )
 
 
@@ -506,11 +529,16 @@ def _describe_stats_sql() -> str:
             f"SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM lineitem",
             f"SELECT '{c}', 'max', CAST(max({c}) AS DOUBLE) FROM lineitem",
         ]
-        for p in _DESCRIBE_PCTS:
-            blocks.append(
-                f"SELECT '{c}', 'p{int(p * 100):02d}', "
-                + _lerp_quantile_sq("lineitem", c, p)
-            )
+        pct_vals = ",\n      ".join(
+            f"('p{int(p * 100):02d}', "
+            f"{_lerp_sorted_sql('vs', 'n', f'CAST({p!r} AS DOUBLE)')})"
+            for p in _DESCRIBE_PCTS
+        )
+        blocks.append(
+            f"""SELECT '{c}', v.lbl, v.val
+    FROM ({_sorted_vals_sql('lineitem', c)}) sv,
+    LATERAL (VALUES {pct_vals}) v(lbl, val)"""
+        )
     # drift rode-alongs: KS via running CDFs at every distinct value,
     # PSI over reference-decile bins, JSD over the union vocabulary —
     # each a closed-form replay of operators/drift.py
@@ -531,9 +559,13 @@ def _describe_stats_sql() -> str:
               - cum_b / CAST((SELECT count(*) FROM ob) AS DOUBLE)))
   FROM cdf)"""
     )
-    psi_edges = " UNION ALL ".join(
-        f"SELECT {_lerp_quantile_sq('pa', 'v', i / 10)} AS e"
+    psi_lerps = ",\n           ".join(
+        f"({_lerp_sorted_sql('vs', 'n', f'CAST({i / 10!r} AS DOUBLE)')})"
         for i in range(1, 10)
+    )
+    psi_edges = (
+        f"SELECT ed.e FROM ({_sorted_vals_sql('pa', 'v')}) sv, "
+        f"LATERAL (VALUES {psi_lerps}) ed(e)"
     )
     blocks.append(
         f"""SELECT 'drift:o_totalprice', 'psi', (
@@ -582,8 +614,9 @@ def _describe_stats_sql() -> str:
     blocks.append(
         f"""SELECT 'winsor:l_extendedprice', m.metric, m.v FROM (
   WITH wl AS (SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 10 = 0),
-  wb AS (SELECT {_lerp_quantile_sq('wl', 'l_extendedprice', 0.01)} AS lo,
-                {_lerp_quantile_sq('wl', 'l_extendedprice', 0.99)} AS hi),
+  wb AS (SELECT {_lerp_sorted_sql('vs', 'n', 'CAST(0.01 AS DOUBLE)')} AS lo,
+                {_lerp_sorted_sql('vs', 'n', 'CAST(0.99 AS DOUBLE)')} AS hi
+         FROM ({_sorted_vals_sql('wl', 'l_extendedprice')}) sv),
   wv AS (SELECT least(greatest(l_extendedprice, (SELECT lo FROM wb)),
                       (SELECT hi FROM wb)) AS v FROM wl)
   SELECT 'mean' AS metric, avg(v) AS v FROM wv
@@ -3816,16 +3849,12 @@ def _dim_indicator_sql(qcut: str = "count") -> str:
     bucket_names = ", ".join(f"{c}Bucket" for c in cols)
     if qcut == "value":
         # r10 hardening (same fix as text_features' edges): replay the
-        # engine's lerp closed-form over the sorted value list instead
-        # of quantile_cont — DuckDB's quantile_cont interpolates
-        # lo*(1-f)+hi*f, 1 ulp off the engine's lo+(hi-lo)*f whenever
-        # the rank fraction is nonzero, and a data point sitting
-        # exactly on an edge then flips buckets on the oracle side.
+        # engine's lerp closed-form (_lerp_sorted_sql — the shared
+        # fragment) over the sorted value list instead of
+        # quantile_cont. 1.0/3.0 is DOUBLE division in DuckDB, matching
+        # the engine's python 1/3.
         def _lerp(c: str, q: str) -> str:
-            h = f"(CAST({c}_n AS BIGINT) - 1) * ({q})"
-            lo = f"{c}_vs[CAST(floor({h}) AS INT) + 1]"
-            hi = f"{c}_vs[CAST(ceil({h}) AS INT) + 1]"
-            return f"{lo} + ({hi} - {lo}) * ({h} - floor({h}))"
+            return _lerp_sorted_sql(f"{c}_vs", f"{c}_n", q)
 
         edge_aggs = ",\n    ".join(
             f"list_sort(list({c}) FILTER (WHERE {c} IS NOT NULL)) AS {c}_vs"
@@ -4510,14 +4539,8 @@ sorted_vals AS (
 ),
 edges AS (
   SELECT lang_pred,
-         vs[CAST(floor((n - 1) * (1.0/3.0)) AS INT) + 1]
-           + (vs[CAST(ceil((n - 1) * (1.0/3.0)) AS INT) + 1]
-              - vs[CAST(floor((n - 1) * (1.0/3.0)) AS INT) + 1])
-             * ((n - 1) * (1.0/3.0) - floor((n - 1) * (1.0/3.0))) AS r1,
-         vs[CAST(floor((n - 1) * (2.0/3.0)) AS INT) + 1]
-           + (vs[CAST(ceil((n - 1) * (2.0/3.0)) AS INT) + 1]
-              - vs[CAST(floor((n - 1) * (2.0/3.0)) AS INT) + 1])
-             * ((n - 1) * (2.0/3.0) - floor((n - 1) * (2.0/3.0))) AS r2,
+         {_lerp_sorted_sql('vs', 'n', '1.0/3.0')} AS r1,
+         {_lerp_sorted_sql('vs', 'n', '2.0/3.0')} AS r2,
          vs[1] AS mn, vs[n] AS mx
   FROM sorted_vals
 )

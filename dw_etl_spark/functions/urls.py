@@ -466,18 +466,23 @@ def host_anchor_terms(
     top-``top_n`` per host with the (n DESC, term ASC) deterministic
     cut. Rows whose destination host is empty (garbage links) drop.
 
-    Two physical strategies, identical output (pytest-pinned equal):
+    Two physical strategies, identical output (pytest-pinned equal) —
+    they trade on DIFFERENT axes:
 
     - ``exact=False`` (default): one (dst_host, term)-keyed count
-      shuffle + per-host window top-n. Right when the per-host term
-      cardinality is modest — the aggregate is the compaction step.
+      shuffle + per-host window top-n. Fully distributed with zero
+      driver state — this IS the frontier-scale path when the HOST
+      count is huge (millions of dst hosts): the shuffle partitions by
+      host and nothing ever concentrates.
     - ``exact=True``: routes through ``heavy_hitters.exact_topk_by``
       (TPUT) — per-partition local tops with the threshold-sum proof,
-      so the anchor-term TAIL never shuffles. The frontier-scale path:
-      at billions of (host, term) pairs the window path's count
-      shuffle carries the whole vocabulary; TPUT ships only each
-      partition's top-``m`` per host. ``m`` sizes phase 1 (escalates
-      automatically if the proof fails).
+      so the anchor-term TAIL never shuffles. Wins when the per-host
+      TERM tail is enormous but the host count is MODEST (TPUT's own
+      contract: driver state scales with m × partitions × groups), e.g.
+      profiling the top few thousand destination hosts of a crawl.
+      ``m`` sizes phase 1 (escalates automatically if the proof
+      fails). Do NOT point it at a frontier-sized host set — that is
+      the window path's regime.
     """
     from pyspark.sql import Window
 

@@ -44,6 +44,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+#: above this, struct literals stop being a plan and start being a
+#: plan-size bomb (the centroid-frame lesson: thousands of plan
+#: literals blow up codegen/analysis) — route through createDataFrame,
+#: whose one-time Python-RDD cost is the right trade at that size
+_LITERAL_FRAME_MAX_ROWS = 512
+
+
 def _literal_frame(spark, rows, schema: T.StructType) -> DataFrame:
     """Re-plant driver-verified rows as a PURE-EXPRESSION literal frame
     (explode of an array of struct literals) — no Python-RDD
@@ -51,7 +58,12 @@ def _literal_frame(spark, rows, schema: T.StructType) -> DataFrame:
     ``Scan ExistingRDD`` and pays a Python worker round-trip per call,
     PLANS.md #8's ~0.5-1 s lesson) and no live lineage. Order of
     ``rows`` is preserved (single-partition explode of an ordered
-    array literal)."""
+    array literal). Above ``_LITERAL_FRAME_MAX_ROWS`` (a grouped top-k
+    over many groups can verify k×n_groups rows) the literal form
+    would be a plan-size bomb — fall back to ``createDataFrame``,
+    still lineage-free."""
+    if len(rows) > _LITERAL_FRAME_MAX_ROWS:
+        return spark.createDataFrame(rows, schema)
     structs = [
         F.struct(
             *[

@@ -4976,6 +4976,44 @@ def test_exact_topk_returns_literal_frame_and_rejects_null_groups(spark):
         exact_topk_by(nullg, "key", ["g"], k=2, m=4).collect()
 
 
+def test_exact_topk_by_many_groups_uses_createdataframe_fallback(spark):
+    """r10 review fix: a grouped top-k over MANY groups verifies
+    k×n_groups rows — above _LITERAL_FRAME_MAX_ROWS the literal-
+    explode form would be a plan-size bomb, so _literal_frame falls
+    back to createDataFrame. Pin: >512 result rows still compute the
+    exact grouped answer and the plan carries no struct-literal
+    explode."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.heavy_hitters import exact_topk_by
+
+    df = (
+        spark.range(8000)
+        .select(
+            (F.col("id") % 400).cast("string").alias("g"),
+            (F.col("id") % 7).alias("key"),
+        )
+        .repartition(4)
+    )
+    top = exact_topk_by(df, "key", ["g"], k=2, m=16)
+    rows = top.collect()
+    assert len(rows) == 800  # 400 groups × k=2 > the literal cap
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan  # createDataFrame fallback
+    # spot-check exactness on one group
+    g0 = sorted((r["key"], r["cnt"]) for r in rows if r["g"] == "0")
+    truth = sorted(
+        (r["key"], r["cnt"])
+        for r in df.filter(F.col("g") == "0")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(2)
+        .collect()
+    )
+    assert g0 == truth
+
+
 def test_exact_topk_scale_path_matches_collect_path(spark):
     """Forcing the executor-dedup phase-1 path (max_collect_rows=1)
     returns the identical answer to the raw-collect path for both the
