@@ -508,17 +508,6 @@ def _sorted_vals_sql(rel: str, col: str) -> str:
     )
 
 
-def _lerp_quantile_sq(rel: str, col: str, p: float) -> str:
-    """One-off scalar-subquery form of the lerp (sorts ``rel`` per
-    call — fine for a single fence; batch percentiles over one
-    ``_sorted_vals_sql`` relation instead)."""
-    p_sql = f"CAST({p!r} AS DOUBLE)"
-    return (
-        f"(WITH sv AS ({_sorted_vals_sql(rel, col)}) "
-        f"SELECT {_lerp_sorted_sql('vs', 'n', p_sql)} FROM sv)"
-    )
-
-
 def _describe_stats_sql() -> str:
     blocks = []
     for c in _DESCRIBE_COLS:

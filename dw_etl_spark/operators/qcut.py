@@ -96,15 +96,22 @@ class _SqlLiteralUnsupported(TypeError):
     """A group-key type the SQL-string fast assembly can't render."""
 
 
-def _sql_literal(v) -> str:
+def _sql_literal(v, legacy_escapes: bool = False) -> str:
     """Render a Python value as a Spark SQL literal with the SAME
     runtime semantics as ``F.lit(v)``: NULL, BOOLEAN, integral,
     ``D``-suffixed double (``repr`` round-trips float64 exactly and
     Spark parses the ``D`` suffix as DoubleType — an unsuffixed
-    decimal literal would parse as DECIMAL), backslash-escaped string
-    (Spark's default parser mode unescapes ``\\'``/``\\\\``). Raises
-    ``_SqlLiteralUnsupported`` for anything else — the caller keeps a
-    Column-based fallback."""
+    decimal literal would parse as DECIMAL), quote-escaped string.
+    Strings are parser-mode aware (r11 review fix): the default
+    parser unescapes ``\\'``/``\\\\`` inside single quotes, but with
+    ``spark.sql.parser.escapedStringLiterals=true`` every backslash
+    is a literal character (verified empirically: ``'it\\'s'`` parses
+    with the backslash KEPT and ``''`` is not a quote escape), so the
+    caller must pass ``legacy_escapes=True`` — strings then render
+    raw inside whichever quote style does not occur in the value, and
+    a string containing BOTH quote chars raises. Raises
+    ``_SqlLiteralUnsupported`` for any unrenderable value — the
+    caller keeps a Column-based fallback."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -118,8 +125,16 @@ def _sql_literal(v) -> str:
             raise _SqlLiteralUnsupported("non-finite float")
         return f"{v!r}D"
     if isinstance(v, str):
-        escaped = v.replace("\\", "\\\\").replace("'", "\\'")
-        return f"'{escaped}'"
+        if not legacy_escapes:
+            escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{escaped}'"
+        if "'" not in v:
+            return f"'{v}'"
+        if '"' not in v:
+            return f'"{v}"'
+        raise _SqlLiteralUnsupported(
+            "string with both quote chars under escapedStringLiterals"
+        )
     raise _SqlLiteralUnsupported(type(v).__name__)
 
 
@@ -282,6 +297,18 @@ def qcut_by_group_expr(
         # doubles are the same literals, repr round-trips float64
         # exactly. Falls back to the Column chain when a group key has
         # a type the SQL renderer doesn't cover (dates, binary, ...).
+        # parser-mode probe for the string-literal renderer (r11): under
+        # escapedStringLiterals=true a backslash is literal, so the
+        # renderer must not double it (and doubling quotes, which both
+        # modes accept, replaces the mode-dependent \' escape)
+        legacy_esc = (
+            str(
+                df.sparkSession.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                )
+            ).lower()
+            == "true"
+        )
         out = df
         for vc, oc in zip(value_cols, out_cols):
             branches = []
@@ -302,18 +329,18 @@ def qcut_by_group_expr(
                 sql_branches = []
                 for key, inner, lbs in branches:
                     cond = " AND ".join(
-                        f"`{g}` <=> {_sql_literal(kv)}"
+                        f"`{g}` <=> {_sql_literal(kv, legacy_esc)}"
                         for g, kv in zip(group_by, key)
                     )
                     whens = "".join(
                         f" WHEN `{vc}` <= {_sql_literal(e)} "
-                        f"THEN {_sql_literal(lb)}"
+                        f"THEN {_sql_literal(lb, legacy_esc)}"
                         for e, lb in zip(inner, lbs[:-1])
                     )
                     assign = (
-                        f"CASE{whens} ELSE {_sql_literal(lbs[-1])} END"
+                        f"CASE{whens} ELSE {_sql_literal(lbs[-1], legacy_esc)} END"
                         if whens
-                        else _sql_literal(lbs[-1])
+                        else _sql_literal(lbs[-1], legacy_esc)
                     )
                     sql_branches.append(f"WHEN {cond} THEN ({assign})")
                 chain = "CASE " + " ".join(sql_branches) + " END"

@@ -108,6 +108,25 @@ def check_foreign_key(child: DataFrame, fk: ForeignKey, parent: DataFrame) -> No
 
 # ------------------------------------------------------------------- backends
 
+import threading
+
+# swap-state serialization (r11, ADVICE): _recover mutates swap state on
+# EVERY table access, so a reader racing a committer's _commit_swap on
+# the same table could observe the 'live missing, __old present' window
+# and rename __old back, failing the commit. One process-wide lock per
+# table path serializes every recover/swap mutation; _ACTIVE_WRITES
+# marks tables with an in-flight staged write so a concurrent reader's
+# recovery never sweeps a LIVE staging directory as an orphan.
+_TABLE_LOCKS: dict[str, threading.Lock] = {}
+_ACTIVE_WRITES: set[str] = set()
+_REGISTRY_GUARD = threading.Lock()
+
+
+def _table_lock(path: str) -> threading.Lock:
+    with _REGISTRY_GUARD:
+        return _TABLE_LOCKS.setdefault(path, threading.Lock())
+
+
 class ParquetWarehouse:
     """Lake-native warehouse: parquet tables + validated constraints."""
 
@@ -124,10 +143,29 @@ class ParquetWarehouse:
         an orphaned ``__old`` resolves to whichever side the swap
         committed — same invariants as the streaming state sinks
         (``streaming/sinks.py:_recover_swap``), reused verbatim. Runs
-        on every table access; two ``Path.exists`` probes when clean."""
+        on every table access; two ``Path.exists`` probes when clean.
+        Serialized per table against ``_commit_swap`` (a reader must
+        never observe the mid-swap window), and while a concurrent
+        write owns this table's ``__staging`` only the committed
+        ``__old``/live side is resolved — the staging dir is the
+        writer's, not a crash orphan."""
+        import shutil
+
         from dw_etl_spark.streaming.sinks import _recover_swap
 
-        _recover_swap(self._path(name))
+        path = self._path(name)
+        with _table_lock(path):
+            with _REGISTRY_GUARD:
+                writing = path in _ACTIVE_WRITES
+            if not writing:
+                _recover_swap(path)
+                return
+            live, old = Path(path), Path(f"{path}__old")
+            if old.exists():
+                if live.exists():
+                    shutil.rmtree(old)
+                else:
+                    old.rename(live)
 
     def table_exists(self, name: str) -> bool:  # S8
         self._recover(name)
@@ -188,6 +226,23 @@ class ParquetWarehouse:
         compatibility and ignored — the r9 design needed it because the
         PK aggregation and the write were two actions over ``df``; the
         written-parquet PK check removed the second action.
+
+        Concurrency (r11): the recover sweep and the commit swap hold a
+        per-table lock (see ``_table_lock``) and the table is marked
+        write-active for the duration, so concurrent READERS of the
+        same table neither observe the mid-swap window nor sweep this
+        load's live ``__staging`` as a crash orphan. A second
+        concurrent WRITE of the same table raises — two drop-and-
+        recreate loads of one table have no meaningful interleaving.
+
+        Partitioned writes (r11): empty-string values in a string
+        ``partition_by`` column are rejected (a free ``observe`` metric
+        riding the write) — hive-style layout writes them as the same
+        ``__HIVE_DEFAULT_PARTITION__`` directory as NULL, so they would
+        read back as NULL: silent data corruption, and a spurious
+        'PK column has nulls' rejection when the column is in the PK.
+        NULL partition values round-trip as NULL and stay allowed
+        (subject to the PK check).
         """
         import shutil
 
@@ -201,54 +256,87 @@ class ParquetWarehouse:
             for fk in spec.foreign_keys
             if parents and fk.ref_table in parents
         ]
+        str_part_cols = [
+            c
+            for c in (partition_by or [])
+            if dict(df.dtypes).get(c) == "string"
+        ]
         out, obs = df, None
-        if fks:
+        metrics = [
+            F.sum(
+                F.when(F.col(c) == F.lit(""), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"empty_part_{i}")
+            for i, c in enumerate(str_part_cols)
+        ]
+        for i, fk in enumerate(fks):
+            pcols = [f"__p{i}_{j}" for j in range(len(fk.columns))]
+            pkeys = (
+                parents[fk.ref_table]
+                .select(
+                    *[
+                        F.col(rc).alias(pc)
+                        for rc, pc in zip(fk.ref_columns, pcols)
+                    ]
+                )
+                .distinct()
+                .withColumn(f"__hit{i}", F.lit(1))
+            )
+            cond = None
+            for c, pc in zip(fk.columns, pcols):
+                clause = out[c] == F.col(pc)
+                cond = clause if cond is None else cond & clause
+            out = out.join(F.broadcast(pkeys), cond, "left").drop(*pcols)
+            non_null = F.lit(True)
+            for c in fk.columns:
+                non_null = non_null & F.col(c).isNotNull()
+            metrics.append(
+                F.sum(
+                    F.when(
+                        non_null & F.col(f"__hit{i}").isNull(),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ).alias(f"orphans_{i}")
+            )
+        if metrics:
             obs = Observation()
-            metrics = []
-            for i, fk in enumerate(fks):
-                pcols = [f"__p{i}_{j}" for j in range(len(fk.columns))]
-                pkeys = (
-                    parents[fk.ref_table]
-                    .select(
-                        *[
-                            F.col(rc).alias(pc)
-                            for rc, pc in zip(fk.ref_columns, pcols)
-                        ]
-                    )
-                    .distinct()
-                    .withColumn(f"__hit{i}", F.lit(1))
-                )
-                cond = None
-                for c, pc in zip(fk.columns, pcols):
-                    clause = out[c] == F.col(pc)
-                    cond = clause if cond is None else cond & clause
-                out = out.join(F.broadcast(pkeys), cond, "left").drop(
-                    *pcols
-                )
-                non_null = F.lit(True)
-                for c in fk.columns:
-                    non_null = non_null & F.col(c).isNotNull()
-                metrics.append(
-                    F.sum(
-                        F.when(
-                            non_null & F.col(f"__hit{i}").isNull(),
-                            F.lit(1),
-                        ).otherwise(F.lit(0))
-                    ).alias(f"orphans_{i}")
-                )
             out = out.observe(obs, *metrics).drop(
                 *[f"__hit{i}" for i in range(len(fks))]
             )
         live = self._path(spec.name)
-        self._recover(spec.name)
+        lock = _table_lock(live)
+        from dw_etl_spark.streaming.sinks import _commit_swap, _recover_swap
+
+        with lock:
+            with _REGISTRY_GUARD:
+                if live in _ACTIVE_WRITES:
+                    raise RuntimeError(
+                        f"concurrent write_table on {spec.name!r}: two "
+                        "drop-and-recreate loads of one table have no "
+                        "meaningful interleaving"
+                    )
+                _ACTIVE_WRITES.add(live)
+            try:
+                _recover_swap(live)  # full sweep: this load owns the table
+            except BaseException:
+                with _REGISTRY_GUARD:
+                    _ACTIVE_WRITES.discard(live)
+                raise
         target = f"{live}__staging"
         try:
-            writer = out.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(target)
-            if fks:
-                got = obs.get
+            try:
+                writer = out.write.mode("overwrite")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.parquet(target)
+                got = obs.get if metrics else {}
+                for i, c in enumerate(str_part_cols):
+                    empties = got[f"empty_part_{i}"]
+                    if empties:
+                        raise ConstraintViolation(
+                            f"partition column {c}: {empties} rows hold "
+                            "the empty string, which hive-style layout "
+                            "cannot distinguish from NULL on read-back"
+                        )
                 for i, fk in enumerate(fks):
                     orphans = got[f"orphans_{i}"]
                     if orphans:
@@ -256,18 +344,22 @@ class ParquetWarehouse:
                             f"FK {fk.name}: {orphans} child rows have no "
                             f"parent in {fk.ref_table}"
                         )
-            if spec.primary_key:
-                # explicit schema: partition columns read back with
-                # their written types, not dir-name inference (a PK
-                # overlapping partition_by must not merge '1'/'01')
-                written = self.spark.read.schema(df.schema).parquet(target)
-                check_primary_key(written, spec.primary_key)
-        except BaseException:
-            shutil.rmtree(target, ignore_errors=True)
-            raise
-        from dw_etl_spark.streaming.sinks import _commit_swap
-
-        _commit_swap(live)
+                if spec.primary_key:
+                    # explicit schema: partition columns read back with
+                    # their written types, not dir-name inference (a PK
+                    # overlapping partition_by must not merge '1'/'01')
+                    written = self.spark.read.schema(df.schema).parquet(
+                        target
+                    )
+                    check_primary_key(written, spec.primary_key)
+            except BaseException:
+                shutil.rmtree(target, ignore_errors=True)
+                raise
+            with lock:
+                _commit_swap(live)
+        finally:
+            with _REGISTRY_GUARD:
+                _ACTIVE_WRITES.discard(live)
 
 
 # Spark dtype → SQL DDL type (reference load.py:21-33 get_id_datatype).

@@ -544,6 +544,48 @@ def test_qcut_expr_group_keys_exact_past_double_precision(spark):
         assert labels == {"Low", "Medium", "High"}, (g, labels)
 
 
+def test_qcut_expr_sql_literals_respect_legacy_parser_mode(spark):
+    """r11 (ADVICE): with ``spark.sql.parser.escapedStringLiterals=true``
+    a backslash in a SQL string literal is a LITERAL character and
+    ``''`` is not a quote escape — the assembled-CASE fast path must
+    render group keys/labels mode-correctly (raw string in the unused
+    quote style) instead of silently producing different values. Keys
+    exercising quotes and backslashes must bucket identically in both
+    parser modes."""
+    from dw_etl_spark.operators.qcut import (
+        _SqlLiteralUnsupported,
+        _sql_literal,
+        qcut_by_group_expr,
+    )
+
+    rows = []
+    for g in ("it's", 'dq"x', "a\\b", "plain"):
+        rows += [(g, i, float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "g string, rid int, v double")
+    want = {
+        (r["g"], r["rid"]): r["b"]
+        for r in qcut_by_group_expr(df, ["g"], "v", n=3, out_col="b").collect()
+    }
+    assert {want[(g, 0)] for g, _ in want.keys()} == {"Low"}
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        got = {
+            (r["g"], r["rid"]): r["b"]
+            for r in qcut_by_group_expr(
+                df, ["g"], "v", n=3, out_col="b"
+            ).collect()
+        }
+        # a string holding BOTH quote chars is unrenderable in legacy
+        # mode — must raise (the operator then takes the Column chain)
+        import pytest
+
+        with pytest.raises(_SqlLiteralUnsupported):
+            _sql_literal("a'b\"c", legacy_escapes=True)
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    assert got == want
+
+
 def test_qcut_expr_plan_stays_bounded_at_high_group_count(spark):
     """The literal-CASE fast path inlines one when() branch per group —
     a plan-size bomb at high group cardinality (same failure class as

@@ -48,6 +48,10 @@ def test_interpolate_matches_pandas(spark, rows):
         for r in interpolate_by_group(df, ["g"], "t", ["v"]).collect()
     }
     pdf = pd.DataFrame(rows, columns=["g", "t", "v"]).sort_values(["g", "t"])
+    # all-None draws give an object-dtype column; Series.interpolate on
+    # object dtype is deprecated (FutureWarning, removal planned) — the
+    # oracle column is semantically float64, so pin the dtype up front
+    pdf["v"] = pdf["v"].astype("float64")
     pdf["v"] = pdf.groupby("g")["v"].transform(lambda s: s.interpolate())
     for _, row in pdf.iterrows():
         want = row["v"]

@@ -185,6 +185,77 @@ def test_parquet_warehouse_partitioned_write_with_pk_on_partition_column(
     assert back.count() == 3  # previous table preserved
 
 
+def test_parquet_warehouse_rejects_empty_string_partition_values(
+    spark, tmp_path
+):
+    """r11 (ADVICE): hive-style layout writes the empty string and NULL
+    to the same ``__HIVE_DEFAULT_PARTITION__`` directory, so an
+    empty-string partition value would read back as NULL — silent
+    corruption (and a spurious PK-null rejection when the column is in
+    the PK). The write must refuse it loudly, BEFORE the staged swap,
+    leaving any previous table intact. NULL partition values round-trip
+    and stay allowed."""
+    from pathlib import Path
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    spec = TableSpec("T")
+    wh.write_table(
+        spark.createDataFrame([("a", 1)], ["Bucket", "Id"]),
+        spec,
+        partition_by=["Bucket"],
+    )
+    bad = spark.createDataFrame([("a", 1), ("", 2)], ["Bucket", "Id"])
+    with pytest.raises(ConstraintViolation, match="empty string"):
+        wh.write_table(bad, spec, partition_by=["Bucket"])
+    assert not Path(str(tmp_path / "T__staging")).exists()
+    assert [r["Id"] for r in wh.read_table("T").collect()] == [1]
+
+    # NULL partition values are representable and round-trip as NULL
+    with_null = spark.createDataFrame(
+        [("a", 1), (None, 2)], "Bucket string, Id int"
+    )
+    wh.write_table(with_null, spec, partition_by=["Bucket"])
+    got = {r["Id"]: r["Bucket"] for r in wh.read_table("T").collect()}
+    assert got == {1: "a", 2: None}
+
+
+def test_parquet_warehouse_serializes_same_table_writes_and_reads(
+    spark, tmp_path
+):
+    """r11 (ADVICE): a second concurrent write of the SAME table raises
+    (drop-and-recreate loads have no meaningful interleaving), and a
+    reader's recovery sweep must not delete a write-active table's live
+    ``__staging`` directory while still resolving the committed
+    ``__old``/live side."""
+    from pathlib import Path
+
+    from dw_etl_spark.sinks import warehouse as wh_mod
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    spec = TableSpec("T")
+    wh.write_table(spark.createDataFrame([(1,)], ["Id"]), spec)
+
+    live = str(tmp_path / "T")
+    staging = Path(f"{live}__staging")
+    staging.mkdir()
+    (staging / "part-inflight.parquet").write_bytes(b"live write")
+    with wh_mod._REGISTRY_GUARD:
+        wh_mod._ACTIVE_WRITES.add(live)
+    try:
+        # reader sweep: staging belongs to the in-flight write — kept
+        assert wh.table_exists("T")
+        assert staging.exists()
+        # a second write of the same table refuses to start
+        with pytest.raises(RuntimeError, match="concurrent write_table"):
+            wh.write_table(spark.createDataFrame([(2,)], ["Id"]), spec)
+    finally:
+        with wh_mod._REGISTRY_GUARD:
+            wh_mod._ACTIVE_WRITES.discard(live)
+    # once the write slot frees, the orphan sweeps again on access
+    assert wh.table_exists("T")
+    assert not staging.exists()
+
+
 def test_load_star_schema_concurrent_dim_failure_surfaces_cleanly(
     spark, tmp_path
 ):
