@@ -283,12 +283,48 @@ def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("cnt"),
     )
     li = read_table(spark, sf_dir, "lineitem")
-    # m sized ABOVE the supplier vocabulary (SF-proportional: 1k at
-    # sf0.1) so the TPUT proof lands in one round on this uniform key
-    # distribution — "size m off a frequency sketch" per the module
-    # docstring; a small m is correct but escalates through extra
-    # full scans (observed: 3 rounds ~ +2 s at sf0.1 with m=256)
-    hh_rows = exact_topk(li, "l_suppkey", k=5, m=2048).select(
+    # r11 (VERDICT #3): ONE narrow projection feeds BOTH TPUT families
+    # — phase 1 of `hh:` and `hhg:` each used to re-scan the full
+    # lineitem parquet; pinning (l_suppkey, l_returnflag, pkb) means
+    # one parquet scan materializes the shared slice and the two
+    # phase-1 passes plus the two verification scans (the exactness
+    # proof — one per family, irreducible) all read the pinned blocks.
+    tput_slice = li.select(
+        "l_suppkey",
+        "l_returnflag",
+        F.pmod(F.col("l_partkey"), F.lit(97)).alias("pkb"),
+    ).localCheckpoint(eager=True)
+    # m sized ABOVE the supplier vocabulary (derived from the live
+    # supplier rowcount — metadata-only parquet count — so the proof
+    # lands in one round at ANY scale factor on this uniform key
+    # distribution; a fixed m=2048 was 2× the sf0.1 vocabulary but
+    # UNDER sf1's 10k suppliers, forcing ~2 extra full escalation
+    # scans). "Size m off a frequency sketch" per the module
+    # docstring; the oracle is a plain exact GROUP BY top-5, so m is
+    # an engine-side knob only. The two families' proof loops are
+    # independent eager job chains over the pinned slice, so they are
+    # submitted from concurrent driver threads (the describe_stats
+    # multi-job pattern) instead of serializing their fixed job
+    # latencies.
+    n_supp = read_table(spark, sf_dir, "supplier").count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dw_etl_spark.operators.heavy_hitters import exact_topk_by
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        hh_fut = ex.submit(
+            exact_topk, tput_slice, "l_suppkey", k=5, m=max(256, 2 * n_supp)
+        )
+        hhg_fut = ex.submit(
+            exact_topk_by,
+            tput_slice.select("l_returnflag", "pkb"),
+            "pkb",
+            ["l_returnflag"],
+            k=2,
+            m=256,
+        )
+        hh_frame, hhg_frame = hh_fut.result(), hhg_fut.result()
+    hh_rows = hh_frame.select(
         F.concat(F.lit("hh:"), F.col("l_suppkey").cast("string")).alias("value"),
         F.col("cnt"),
     )
@@ -300,17 +336,7 @@ def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hh: row above keeps the realistic full-vocabulary fixture (a
     # uniform 1000-key grouped fixture tripled the row's cost for no
     # extra coverage: TPUT's worst case is flat distributions)
-    from dw_etl_spark.operators.heavy_hitters import exact_topk_by
-
-    hhg_rows = exact_topk_by(
-        li.select(
-            "l_returnflag", F.pmod(F.col("l_partkey"), F.lit(97)).alias("pkb")
-        ),
-        "pkb",
-        ["l_returnflag"],
-        k=2,
-        m=256,
-    ).select(
+    hhg_rows = hhg_frame.select(
         F.concat(
             F.lit("hhg:"),
             F.col("l_returnflag"),
@@ -2123,9 +2149,23 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds make the replay bit-identical). Same query framing as
     # 'cos', so the two sections' ranks are directly comparable in the
     # gate output — the quantization-quality evidence rides the gate.
-    from dw_etl_spark.operators.similarity import int8_cosine_topk
+    # r11: the corpus is quantized exactly ONCE into a shared
+    # lazily-checkpointed code frame feeding BOTH int8 sections via
+    # the production ``codes_col`` path (a lake stores the code column
+    # once; two consumers must not pay two float scans).
+    from dw_etl_spark.operators.similarity import (
+        int8_cosine_topk,
+        int8_ivf_topk,
+        quantize_int8,
+    )
 
-    q8 = int8_cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).select(
+    q8codes = emb.select(
+        "vec_id", quantize_int8(F.col("embedding"))["q"].alias("q8c")
+    ).localCheckpoint(eager=False)
+    q8 = int8_cosine_topk(
+        q8codes.filter(F.col("vec_id") < 10), q8codes, k=5,
+        codes_col="q8c",
+    ).select(
         F.lit("q8").alias("section"),
         "query_id",
         "neighbor_id",
@@ -2140,11 +2180,9 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a code-only lake would actually serve queries from. Every
     # pre-round quantity is integer-exact in both engines, so the
     # assignment ranking and pair scores replay bit-identically.
-    from dw_etl_spark.operators.similarity import int8_ivf_topk
-
     q8ivf = int8_ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5,
-        n_centroids=16, nprobe=4,
+        q8codes.filter(F.col("vec_id") < 10), q8codes, dim=64, k=5,
+        n_centroids=16, nprobe=4, codes_col="q8c",
     ).select(
         F.lit("q8ivf").alias("section"),
         "query_id",
@@ -2184,9 +2222,9 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     follow log2(n/target) from the actual corpus count instead of the
     r2 fixture-tuned n_planes=8. The count is one metadata-cheap job
     over the index build's own input — index sizing is a build-time
-    step, not a per-query action. The embeddings fixture is 500 rows
-    at both gate SFs (sf0.001 and sf0.01), so the oracle inlines
-    ``suggest_lsh_params(500)`` and both sides agree."""
+    step, not a per-query action. The oracle replays the SAME rule
+    over the live count (``oracles.lsh_planes_sql`` — integer-exact,
+    r11), so both sides agree at any scale factor."""
     from dw_etl_spark.operators.similarity import suggest_lsh_params
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2210,9 +2248,9 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs on corpus ∪ exact copies, with
-    ``suggest_lsh_params``-derived plane count (r5): the doubled corpus
-    is 1000 vectors at the gate SFs, so the oracle inlines
-    ``suggest_lsh_params(1000)`` and both sides agree. The SemDeDup
+    ``suggest_lsh_params``-derived plane count (r5; r11: the oracle
+    derives the same count from the live doubled-corpus size via
+    ``lsh_planes_sql``, so both sides agree at any SF). The SemDeDup
     path (``semantic_dedup_pairs`` — cluster-then-compare, r5) runs on
     the same corpus and rides along under method='semantic', so both
     embedding-dedup strategies sit under one hash compare."""
@@ -2232,9 +2270,9 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("method", F.lit("lsh"))
     # SemDeDup's scaling rule: clusters grow with the corpus so the
     # within-cluster pair work stays ~n·(mean cluster size)/2, not
-    # n²/k. 1000 gate vectors → 16 (what the oracle computes from the
-    # SAME _suggest_centroids rule); the sf0.1 bench corpus (4000) →
-    # 62 clusters, ~4× fewer pairs.
+    # n²/k. 1000 gate vectors → 16 (the oracle replays the same
+    # max(16, n // 64) over its live count); the sf0.1 bench corpus
+    # (4000) → 62 clusters, ~4× fewer pairs.
     n_cents = _suggest_centroids(2 * emb.count())
     sem = semantic_dedup_pairs(
         corpus, threshold=0.99, n_centroids=n_cents
@@ -4454,19 +4492,12 @@ FROM documents
 """
 
 
-def _suggest_planes(n: int) -> int:
-    from dw_etl_spark.operators.similarity import suggest_lsh_params
-
-    return suggest_lsh_params(n)["n_planes"]
-
-
 def _suggest_centroids(n: int) -> int:
-    """SemDeDup cluster-count rule — the ONE definition both the
-    engine query (live corpus count) and the oracle (the documented
-    1000-vector doubled gate corpus, see TESTDATA.md / memory: 500
-    embeddings at sf0.001 and sf0.01) must share, so a fixture-size
-    change breaks loudly at this callsite instead of silently
-    hash-mismatching."""
+    """SemDeDup cluster-count rule — the engine-side definition; the
+    oracle replays the same ``max(16, n // 64)`` in SQL over the live
+    corpus count (r11: ``GREATEST(16, 2 * count(*) // 64)`` in
+    ``oracle_sql()['embedding_dup_pairs']``), so BOTH sides track any
+    fixture size with no per-SF constant edits."""
     return max(16, n // 64)
 
 
@@ -4593,23 +4624,26 @@ SELECT 'rr' AS section, query_id, id AS neighbor_id, cos_sim,
        bm25_score, CAST(rank AS BIGINT) AS rank
 FROM ({oracles.retrieve_rerank_sql()})
 """,
-        # the embeddings fixture is 500 rows at both gate SFs, so the
-        # suggested plane counts are derivable statically here (the
-        # Spark queries derive them from the live corpus count)
-        "lsh_topk": oracles.lsh_topk_sql(
-            n_planes=_suggest_planes(500)
-        ),
+        # r11: index sizing derives from the LIVE corpus count on the
+        # oracle side too (integer-exact lsh_planes_sql / GREATEST-//
+        # centroid rule) — the same SQL strings hash-match at any SF
+        # with zero per-SF constant edits, mirroring how the Spark
+        # queries size from count()
+        "lsh_topk": oracles.lsh_topk_sql(),
         "ivf_topk": oracles.ivf_topk_sql(),
         "embedding_dup_pairs": (
             "SELECT id_a, id_b, cos_sim, 'lsh' AS method FROM ("
-            + oracles.embedding_dup_pairs_sql(n_planes=_suggest_planes(1000))
+            + oracles.embedding_dup_pairs_sql()
             + ") UNION ALL SELECT id_a, id_b, cos_sim, 'semantic' AS method "
             "FROM ("
             + oracles.semantic_dedup_pairs_sql(
                 threshold=0.99,
-                # 2×500-row gate embeddings fixture, same rule as the
-                # engine side (_q_embedding_dups) — grows with fixture
-                n_centroids=_suggest_centroids(1000),
+                # doubled corpus, same max(16, n // 64) rule as the
+                # engine side (_q_embedding_dups)
+                n_centroids=(
+                    "(SELECT GREATEST(16, 2 * count(*) // 64) "
+                    "FROM embeddings)"
+                ),
                 source=(
                     "(SELECT vec_id, embedding FROM embeddings UNION ALL "
                     "SELECT vec_id + 100000 AS vec_id, embedding "

@@ -1153,20 +1153,27 @@ def int8_cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    codes_col: str | None = None,
 ) -> DataFrame:
     """``cosine_topk`` over absmax-int8-quantized vectors — the
     storage-tier ANN baseline: identical plan shape (broadcast the
     small query side, window top-k with the (rounded score DESC, id
     ASC) cut), but every vector is 4× narrower. Quantization happens
-    inline here for gate/test symmetry; a production pipeline stores
-    the quantized column once and feeds it in pre-quantized."""
+    inline by default for gate/test symmetry; a production pipeline
+    stores the quantized column once (``quantize_int8(...)["q"]``) and
+    passes its name as ``codes_col`` — both frames then feed their
+    ``array<int>`` codes straight in, skipping the float scan entirely
+    (pytest pins codes-in == quantize-inline)."""
+    qv = (
+        F.col(codes_col)
+        if codes_col
+        else quantize_int8(F.col(vec_col))["q"]
+    )
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        quantize_int8(F.col(vec_col))["q"].alias("qq"),
+        F.col(id_col).alias("query_id"), qv.alias("qq")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        quantize_int8(F.col(vec_col))["q"].alias("cq"),
+        F.col(id_col).alias("neighbor_id"), qv.alias("cq")
     )
     scored = (  # brute-force-over-codes baseline (int8_cosine_topk)
         c.crossJoin(F.broadcast(q))
@@ -1203,6 +1210,7 @@ def int8_ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids: list[tuple[int, list[float], float]] | None = None,
+    codes_col: str | None = None,
 ) -> DataFrame:
     """IVF cluster routing composed with int8 storage codes — the
     quantized ANN scale path (r10): ``int8_cosine_topk`` is the exact
@@ -1219,23 +1227,34 @@ def int8_ivf_topk(
     score with the BIGINT-exact ``int8_cosine``. Work per query ≈
     nprobe/n_centroids of the corpus; ``nprobe == n_centroids``
     degrades to exact-over-codes. Recall vs the FLOAT IVF path is
-    pytest-pinned. Quantization happens inline for test symmetry;
-    production feeds a pre-quantized code column."""
+    pytest-pinned. Quantization happens inline by default for test
+    symmetry; production stores ``quantize_int8(...)["q"]`` once and
+    passes its column name as ``codes_col`` (r11) — the float scan is
+    skipped, the caller owns the code frame's materialization (a
+    stored parquet column, or one shared lazily-checkpointed frame
+    feeding several sections), and only the centroid-training collect
+    adds a pass when ``centroids`` is not supplied."""
     spark = corpus.sparkSession
+    qv = (
+        F.col(codes_col)
+        if codes_col
+        else quantize_int8(F.col(vec_col))["q"]
+    )
     qcodes = queries.select(
-        F.col(id_col).alias("query_id"),
-        quantize_int8(F.col(vec_col))["q"].alias("qq"),
+        F.col(id_col).alias("query_id"), qv.alias("qq")
     )
     ccodes = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        quantize_int8(F.col(vec_col))["q"].alias("cq"),
+        F.col(id_col).alias("neighbor_id"), qv.alias("cq")
     )
     if centroids is None:
         # the corpus-quantization pass would otherwise run twice — once
         # under the centroid-training collect and once in the
         # assignment plan; pin the (narrow: id + 64 ints) code frame so
         # the training job materializes it and assignment reuses the
-        # blocks (lazy localCheckpoint, the dedup_clusters precedent)
+        # blocks (lazy localCheckpoint, the dedup_clusters precedent).
+        # With caller-supplied codes the quantization is already paid —
+        # the pin is still worth it so training and assignment share
+        # one scan of the code column.
         ccodes = ccodes.localCheckpoint(eager=False)
         code_corpus = ccodes.select(
             F.col("neighbor_id").alias(id_col),

@@ -639,10 +639,41 @@ SELECT query_id, id, bm25_score, cos_sim, rank FROM (
 """
 
 
-def lsh_bucket_sql(vec: str, dim: int = 64, n_planes: int = 8) -> str:
-    """Same hyperplanes as operators/similarity.py: md5-derived floats."""
+def lsh_planes_sql(count_sql: str, target_bucket: int = 16, max_planes: int = 24) -> str:
+    """Integer-exact SQL twin of ``suggest_lsh_params(n)["n_planes"]``
+    (similarity.py:145) for a LIVE corpus count — the r11 no-per-SF-
+    constants rule: the oracle derives index sizing from the data the
+    SQL can see, exactly like the engine derives it from ``count()``.
+
+    ``round(log2(max(n/t, 2)))`` clamped to [1, max_planes] is
+    replayed WITHOUT floats: round-half-up(log2(n/t)) >= p  ⟺
+    n² >= t²·2^(2p−1), so the plane count is just how many p in
+    1..max_planes satisfy that HUGEINT comparison (monotone in p),
+    floored at 1 (which also covers the m=max(n/t,2) clamp). An exact
+    .5 rank would need n/t = 2^(p−1/2) — irrational, so no integer n
+    hits the half-up/half-even divergence; parity with the Python rule
+    is pytest-swept across n."""
+    n = f"CAST(({count_sql}) AS HUGEINT)"
+    return (
+        f"(SELECT GREATEST(1, count(*)) "
+        f"FROM generate_series(1, {max_planes}) g(p) "
+        f"WHERE {n} * {n} >= "
+        f"(CAST({target_bucket * target_bucket} AS HUGEINT) << (2 * p - 1)))"
+    )
+
+
+def lsh_bucket_sql(
+    vec: str, dim: int = 64, n_planes: int | str = 8, max_planes: int = 24
+) -> str:
+    """Same hyperplanes as operators/similarity.py: md5-derived floats.
+
+    ``n_planes`` may be an SQL expression (r11: a ``lsh_planes_sql``
+    scalar) — the bucket then emits every plane term up to
+    ``max_planes``, each gated on ``p < n_planes``, so ONE static SQL
+    string serves any corpus size."""
+    dynamic = not isinstance(n_planes, int)
     terms = []
-    for p in range(n_planes):
+    for p in range(max_planes if dynamic else n_planes):
         comps = []
         for d in range(dim):
             h = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15], 16)
@@ -650,25 +681,38 @@ def lsh_bucket_sql(vec: str, dim: int = 64, n_planes: int = 8) -> str:
         proj = " + ".join(
             f"CAST({vec}[{d + 1}] AS DOUBLE) * {comps[d]!r}" for d in range(dim)
         )
+        gate = f"{p} < ({n_planes}) AND " if dynamic else ""
         terms.append(
-            f"(CASE WHEN ({proj}) > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+            f"(CASE WHEN {gate}({proj}) > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
 
 
-def embedding_dup_pairs_sql(n_planes: int = 8, min_cosine: float = 0.99) -> str:
+def embedding_dup_pairs_sql(
+    n_planes: int | None = None, min_cosine: float = 0.99
+) -> str:
+    """``n_planes=None`` (r11 default) derives the plane count from the
+    live doubled-corpus size via ``lsh_planes_sql`` — the engine twin
+    calls ``suggest_lsh_params(2 * emb.count())``."""
     cos = (
         f"round({_dot64('a.embedding', 'b.embedding')} / "
         f"({_norm64('a.embedding')} * {_norm64('b.embedding')}), 6)"
     )
-    bucket = lsh_bucket_sql("embedding", 64, n_planes)
+    np_sql = (
+        lsh_planes_sql("SELECT 2 * count(*) FROM embeddings")
+        if n_planes is None
+        else n_planes
+    )
+    bucket = lsh_bucket_sql("embedding", 64, "np.v" if n_planes is None else n_planes)
     return f"""
-WITH corpus AS (
+WITH np AS (SELECT {np_sql} AS v),
+corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
 ),
-bucketed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM corpus)
+bucketed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM corpus, np)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
 FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -725,11 +769,22 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
-def lsh_topk_sql(k: int = 5, query_max_id: int = 10, n_planes: int = 8) -> str:
+def lsh_topk_sql(
+    k: int = 5, query_max_id: int = 10, n_planes: int | None = None
+) -> str:
+    """``n_planes=None`` (r11 default) derives the plane count from the
+    live corpus size via ``lsh_planes_sql`` — the engine twin calls
+    ``suggest_lsh_params(emb.count())``."""
     cos = f"round({_dot64('q.embedding', 'c.embedding')} / ({_norm64('q.embedding')} * {_norm64('c.embedding')}), 6)"
-    bucket = lsh_bucket_sql("embedding", 64, n_planes)
+    np_sql = (
+        lsh_planes_sql("SELECT count(*) FROM embeddings")
+        if n_planes is None
+        else n_planes
+    )
+    bucket = lsh_bucket_sql("embedding", 64, "np.v" if n_planes is None else n_planes)
     return f"""
-WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+WITH np AS (SELECT {np_sql} AS v),
+b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings, np),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
   FROM (SELECT * FROM b WHERE vec_id < {query_max_id}) q
@@ -745,14 +800,16 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 
 
 def semantic_dedup_pairs_sql(
-    threshold: float = 0.95, n_centroids: int = 16,
+    threshold: float = 0.95, n_centroids: int | str = 16,
     source: str = "embeddings",
 ) -> str:
     """Twin of operators/similarity.py:semantic_dedup_pairs — identical
     md5-sampled centroids, identical (rounded cos DESC, cid ASC)
     assignment, within-cluster (id_a < id_b) pairs at rounded cosine
     >= threshold. ``source`` is any table expression exposing
-    (vec_id, embedding)."""
+    (vec_id, embedding). ``n_centroids`` may be an SQL scalar
+    expression (r11: derive ``max(16, n // 64)`` from the live corpus
+    count — DuckDB accepts subqueries in LIMIT)."""
     rcos = (
         f"round({_dot64('e.embedding', 'c.embedding')} / "
         f"({_norm64('e.embedding')} * {_norm64('c.embedding')}), 6)"

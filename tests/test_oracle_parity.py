@@ -37,23 +37,15 @@ def test_every_query_has_oracle():
     assert missing <= allowed_missing, f"queries missing oracles: {missing}"
 
 
-# lsh_topk / embedding_dup_pairs derive n_planes from the live corpus
-# count (suggest_lsh_params); their static oracles inline the derivation
-# for the 500-row embeddings fixture the gate SFs share. At other SFs
-# the two sides legitimately use different plane counts — skip there.
-_GATE_CORPUS_COUPLED = {"lsh_topk", "embedding_dup_pairs"}
-
-
-def _embeddings_rows(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+# r11: lsh_topk / embedding_dup_pairs oracles now derive their index
+# sizing (planes, centroids) from the live corpus count in SQL
+# (oracles.lsh_planes_sql) exactly like the engine derives it from
+# count() — the former 500-row-fixture skip is gone; the parity test
+# runs at any SF.
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, oracle, name):
-    if name in _GATE_CORPUS_COUPLED and _embeddings_rows(SF_DIR) != 500:
-        pytest.skip("oracle planes are derived for the 500-row gate corpus")
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
     df = q(spark, SF_DIR)

@@ -312,6 +312,33 @@ def test_ivf_centroids_deterministic(spark):
     assert all(n > 0 for _, _, n in a)
 
 
+def test_lsh_planes_sql_matches_python_rule_across_counts():
+    """r11: the oracle's integer-exact SQL plane rule
+    (``oracles.lsh_planes_sql`` — counts p with n² >= t²·2^(2p−1))
+    must equal ``suggest_lsh_params(n)["n_planes"]`` for every corpus
+    size, so engine and oracle agree at ANY scale factor with no
+    per-SF constants. Sweeps small n densely (the clamp region and
+    every rounding boundary up to 4096) plus log-spaced large n."""
+    import duckdb
+
+    from dw_etl_spark.oracles import lsh_planes_sql
+    from dw_etl_spark.operators.similarity import suggest_lsh_params
+
+    con = duckdb.connect()
+    ns = list(range(1, 4097)) + [
+        10**k for k in range(4, 10)
+    ] + [500, 1000, 2000, 4000, 20000, 40000, 599999, 600001]
+    got = con.sql(
+        "SELECT n, "
+        + lsh_planes_sql("SELECT n")
+        + " AS p FROM (SELECT unnest($ns) AS n)",
+        params={"ns": ns},
+    ).fetchall()
+    for n, p in got:
+        want = suggest_lsh_params(n)["n_planes"]
+        assert p == want, (n, p, want)
+
+
 def test_suggest_lsh_params_bounds_occupancy(spark):
     """suggest_lsh_params encodes planes ≈ log2(n/target): expected
     occupancy n/2^planes stays near the target across corpus scales,
@@ -4815,6 +4842,65 @@ def test_int8_ivf_topk_composes_codes_with_routing(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_int8_topk_pre_quantized_codes_match_inline(spark):
+    """r11 (VERDICT #2): the production ``codes_col`` path — a stored
+    ``quantize_int8(...)["q"]`` column fed to ``int8_cosine_topk`` and
+    ``int8_ivf_topk`` — must reproduce inline quantization row-for-row
+    (ids AND rounded scores), with fixed centroids pinning the IVF
+    routing so the comparison is deterministic."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.similarity import (
+        int8_cosine_topk,
+        int8_ivf_topk,
+        ivf_centroids,
+        quantize_int8,
+    )
+    from dw_etl_spark.sources.files import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    codes = emb.select(
+        "vec_id", quantize_int8(F.col("embedding"))["q"].alias("c8")
+    )
+    queries, qcodes = (
+        emb.filter(F.col("vec_id") < 10),
+        codes.filter(F.col("vec_id") < 10),
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], round(r["cos_sim"], 6))
+            for r in df.collect()
+        )
+
+    assert rows(
+        int8_cosine_topk(qcodes, codes, k=5, codes_col="c8")
+    ) == rows(int8_cosine_topk(queries, emb, k=5))
+
+    cents = ivf_centroids(
+        codes.select(
+            "vec_id",
+            F.transform("c8", lambda v: v.cast("double")).alias("cv"),
+        ),
+        "cv",
+        "vec_id",
+        8,
+    )
+    assert rows(
+        int8_ivf_topk(
+            qcodes, codes, dim, k=5, n_centroids=8, nprobe=4,
+            centroids=cents, codes_col="c8",
+        )
+    ) == rows(
+        int8_ivf_topk(
+            queries, emb, dim, k=5, n_centroids=8, nprobe=4,
+            centroids=cents,
+        )
+    )
 
 
 def test_corpus_overlap_grouped_matches_per_group_ungrouped(spark):
