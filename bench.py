@@ -35,6 +35,13 @@ from dw_etl_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     k = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")))
+    # optional comma-separated subset for targeted runs (scale sweeps);
+    # empty/unset = the full suite. Unknown names fail loudly below.
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
+        if q.strip()
+    }
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
@@ -85,6 +92,11 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     t_all = time.perf_counter()
     qs = entrymod.queries()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_QUERIES unknown: {sorted(unknown)}")
+        qs = {name: fn for name, fn in qs.items() if name in only}
     for _ in range(k):
         for name, fn in qs.items():
             # operators pin plan-shared frames with lazy persist();

@@ -597,6 +597,52 @@ def bm25_index_stream_writer(
     return writer.start()
 
 
+def ann_index_stream_writer(
+    stream: DataFrame,
+    index_name: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain a persisted int8-IVF ANN index from an embedding
+    stream — the embedding-side symmetry of the BM25/neardup streaming
+    maintainers: each micro-batch is quantized, assigned against the
+    STORED centroids, and merged via ``merge_into_ann_index`` under
+    ``batch_id='epoch-<id>'``, so exactly-once falls out of the
+    index's own commit protocol — a replayed epoch whose log row
+    committed is a no-op, and a crash mid-merge leaves only orphan
+    code rows no probe can see, re-applied cleanly on replay.
+
+    Centroids are NOT moved by the stream (they would re-route
+    history; see the ``ann_index`` module docstring) — schedule
+    ``refit_ann_index`` offline when drift accumulates. The index
+    must exist (``build_ann_index`` on a seed frame) before the
+    stream starts; stream ids must be unique across epochs. Returns
+    the started StreamingQuery; callers ``awaitTermination()``."""
+    from dw_etl_spark.operators.ann_index import merge_into_ann_index
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_into_ann_index(
+            batch,
+            index_name,
+            vec_col=vec_col,
+            id_col=id_col,
+            batch_id=f"epoch-{int(epoch_id)}",
+            codes_col=codes_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def kmins_batch_applier(
     state_dir: str,
     key_col: str,

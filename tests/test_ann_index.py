@@ -1,0 +1,269 @@
+"""Persisted int8-IVF ANN index: equality with the one-shot
+``int8_ivf_topk``, incremental merge, the commit protocol (replay
+no-op, crash orphans invisible), refit, bucket pruning, the
+pre-quantized ``codes_col`` path, and the streaming maintainer."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from dw_etl_spark.operators.ann_index import (
+    ann_index_centroids,
+    build_ann_index,
+    drop_ann_index,
+    merge_into_ann_index,
+    query_ann_index,
+    refit_ann_index,
+)
+from dw_etl_spark.operators.similarity import int8_ivf_topk, quantize_int8
+from dw_etl_spark.sources.files import read_table
+from tests.conftest import SF_SMOKE
+
+DIM = 64
+
+
+def _emb(spark):
+    return read_table(spark, SF_SMOKE, "embeddings")
+
+
+def _rows(df):
+    return sorted(
+        map(tuple, df.select("query_id", "neighbor_id", "cos_sim").collect())
+    )
+
+
+def test_seed_build_query_matches_one_shot(spark):
+    """Probing a seed-built index returns exactly what the one-shot
+    ``int8_ivf_topk`` returns over the same corpus with the stored
+    centroids — same codes, routing, scoring, ranking."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") < 150)
+    queries = emb.filter(F.col("vec_id").between(150, 169))
+    drop_ann_index(spark, "annix_eq")
+    build_ann_index(corpus, "annix_eq", n_centroids=8, n_buckets=4)
+    try:
+        got = query_ann_index(queries, "annix_eq", k=3, nprobe=2)
+        want = int8_ivf_topk(
+            queries,
+            corpus,
+            DIM,
+            k=3,
+            nprobe=2,
+            centroids=ann_index_centroids(spark, "annix_eq"),
+        )
+        assert _rows(got) == _rows(want)
+        assert got.count() > 0
+    finally:
+        drop_ann_index(spark, "annix_eq")
+
+
+def test_merge_then_query_matches_one_shot_on_concat(spark):
+    """After merging a second wave, probes see the union — and still
+    equal the one-shot scorer on the concatenated corpus under the
+    (frozen, seed-trained) stored centroids."""
+    emb = _emb(spark)
+    seed = emb.filter(F.col("vec_id") < 100)
+    wave = emb.filter(F.col("vec_id").between(100, 149))
+    queries = emb.filter(F.col("vec_id").between(150, 169))
+    drop_ann_index(spark, "annix_merge")
+    build_ann_index(seed, "annix_merge", n_centroids=8, n_buckets=4)
+    try:
+        assert merge_into_ann_index(wave, "annix_merge", batch_id="w1") is True
+        got = query_ann_index(queries, "annix_merge", k=3, nprobe=2)
+        want = int8_ivf_topk(
+            queries,
+            seed.unionByName(wave),
+            DIM,
+            k=3,
+            nprobe=2,
+            centroids=ann_index_centroids(spark, "annix_merge"),
+        )
+        assert _rows(got) == _rows(want)
+        # replay of a committed batch_id is a no-op — results unchanged
+        assert merge_into_ann_index(wave, "annix_merge", batch_id="w1") is False
+        assert _rows(query_ann_index(queries, "annix_merge", k=3, nprobe=2)) == _rows(
+            got
+        )
+    finally:
+        drop_ann_index(spark, "annix_merge")
+
+
+def test_crash_orphans_invisible_and_refit_drops_them(spark):
+    """A merge that crashed between the codes append and the log
+    commit leaves rows under an uncommitted tag: probes never see
+    them, the batch re-applies cleanly, and refit physically drops
+    the orphans."""
+    from dw_etl_spark.operators.ann_index import (
+        _assign,
+        _codes_frame,
+        _write_codes,
+    )
+    from dw_etl_spark.operators.similarity import _centroid_frame
+
+    emb = _emb(spark)
+    seed = emb.filter(F.col("vec_id") < 100)
+    wave = emb.filter(F.col("vec_id").between(100, 129))
+    queries = emb.filter(F.col("vec_id").between(150, 159))
+    drop_ann_index(spark, "annix_crash")
+    build_ann_index(seed, "annix_crash", n_centroids=8, n_buckets=4)
+    try:
+        before = _rows(query_ann_index(queries, "annix_crash", k=3, nprobe=2))
+        # simulate the crash point: codes land, the log row never does
+        codes = _codes_frame(wave, "embedding", "vec_id", None)
+        cents = _centroid_frame(spark, ann_index_centroids(spark, "annix_crash"))
+        _write_codes(_assign(codes, cents), "annix_crash", 4, "w1@deadbeef", "append")
+        spark.catalog.refreshTable("annix_crash_codes")
+        assert (
+            _rows(query_ann_index(queries, "annix_crash", k=3, nprobe=2)) == before
+        ), "orphan rows of an uncommitted merge leaked into probe results"
+        # the re-run applies cleanly under a fresh attempt tag
+        assert merge_into_ann_index(wave, "annix_crash", batch_id="w1") is True
+        want = int8_ivf_topk(
+            queries,
+            seed.unionByName(wave),
+            DIM,
+            k=3,
+            nprobe=2,
+            centroids=ann_index_centroids(spark, "annix_crash"),
+        )
+        assert _rows(query_ann_index(queries, "annix_crash", k=3, nprobe=2)) == _rows(
+            want
+        )
+        # refit drops the orphan rows for good: exactly seed+wave remain
+        n_cents, n_rows = refit_ann_index(spark, "annix_crash")
+        assert n_rows == seed.count() + wave.count()
+        assert spark.table("annix_crash_codes").count() == n_rows
+    finally:
+        drop_ann_index(spark, "annix_crash")
+
+
+def test_refit_preserves_equality_contract(spark):
+    """After refit the centroids moved (retrained over the grown
+    corpus) — probes must equal the one-shot scorer under the NEW
+    stored centroids."""
+    emb = _emb(spark)
+    seed = emb.filter(F.col("vec_id") < 80)
+    wave = emb.filter(F.col("vec_id").between(80, 159))
+    queries = emb.filter(F.col("vec_id").between(160, 179))
+    drop_ann_index(spark, "annix_refit")
+    build_ann_index(seed, "annix_refit", n_centroids=4, n_buckets=4)
+    try:
+        merge_into_ann_index(wave, "annix_refit", batch_id="w1")
+        n_cents, n_rows = refit_ann_index(spark, "annix_refit", n_centroids=8)
+        assert (n_cents, n_rows) == (8, seed.count() + wave.count())
+        got = query_ann_index(queries, "annix_refit", k=3, nprobe=2)
+        want = int8_ivf_topk(
+            queries,
+            seed.unionByName(wave),
+            DIM,
+            k=3,
+            nprobe=2,
+            centroids=ann_index_centroids(spark, "annix_refit"),
+        )
+        assert _rows(got) == _rows(want)
+    finally:
+        drop_ann_index(spark, "annix_refit")
+
+
+def test_probe_prunes_buckets(spark):
+    """nprobe=1 with a single query routes to one cid — the codes scan
+    must read one bucket, not the table (the index's scale claim)."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") < 150)
+    one_query = emb.filter(F.col("vec_id") == 150)
+    drop_ann_index(spark, "annix_plan")
+    build_ann_index(corpus, "annix_plan", n_centroids=8, n_buckets=4)
+    try:
+        q = query_ann_index(one_query, "annix_plan", k=3, nprobe=1)
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        assert "SelectedBucketsCount: 1 out of 4" in plan, plan
+    finally:
+        drop_ann_index(spark, "annix_plan")
+
+
+def test_codes_col_path_equals_inline(spark):
+    """An index built and probed from a stored int8 code column (the
+    production path — the float column never leaves the lake) equals
+    the inline-quantizing build."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") < 150)
+    queries = emb.filter(F.col("vec_id").between(150, 169))
+    qcorpus = corpus.select(
+        "vec_id", quantize_int8(F.col("embedding"))["q"].alias("q8")
+    )
+    qqueries = queries.select(
+        "vec_id", quantize_int8(F.col("embedding"))["q"].alias("q8")
+    )
+    drop_ann_index(spark, "annix_inline")
+    drop_ann_index(spark, "annix_codes")
+    build_ann_index(corpus, "annix_inline", n_centroids=8, n_buckets=4)
+    build_ann_index(
+        qcorpus, "annix_codes", n_centroids=8, n_buckets=4, codes_col="q8"
+    )
+    try:
+        got = query_ann_index(
+            qqueries, "annix_codes", k=3, nprobe=2, codes_col="q8"
+        )
+        want = query_ann_index(queries, "annix_inline", k=3, nprobe=2)
+        assert _rows(got) == _rows(want)
+    finally:
+        drop_ann_index(spark, "annix_inline")
+        drop_ann_index(spark, "annix_codes")
+
+
+def test_stream_writer_exactly_once(spark, tmp_path):
+    """Two file-stream epochs merge into a seed-built index; probing
+    equals the one-shot scorer on the concatenation; replaying the
+    same files through a FRESH checkpoint re-fires the same epoch
+    ids, which the commit protocol skips — no double counting."""
+    from dw_etl_spark.streaming.sinks import ann_index_stream_writer
+
+    emb = _emb(spark)
+    seed = emb.filter(F.col("vec_id") < 100)
+    waves = [
+        emb.filter(F.col("vec_id").between(100, 124)),
+        emb.filter(F.col("vec_id").between(125, 149)),
+    ]
+    queries = emb.filter(F.col("vec_id").between(150, 169))
+    drop_ann_index(spark, "annix_stream")
+    build_ann_index(seed, "annix_stream", n_centroids=8, n_buckets=4)
+    try:
+        src = tmp_path / "vecs"
+        src.mkdir()
+        for i, w in enumerate(waves):
+            rows = [
+                json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                )
+                for r in w.collect()
+            ]
+            (src / f"wave{i}.json").write_text("\n".join(rows))
+
+        def run(ckpt: str) -> None:
+            stream = (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            q = ann_index_stream_writer(stream, "annix_stream", ckpt)
+            q.awaitTermination()
+
+        run(str(tmp_path / "ckpt1"))
+        got = _rows(query_ann_index(queries, "annix_stream", k=3, nprobe=2))
+        want = int8_ivf_topk(
+            queries,
+            seed.unionByName(waves[0]).unionByName(waves[1]),
+            DIM,
+            k=3,
+            nprobe=2,
+            centroids=ann_index_centroids(spark, "annix_stream"),
+        )
+        assert got == _rows(want)
+        run(str(tmp_path / "ckpt2"))
+        assert _rows(query_ann_index(queries, "annix_stream", k=3, nprobe=2)) == got
+    finally:
+        drop_ann_index(spark, "annix_stream")
