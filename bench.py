@@ -55,6 +55,38 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # warm the WRITE path too (parquet committer, observe-metrics
+    # plumbing, the staged-swap rename machinery): pipeline run 0 was
+    # paying ~7-20 s of one-time codegen/JIT that runs 1+ never see
+    # (PLANS #9/#52). A 3-row staged load with a PK and an FK compiles
+    # the same physical operators the real load uses, for pennies.
+    # SPARK_GRAFT_WARM_WRITE=0 reverts to the cold-run-0 profile (A/B).
+    if os.environ.get("SPARK_GRAFT_WARM_WRITE", "1") != "0":
+        import shutil as _sh
+        import tempfile as _tf
+
+        from dw_etl_spark.sinks.warehouse import (
+            ForeignKey as _FK,
+            ParquetWarehouse as _PW,
+            TableSpec as _TS,
+            load_star_schema as _load,
+        )
+
+        _dim = spark.createDataFrame([(1, "a"), (2, "b")], "Id INT, V STRING")
+        _fact = spark.createDataFrame([(1, 1), (2, 2), (3, 1)], "Id INT, DimId INT")
+        _wd = _tf.mkdtemp(prefix="dw_bench_warm_")
+        _load(
+            _PW(spark, _wd),
+            {"D": _dim, "F": _fact},
+            {
+                "D": _TS("D", primary_key=["Id"]),
+                "F": _TS("F", primary_key=["Id"],
+                         foreign_keys=[_FK(["DimId"], "D", ["Id"])]),
+            },
+            fact_name="F",
+        )
+        _sh.rmtree(_wd, ignore_errors=True)
+
     # apples-to-apples with BASELINE.md's full-ETL wall clock: build the
     # whole star schema and load it through the warehouse sink (writes +
     # PK uniqueness + FK orphan validation), extract → warehouse on disk.
