@@ -3853,8 +3853,16 @@ def _dim_indicator_sql(qcut: str = "count") -> str:
     rule ``qcut_by_group_expr`` applies (operators/qcut.py:82).
     """
     cols = EVENT_TYPES
+    # r11: exact fixed-point mean, twin of interpolated_indicator_base
+    # — integer-cent sums are order-free, so engine and oracle means
+    # are bit-identical at any SF (a float avg flipped the round-to-6
+    # compare on .5-boundary values in the sf1 sweep). Same left-assoc
+    # division order as the engine: (sum -> DOUBLE) / 100.0 / count.
     pivots = ",\n    ".join(
-        f"avg(value) FILTER (WHERE event_type = '{c}') AS {c}" for c in cols
+        f"CAST(sum(CAST(round(value * 100) AS BIGINT)) "
+        f"FILTER (WHERE event_type = '{c}') AS DOUBLE) / 100.0 "
+        f"/ count(value) FILTER (WHERE event_type = '{c}') AS {c}"
+        for c in cols
     )
     seeds = ",\n    ".join(
         f"CASE WHEN row_number() OVER w1 = 1 AND {c} IS NULL THEN 0.0 "
@@ -3880,7 +3888,12 @@ def _dim_indicator_sql(qcut: str = "count") -> str:
         f"END AS {c}"
         for c in cols
     )
-    rounded = ", ".join(f"round({c}, 6) AS {c}" for c in cols)
+    # r11: Spark-semantics round (oracles.spark_round_sql) — DuckDB's
+    # float-space round(…, 6) flips on exact .5 boundaries that the
+    # interpolation chain produces at scale (k/3200-style values).
+    rounded = ", ".join(
+        f"{oracles.spark_round_sql(c)} AS {c}" for c in cols
+    )
     bucket_names = ", ".join(f"{c}Bucket" for c in cols)
     if qcut == "value":
         # r10 hardening (same fix as text_features' edges): replay the

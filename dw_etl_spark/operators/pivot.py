@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -28,7 +28,7 @@ def pivot_wide(
     pivot_col: str,
     value_col: str,
     values: list[str],
-    agg: str = "avg",
+    agg: str | Column = "avg",
     names: dict[str, str] | None = None,
 ) -> DataFrame:
     """Group by ``index``, pivot ``pivot_col`` into one column per entry
@@ -36,9 +36,15 @@ def pivot_wide(
     matching pandas ``pivot_table``). ``names`` optionally renames the
     pivoted columns (reference renames indicator codes to warehouse
     names, transform.py:288-299).
+
+    ``agg`` may also be a full aggregate Column expression (r11) — e.g.
+    an exact fixed-point mean ``sum(cents)/100.0/count(cents)`` whose
+    integer sum is independent of partial-aggregation order, where a
+    float ``avg`` is not (the sf1 sweep caught 1-ulp averages flipping
+    the round-to-6 gate compare exactly on a .5 boundary).
     """
-    agg_fn = getattr(F, agg)
-    wide = df.groupBy(*index).pivot(pivot_col, values).agg(agg_fn(value_col))
+    agg_expr = getattr(F, agg)(value_col) if isinstance(agg, str) else agg
+    wide = df.groupBy(*index).pivot(pivot_col, values).agg(agg_expr)
     if names:
         wide = wide.withColumnsRenamed(names)
     return wide

@@ -73,6 +73,29 @@ def _sw_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
+def spark_round_sql(expr: str, scale: int = 6) -> str:
+    """Replay Spark's ``round(double, n)`` EXACTLY in DuckDB.
+
+    Spark rounds the SHORTEST-DECIMAL string form of the double with
+    HALF_UP (``BigDecimal.valueOf`` = ``Double.toString`` then
+    ``setScale``); DuckDB's ``round(DOUBLE, n)`` works in float space.
+    The two disagree whenever the value sits exactly on the 10^-n half
+    boundary — the r11 sf1 sweep caught interpolated group means of
+    the form k/3200 (exact decimal ...xxx5) flipping the compared 6th
+    digit both ways. ``CAST(double AS VARCHAR)`` is DuckDB's shortest
+    round-trip repr; the DECIMAL(38,20) parse is exact for any double
+    with |x| >= 1e-3 (<= 17 significant digits -> <= 20 fraction
+    digits), and DuckDB rounds DECIMAL half-away-from-zero, which is
+    Java HALF_UP for either sign. NULL propagates; e-notation reprs of
+    tiny values parse fine (their 6th decimal is unaffected by the
+    scale-20 parse).
+    """
+    return (
+        f"CAST(round(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,20)), "
+        f"{scale}) AS DOUBLE)"
+    )
+
+
 def _lang_hits(expr: str) -> dict[str, str]:
     toks = tokens(expr)
     return {

@@ -93,18 +93,29 @@ def interpolated_indicator_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     producing BOTH tercile semantics (the merged dim_indicator gate
     query) materializes this chain once and buckets twice."""
     events = read_table(spark, sf_dir, "events")
+    # The indicator value is a 2-decimal fixed-point quantity (fixture
+    # contract, TESTDATA.md): aggregate it as exact integer cents so
+    # the group mean is INDEPENDENT of partial-aggregation order. A
+    # float avg() is not — the r11 sf1 sweep caught eight group means
+    # landing exactly on the round-to-6 .5 boundary (values of the
+    # form k/3200) where a 1-ulp engine to oracle sum-order difference
+    # flipped the compared digit. sum(BIGINT) is order-free; the two
+    # divisions below are correctly rounded from identical inputs on
+    # both engines, so every downstream lerp/tercile input is
+    # bit-identical at any scale factor.
     long_form = events.select(
         F.col("user_id").alias("UserId"),
         F.dayofmonth("ts").alias("Day"),
         F.col("event_type").alias("Indicator"),
-        F.col("value").alias("Value"),
+        F.round(F.col("value") * 100).cast("long").alias("Cents"),
     )
     wide = pivot_wide(
         long_form,
         index=["UserId", "Day"],
         pivot_col="Indicator",
-        value_col="Value",
+        value_col="Cents",
         values=EVENT_TYPES,
+        agg=F.sum("Cents").cast("double") / F.lit(100.0) / F.count("Cents"),
     )
     seeded = seed_group_head(
         wide, group_by=["UserId"], order_by=["Day"], cols=EVENT_TYPES

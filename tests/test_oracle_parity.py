@@ -168,3 +168,69 @@ def test_gate_rodealong_sections_nonempty(spark):
         finally:
             df.unpersist()
     assert not problems, problems
+
+
+def test_spark_round_twin_on_half_boundaries(spark):
+    """Pin the r11 sf1-sweep round-semantics class: Spark rounds the
+    shortest-decimal string of a double HALF_UP; DuckDB's float-space
+    round(DOUBLE, 6) flips both ways on exact .5 boundaries (values of
+    the form k/3200 that the interpolation chain produces at scale).
+    oracles.spark_round_sql must equal Spark on the boundary values the
+    sweep caught, and the naive round must provably disagree somewhere
+    (else this test stops guarding anything)."""
+    import duckdb
+
+    from dw_etl_spark.oracles import spark_round_sql
+
+    vals = [33.2521875, 32.5334375, 64.3265625, 107.3753125,
+            64.1534375, -33.2521875, 0.0000005, 0.0]
+    from pyspark.sql import functions as F
+    got = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+        .select(F.round("v", 6).alias("r"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    twin = [
+        con.execute(
+            f"SELECT {spark_round_sql(f'CAST({v!r} AS DOUBLE)')}"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    naive = [
+        con.execute(f"SELECT round(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
+        for v in vals
+    ]
+    assert twin == got, (twin, got)
+    assert naive != got, "naive DuckDB round no longer disagrees; hazard gone?"
+
+
+def test_indicator_pivot_mean_is_order_free(spark):
+    """Pin the r11 exact fixed-point pivot mean: summing integer cents
+    is independent of partition/partial-agg order, so the indicator
+    base is bit-identical under different parallelism (a float avg()
+    was 1 ulp off between engines on sums landing on .5 boundaries)."""
+    from pyspark.sql import functions as F
+
+    from dw_etl_spark.operators.pivot import pivot_wide
+    from dw_etl_spark.sources.files import read_table
+
+    lf = read_table(spark, SF_SMOKE, "events").select(
+        F.col("user_id").alias("UserId"),
+        F.dayofmonth("ts").alias("Day"),
+        F.col("event_type").alias("Indicator"),
+        F.round(F.col("value") * 100).cast("long").alias("Cents"),
+    )
+    agg = F.sum("Cents").cast("double") / F.lit(100.0) / F.count("Cents")
+
+    def wide_map(frame):
+        w = pivot_wide(frame, ["UserId", "Day"], "Indicator", "Cents",
+                       ["click", "view"], agg=agg)
+        return {(r["UserId"], r["Day"]): (r["click"], r["view"])
+                for r in w.collect()}
+
+    # repartitioning the INPUT changes which rows each partial
+    # aggregate folds together — an order-sensitive float sum would
+    # differ in ulps; the integer-cent sum must be bit-identical
+    assert wide_map(lf) == wide_map(lf.repartition(13))
