@@ -78,21 +78,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # --------------------------------------------------------------------------
 
+def _dec2(c: str):
+    """Money/quantity column as exact DECIMAL(18,2) — the fixture
+    contract is 2-decimal fixed point, so decimal sums are EXACT and
+    independent of partial-aggregation order. Float sums are not: the
+    r11 sf1 sweep caught the rollup grand total (6M rows, ~3.2e11,
+    ulp ~6e-5) flipping its compared 2nd decimal between Spark's
+    partial-agg order and DuckDB's sequential sum. Recipe everywhere
+    money aggregates feed the gate compare: sum/round IN DECIMAL,
+    cast to DOUBLE last (identical rationals -> identical doubles);
+    any residual float round on the oracle side replays Spark's
+    semantics via oracles.spark_round_sql."""
+    return F.col(c).cast("decimal(18,2)")
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-style aggregation over lineitem (A-series agg parity)."""
+    """TPC-H-Q1-style aggregation over lineitem (A-series agg parity).
+    All sums are exact decimal (see _dec2); averages divide the exact
+    sum cast to double by the group count — both engines then perform
+    one identical correctly-rounded division."""
     li = read_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.sum(_dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_dec2("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+            F.round(
+                F.sum(_dec2("l_extendedprice")).cast("double") / n, 6
+            ).alias("avg_price"),
+            F.round(F.sum(_dec2("l_discount")).cast("double") / n, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -159,8 +179,8 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(_dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))), 2
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -184,7 +204,7 @@ def _q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.sum(_dec2("l_extendedprice")).cast("double").alias("total_price"),
     )
 
 
@@ -235,7 +255,7 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qty_band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.sum(_dec2("l_extendedprice")).cast("double").alias("total_price"),
         )
     )
 
@@ -4090,23 +4110,39 @@ FROM proj p
 LEFT JOIN dim_date d ON p.ShipYear = d.Year AND p.ShipQuarter = d.Quarter
 """
 
-_PRICING_SUMMARY_SQL = """
+# r11: money/quantity sums in EXACT decimal (order-free; twin of the
+# engine's _dec2 recipe) — float sums flipped the rollup grand total's
+# compared digit at sf1. Averages divide the exact-sum double by the
+# count (one identical correctly-rounded division per engine) and then
+# replay Spark's round via oracles.spark_round_sql.
+_D2 = "CAST({c} AS DECIMAL(18,2))"
+
+
+def _sum_d2(col: str) -> str:
+    return f"CAST(sum({_D2.format(c=col)}) AS DOUBLE)"
+
+
+_DISC_PRICE_D2 = (
+    f"sum({_D2.format(c='l_extendedprice')} * (1 - {_D2.format(c='l_discount')}))"
+)
+
+_PRICING_SUMMARY_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       {_sum_d2('l_quantity')} AS sum_qty,
+       {_sum_d2('l_extendedprice')} AS sum_base_price,
+       CAST(round({_DISC_PRICE_D2}, 2) AS DOUBLE) AS sum_disc_price,
+       {oracles.spark_round_sql(f"{_sum_d2('l_quantity')} / count(*)")} AS avg_qty,
+       {oracles.spark_round_sql(f"{_sum_d2('l_extendedprice')} / count(*)")} AS avg_price,
+       {oracles.spark_round_sql(f"{_sum_d2('l_discount')} / count(*)")} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
-_REGION_REVENUE_SQL = """
+_REGION_REVENUE_SQL = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round({_DISC_PRICE_D2}, 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -4133,10 +4169,10 @@ FROM purchases p
 ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
-_RANGE_JOIN_SQL = """
+_RANGE_JOIN_SQL = f"""
 SELECT qty_band,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice), 2) AS total_price
+       {_sum_d2('l_extendedprice')} AS total_price
 FROM lineitem
 JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'high'))
      AS r(low, high, qty_band)
@@ -4150,10 +4186,10 @@ SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS 
 FROM lineitem
 """
 
-_ROLLUP_SQL = """
+_ROLLUP_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice), 2) AS total_price
+       {_sum_d2('l_extendedprice')} AS total_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
