@@ -27,9 +27,9 @@ embedding-side completion of the neardup/BM25 incremental-index story:
                       and tomorrow's probes see today's vectors.
   refit_ann_index   — after the corpus has grown/drifted, retrain the
                       centroids over ALL committed codes and reassign
-                      (crash-safe rename-aside swap, same protocol as
-                      ``compact_bm25_index``); also collapses the
-                      merge log and drops crashed-merge orphans.
+                      (append-only staging + a one-table version flip;
+                      see below); also collapses the merge log's
+                      physical tags and drops crashed-merge orphans.
 
 Merge commit protocol (two append-only tables can't be updated in one
 transaction, so visibility is the transaction — the exact
@@ -39,6 +39,27 @@ LAST — is the COMMIT MARKER, and queries read only rows whose tag the
 log names. A crash mid-merge leaves orphan code rows no query ever
 sees (refit drops them for good); re-running a committed ``batch_id``
 is a no-op — exactly-once per batch id on plain parquet tables.
+
+Refit commit protocol (r12 — closes the r11 two-table-swap race): a
+refit retrains centroids AND reassigns every code's ``cid``, so codes
+and centroids must flip TOGETHER — a probe pairing new-centroid codes
+with old centroids (or vice versa) routes queries into the wrong
+inverted lists and silently loses recall. The same marker discipline
+fixes it: ``_centroids`` and ``_log`` rows carry a ``version`` column,
+``_meta`` names the one committed ``(n_buckets, version)`` pair, and
+refit is append-only until a single-table ``_meta`` swap — written
+LAST — flips the version. Readers resolve ``_meta`` FIRST and filter
+both ``_centroids`` and ``_log`` (hence the visible code tags) to that
+version, so every probe sees old-consistent or new-consistent state,
+never mixed. A crash before the flip leaves only invisible
+new-version rows (the next refit supersedes them); a crash inside the
+flip's rename window is rolled forward/back by ``_read_meta``'s
+recovery sweep; post-flip compaction (dropping old-version rows) is
+best-effort and content-equivalent on both sides of its swap. Each
+index has a process-wide re-entrant lock serializing refit, recovery,
+and in-process readers across threads (the ``warehouse._table_lock``
+pattern); cross-process writers remain single-writer by contract,
+exactly like the BM25/neardup maintainers.
 
 Equality contract (pytest-pinned): probing the index — seed-built or
 seed+merge — returns exactly what ``int8_ivf_topk`` returns over the
@@ -60,6 +81,7 @@ dedups — same contract as the neardup and BM25 indexes).
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -76,6 +98,23 @@ from dw_etl_spark.operators.similarity import (
 )
 
 TABLE_SUFFIXES = ("_codes", "_centroids", "_log", "_meta")
+# transient rename-aside names a crashed swap can leave behind
+_SWAP_SUFFIXES = tuple(
+    f"{s}{t}" for s in TABLE_SUFFIXES for t in ("__stage", "__old")
+)
+
+_INDEX_LOCKS: dict[str, threading.RLock] = {}
+_INDEX_LOCKS_GUARD = threading.Lock()
+
+
+def _index_lock(name: str) -> threading.RLock:
+    """One process-wide re-entrant lock per index name: serializes
+    refit's stage/flip/compact against concurrent in-process readers
+    (whose ``_read_meta`` recovery sweep mutates swap state — two
+    unserialized sweeps could resurrect each other's dropped tables,
+    the exact race ``warehouse._table_lock`` closed in r11)."""
+    with _INDEX_LOCKS_GUARD:
+        return _INDEX_LOCKS.setdefault(name, threading.RLock())
 
 
 def _refresh(spark: SparkSession, name: str) -> None:
@@ -89,6 +128,29 @@ def _refresh(spark: SparkSession, name: str) -> None:
             spark.catalog.refreshTable(f"{name}{suffix}")
         except Exception:
             pass  # table may not exist yet (first build)
+
+
+def _read_meta(spark: SparkSession, name: str) -> tuple[int, int]:
+    """The committed ``(n_buckets, version)`` pair — the single source
+    of truth every reader resolves FIRST. Recovers a crashed ``_meta``
+    swap before reading: live present → drop stray ``__stage``/
+    ``__old`` leftovers (an unflipped stage is an uncommitted refit —
+    rollback; a lingering ``__old`` post-flip is already-superseded —
+    roll forward); live missing with ``__stage`` present → the crash
+    hit between the two renames, and since every new-version row is
+    already durable the staged meta is completed (roll forward); live
+    missing with only ``__old`` → restore it (rollback)."""
+    meta, stage, old = f"{name}_meta", f"{name}_meta__stage", f"{name}_meta__old"
+    with _index_lock(name):
+        if not spark.catalog.tableExists(meta):
+            if spark.catalog.tableExists(stage):
+                spark.sql(f"ALTER TABLE {stage} RENAME TO {meta}")
+            elif spark.catalog.tableExists(old):
+                spark.sql(f"ALTER TABLE {old} RENAME TO {meta}")
+        for leftover in (stage, old):
+            spark.sql(f"DROP TABLE IF EXISTS {leftover}")
+        row = spark.table(meta).collect()[0]
+    return int(row["n_buckets"]), int(row["version"])
 
 
 def _codes_frame(
@@ -116,7 +178,7 @@ def _assign(codes: DataFrame, cents_df: DataFrame) -> DataFrame:
 
 
 def _write_codes(assigned: DataFrame, name: str, n_buckets: int, tag: str,
-                 mode: str) -> None:
+                 mode: str, table: str | None = None) -> None:
     # repartition to the bucket spec BEFORE the bucketed write so each
     # increment lands as one file per touched bucket, not tasks×buckets
     # shards (the bm25 _append_increment rule)
@@ -125,15 +187,25 @@ def _write_codes(assigned: DataFrame, name: str, n_buckets: int, tag: str,
         .repartition(n_buckets, "cid")
         .write.mode(mode)
         .bucketBy(n_buckets, "cid")
-        .saveAsTable(f"{name}_codes")
+        .saveAsTable(table or f"{name}_codes")
     )
 
 
-def _log_row(spark: SparkSession, batch_id: str, tag: str, n_rows: int):
+def _log_frame(spark: SparkSession, rows: list[tuple[str, str, int, int]]):
     return spark.createDataFrame(
-        [(batch_id, tag, int(n_rows))],
-        "batch_id string, batch_tag string, n_rows long",
+        [(b, t, int(n), int(v)) for b, t, n, v in rows],
+        "batch_id string, batch_tag string, n_rows long, version int",
     )
+
+
+def _centroid_rows(cents, version: int) -> list[tuple]:
+    return [
+        (int(cid), [float(x) for x in vec], float(norm), int(version))
+        for cid, vec, norm in cents
+    ]
+
+
+_CENTROID_SCHEMA = "cid int, vec array<double>, norm double, version int"
 
 
 def build_ann_index(
@@ -149,7 +221,9 @@ def build_ann_index(
     ``{name}_log`` / ``{name}_meta`` from the seed corpus. Centroids
     are the deterministic md5-rank sample (``ivf_centroids``) over the
     CODE arrays — no RNG, so a rebuild from the same corpus is
-    bit-identical and the DuckDB oracle can replay it.
+    bit-identical and the DuckDB oracle can replay it. ``_meta`` —
+    the commit marker naming version 0 — is written LAST: until it
+    exists, the index does not.
 
     Scale shape: one quantization pass (pinned via lazy
     localCheckpoint so centroid training and assignment share the
@@ -175,42 +249,83 @@ def build_ann_index(
         mode="overwrite",
     )
     spark.createDataFrame(
-        [(int(cid), [float(x) for x in vec], float(norm)) for cid, vec, norm in cents],
-        "cid int, vec array<double>, norm double",
+        _centroid_rows(cents, 0), _CENTROID_SCHEMA
     ).write.mode("overwrite").saveAsTable(f"{name}_centroids")
-    _log_row(spark, "seed", tag, codes.count()).write.mode("overwrite").saveAsTable(
-        f"{name}_log"
-    )
+    _log_frame(spark, [("seed", tag, codes.count(), 0)]).write.mode(
+        "overwrite"
+    ).saveAsTable(f"{name}_log")
     spark.createDataFrame(
-        [(int(n_buckets),)], "n_buckets int"
+        [(int(n_buckets), 0)], "n_buckets int, version int"
     ).write.mode("overwrite").saveAsTable(f"{name}_meta")
 
 
 def drop_ann_index(spark: SparkSession, name: str) -> None:
-    """Drop the four index tables (managed — data included), sweeping
-    stale directories a dead session left behind."""
-    drop_catalog_tables(spark, name, TABLE_SUFFIXES)
+    """Drop the four index tables (managed — data included) plus any
+    transient swap leftovers, sweeping stale directories a dead
+    session left behind."""
+    drop_catalog_tables(spark, name, TABLE_SUFFIXES + _SWAP_SUFFIXES)
+
+
+def _stored_centroids(
+    spark: SparkSession, name: str, version: int
+) -> list[tuple[int, list[float], float]]:
+    return [
+        (int(r["cid"]), [float(x) for x in r["vec"]], float(r["norm"]))
+        for r in spark.table(f"{name}_centroids")
+        .filter(F.col("version") == version)
+        .orderBy("cid")
+        .collect()
+    ]
 
 
 def ann_index_centroids(
     spark: SparkSession, name: str
 ) -> list[tuple[int, list[float], float]]:
-    """The stored centroid set in ``ivf_centroids``' [(cid, vec, norm)]
-    form — pass to ``int8_ivf_topk(centroids=...)`` to reproduce index
-    results from raw frames (the equality-contract accessor)."""
+    """The committed centroid set in ``ivf_centroids``' [(cid, vec,
+    norm)] form — pass to ``int8_ivf_topk(centroids=...)`` to
+    reproduce index results from raw frames (the equality-contract
+    accessor)."""
     _check_name(name)
     _refresh(spark, name)
+    _, version = _read_meta(spark, name)
+    return _stored_centroids(spark, name, version)
+
+
+def _committed_log(spark: SparkSession, name: str, version: int):
+    """[(batch_id, batch_tag)] committed at ``version`` — the visible
+    world. Bounded collect: one row per committed batch."""
     return [
-        (int(r["cid"]), [float(x) for x in r["vec"]], float(r["norm"]))
-        for r in spark.table(f"{name}_centroids").orderBy("cid").collect()
+        (r["batch_id"], r["batch_tag"])
+        for r in spark.table(f"{name}_log")
+        .filter(F.col("version") == version)
+        .select("batch_id", "batch_tag")
+        .collect()
     ]
 
 
-def _committed_tags(spark: SparkSession, name: str) -> list[str]:
-    return [
-        r["batch_tag"]
-        for r in spark.table(f"{name}_log").select("batch_tag").collect()
-    ]
+class AnnIndexReader:
+    """Probe handle for a standing similarity service: caches the
+    stored centroid set keyed by the index's committed version, so
+    repeat ``query()`` calls skip the per-call centroid collect.
+    The version IS the cache key — a refit bumps it, the stale entry
+    misses, and the new centroids load on the next probe; no way to
+    pair cached old centroids with new codes."""
+
+    def __init__(self, spark: SparkSession, name: str) -> None:
+        _check_name(name)
+        self.spark, self.name = spark, name
+        self._cached: tuple[int, list] | None = None
+
+    def centroids(self, version: int) -> list[tuple[int, list[float], float]]:
+        if self._cached is None or self._cached[0] != version:
+            self._cached = (
+                version,
+                _stored_centroids(self.spark, self.name, version),
+            )
+        return self._cached[1]
+
+    def query(self, queries: DataFrame, **kwargs) -> DataFrame:
+        return query_ann_index(queries, self.name, _reader=self, **kwargs)
 
 
 def query_ann_index(
@@ -221,6 +336,7 @@ def query_ann_index(
     k: int = 5,
     nprobe: int = 4,
     codes_col: str | None = None,
+    _reader: AnnIndexReader | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos_sim): top-k indexed neighbors of
     each query row under quantized cosine, probing ``nprobe`` inverted
@@ -232,14 +348,22 @@ def query_ann_index(
     ``isin`` literal on the codes scan, so bucket pruning skips every
     unprobed file (``SelectedBucketsCount`` plan-asserted in tests);
     the probe side is broadcast onto the pruned lists. Work scales
-    with the batch and the probed fraction, never the history."""
+    with the batch and the probed fraction, never the history.
+    Consistency: ``_meta`` is resolved first and both the centroid set
+    and the visible code tags derive from the version it names."""
     _check_name(name)
     spark = queries.sparkSession
     _refresh(spark, name)
+    _, version = _read_meta(spark, name)
     qcodes = _codes_frame(queries, vec_col, id_col, codes_col).localCheckpoint(
         eager=False
     )
-    cents_df = _centroid_frame(spark, ann_index_centroids(spark, name))
+    cents = (
+        _reader.centroids(version)
+        if _reader is not None
+        else _stored_centroids(spark, name, version)
+    )
+    cents_df = _centroid_frame(spark, cents)
     routed = qcodes.crossJoin(F.broadcast(cents_df)).select(
         F.col("id").alias("query_id"),
         F.col("q").alias("qq"),
@@ -256,10 +380,11 @@ def query_ann_index(
     ).localCheckpoint(eager=False)
     # bounded collect: ≤ n_centroids ints — the pruning literal
     probed = [int(r["cid"]) for r in routed.select("cid").distinct().collect()]
+    tags = [t for _, t in _committed_log(spark, name, version)]
     lists = (
         spark.table(f"{name}_codes")
         .filter(F.col("cid").isin(probed))
-        .filter(F.col("batch_tag").isin(_committed_tags(spark, name)))
+        .filter(F.col("batch_tag").isin(tags))
         .select(F.col("id").alias("neighbor_id"), F.col("q").alias("cq"), "cid")
     )
     scored = (
@@ -293,14 +418,16 @@ def merge_into_ann_index(
     applied, False if ``batch_id`` was already committed (replay →
     no-op). Pass a stable ``batch_id`` (ingest date, crawl snapshot)
     for exactly-once across re-runs; the default auto-id is still
-    crash-safe (orphans invisible) but can't recognize content."""
+    crash-safe (orphans invisible) but can't recognize content.
+    The log row carries the centroid version the batch was assigned
+    under: if a refit commits concurrently, the flip hides this
+    batch's rows (old version) and a replay re-applies it under the
+    new centroids — never a mixed-version probe."""
     _check_name(name)
     spark = batch.sparkSession
     _refresh(spark, name)
-    n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
-    committed = [
-        r["batch_id"] for r in spark.table(f"{name}_log").select("batch_id").collect()
-    ]
+    n_buckets, version = _read_meta(spark, name)
+    committed = [b for b, _ in _committed_log(spark, name, version)]
     if batch_id is None:
         batch_id = f"merge-{len(committed)}"
     if batch_id in committed:
@@ -311,12 +438,71 @@ def merge_into_ann_index(
     codes = _codes_frame(batch, vec_col, id_col, codes_col).localCheckpoint(
         eager=False
     )
-    assigned = _assign(codes, _centroid_frame(spark, ann_index_centroids(spark, name)))
-    _write_codes(assigned, name, n_buckets, tag, mode="append")
-    _log_row(spark, batch_id, tag, codes.count()).write.mode("append").saveAsTable(
-        f"{name}_log"
+    assigned = _assign(
+        codes, _centroid_frame(spark, _stored_centroids(spark, name, version))
     )
+    _write_codes(assigned, name, n_buckets, tag, mode="append")
+    _log_frame(spark, [(batch_id, tag, codes.count(), version)]).write.mode(
+        "append"
+    ).saveAsTable(f"{name}_log")
     return True
+
+
+def _swap_in(spark: SparkSession, table: str, write) -> None:
+    """Rename-aside swap: stage → live. ``write(staged_name)`` must
+    create the staged table; then live → ``__old``, staged → live,
+    drop ``__old``. No step destroys state before its replacement
+    exists; ``_read_meta``'s sweep resolves a crash at any point."""
+    staged, backup = f"{table}__stage", f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    write(staged)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {backup}")
+
+
+def _commit_meta(spark: SparkSession, name: str, n_buckets: int,
+                 version: int) -> None:
+    """THE refit commit point: one single-table swap flips the
+    committed version. Everything staged before it is invisible;
+    everything after it (compaction) is content-equivalent cleanup."""
+    _swap_in(
+        spark,
+        f"{name}_meta",
+        lambda t: spark.createDataFrame(
+            [(int(n_buckets), int(version))], "n_buckets int, version int"
+        ).write.saveAsTable(t),
+    )
+
+
+def _compact_after_refit(spark: SparkSession, name: str, n_buckets: int,
+                         tag: str, version: int) -> None:
+    """Post-commit cleanup: physically drop superseded-version rows
+    (old centroids/log epochs, pre-refit code tags, crashed-merge
+    orphans). Both sides of each swap are content-equivalent under
+    the committed version's filters, so a crash anywhere here leaves
+    a correct index — just a fatter one until the next refit."""
+    _refresh(spark, name)
+    keep_codes = spark.table(f"{name}_codes").filter(
+        F.col("batch_tag") == tag
+    ).select("id", "q", "cid")
+    _swap_in(
+        spark,
+        f"{name}_codes",
+        lambda t: _write_codes(keep_codes, name, n_buckets, tag, "overwrite",
+                               table=t),
+    )
+    keep_cents = spark.table(f"{name}_centroids").filter(
+        F.col("version") == version
+    )
+    _swap_in(
+        spark,
+        f"{name}_centroids",
+        lambda t: keep_cents.write.saveAsTable(t),
+    )
+    keep_log = spark.table(f"{name}_log").filter(F.col("version") == version)
+    _swap_in(spark, f"{name}_log", lambda t: keep_log.write.saveAsTable(t))
 
 
 def refit_ann_index(
@@ -325,64 +511,71 @@ def refit_ann_index(
     """Retrain the coarse quantizer over ALL committed codes and
     reassign every code row — the periodic repair for centroid
     staleness after many merges (and the only step that moves
-    history). Crashed-merge orphan rows are dropped for good; the log
-    collapses to one row. Crash-safe rename-aside swap per table
-    (live → ``__old``, staged → live, drop ``__old``): no step
-    destroys state before its replacement exists. Returns
-    (n_centroids, n_code_rows)."""
+    history). Append-only until the single-table ``_meta`` version
+    flip (the commit marker — see module docstring), so probes see
+    old-consistent state right up to the flip and new-consistent
+    state after it, never a mixed codes/centroids pair; crashed-merge
+    orphan rows and superseded epochs are physically dropped by the
+    post-commit compaction. Committed batch_ids are carried forward
+    into the new epoch, so a replayed batch stays a no-op across
+    refits. Returns (n_centroids, n_code_rows)."""
     _check_name(name)
-    _refresh(spark, name)
-    n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
-    if n_centroids is None:
-        n_centroids = spark.table(f"{name}_centroids").count()
-    committed = (
-        spark.table(f"{name}_codes")
-        .filter(F.col("batch_tag").isin(_committed_tags(spark, name)))
-        .select("id", "q")
-        .localCheckpoint(eager=False)
-    )
-    cents = ivf_centroids(
-        committed.select("id", _codes_as_double(F.col("q")).alias("__cv")),
-        "__cv",
-        "id",
-        n_centroids,
-    )
-    n_rows = committed.count()
-
-    def swap(table: str, write) -> None:
-        staged, backup = f"{table}__refit", f"{table}__old"
-        spark.sql(f"DROP TABLE IF EXISTS {staged}")
-        spark.sql(f"DROP TABLE IF EXISTS {backup}")
-        write(staged)
-        spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
-        spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
-        spark.sql(f"DROP TABLE {backup}")
-
-    tag = "refit@0"
-    assigned = _assign(committed, _centroid_frame(spark, cents))
-    swap(
-        f"{name}_codes",
-        lambda t: (
-            assigned.withColumn("batch_tag", F.lit(tag))
-            .repartition(n_buckets, "cid")
-            .write.mode("overwrite")
-            .bucketBy(n_buckets, "cid")
-            .saveAsTable(t)
-        ),
-    )
-    cent_rows = [
-        (int(cid), [float(x) for x in vec], float(norm)) for cid, vec, norm in cents
-    ]
-    swap(
-        f"{name}_centroids",
-        lambda t: spark.createDataFrame(
-            cent_rows, "cid int, vec array<double>, norm double"
-        ).write.mode("overwrite").saveAsTable(t),
-    )
-    swap(
-        f"{name}_log",
-        lambda t: _log_row(spark, "refit", tag, n_rows)
-        .write.mode("overwrite")
-        .saveAsTable(t),
-    )
+    with _index_lock(name):
+        _refresh(spark, name)
+        n_buckets, v_old = _read_meta(spark, name)
+        # attempt-unique version: a CRASHED refit left orphan rows at
+        # v_old+1 (invisible — meta never flipped); reusing that number
+        # would duplicate (cid, version) rows, so skip past every
+        # version any prior attempt staged (bounded collects: the
+        # centroid and log tables are k-row/batch-row sized)
+        staged_max = max(
+            spark.table(f"{name}_centroids").agg(
+                F.max("version").alias("m")).collect()[0]["m"] or 0,
+            spark.table(f"{name}_log").agg(
+                F.max("version").alias("m")).collect()[0]["m"] or 0,
+        )
+        v_new = max(v_old, staged_max) + 1
+        old_log = [
+            (r["batch_id"], int(r["n_rows"]))
+            for r in spark.table(f"{name}_log")
+            .filter(F.col("version") == v_old)
+            .select("batch_id", "n_rows")
+            .collect()
+        ]
+        tags_old = [t for _, t in _committed_log(spark, name, v_old)]
+        if n_centroids is None:
+            n_centroids = (
+                spark.table(f"{name}_centroids")
+                .filter(F.col("version") == v_old)
+                .count()
+            )
+        committed = (
+            spark.table(f"{name}_codes")
+            .filter(F.col("batch_tag").isin(tags_old))
+            .select("id", "q")
+            .localCheckpoint(eager=False)
+        )
+        cents = ivf_centroids(
+            committed.select("id", _codes_as_double(F.col("q")).alias("__cv")),
+            "__cv",
+            "id",
+            n_centroids,
+        )
+        n_rows = committed.count()
+        tag = f"refit@{v_new}-{uuid.uuid4().hex[:8]}"
+        # --- append-only staging: nothing below is probe-visible ---
+        _write_codes(
+            _assign(committed, _centroid_frame(spark, cents)),
+            name, n_buckets, tag, mode="append",
+        )
+        spark.createDataFrame(
+            _centroid_rows(cents, v_new), _CENTROID_SCHEMA
+        ).write.mode("append").saveAsTable(f"{name}_centroids")
+        _log_frame(
+            spark, [(bid, tag, n, v_new) for bid, n in old_log]
+        ).write.mode("append").saveAsTable(f"{name}_log")
+        # --- the commit: one-table version flip ---
+        _commit_meta(spark, name, n_buckets, v_new)
+        # --- post-commit cleanup (best-effort, crash-equivalent) ---
+        _compact_after_refit(spark, name, n_buckets, tag, v_new)
     return len(cents), n_rows
