@@ -431,7 +431,11 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
 
     def build_base() -> DataFrame:
-        out = describe_numeric(li_full, _DESCRIBE_COLS, _DESCRIBE_PCTS)
+        # both profiled columns are 2-decimal fixed point: exact
+        # decimal means (order-free on both engines — see _dec2)
+        out = describe_numeric(
+            li_full, _DESCRIBE_COLS, _DESCRIBE_PCTS, mean_dec="decimal(18,2)"
+        )
         return out.select(
             "col_name", "metric", F.round("value", 6).alias("value")
         )
@@ -559,7 +563,8 @@ def _describe_stats_sql() -> str:
     for c in _DESCRIBE_COLS:
         blocks += [
             f"SELECT '{c}' AS col_name, 'count' AS metric, CAST(count({c}) AS DOUBLE) AS v FROM lineitem",
-            f"SELECT '{c}', 'mean', avg({c}) FROM lineitem",
+            f"SELECT '{c}', 'mean', CAST(sum(CAST({c} AS DECIMAL(18,2)))"
+            f" AS DOUBLE) / count({c}) FROM lineitem",
             f"SELECT '{c}', 'std', stddev_samp({c}) FROM lineitem",
             f"SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM lineitem",
             f"SELECT '{c}', 'max', CAST(max({c}) AS DOUBLE) FROM lineitem",
@@ -669,8 +674,13 @@ def _describe_stats_sql() -> str:
   UNION ALL SELECT 'max', max(z) FROM zv) m"""
     )
     inner = " UNION ALL ".join(blocks)
+    # outer round replays Spark's round(double, 6) exactly — the
+    # engine side rounds every row with F.round(value, 6), and the
+    # exact-decimal mean quotients (k/100n) CAN land on .5 boundaries
+    # where DuckDB's float-space round flips (the r11 class-2 hazard)
     return (
-        f"SELECT col_name, metric, round(v, 6) AS value FROM ({inner})"
+        f"SELECT col_name, metric, {oracles.spark_round_sql('v')} AS value "
+        f"FROM ({inner})"
     )
 
 
@@ -2371,7 +2381,7 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("PriceCategory", "key_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+            F.sum(_dec2("p_retailprice")).cast("double").alias("total_price"),
             F.min("p_name").alias("first_name"),
         )
     )
@@ -2394,7 +2404,7 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # allowance for this query
     qrow = (
         clean_q.agg(
-            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+            F.sum(_dec2("p_retailprice")).cast("double").alias("total_price"),
             F.min(F.lit(1)).alias("__k"),
         )
         .join(
@@ -2911,7 +2921,7 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in [("train", train), ("val", val), ("test", test)]:
         part = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.sum(_dec2("c_acctbal")).cast("double").alias("total_acctbal"),
         ).select(F.lit(f"split:{name}").alias("grp"), "n", "total_acctbal")
         out = part if out is None else out.unionByName(part)
     strat = stratified_sample(
@@ -2925,7 +2935,7 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         strat.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.sum(_dec2("c_acctbal")).cast("double").alias("total_acctbal"),
         )
         .select(
             F.concat(F.lit("stratum:"), F.col("c_mktsegment")).alias("grp"),
@@ -2939,7 +2949,7 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+                F.sum(_dec2("c_acctbal")).cast("double").alias("total_acctbal"),
             )
             .select(
                 F.concat(F.lit(tag), F.col("c_mktsegment")).alias("grp"),
@@ -3019,7 +3029,7 @@ temp_rates AS (
   WHERE w > 0
 )
 SELECT 'split:' || split AS grp, CAST(count(*) AS BIGINT) AS n,
-       round(sum(c_acctbal), 2) AS total_acctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
 FROM (
   SELECT CASE WHEN {_SAMPLING_BUCKET} < 1000 THEN 'val'
               WHEN {_SAMPLING_BUCKET} < 2000 THEN 'test'
@@ -3030,7 +3040,7 @@ FROM (
 GROUP BY split
 UNION ALL
 SELECT 'stratum:' || c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
-       round(sum(c_acctbal), 2) AS total_acctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
 FROM customer
 WHERE {_SAMPLING_BUCKET} < CASE c_mktsegment
          WHEN 'BUILDING' THEN 1000
@@ -3039,7 +3049,7 @@ WHERE {_SAMPLING_BUCKET} < CASE c_mktsegment
 GROUP BY c_mktsegment
 UNION ALL
 SELECT 'quota:' || c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
-       round(sum(c_acctbal), 2) AS total_acctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
 FROM (
   SELECT c_mktsegment, c_acctbal,
          row_number() OVER (
@@ -3052,13 +3062,13 @@ WHERE rn <= 100
 GROUP BY c_mktsegment
 UNION ALL
 SELECT 'mix:' || c.c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
-       round(sum(c_acctbal), 2) AS total_acctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
 FROM customer c JOIN mix_rates r ON c.c_mktsegment = r.g
 WHERE {_MIX_BUCKET} < r.thr
 GROUP BY c.c_mktsegment
 UNION ALL
 SELECT 'temp:' || c.c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
-       round(sum(c_acctbal), 2) AS total_acctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
 FROM customer c JOIN temp_rates r ON c.c_mktsegment = r.g
 WHERE {_TEMP_BUCKET} < r.thr
 GROUP BY c.c_mktsegment
@@ -4497,7 +4507,7 @@ SELECT 'type:' || event_type AS grp,
        date_trunc('day', ts) AS win_start,
        date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2, 3
 UNION ALL
@@ -4505,7 +4515,7 @@ SELECT 'user:' || CAST(user_id AS VARCHAR) AS grp,
        min(ts) AS win_start,
        max(ts) + INTERVAL 30 MINUTE AS win_end,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM sids
 GROUP BY user_id, sid
 """
@@ -4523,7 +4533,7 @@ _CSV_ROUNDTRIP_SQL = f"""
 SELECT {_PRICE_CASE} AS PriceCategory,
        p_partkey % 7 AS key_bucket,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(p_retailprice), 2) AS total_price,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
        min(p_name) AS first_name
 FROM part
 GROUP BY 1, 2
@@ -4534,7 +4544,7 @@ UNION ALL
 SELECT '__quarantine' AS PriceCategory,
        CAST(-1 AS BIGINT) AS key_bucket,
        CAST(3 AS BIGINT) AS n,
-       round(sum(p_retailprice), 2) AS total_price,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
        '"1","too","few","fields"' AS first_name
 FROM part
 """

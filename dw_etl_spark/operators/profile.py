@@ -231,6 +231,7 @@ def describe_numeric(
     columns: list[str],
     percentiles: list[float] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
     exact: bool = True,
+    mean_dec: str | None = None,
 ) -> DataFrame:
     """A10: describe-style numeric profile with the reference's extended
     percentiles (raw_analysis/main.py:75-82 uses [.01,.05,.95,.99]).
@@ -240,12 +241,26 @@ def describe_numeric(
     ``bracketed_exact_percentiles`` (values land as literals in the
     output plan); ``exact=False`` keeps everything in one pass with the
     sketch-based ``approx_percentile`` for when approximate is fine.
+
+    ``mean_dec`` (e.g. ``"decimal(18,2)"``): when the profiled columns
+    are fixed-point (money, quantities), pass their decimal type and
+    the mean is computed as an EXACT decimal sum cast to double over
+    the count — one correctly-rounded division, independent of
+    partial-aggregation order on any engine (the r11 sweep caught
+    float avg() flipping a compared digit between Spark's tree
+    aggregation and a sequential oracle at 6M rows). Default keeps the
+    float ``avg`` for genuinely-continuous columns.
     """
     exprs = []
     for c in columns:
+        mean_expr = (
+            (F.sum(F.col(c).cast(mean_dec)).cast("double") / F.count(F.col(c)))
+            if mean_dec
+            else F.avg(F.col(c))
+        )
         exprs += [
             F.count(F.col(c)).cast("double").alias(f"{c}__count"),
-            F.avg(F.col(c)).alias(f"{c}__mean"),
+            mean_expr.alias(f"{c}__mean"),
             F.stddev(F.col(c)).alias(f"{c}__std"),
             F.min(F.col(c)).cast("double").alias(f"{c}__min"),
             F.max(F.col(c)).cast("double").alias(f"{c}__max"),

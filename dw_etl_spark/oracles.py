@@ -89,6 +89,14 @@ def spark_round_sql(expr: str, scale: int = 6) -> str:
     Java HALF_UP for either sign. NULL propagates; e-notation reprs of
     tiny values parse fine (their 6th decimal is unaffected by the
     scale-20 parse).
+
+    Magnitude bound: DECIMAL(38,20) holds 18 integer digits, so any
+    input with |x| >= 1e18 FAILS the cast (DuckDB conversion error —
+    loud, not wrong). Current call sites are means/indicators (~1e5);
+    a caller rounding raw money SUMS at warehouse scale should sum in
+    exact decimal first (the ``_dec2`` recipe) so the value reaching
+    this twin is already small, or fall back to native round where a
+    boundary provably cannot occur.
     """
     return (
         f"CAST(round(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,20)), "

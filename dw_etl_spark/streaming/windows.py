@@ -73,11 +73,17 @@ def windowed_event_counts(
     """
     src = events.withWatermark("ts", watermark) if watermark else events
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    # total_value treats ``value`` as 2-decimal fixed-point money: the
+    # sum is EXACT decimal (independent of partial-agg/partition order
+    # — the r11 arithmetic-parity discipline), cast to double last.
+    # Non-fixed-point inputs are rounded to cents BEFORE summing.
     return (
         src.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -103,11 +109,14 @@ def sessionize(
     any corpus rate.
     """
     src = events.withWatermark("ts", watermark) if watermark else events
+    # exact decimal money sum — same contract as windowed_event_counts
     return (
         src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             "user_id",

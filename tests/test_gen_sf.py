@@ -8,16 +8,22 @@ suite invariant instead of a one-time eyeball."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+from tests.conftest import SF_SMOKE
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+)
 from gen_sf import BASE, gen  # noqa: E402
 
-DRIVER = "/root/testdata/sf0.001"
+DRIVER = SF_SMOKE
 TABLES = [
     "region", "nation", "supplier", "customer", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

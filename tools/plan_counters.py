@@ -6,14 +6,18 @@ convention as the appendix: lazily-shared persisted subtrees print per
 consumer). The 7 write/DDL/tempdir builders are excluded exactly as in
 ``test_no_gate_query_plans_a_cartesian_product``.
 
-Usage: python tools/plan_counters.py [sf_dir]  (default /root/testdata/sf0.01)
+Usage: python tools/plan_counters.py [sf_dir]
+(default: $SPARK_GRAFT_TEST_SF, else /root/testdata/sf0.01)
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 EXCLUDED = {
     "warehouse_roundtrip", "jdbc_roundtrip", "csv_roundtrip",
@@ -30,7 +34,9 @@ ABBREV = {
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01"
+    )
 
     from pyspark.sql import SparkSession
 
