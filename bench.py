@@ -21,6 +21,7 @@ lost the parsed per-query dict — the file artifact is always intact.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -137,6 +138,15 @@ def main() -> None:
             # — clear (untimed) so every timed run pays its own
             # materializations and only WITHIN-query reuse counts
             spark.catalog.clearCache()
+            # clearCache misses localCheckpoint blocks: those RDDs
+            # stay persisted until their (Python-side) DataFrames are
+            # GC'd, so 3×50 queries of checkpoint blocks pile up in
+            # the block manager and tax later queries' GC (the r11
+            # in-suite vs targeted cosine_topk gap). Drop Python refs,
+            # then unpersist every surviving pinned RDD — untimed.
+            gc.collect()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.setdefault(name, []).append(time.perf_counter() - t0)
@@ -166,8 +176,12 @@ def main() -> None:
         }
     )
     print(payload)
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_out.json")
+    # SPARK_GRAFT_BENCH_OUT: standing artifacts (BENCH_sf1.json, the
+    # scale-regression diff target) write elsewhere without clobbering
+    # the driver's bench_out.json
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
     with open(out_path, "w") as f:
         f.write(payload + "\n")
     spark.stop()
