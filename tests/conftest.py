@@ -33,12 +33,22 @@ def spark():
     suite-wide, beyond the per-operator repartition tests)."""
     import os
 
+    import tempfile
+
     cores = int(os.environ.get("SPARK_GRAFT_TEST_CORES", "4"))
     shuffle = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "4"))
+    # per-session catalog warehouse: two concurrent pytest runs sharing
+    # ./spark-warehouse race each other's managed index tables (one
+    # run's compaction swap deletes files the other's cached listing
+    # still names — bit the r12 sf1 sweep run concurrently with the
+    # full suite). The persisted-index modules sweep THEIR OWN stale
+    # dirs; isolation here makes cross-run interference impossible.
+    wh = tempfile.mkdtemp(prefix="dw_etl_test_wh_")
     spark = get_spark(
         app_name="dw_etl_spark_tests",
         master=f"local[{cores}]",
         shuffle_partitions=shuffle,
+        extra_conf={"spark.sql.warehouse.dir": wh},
     )
     yield spark
     spark.stop()
