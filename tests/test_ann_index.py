@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from dw_etl_spark.operators.ann_index import (
@@ -443,3 +444,80 @@ def test_index_recall_vs_float_ivf_baseline(spark):
         assert r_idx > 0.3, r_idx  # absolute floor: probes find real neighbors
     finally:
         drop_ann_index(spark, "annix_recall")
+
+
+@pytest.mark.parametrize(
+    "point", ["post_codes", "post_centroids", "pre_compact"]
+)
+def test_refit_crash_matrix(spark, monkeypatch, point):
+    """Kill refit at each remaining protocol step (the two pivotal
+    windows have dedicated tests above): after the codes append,
+    after the centroids append, and after the commit but before
+    compaction. Before the ``_meta`` flip probes must be
+    OLD-consistent; after it, NEW-consistent; a retry/subsequent
+    refit always converges to the clean compacted state — the
+    attempt-unique version (max over staged epochs + 1) is what keeps
+    a retry from colliding with the crashed attempt's orphan rows."""
+    import dw_etl_spark.operators.ann_index as ai
+
+    emb = _emb(spark)
+    seed = emb.filter(F.col("vec_id") < 80)
+    wave = emb.filter(F.col("vec_id").between(80, 159))
+    queries = emb.filter(F.col("vec_id").between(160, 179))
+    name = f"annix_cm_{point}"
+    drop_ann_index(spark, name)
+    build_ann_index(seed, name, n_centroids=4, n_buckets=4)
+    try:
+        merge_into_ann_index(wave, name, batch_id="w1")
+        before = _rows(query_ann_index(queries, name, k=3, nprobe=2))
+        before_cents = ann_index_centroids(spark, name)
+
+        real_write_codes = ai._write_codes
+
+        def codes_then_crash(*a, **kw):
+            real_write_codes(*a, **kw)
+            raise RuntimeError("crash after codes append")
+
+        def crash(*a, **kw):
+            raise RuntimeError(f"crash at {point}")
+
+        target, fn = {
+            "post_codes": ("_write_codes", codes_then_crash),
+            "post_centroids": ("_log_frame", crash),
+            "pre_compact": ("_compact_after_refit", crash),
+        }[point]
+        monkeypatch.setattr(ai, target, fn)
+        with pytest.raises(RuntimeError):
+            refit_ann_index(spark, name, n_centroids=8)
+        monkeypatch.undo()
+
+        got = _rows(query_ann_index(queries, name, k=3, nprobe=2))
+        cents = ann_index_centroids(spark, name)
+        if point == "pre_compact":
+            # the meta flip committed: new-consistent (retrained
+            # centroids), orphan old rows still on disk but invisible
+            assert len(cents) == 8
+            want = int8_ivf_topk(
+                queries, seed.unionByName(wave), DIM, k=3, nprobe=2,
+                centroids=cents,
+            )
+            assert got == _rows(want)
+            n_total = seed.count() + wave.count()
+            assert spark.table(f"{name}_codes").count() > n_total
+        else:
+            # flip never happened: old-consistent, staged rows invisible
+            assert cents == before_cents
+            assert got == before
+
+        # a subsequent clean refit converges regardless of crash point
+        n_cents, n_rows = refit_ann_index(spark, name, n_centroids=8)
+        assert (n_cents, n_rows) == (8, seed.count() + wave.count())
+        assert spark.table(f"{name}_codes").count() == n_rows
+        assert spark.table(f"{name}_centroids").count() == 8
+        want = int8_ivf_topk(
+            queries, seed.unionByName(wave), DIM, k=3, nprobe=2,
+            centroids=ann_index_centroids(spark, name),
+        )
+        assert _rows(query_ann_index(queries, name, k=3, nprobe=2)) == _rows(want)
+    finally:
+        drop_ann_index(spark, name)
