@@ -521,3 +521,53 @@ def test_refit_crash_matrix(spark, monkeypatch, point):
         assert _rows(query_ann_index(queries, name, k=3, nprobe=2)) == _rows(want)
     finally:
         drop_ann_index(spark, name)
+
+
+def test_merge_racing_refit_is_hidden_then_reapplies(spark, monkeypatch):
+    """A merge that commits its log row AFTER refit snapshotted the
+    corpus but BEFORE the version flip lands at the OLD version: the
+    flip hides it (probes are new-consistent, never a mix), the
+    module reports it uncommitted under the new epoch, and a replay
+    re-applies it cleanly under the NEW centroids — the documented
+    single-writer-violation worst case is losing visibility until
+    replay, never serving mixed-version results."""
+    import dw_etl_spark.operators.ann_index as ai
+
+    emb = _emb(spark)
+    seed = emb.filter(F.col("vec_id") < 80)
+    racer = emb.filter(F.col("vec_id").between(80, 119))
+    queries = emb.filter(F.col("vec_id").between(160, 179))
+    name = "annix_race"
+    drop_ann_index(spark, name)
+    build_ann_index(seed, name, n_centroids=4, n_buckets=4)
+    try:
+        real_commit = ai._commit_meta
+
+        def merge_then_commit(spark_, name_, n_buckets_, version_):
+            # the racing merge: assigned + committed under the OLD
+            # centroids/version, a moment before the flip. Patch out
+            # first: merge_into_ann_index must not recurse into this.
+            monkeypatch.setattr(ai, "_commit_meta", real_commit)
+            assert merge_into_ann_index(racer, name, batch_id="raced") is True
+            real_commit(spark_, name_, n_buckets_, version_)
+
+        monkeypatch.setattr(ai, "_commit_meta", merge_then_commit)
+        refit_ann_index(spark, name, n_centroids=8)
+
+        # new-consistent: probes equal the one-shot over the SNAPSHOT
+        # corpus (seed only) — the raced batch is hidden, not mixed in
+        cents = ann_index_centroids(spark, name)
+        got = _rows(query_ann_index(queries, name, k=3, nprobe=2))
+        want = int8_ivf_topk(queries, seed, DIM, k=3, nprobe=2, centroids=cents)
+        assert got == _rows(want)
+
+        # replay re-applies under the new epoch and becomes visible
+        assert merge_into_ann_index(racer, name, batch_id="raced") is True
+        got2 = _rows(query_ann_index(queries, name, k=3, nprobe=2))
+        want2 = int8_ivf_topk(
+            queries, seed.unionByName(racer), DIM, k=3, nprobe=2,
+            centroids=ann_index_centroids(spark, name),
+        )
+        assert got2 == _rows(want2)
+    finally:
+        drop_ann_index(spark, name)
