@@ -1,0 +1,421 @@
+"""Shared commit/recovery/lease protocol for the persisted state families.
+
+The same design — append-only increments, a commit marker written LAST,
+rename-aside swaps for rewrites, a recovery sweep at writer entry — was
+hand-rolled four times (``bm25_index``, ``neardup_index``, ``ann_index``,
+``dsir`` state, plus the streaming sinks' directory flavor) before r13
+factored it here. One module, two flavors:
+
+**Catalog-table flavor** (bucketed ``saveAsTable`` indexes):
+  swap_in            — stage → live rename-aside swap (``__stage``/``__old``)
+  recover_table_swap — writer-side repair of a crashed swap (mutating DDL)
+  read_table_any     — READER-side resolution of a crashed swap without
+                       mutating anything: live, else ``__stage`` (roll-
+                       forward view — the stage is always fully written
+                       before the first rename), else ``__old``
+  count_data_files   — the compaction before/after diagnostic (Hadoop
+                       FileSystem API, so it works on HDFS/S3 too)
+  drop_catalog_tables / check_name / refresh_tables — shared hygiene
+
+**Directory flavor** (plain-parquet state dirs — dsir cells, streaming
+dedup/index state, warehouse staging):
+  commit_swap_dir / recover_swap_dir — the ``__staging``/``__old``
+  promote-and-repair pair (previously ``streaming.sinks._commit_swap``).
+
+**Writer lease** (r13, VERDICT r12 next #2): the single-writer contract
+used to be enforced only by an in-process ``RLock`` plus a docstring —
+and the r12 harness collision (two pytest sessions compacting one
+physical ``spark-warehouse``) proved unrelated PROCESSES do collide in
+practice. ``writer_lease`` is an on-disk create-exclusive marker
+(pid + host + timestamp + token) acquired by every mutating entry point
+(build / merge / refit / compact) on all four index families:
+
+  - contention is FAIL-LOUD (``ConcurrentWriterError``), never a silent
+    interleave — the caller retries when the other writer finishes;
+  - a crashed writer's lease is TAKEN OVER when its pid is provably dead
+    on this host, or when the lease is older than ``stale_after``
+    (the cross-host fallback — set it above your longest refit);
+  - re-entrant per process (depth-counted), so a refit that internally
+    appends, or a foreachBatch maintainer looping merges, never
+    self-deadlocks; IN-process serialization across threads remains the
+    job of ``index_lock`` (writers acquire the lock first, then the
+    lease).
+
+This is the commit-by-snapshot discipline a table format (Iceberg /
+Delta) provides natively — swap the tables onto one and this module
+disappears; the lease maps onto the format's optimistic-commit conflict
+detection.
+
+Reference parity note: the reference ETL (mikolajkapica/dw-etl) rebuilds
+its warehouse from scratch each run (load.py truncate-and-insert) and
+needs none of this; the protocol exists because this engine adds
+STANDING incremental indexes a 100 TB pipeline maintains across runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import threading
+import time
+import uuid
+from contextlib import contextmanager
+from pathlib import Path
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another live writer holds the index's on-disk lease. The caller
+    should retry after the other writer finishes — proceeding would
+    interleave two maintenance sequences on one physical index."""
+
+
+def check_name(name: str) -> str:
+    """Index names become catalog identifiers inside DDL strings —
+    restrict to plain identifiers so a stray quote/semicolon cannot
+    reach ``spark.sql``."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"index name must be a plain SQL identifier, got {name!r}"
+        )
+    return name
+
+
+def refresh_tables(spark: SparkSession, name: str, suffixes) -> None:
+    """Invalidate this session's cached file listings for the index
+    tables — appends from another session (or a foreachBatch
+    micro-batch clone) are invisible to a session that read the table
+    earlier otherwise (caught live with the streaming maintainer)."""
+    for suffix in suffixes:
+        try:
+            spark.catalog.refreshTable(f"{name}{suffix}")
+        except Exception:
+            pass  # table may not exist yet (first build)
+
+
+def drop_catalog_tables(
+    spark: SparkSession, name: str, suffixes: tuple[str, ...]
+) -> None:
+    """DROP TABLE each ``{name}{suffix}`` AND sweep any stale managed
+    location left by a PREVIOUS session: a dead session's table is
+    invisible to this session's fresh in-memory catalog (the DROP
+    no-ops) but its directory survives under the warehouse dir, and a
+    later ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS. Also
+    sweeps the index's writer lease."""
+    import shutil
+
+    check_name(name)
+    wh_path = _warehouse_path(spark)
+    for suffix in suffixes:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+        if wh_path is not None:
+            stale = wh_path / f"{name}{suffix}"
+            if stale.exists():
+                shutil.rmtree(stale, ignore_errors=True)
+    lease = catalog_lease_path(spark, name)
+    try:
+        os.unlink(lease)
+    except OSError:
+        pass
+
+
+def count_data_files(spark: SparkSession, table: str) -> int:
+    """Data-file count of a catalog table's location through the Hadoop
+    FileSystem API (works on HDFS/S3 locations, not just ``file:``) —
+    the compaction before/after diagnostic."""
+    from pyspark.sql import functions as F
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sum(
+        1
+        for st in fs.listStatus(hpath)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog-table rename-aside swap
+# ---------------------------------------------------------------------------
+
+def swap_in(spark: SparkSession, table: str, write) -> None:
+    """Rename-aside swap: stage → live. ``write(staged_name)`` must
+    create the staged table; then live → ``__old``, staged → live,
+    drop ``__old``. No step destroys state before its replacement
+    exists; ``recover_table_swap`` (writers) or ``read_table_any``
+    (readers) resolves a crash at any point."""
+    staged, backup = f"{table}__stage", f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    write(staged)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {backup}")
+
+
+def recover_table_swap(spark: SparkSession, table: str) -> None:
+    """Writer-side repair of a crashed ``swap_in`` — MUTATES catalog
+    state, so call it only from a path holding the writer lease (a
+    reader that renames/drops can abort a HEALTHY in-flight writer's
+    swap; readers use ``read_table_any`` instead). Rules: live missing
+    + ``__stage`` present → the crash hit between the two renames and
+    the stage was fully written before the first one — roll forward;
+    live missing + only ``__old`` → roll back; live present → any
+    leftover ``__stage``/``__old`` is an uncommitted or superseded
+    side — drop it."""
+    staged, backup = f"{table}__stage", f"{table}__old"
+    if not spark.catalog.tableExists(table):
+        if spark.catalog.tableExists(staged):
+            spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+        elif spark.catalog.tableExists(backup):
+            spark.sql(f"ALTER TABLE {backup} RENAME TO {table}")
+    for leftover in (staged, backup):
+        spark.sql(f"DROP TABLE IF EXISTS {leftover}")
+
+
+def read_table_any(spark: SparkSession, table: str) -> DataFrame:
+    """READER-side resolution of a possibly-mid-swap table WITHOUT
+    mutating anything (r13, closes the reader-DDL hazard: a reader in
+    another process must never drop a healthy in-flight writer's
+    ``__stage``). Live if it exists; else ``__stage`` (the roll-forward
+    view — a stage is always fully written before the first rename);
+    else ``__old`` (the roll-back view). Content-equivalence across the
+    sides is each swap-site's contract (compactions rewrite identical
+    visible rows; the ann meta flip's new-version rows are durable
+    before the flip starts)."""
+    for cand in (table, f"{table}__stage", f"{table}__old"):
+        if spark.catalog.tableExists(cand):
+            return spark.table(cand)
+    # fail with the standard error text callers expect from spark.table
+    return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# directory flavor (plain-parquet state dirs)
+# ---------------------------------------------------------------------------
+
+def recover_swap_dir(live_dir: str) -> None:
+    """Bring a rename-aside-swapped state directory back to a committed
+    state after a crash. Invariants of ``commit_swap_dir``'s ordering
+    (live → ``__old``, ``__staging`` → live, drop ``__old``):
+
+    - live missing + ``__old`` present  → crashed between the two
+      renames: restore ``__old`` (the last COMMITTED state; the staged
+      epoch was never committed and will re-apply).
+    - live present + ``__old`` present  → crashed after the second
+      rename: the new state is committed; drop the aside copy.
+    - ``__staging`` present in any case → an uncommitted partial write;
+      drop it (it is rebuilt by the replaying epoch).
+    """
+    import shutil
+
+    live, old = Path(live_dir), Path(f"{live_dir}__old")
+    staging = Path(f"{live_dir}__staging")
+    if old.exists():
+        if live.exists():
+            shutil.rmtree(old)
+        else:
+            old.rename(live)
+    if staging.exists():
+        shutil.rmtree(staging)
+
+
+def commit_swap_dir(live_dir: str) -> None:
+    """Atomically-enough promote ``{live_dir}__staging`` to ``live_dir``
+    on a local/HDFS-rename filesystem: the live directory is renamed
+    ASIDE (never removed) before the staged replacement takes its
+    place, so no crash point loses the committed state —
+    ``recover_swap_dir`` picks the correct side on restart. On an
+    object store, route this through the FileSystem API or a table
+    format's atomic commit."""
+    import shutil
+
+    live, old = Path(live_dir), Path(f"{live_dir}__old")
+    staging = Path(f"{live_dir}__staging")
+    if old.exists():  # leftover of a crash after commit; clear first
+        shutil.rmtree(old)
+    if live.exists():
+        live.rename(old)
+    staging.rename(live)
+    if old.exists():
+        shutil.rmtree(old)
+
+
+# ---------------------------------------------------------------------------
+# in-process lock + cross-process writer lease
+# ---------------------------------------------------------------------------
+
+_INDEX_LOCKS: dict[str, threading.RLock] = {}
+_INDEX_LOCKS_GUARD = threading.Lock()
+
+
+def index_lock(name: str) -> threading.RLock:
+    """One process-wide re-entrant lock per index name: serializes a
+    writer's stage/flip/compact against concurrent IN-process readers
+    and writers across threads (the ``warehouse._table_lock`` pattern).
+    Cross-process exclusion is ``writer_lease``'s job."""
+    with _INDEX_LOCKS_GUARD:
+        return _INDEX_LOCKS.setdefault(name, threading.RLock())
+
+
+_LEASE_DEPTH: dict[str, int] = {}  # lease path → re-entrant depth (this process)
+_LEASE_TOKEN: dict[str, str] = {}
+_LEASE_GUARD = threading.Lock()
+
+
+def _warehouse_path(spark: SparkSession) -> Path | None:
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    return Path(wh.path) if wh.path else None
+
+
+def catalog_lease_path(spark: SparkSession, name: str) -> str:
+    """The on-disk lease location for a catalog-table index: beside its
+    tables under the warehouse dir, so every process that can mutate
+    the physical index necessarily shares the lease file."""
+    base = _warehouse_path(spark) or Path("spark-warehouse")
+    base.mkdir(parents=True, exist_ok=True)
+    return str(base / f"{name}__lease")
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _lease_is_stale(lease_path: str, stale_after: float) -> bool:
+    """A lease is stale when its holder is provably dead on this host,
+    or — the cross-host fallback — older than ``stale_after``. An
+    unreadable/corrupt lease (crash mid-write) falls back to the age
+    rule via the file mtime."""
+    try:
+        holder = json.loads(Path(lease_path).read_text())
+        if holder.get("host") == socket.gethostname() and not _pid_alive(
+            int(holder["pid"])
+        ):
+            return True
+        age = time.time() - float(holder["ts"])
+    except (OSError, ValueError, KeyError):
+        try:
+            age = time.time() - os.path.getmtime(lease_path)
+        except OSError:
+            return False  # vanished — not stale, just gone
+    return age > stale_after
+
+
+def _describe_holder(lease_path: str) -> str:
+    try:
+        h = json.loads(Path(lease_path).read_text())
+        return f"pid {h.get('pid')} on {h.get('host')} since {h.get('ts')}"
+    except Exception:
+        return "an unreadable lease (holder crashed mid-acquire?)"
+
+
+@contextmanager
+def writer_lease(lease_path: str, *, what: str = "index",
+                 stale_after: float = 3600.0):
+    """Cross-process single-writer lease: create-exclusive marker file
+    with pid/host/timestamp/token. FAIL-LOUD on contention
+    (``ConcurrentWriterError``) — never blocks, never silently
+    proceeds. Takes over a stale lease (dead pid on this host, or older
+    than ``stale_after`` — size that above your longest maintenance
+    op). Re-entrant per process so nested maintenance (a foreachBatch
+    maintainer, refit internals) never self-deadlocks; serialize
+    threads WITHIN a process via ``index_lock`` first."""
+    with _LEASE_GUARD:
+        if _LEASE_DEPTH.get(lease_path, 0) > 0:
+            _LEASE_DEPTH[lease_path] += 1
+            held_reentrant = True
+        else:
+            held_reentrant = False
+    if held_reentrant:
+        try:
+            yield
+        finally:
+            with _LEASE_GUARD:
+                _LEASE_DEPTH[lease_path] -= 1
+        return
+
+    token = uuid.uuid4().hex
+    payload = json.dumps(
+        {
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "ts": time.time(),
+            "token": token,
+            "what": what,
+        }
+    )
+
+    def try_acquire() -> bool:
+        try:
+            fd = os.open(lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, payload.encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+
+    acquired = try_acquire()
+    if not acquired and _lease_is_stale(lease_path, stale_after):
+        try:
+            os.unlink(lease_path)  # takeover; racing takeovers → one wins
+        except FileNotFoundError:
+            pass
+        acquired = try_acquire()
+    if not acquired:
+        raise ConcurrentWriterError(
+            f"{what} at {lease_path} has a live concurrent writer "
+            f"({_describe_holder(lease_path)}); retry after it finishes — "
+            "two writers interleaving maintenance on one physical index "
+            "is the exact corruption the lease exists to prevent"
+        )
+    with _LEASE_GUARD:
+        _LEASE_DEPTH[lease_path] = 1
+        _LEASE_TOKEN[lease_path] = token
+    try:
+        yield
+    finally:
+        with _LEASE_GUARD:
+            _LEASE_DEPTH[lease_path] = 0
+            _LEASE_TOKEN.pop(lease_path, None)
+        try:
+            holder = json.loads(Path(lease_path).read_text())
+            if holder.get("token") == token:
+                os.unlink(lease_path)
+        except (OSError, ValueError):
+            pass  # taken over or already gone — nothing to release
+
+
+@contextmanager
+def index_writer(spark: SparkSession, name: str, *,
+                 stale_after: float = 3600.0):
+    """The standard writer guard for a catalog-table index: in-process
+    ``index_lock`` (thread exclusion) THEN the on-disk ``writer_lease``
+    (process exclusion), in that order so threads of one process
+    contend on the lock, not the lease."""
+    with index_lock(name):
+        with writer_lease(
+            catalog_lease_path(spark, name),
+            what=f"index {name}",
+            stale_after=stale_after,
+        ):
+            yield

@@ -51,15 +51,27 @@ refit is append-only until a single-table ``_meta`` swap — written
 LAST — flips the version. Readers resolve ``_meta`` FIRST and filter
 both ``_centroids`` and ``_log`` (hence the visible code tags) to that
 version, so every probe sees old-consistent or new-consistent state,
-never mixed. A crash before the flip leaves only invisible
-new-version rows (the next refit supersedes them); a crash inside the
-flip's rename window is rolled forward/back by ``_read_meta``'s
-recovery sweep; post-flip compaction (dropping old-version rows) is
-best-effort and content-equivalent on both sides of its swap. Each
-index has a process-wide re-entrant lock serializing refit, recovery,
-and in-process readers across threads (the ``warehouse._table_lock``
-pattern); cross-process writers remain single-writer by contract,
-exactly like the BM25/neardup maintainers.
+never mixed.
+
+Concurrency/recovery split (r13 — the shared ``_commit_protocol``):
+
+  - READERS never mutate: a crashed swap is resolved by READING the
+    surviving side (``read_table_any`` — live, else the fully-written
+    ``__stage``, else ``__old``), so a reader in another process can
+    never drop a healthy in-flight refit's staged tables. Each probe
+    holds the index's in-process lock across ALL its eager reads
+    (meta → centroids → routing → visible tags), eagerly PINS its
+    result (``localCheckpoint``) so post-probe compaction cannot
+    hollow out the lazy plan, then re-verifies the committed version
+    and retries if a cross-process flip landed mid-read — a probe
+    returns a consistent snapshot or retries, never a silent empty.
+  - WRITERS (build/merge/refit) take the in-process lock PLUS an
+    on-disk ``writer_lease`` (create-exclusive pid/host marker,
+    stale-takeover, fail-loud on contention), then run the mutating
+    recovery sweep over all four tables — the cross-process
+    single-writer contract is ENFORCED, not documented (the r12
+    harness collision, two pytest sessions compacting one
+    spark-warehouse, is exactly the failure the lease rejects).
 
 Equality contract (pytest-pinned): probing the index — seed-built or
 seed+merge — returns exactly what ``int8_ivf_topk`` returns over the
@@ -81,13 +93,21 @@ dedups — same contract as the neardup and BM25 indexes).
 
 from __future__ import annotations
 
-import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dw_etl_spark.operators.neardup_index import _check_name, drop_catalog_tables
+from dw_etl_spark.operators._commit_protocol import (
+    ConcurrentWriterError,
+    check_name as _check_name,
+    drop_catalog_tables,
+    index_lock as _index_lock,
+    index_writer,
+    read_table_any,
+    recover_table_swap,
+    refresh_tables,
+)
 from dw_etl_spark.operators.similarity import (
     _centroid_frame,
     _codes_as_double,
@@ -103,53 +123,34 @@ _SWAP_SUFFIXES = tuple(
     f"{s}{t}" for s in TABLE_SUFFIXES for t in ("__stage", "__old")
 )
 
-_INDEX_LOCKS: dict[str, threading.RLock] = {}
-_INDEX_LOCKS_GUARD = threading.Lock()
-
-
-def _index_lock(name: str) -> threading.RLock:
-    """One process-wide re-entrant lock per index name: serializes
-    refit's stage/flip/compact against concurrent in-process readers
-    (whose ``_read_meta`` recovery sweep mutates swap state — two
-    unserialized sweeps could resurrect each other's dropped tables,
-    the exact race ``warehouse._table_lock`` closed in r11)."""
-    with _INDEX_LOCKS_GUARD:
-        return _INDEX_LOCKS.setdefault(name, threading.RLock())
-
 
 def _refresh(spark: SparkSession, name: str) -> None:
-    """Invalidate this session's cached file listings for the index
-    tables — appends from another session (or a foreachBatch
-    micro-batch clone) are invisible to a session that read the table
-    earlier otherwise (the ``bm25_index._refresh`` lesson, caught live
-    with the streaming maintainer)."""
-    for suffix in TABLE_SUFFIXES:
-        try:
-            spark.catalog.refreshTable(f"{name}{suffix}")
-        except Exception:
-            pass  # table may not exist yet (first build)
+    refresh_tables(spark, name, TABLE_SUFFIXES)
+
+
+def _recover_index(spark: SparkSession, name: str) -> None:
+    """Writer-side recovery sweep over ALL FOUR tables (r13 — the r12
+    sweep only repaired ``_meta``, so a crash between a compaction
+    swap's two renames left ``_codes``/``_centroids``/``_log``
+    unresolvable until manual repair). Meta first: it decides the
+    committed version the data tables are filtered to; each data-table
+    swap is content-equivalent on both sides under that filter, so
+    roll-forward vs roll-back there never changes visible rows. Only
+    callers holding the writer lease may run this — it mutates catalog
+    state."""
+    for suffix in ("_meta",) + tuple(s for s in TABLE_SUFFIXES if s != "_meta"):
+        recover_table_swap(spark, f"{name}{suffix}")
 
 
 def _read_meta(spark: SparkSession, name: str) -> tuple[int, int]:
     """The committed ``(n_buckets, version)`` pair — the single source
-    of truth every reader resolves FIRST. Recovers a crashed ``_meta``
-    swap before reading: live present → drop stray ``__stage``/
-    ``__old`` leftovers (an unflipped stage is an uncommitted refit —
-    rollback; a lingering ``__old`` post-flip is already-superseded —
-    roll forward); live missing with ``__stage`` present → the crash
-    hit between the two renames, and since every new-version row is
-    already durable the staged meta is completed (roll forward); live
-    missing with only ``__old`` → restore it (rollback)."""
-    meta, stage, old = f"{name}_meta", f"{name}_meta__stage", f"{name}_meta__old"
-    with _index_lock(name):
-        if not spark.catalog.tableExists(meta):
-            if spark.catalog.tableExists(stage):
-                spark.sql(f"ALTER TABLE {stage} RENAME TO {meta}")
-            elif spark.catalog.tableExists(old):
-                spark.sql(f"ALTER TABLE {old} RENAME TO {meta}")
-        for leftover in (stage, old):
-            spark.sql(f"DROP TABLE IF EXISTS {leftover}")
-        row = spark.table(meta).collect()[0]
+    of truth every reader resolves FIRST. NON-MUTATING (r13): a
+    crashed ``_meta`` swap is resolved by reading the surviving side —
+    live, else the fully-written ``__stage`` (the roll-forward view:
+    every new-version row is durable before the flip's first rename),
+    else ``__old`` (roll-back). Physical repair is the next leased
+    writer's job (``_recover_index``)."""
+    row = read_table_any(spark, f"{name}_meta").collect()[0]
     return int(row["n_buckets"]), int(row["version"])
 
 
@@ -223,7 +224,8 @@ def build_ann_index(
     CODE arrays — no RNG, so a rebuild from the same corpus is
     bit-identical and the DuckDB oracle can replay it. ``_meta`` —
     the commit marker naming version 0 — is written LAST: until it
-    exists, the index does not.
+    exists, the index does not. Holds the writer lock+lease (a build
+    racing another writer on the same physical name is rejected loud).
 
     Scale shape: one quantization pass (pinned via lazy
     localCheckpoint so centroid training and assignment share the
@@ -234,35 +236,36 @@ def build_ann_index(
     ~nprobe/n_centroids of the files when n_buckets == n_centroids)."""
     _check_name(name)
     spark = corpus.sparkSession
-    codes = _codes_frame(corpus, vec_col, id_col, codes_col).localCheckpoint(
-        eager=False
-    )
-    cents = ivf_centroids(
-        codes.select("id", _codes_as_double(F.col("q")).alias("__cv")),
-        "__cv",
-        "id",
-        n_centroids,
-    )
-    tag = "seed@0"
-    _write_codes(
-        _assign(codes, _centroid_frame(spark, cents)), name, n_buckets, tag,
-        mode="overwrite",
-    )
-    spark.createDataFrame(
-        _centroid_rows(cents, 0), _CENTROID_SCHEMA
-    ).write.mode("overwrite").saveAsTable(f"{name}_centroids")
-    _log_frame(spark, [("seed", tag, codes.count(), 0)]).write.mode(
-        "overwrite"
-    ).saveAsTable(f"{name}_log")
-    spark.createDataFrame(
-        [(int(n_buckets), 0)], "n_buckets int, version int"
-    ).write.mode("overwrite").saveAsTable(f"{name}_meta")
+    with index_writer(spark, name):
+        codes = _codes_frame(corpus, vec_col, id_col, codes_col).localCheckpoint(
+            eager=False
+        )
+        cents = ivf_centroids(
+            codes.select("id", _codes_as_double(F.col("q")).alias("__cv")),
+            "__cv",
+            "id",
+            n_centroids,
+        )
+        tag = "seed@0"
+        _write_codes(
+            _assign(codes, _centroid_frame(spark, cents)), name, n_buckets, tag,
+            mode="overwrite",
+        )
+        spark.createDataFrame(
+            _centroid_rows(cents, 0), _CENTROID_SCHEMA
+        ).write.mode("overwrite").saveAsTable(f"{name}_centroids")
+        _log_frame(spark, [("seed", tag, codes.count(), 0)]).write.mode(
+            "overwrite"
+        ).saveAsTable(f"{name}_log")
+        spark.createDataFrame(
+            [(int(n_buckets), 0)], "n_buckets int, version int"
+        ).write.mode("overwrite").saveAsTable(f"{name}_meta")
 
 
 def drop_ann_index(spark: SparkSession, name: str) -> None:
     """Drop the four index tables (managed — data included) plus any
-    transient swap leftovers, sweeping stale directories a dead
-    session left behind."""
+    transient swap leftovers and the writer lease, sweeping stale
+    directories a dead session left behind."""
     drop_catalog_tables(spark, name, TABLE_SUFFIXES + _SWAP_SUFFIXES)
 
 
@@ -271,7 +274,7 @@ def _stored_centroids(
 ) -> list[tuple[int, list[float], float]]:
     return [
         (int(r["cid"]), [float(x) for x in r["vec"]], float(r["norm"]))
-        for r in spark.table(f"{name}_centroids")
+        for r in read_table_any(spark, f"{name}_centroids")
         .filter(F.col("version") == version)
         .orderBy("cid")
         .collect()
@@ -284,11 +287,13 @@ def ann_index_centroids(
     """The committed centroid set in ``ivf_centroids``' [(cid, vec,
     norm)] form — pass to ``int8_ivf_topk(centroids=...)`` to
     reproduce index results from raw frames (the equality-contract
-    accessor)."""
+    accessor). Meta and centroids are read under the index lock so an
+    in-process refit cannot flip between the two reads."""
     _check_name(name)
-    _refresh(spark, name)
-    _, version = _read_meta(spark, name)
-    return _stored_centroids(spark, name, version)
+    with _index_lock(name):
+        _refresh(spark, name)
+        _, version = _read_meta(spark, name)
+        return _stored_centroids(spark, name, version)
 
 
 def _committed_log(spark: SparkSession, name: str, version: int):
@@ -296,7 +301,7 @@ def _committed_log(spark: SparkSession, name: str, version: int):
     world. Bounded collect: one row per committed batch."""
     return [
         (r["batch_id"], r["batch_tag"])
-        for r in spark.table(f"{name}_log")
+        for r in read_table_any(spark, f"{name}_log")
         .filter(F.col("version") == version)
         .select("batch_id", "batch_tag")
         .collect()
@@ -336,7 +341,9 @@ def query_ann_index(
     k: int = 5,
     nprobe: int = 4,
     codes_col: str | None = None,
+    pin: bool = True,
     _reader: AnnIndexReader | None = None,
+    _max_attempts: int = 3,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos_sim): top-k indexed neighbors of
     each query row under quantized cosine, probing ``nprobe`` inverted
@@ -349,12 +356,63 @@ def query_ann_index(
     unprobed file (``SelectedBucketsCount`` plan-asserted in tests);
     the probe side is broadcast onto the pruned lists. Work scales
     with the batch and the probed fraction, never the history.
-    Consistency: ``_meta`` is resolved first and both the centroid set
-    and the visible code tags derive from the version it names."""
+
+    Consistency (r13 — closes the reader-vs-refit race): the whole
+    eager read sequence (meta → centroids → routing collect → visible
+    tags) runs under the index's in-process lock, so an in-process
+    refit can never flip mid-probe; the k×|batch| result is then
+    eagerly PINNED (``localCheckpoint``) so a post-probe compaction
+    cannot hollow out the lazy scan; finally the committed version is
+    re-read — if a CROSS-process flip landed mid-read the attempt is
+    discarded and retried (``_max_attempts``, then fail-loud). Pass
+    ``pin=False`` to keep the lazy plan (for ``.explain`` inspection /
+    further composition); an unpinned result must be consumed before a
+    subsequent refit's compaction rewrites the codes table."""
     _check_name(name)
     spark = queries.sparkSession
-    _refresh(spark, name)
-    _, version = _read_meta(spark, name)
+    last_err: Exception | None = None
+    for _ in range(_max_attempts):
+        try:
+            with _index_lock(name):
+                _refresh(spark, name)
+                _, version = _read_meta(spark, name)
+                result = _probe_at_version(
+                    spark, queries, name, vec_col, id_col, k, nprobe,
+                    codes_col, version, _reader,
+                )
+                if pin:
+                    result = result.localCheckpoint(eager=True)
+                # re-verify: did a cross-process refit flip mid-read?
+                _refresh(spark, name)
+                _, v_after = _read_meta(spark, name)
+            if v_after == version:
+                return result
+            last_err = ConcurrentWriterError(
+                f"index {name} version flipped {version}->{v_after} "
+                "during the probe"
+            )
+        except ConcurrentWriterError as e:  # pragma: no cover - defensive
+            last_err = e
+        except Exception as e:
+            # a cross-process compaction swapping tables mid-collect
+            # surfaces as missing-table/missing-file — retry resolves
+            # against the new committed state
+            last_err = e
+    raise last_err
+
+
+def _probe_at_version(
+    spark: SparkSession,
+    queries: DataFrame,
+    name: str,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    nprobe: int,
+    codes_col: str | None,
+    version: int,
+    _reader: AnnIndexReader | None,
+) -> DataFrame:
     qcodes = _codes_frame(queries, vec_col, id_col, codes_col).localCheckpoint(
         eager=False
     )
@@ -382,7 +440,7 @@ def query_ann_index(
     probed = [int(r["cid"]) for r in routed.select("cid").distinct().collect()]
     tags = [t for _, t in _committed_log(spark, name, version)]
     lists = (
-        spark.table(f"{name}_codes")
+        read_table_any(spark, f"{name}_codes")
         .filter(F.col("cid").isin(probed))
         .filter(F.col("batch_tag").isin(tags))
         .select(F.col("id").alias("neighbor_id"), F.col("q").alias("cq"), "cid")
@@ -422,44 +480,50 @@ def merge_into_ann_index(
     The log row carries the centroid version the batch was assigned
     under: if a refit commits concurrently, the flip hides this
     batch's rows (old version) and a replay re-applies it under the
-    new centroids — never a mixed-version probe."""
+    new centroids — never a mixed-version probe.
+
+    Holds the writer lock+lease for the whole read-check-append
+    sequence (r13): an in-process merge can no longer race a refit's
+    post-commit compaction into appending to a table the instant
+    before it is renamed aside, and a SECOND PROCESS attempting
+    maintenance concurrently fails loud (``ConcurrentWriterError``)
+    instead of interleaving."""
     _check_name(name)
     spark = batch.sparkSession
-    _refresh(spark, name)
-    n_buckets, version = _read_meta(spark, name)
-    committed = [b for b, _ in _committed_log(spark, name, version)]
-    if batch_id is None:
-        batch_id = f"merge-{len(committed)}"
-    if batch_id in committed:
-        return False
-    # attempt-scoped physical tag: a crashed earlier attempt of this
-    # batch_id left rows under a DIFFERENT tag — never double-counted
-    tag = f"{batch_id}@{uuid.uuid4().hex[:8]}"
-    codes = _codes_frame(batch, vec_col, id_col, codes_col).localCheckpoint(
-        eager=False
-    )
-    assigned = _assign(
-        codes, _centroid_frame(spark, _stored_centroids(spark, name, version))
-    )
-    _write_codes(assigned, name, n_buckets, tag, mode="append")
-    _log_frame(spark, [(batch_id, tag, codes.count(), version)]).write.mode(
-        "append"
-    ).saveAsTable(f"{name}_log")
+    with index_writer(spark, name):
+        _recover_index(spark, name)
+        _refresh(spark, name)
+        n_buckets, version = _read_meta(spark, name)
+        committed = [b for b, _ in _committed_log(spark, name, version)]
+        if batch_id is None:
+            batch_id = f"merge-{len(committed)}"
+        if batch_id in committed:
+            return False
+        # attempt-scoped physical tag: a crashed earlier attempt of this
+        # batch_id left rows under a DIFFERENT tag — never double-counted
+        tag = f"{batch_id}@{uuid.uuid4().hex[:8]}"
+        codes = _codes_frame(batch, vec_col, id_col, codes_col).localCheckpoint(
+            eager=False
+        )
+        assigned = _assign(
+            codes, _centroid_frame(spark, _stored_centroids(spark, name, version))
+        )
+        _write_codes(assigned, name, n_buckets, tag, mode="append")
+        _log_frame(spark, [(batch_id, tag, codes.count(), version)]).write.mode(
+            "append"
+        ).saveAsTable(f"{name}_log")
     return True
 
 
 def _swap_in(spark: SparkSession, table: str, write) -> None:
-    """Rename-aside swap: stage → live. ``write(staged_name)`` must
-    create the staged table; then live → ``__old``, staged → live,
-    drop ``__old``. No step destroys state before its replacement
-    exists; ``_read_meta``'s sweep resolves a crash at any point."""
-    staged, backup = f"{table}__stage", f"{table}__old"
-    spark.sql(f"DROP TABLE IF EXISTS {staged}")
-    spark.sql(f"DROP TABLE IF EXISTS {backup}")
-    write(staged)
-    spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
-    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
-    spark.sql(f"DROP TABLE {backup}")
+    """Rename-aside swap: stage → live (the shared
+    ``_commit_protocol.swap_in``). A crash at any point is resolved by
+    the next leased writer's ``_recover_index`` sweep (all four
+    tables), and readers resolve the surviving side without mutating
+    (``read_table_any``)."""
+    from dw_etl_spark.operators._commit_protocol import swap_in
+
+    swap_in(spark, table, write)
 
 
 def _commit_meta(spark: SparkSession, name: str, n_buckets: int,
@@ -481,8 +545,10 @@ def _compact_after_refit(spark: SparkSession, name: str, n_buckets: int,
     """Post-commit cleanup: physically drop superseded-version rows
     (old centroids/log epochs, pre-refit code tags, crashed-merge
     orphans). Both sides of each swap are content-equivalent under
-    the committed version's filters, so a crash anywhere here leaves
-    a correct index — just a fatter one until the next refit."""
+    the committed version's filters, so a crash anywhere here —
+    including BETWEEN a swap's two renames — leaves a correct index:
+    readers resolve the surviving side (``read_table_any``) and the
+    next leased writer's ``_recover_index`` repairs the catalog."""
     _refresh(spark, name)
     keep_codes = spark.table(f"{name}_codes").filter(
         F.col("batch_tag") == tag
@@ -518,9 +584,13 @@ def refit_ann_index(
     orphan rows and superseded epochs are physically dropped by the
     post-commit compaction. Committed batch_ids are carried forward
     into the new epoch, so a replayed batch stays a no-op across
-    refits. Returns (n_centroids, n_code_rows)."""
+    refits. Runs under the writer lock+lease; entry begins with the
+    all-table recovery sweep, so a crashed predecessor (mid-flip OR
+    mid-compaction-swap) is repaired before this refit reads anything.
+    Returns (n_centroids, n_code_rows)."""
     _check_name(name)
-    with _index_lock(name):
+    with index_writer(spark, name):
+        _recover_index(spark, name)
         _refresh(spark, name)
         n_buckets, v_old = _read_meta(spark, name)
         # attempt-unique version: a CRASHED refit left orphan rows at

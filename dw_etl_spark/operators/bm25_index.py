@@ -59,8 +59,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dw_etl_spark.functions.text import tokens_of
+from dw_etl_spark.operators._commit_protocol import (
+    check_name as _check_name,
+    count_data_files,
+    drop_catalog_tables,
+    index_writer,
+    read_table_any,
+    recover_table_swap,
+    swap_in,
+)
 from dw_etl_spark.operators.ir import bm25_postings
-from dw_etl_spark.operators.neardup_index import _check_name
+
+TABLE_SUFFIXES = ("_postings", "_df", "_stats", "_meta")
+_SWAP_SUFFIXES = tuple(
+    f"{s}{t}" for s in ("_postings", "_df", "_stats") for t in ("__stage", "__old")
+)
 
 
 def _refresh(spark: SparkSession, name: str) -> None:
@@ -169,15 +182,16 @@ def build_bm25_index(
     build)."""
     _check_name(name)
     spark = df.sparkSession
-    # meta first: a committed stats row must never exist before the
-    # bucket spec queries need to interpret it
-    spark.createDataFrame(
-        [(int(n_buckets),)], "n_buckets int"
-    ).write.mode("overwrite").saveAsTable(f"{name}_meta")
-    _append_increment(
-        df, text_col, id_col, name, n_buckets,
-        batch_id="seed", batch_tag="seed@0", mode="overwrite",
-    )
+    with index_writer(spark, name):
+        # meta first: a committed stats row must never exist before the
+        # bucket spec queries need to interpret it
+        spark.createDataFrame(
+            [(int(n_buckets),)], "n_buckets int"
+        ).write.mode("overwrite").saveAsTable(f"{name}_meta")
+        _append_increment(
+            df, text_col, id_col, name, n_buckets,
+            batch_id="seed", batch_tag="seed@0", mode="overwrite",
+        )
 
 
 def merge_into_bm25_index(
@@ -200,29 +214,38 @@ def merge_into_bm25_index(
     still safe — the orphan rows carry an attempt tag no stats row
     names, so queries never see them and the re-run re-applies cleanly
     — but a re-run AFTER the commit landed counts as a new batch
-    (auto-ids can't recognize content)."""
+    (auto-ids can't recognize content).
+
+    Holds the writer lock+lease for the whole read-check-append
+    sequence (r13, ``_commit_protocol``): a second process attempting
+    maintenance on the same physical index fails loud
+    (``ConcurrentWriterError``) instead of interleaving with a
+    compaction swap."""
     import uuid
 
     _check_name(name)
     spark = batch.sparkSession
-    _refresh(spark, name)
-    n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
-    committed = [
-        r["batch_id"]
-        for r in spark.table(f"{name}_stats").select("batch_id").collect()
-    ]
-    if batch_id is None:
-        batch_id = f"merge-{len(committed)}"
-    if batch_id in committed:
-        return False
-    # attempt-scoped physical tag: a crashed earlier attempt of this
-    # same batch_id left rows under a DIFFERENT tag, so the read-backs
-    # (df partial, dl_sum) never double-count its orphans
-    batch_tag = f"{batch_id}@{uuid.uuid4().hex[:8]}"
-    _append_increment(
-        batch, text_col, id_col, name, n_buckets,
-        batch_id=batch_id, batch_tag=batch_tag, mode="append",
-    )
+    with index_writer(spark, name):
+        for t in ("_postings", "_df", "_stats"):
+            recover_table_swap(spark, f"{name}{t}")
+        _refresh(spark, name)
+        n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
+        committed = [
+            r["batch_id"]
+            for r in spark.table(f"{name}_stats").select("batch_id").collect()
+        ]
+        if batch_id is None:
+            batch_id = f"merge-{len(committed)}"
+        if batch_id in committed:
+            return False
+        # attempt-scoped physical tag: a crashed earlier attempt of this
+        # same batch_id left rows under a DIFFERENT tag, so the read-backs
+        # (df partial, dl_sum) never double-count its orphans
+        batch_tag = f"{batch_id}@{uuid.uuid4().hex[:8]}"
+        _append_increment(
+            batch, text_col, id_col, name, n_buckets,
+            batch_id=batch_id, batch_tag=batch_tag, mode="append",
+        )
     return True
 
 
@@ -232,12 +255,9 @@ def drop_bm25_index(spark: SparkSession, name: str) -> None:
     without that, the dead session's location blocks ``saveAsTable``
     with LOCATION_ALREADY_EXISTS (caught live: the gate's correctness
     and bench sessions run back-to-back against one working
-    directory; see ``neardup_index.drop_catalog_tables``)."""
-    from dw_etl_spark.operators.neardup_index import drop_catalog_tables
-
-    drop_catalog_tables(
-        spark, name, ("_postings", "_df", "_stats", "_meta")
-    )
+    directory; see ``_commit_protocol.drop_catalog_tables``). Swap
+    leftovers and the writer lease are swept too."""
+    drop_catalog_tables(spark, name, TABLE_SUFFIXES + _SWAP_SUFFIXES)
 
 
 def query_bm25_index(
@@ -288,16 +308,16 @@ def query_bm25_index(
     # stats row names exist; orphans of crashed merges are filtered out
     # here (increment-count-sized literal list — no extra shuffle, and
     # it doesn't disturb the term-bucket pruning predicate)
+    stats_tbl = read_table_any(spark, f"{name}_stats")
     committed_tags = [
-        r["batch_tag"]
-        for r in spark.table(f"{name}_stats").select("batch_tag").collect()
+        r["batch_tag"] for r in stats_tbl.select("batch_tag").collect()
     ]
-    stats = spark.table(f"{name}_stats").agg(
+    stats = stats_tbl.agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("dl_sum") / F.sum("n_docs")).alias("avgdl"),
     )
     dft = (
-        spark.table(f"{name}_df")
+        read_table_any(spark, f"{name}_df")
         .filter(
             F.col("term").isin(term_list)
             & F.col("batch_tag").isin(committed_tags)
@@ -315,7 +335,7 @@ def query_bm25_index(
         + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
     )
     qdf = qdf.select("term", "query_id", idf.alias("idf"))
-    postings = spark.table(f"{name}_postings").filter(
+    postings = read_table_any(spark, f"{name}_postings").filter(
         F.col("term").isin(term_list)
         & F.col("batch_tag").isin(committed_tags)
     )
@@ -346,83 +366,74 @@ def compact_bm25_index(spark: SparkSession, name: str) -> tuple[int, int]:
     Orphan rows of crashed merges (attempt tags no stats row names —
     invisible to queries, see the module commit protocol) are DROPPED
     here for good; the rewritten rows carry the single tag
-    ``compacted@0``. Same crash-safe rename-aside swap as
-    ``neardup_index.compact_neardup_index``: live → ``__old``, staged
-    → live, drop ``__old`` — no step destroys state before its
-    replacement exists; the instant between renames can surface a
-    transient table-not-found to concurrent queries, never lost data.
+    ``compacted@0``. Uses the shared crash-safe rename-aside
+    ``_commit_protocol.swap_in`` (stage → live via ``__old``) under the
+    writer lock+lease: no step destroys state before its replacement
+    exists, a crashed swap is readable through ``read_table_any`` and
+    repaired by the next leased writer, and a SECOND process attempting
+    maintenance fails loud. A probe running in another process exactly
+    concurrent with the tag rewrite may transiently miss rows and
+    should retry — compaction is a rare, leased maintenance window.
     Returns (files_before, files_after) over the two bucketed tables.
     """
     _check_name(name)
-    _refresh(spark, name)
-    n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
-    committed_tags = [
-        r["batch_tag"]
-        for r in spark.table(f"{name}_stats").select("batch_tag").collect()
-    ]
+    with index_writer(spark, name):
+        for t in ("_postings", "_df", "_stats"):
+            recover_table_swap(spark, f"{name}{t}")
+        _refresh(spark, name)
+        n_buckets = spark.table(f"{name}_meta").collect()[0]["n_buckets"]
+        committed_tags = [
+            r["batch_tag"]
+            for r in spark.table(f"{name}_stats").select("batch_tag").collect()
+        ]
+        bucketed = [f"{name}_postings", f"{name}_df"]
+        before = sum(count_data_files(spark, t) for t in bucketed)
+        tag = F.lit("compacted@0").alias("batch_tag")
 
-    def count_files(table: str) -> int:
-        loc = (
-            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
-            .filter(F.col("col_name") == "Location")
-            .collect()[0]["data_type"]
+        def bucketed_writer(staged_df, sort: bool):
+            def write(t):
+                w = staged_df.repartition(n_buckets, "term").write.mode(
+                    "overwrite"
+                ).bucketBy(n_buckets, "term")
+                if sort:
+                    w = w.sortBy("term")
+                w.saveAsTable(t)
+
+            return write
+
+        swap_in(
+            spark,
+            f"{name}_postings",
+            bucketed_writer(
+                spark.table(f"{name}_postings")
+                .filter(F.col("batch_tag").isin(committed_tags))
+                .select("id", "term", "tf", "dl", tag),
+                sort=True,
+            ),
         )
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(loc)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return sum(
-            1
-            for st in fs.listStatus(hpath)
-            if st.isFile()
-            and not st.getPath().getName().startswith(("_", "."))
+        swap_in(
+            spark,
+            f"{name}_df",
+            bucketed_writer(
+                spark.table(f"{name}_df")
+                .filter(F.col("batch_tag").isin(committed_tags))
+                .groupBy("term")
+                .agg(F.sum("df_t").alias("df_t"))
+                .select("term", "df_t", tag),
+                sort=False,
+            ),
         )
-
-    bucketed = [f"{name}_postings", f"{name}_df"]
-    before = sum(count_files(t) for t in bucketed)
-
-    def swap(table: str, staged_df, sort: bool) -> None:
-        staged, backup = f"{table}__compact", f"{table}__old"
-        spark.sql(f"DROP TABLE IF EXISTS {staged}")
-        spark.sql(f"DROP TABLE IF EXISTS {backup}")
-        w = staged_df.repartition(n_buckets, "term").write.mode("overwrite")
-        w = w.bucketBy(n_buckets, "term")
-        if sort:
-            w = w.sortBy("term")
-        w.saveAsTable(staged)
-        spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
-        spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
-        spark.sql(f"DROP TABLE {backup}")
-
-    tag = F.lit("compacted@0").alias("batch_tag")
-    swap(
-        f"{name}_postings",
-        spark.table(f"{name}_postings")
-        .filter(F.col("batch_tag").isin(committed_tags))
-        .select("id", "term", "tf", "dl", tag),
-        sort=True,
-    )
-    swap(
-        f"{name}_df",
-        spark.table(f"{name}_df")
-        .filter(F.col("batch_tag").isin(committed_tags))
-        .groupBy("term")
-        .agg(F.sum("df_t").alias("df_t"))
-        .select("term", "df_t", tag),
-        sort=False,
-    )
-    stats = spark.table(f"{name}_stats").agg(
-        F.sum("n_docs").alias("n_docs"), F.sum("dl_sum").alias("dl_sum")
-    ).select(
-        "n_docs",
-        "dl_sum",
-        F.lit("compacted").alias("batch_id"),
-        tag,
-    )
-    staged, backup = f"{name}_stats__compact", f"{name}_stats__old"
-    spark.sql(f"DROP TABLE IF EXISTS {staged}")
-    spark.sql(f"DROP TABLE IF EXISTS {backup}")
-    stats.write.mode("overwrite").saveAsTable(staged)
-    spark.sql(f"ALTER TABLE {name}_stats RENAME TO {backup}")
-    spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_stats")
-    spark.sql(f"DROP TABLE {backup}")
-    return before, sum(count_files(t) for t in bucketed)
+        stats = spark.table(f"{name}_stats").agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("dl_sum").alias("dl_sum")
+        ).select(
+            "n_docs",
+            "dl_sum",
+            F.lit("compacted").alias("batch_id"),
+            tag,
+        )
+        swap_in(
+            spark,
+            f"{name}_stats",
+            lambda t: stats.write.mode("overwrite").saveAsTable(t),
+        )
+        return before, sum(count_data_files(spark, t) for t in bucketed)

@@ -295,27 +295,33 @@ def merge_into_dsir_state(
     """Append an increment's bucket cells (raw side, target side, or
     both) under the stored params. Appends are row-level (cells sum at
     read time), so increments never rewrite history and a crashed
-    append re-runs cleanly — parquet append of a deterministic frame."""
+    append re-runs cleanly — parquet append of a deterministic frame.
+    Holds the state's on-disk writer lease (r13, ``_commit_protocol``):
+    an increment racing another process's compaction swap fails loud
+    instead of appending into a directory mid-rename."""
+    from dw_etl_spark.operators._commit_protocol import writer_lease
+
     assert raw_batch is not None or target_batch is not None
     spark = (raw_batch or target_batch).sparkSession
-    p = spark.read.parquet(f"{path}/params").collect()[0]
-    parts = []
-    if raw_batch is not None:
-        parts.append(
-            _bucket_cells(
-                raw_batch, text_col, p["buckets"], p["include_bigrams"]
-            ).select(F.lit("raw").alias("side"), "b", "c")
-        )
-    if target_batch is not None:
-        parts.append(
-            _bucket_cells(
-                target_batch, text_col, p["buckets"], p["include_bigrams"]
-            ).select(F.lit("target").alias("side"), "b", "c")
-        )
-    inc = parts[0]
-    for extra in parts[1:]:
-        inc = inc.unionByName(extra)
-    inc.write.mode("append").parquet(f"{path}/cells")
+    with writer_lease(f"{path}__lease", what=f"dsir state {path}"):
+        p = spark.read.parquet(f"{path}/params").collect()[0]
+        parts = []
+        if raw_batch is not None:
+            parts.append(
+                _bucket_cells(
+                    raw_batch, text_col, p["buckets"], p["include_bigrams"]
+                ).select(F.lit("raw").alias("side"), "b", "c")
+            )
+        if target_batch is not None:
+            parts.append(
+                _bucket_cells(
+                    target_batch, text_col, p["buckets"], p["include_bigrams"]
+                ).select(F.lit("target").alias("side"), "b", "c")
+            )
+        inc = parts[0]
+        for extra in parts[1:]:
+            inc = inc.unionByName(extra)
+        inc.write.mode("append").parquet(f"{path}/cells")
 
 
 def dsir_weights_from_state(
@@ -390,15 +396,20 @@ def compact_dsir_state(spark, path: str) -> tuple[int, int]:
     directory; a leftover ``__old``/``__staging`` from an interrupted
     run is recovered before compacting. Returns (rows_before,
     rows_after)."""
-    from dw_etl_spark.streaming.sinks import _commit_swap, _recover_swap
+    from dw_etl_spark.operators._commit_protocol import (
+        commit_swap_dir,
+        recover_swap_dir,
+        writer_lease,
+    )
 
     cells_path = f"{path}/cells"
-    _recover_swap(cells_path)
-    stored = spark.read.parquet(cells_path)
-    before = stored.count()
-    summed = stored.groupBy("side", "b").agg(F.sum("c").alias("c"))
-    summed.coalesce(1).write.mode("overwrite").parquet(
-        f"{cells_path}__staging"
-    )
-    _commit_swap(cells_path)
-    return before, spark.read.parquet(cells_path).count()
+    with writer_lease(f"{path}__lease", what=f"dsir state {path}"):
+        recover_swap_dir(cells_path)
+        stored = spark.read.parquet(cells_path)
+        before = stored.count()
+        summed = stored.groupBy("side", "b").agg(F.sum("c").alias("c"))
+        summed.coalesce(1).write.mode("overwrite").parquet(
+            f"{cells_path}__staging"
+        )
+        commit_swap_dir(cells_path)
+        return before, spark.read.parquet(cells_path).count()

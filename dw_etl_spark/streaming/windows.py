@@ -70,6 +70,19 @@ def windowed_event_counts(
     on a stream (bounds state: late rows beyond it are dropped).
     One shuffle on (window, event_type) with map-side partial
     aggregation — the canonical scalable shape.
+
+    ``total_value`` CONTRACT (r12 breaking change, pinned here per
+    ADVICE r12): ``value`` is treated as 2-decimal FIXED-POINT money —
+    each row is cast to DECIMAL(18,2) (round-half-up to cents) BEFORE
+    the sum, making the total exact and independent of partition/
+    partial-agg order, then cast to double last. For money inputs this
+    equals the r11 ``round(sum, 2)`` semantics exactly; for inputs
+    with MORE than 2 meaningful decimals it differs from both the old
+    behavior and a round-after-sum (per-row cents rounding is the
+    point — order-independence requires fixing the precision before
+    folding). Feed sub-cent-precision values through your own scaling
+    (e.g. millicents as DECIMAL(18,5)) if per-row cents rounding is
+    not acceptable.
     """
     src = events.withWatermark("ts", watermark) if watermark else events
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
@@ -107,6 +120,11 @@ def sessionize(
     Streaming state is per (user, open session) and merges on arrival;
     with a watermark, closed sessions emit and evict — bounded state at
     any corpus rate.
+
+    ``total_value`` carries the same fixed-point-money contract as
+    ``windowed_event_counts`` (per-row DECIMAL(18,2) cast before the
+    exact decimal sum — see that docstring for the r12 breaking-change
+    note and the sub-cent escape hatch).
     """
     src = events.withWatermark("ts", watermark) if watermark else events
     # exact decimal money sum — same contract as windowed_event_counts

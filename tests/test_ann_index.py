@@ -177,7 +177,9 @@ def test_probe_prunes_buckets(spark):
     drop_ann_index(spark, "annix_plan")
     build_ann_index(corpus, "annix_plan", n_centroids=8, n_buckets=4)
     try:
-        q = query_ann_index(one_query, "annix_plan", k=3, nprobe=1)
+        # pin=False keeps the lazy plan inspectable (the default pins
+        # the result via localCheckpoint, which hides the scan node)
+        q = query_ann_index(one_query, "annix_plan", k=3, nprobe=1, pin=False)
         plan = q._sc._jvm.PythonSQLUtils.explainString(
             q._jdf.queryExecution(), "formatted"
         )

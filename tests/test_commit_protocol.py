@@ -1,0 +1,297 @@
+"""The shared commit/recovery/lease protocol (r13): on-disk writer
+lease semantics (exclusive, stale-takeover, re-entrant, fail-loud —
+including a REAL second python process), the generalized per-table
+swap recovery (the mid-rename crash window ADVICE r12 flagged), and
+non-mutating reader resolution of a crashed swap."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from dw_etl_spark.operators._commit_protocol import (
+    ConcurrentWriterError,
+    catalog_lease_path,
+    read_table_any,
+    recover_table_swap,
+    writer_lease,
+)
+from dw_etl_spark.operators.ann_index import (
+    ann_index_centroids,
+    build_ann_index,
+    drop_ann_index,
+    merge_into_ann_index,
+    query_ann_index,
+    refit_ann_index,
+)
+from dw_etl_spark.operators.similarity import int8_ivf_topk
+from dw_etl_spark.sources.files import read_table
+from tests.conftest import SF_SMOKE
+
+DIM = 64
+
+
+def _lease(tmp_path) -> str:
+    return str(tmp_path / "ix__lease")
+
+
+def test_lease_exclusive_against_foreign_live_holder(tmp_path):
+    """A young lease held by another host (so neither the dead-pid nor
+    the age rule applies) is respected: fail loud, never proceed."""
+    path = _lease(tmp_path)
+    Path(path).write_text(
+        json.dumps({"pid": os.getpid(), "host": "elsewhere",
+                    "ts": time.time(), "token": "x"})
+    )
+    with pytest.raises(ConcurrentWriterError):
+        with writer_lease(path, stale_after=9999):
+            pass
+
+
+def test_lease_released_on_exit(tmp_path):
+    path = _lease(tmp_path)
+    with writer_lease(path):
+        assert Path(path).exists()
+    assert not Path(path).exists()
+    with writer_lease(path):  # re-acquirable after release
+        pass
+
+
+def test_lease_not_released_when_taken_over(tmp_path):
+    """If our lease was (wrongly or via staleness) taken over while we
+    ran, exit must NOT delete the new holder's lease — token mismatch
+    leaves it in place."""
+    path = _lease(tmp_path)
+    with writer_lease(path):
+        Path(path).write_text(
+            json.dumps({"pid": 1, "host": "elsewhere",
+                        "ts": time.time(), "token": "theirs"})
+        )
+    assert Path(path).exists()
+    assert json.loads(Path(path).read_text())["token"] == "theirs"
+    os.unlink(path)
+
+
+def test_lease_reentrant_same_process(tmp_path):
+    path = _lease(tmp_path)
+    with writer_lease(path):
+        with writer_lease(path):  # nested maintenance: no self-deadlock
+            assert Path(path).exists()
+        assert Path(path).exists()  # inner exit must not release
+    assert not Path(path).exists()
+
+
+def test_lease_stale_takeover_dead_pid(tmp_path):
+    """A crashed writer's lease (dead pid on this host) is taken over —
+    otherwise one crash would wedge the index forever."""
+    import socket
+
+    path = _lease(tmp_path)
+    Path(path).write_text(
+        json.dumps({"pid": 2**22 + 12345, "host": socket.gethostname(),
+                    "ts": time.time(), "token": "dead"})
+    )
+    with writer_lease(path):
+        assert json.loads(Path(path).read_text())["pid"] == os.getpid()
+
+
+def test_lease_stale_takeover_by_age_for_unreadable(tmp_path):
+    """A corrupt lease (crash mid-write) falls back to the mtime age
+    rule: young → fail loud; old → takeover."""
+    path = _lease(tmp_path)
+    Path(path).write_text("{corrupt")
+    with pytest.raises(ConcurrentWriterError):
+        with writer_lease(path, stale_after=9999):
+            pass
+    old = time.time() - 7200
+    os.utime(path, (old, old))
+    with writer_lease(path, stale_after=3600):
+        pass
+
+
+def test_second_process_writer_fails_loud_reader_unaffected(spark, tmp_path):
+    """VERDICT r12 next #2, done-criterion test: with a live writer
+    lease held (as the real writer entry points hold it), a SECOND
+    python PROCESS attempting maintenance on the same physical index
+    raises ``ConcurrentWriterError`` cleanly — while READERS in the
+    first process keep answering consistently throughout (they never
+    need the lease)."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 100)
+    queries = emb.filter(F.col("vec_id").between(150, 159))
+    name = "annix_lease2p"
+    drop_ann_index(spark, name)
+    build_ann_index(corpus, name, n_centroids=4, n_buckets=4)
+    try:
+        before = sorted(
+            map(tuple, query_ann_index(queries, name, k=3, nprobe=2).collect())
+        )
+        lease_path = catalog_lease_path(spark, name)
+        script = f"""
+import sys
+from dw_etl_spark.session import get_spark
+from dw_etl_spark.operators._commit_protocol import ConcurrentWriterError
+from dw_etl_spark.operators.ann_index import merge_into_ann_index
+
+spark = get_spark(
+    app_name="lease_contender",
+    master="local[2]",
+    shuffle_partitions=2,
+    extra_conf={{"spark.sql.warehouse.dir": {spark.conf.get("spark.sql.warehouse.dir")!r}}},
+)
+batch = spark.createDataFrame(
+    [(9001, [0.1] * {DIM})], "vec_id long, embedding array<float>"
+)
+try:
+    merge_into_ann_index(batch, {name!r}, batch_id="contender")
+except ConcurrentWriterError:
+    print("LEASE_REJECTED")
+    sys.exit(0)
+print("LEASE_NOT_ENFORCED")
+sys.exit(1)
+"""
+        with writer_lease(lease_path, what=f"index {name}"):
+            proc = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True,
+                text=True,
+                timeout=300,
+                cwd=str(Path(__file__).resolve().parent.parent),
+            )
+            assert proc.returncode == 0, (proc.stdout, proc.stderr)
+            assert "LEASE_REJECTED" in proc.stdout
+            # readers stay live and consistent while the lease is held
+            during = sorted(
+                map(tuple, query_ann_index(queries, name, k=3, nprobe=2).collect())
+            )
+            assert during == before
+        # lease released: this process's writers proceed normally again
+        assert merge_into_ann_index(
+            corpus.filter(F.col("vec_id").between(100, 109)), name,
+            batch_id="after",
+        ) is True
+    finally:
+        drop_ann_index(spark, name)
+
+
+def _mk_table(spark, table: str, rows) -> None:
+    spark.createDataFrame(rows, "id int").write.mode("overwrite").saveAsTable(
+        table
+    )
+
+
+def test_recover_table_swap_and_read_table_any(spark):
+    """Unit pins of the three swap-crash states: live+strays (drop the
+    strays), live missing + stage (roll forward), live missing + old
+    only (roll back) — and the reader resolving each WITHOUT DDL."""
+    t = "cpunit_t"
+    for suffix in ("", "__stage", "__old"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+    # state 1: live missing, stage present → reader sees stage, writer
+    # rolls forward
+    _mk_table(spark, f"{t}__stage", [(1,), (2,)])
+    assert read_table_any(spark, t).count() == 2
+    assert not spark.catalog.tableExists(t)  # reader did not mutate
+    recover_table_swap(spark, t)
+    assert spark.catalog.tableExists(t)
+    assert not spark.catalog.tableExists(f"{t}__stage")
+    assert spark.table(t).count() == 2
+    # state 2: live missing, only __old → reader sees old, writer rolls back
+    spark.sql(f"ALTER TABLE {t} RENAME TO {t}__old")
+    assert read_table_any(spark, t).count() == 2
+    recover_table_swap(spark, t)
+    assert spark.table(t).count() == 2
+    # state 3: live present + strays → reader prefers live; writer drops strays
+    _mk_table(spark, f"{t}__stage", [(9,)])
+    _mk_table(spark, f"{t}__old", [(8,), (7,), (6,)])
+    assert read_table_any(spark, t).count() == 2
+    recover_table_swap(spark, t)
+    assert not spark.catalog.tableExists(f"{t}__stage")
+    assert not spark.catalog.tableExists(f"{t}__old")
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compaction_mid_rename_crash_recovers(spark, monkeypatch):
+    """ADVICE r12 medium #1: a crash BETWEEN the two renames of a
+    post-refit compaction swap of ``_codes`` (live table gone, staged
+    compacted table present) used to leave every subsequent query
+    failing with TABLE_OR_VIEW_NOT_FOUND until manual repair. Now:
+    readers resolve the surviving staged side (new-consistent — the
+    meta flip already committed), and the next leased writer's
+    recovery sweep repairs the catalog and converges."""
+    import dw_etl_spark.operators.ann_index as ai
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    seed = emb.filter(F.col("vec_id") < 80)
+    wave = emb.filter(F.col("vec_id").between(80, 159))
+    queries = emb.filter(F.col("vec_id").between(160, 179))
+    name = "annix_midswap"
+    drop_ann_index(spark, name)
+    build_ann_index(seed, name, n_centroids=4, n_buckets=4)
+    try:
+        merge_into_ann_index(wave, name, batch_id="w1")
+
+        real_swap = ai._swap_in
+
+        def crash_between_renames(spark_, table, write):
+            if table != f"{name}_codes":
+                return real_swap(spark_, table, write)
+            staged, backup = f"{table}__stage", f"{table}__old"
+            spark_.sql(f"DROP TABLE IF EXISTS {staged}")
+            spark_.sql(f"DROP TABLE IF EXISTS {backup}")
+            write(staged)
+            spark_.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+            raise RuntimeError("crash between the compaction renames")
+
+        monkeypatch.setattr(ai, "_swap_in", crash_between_renames)
+        with pytest.raises(RuntimeError):
+            refit_ann_index(spark, name, n_centroids=8)
+        monkeypatch.undo()
+
+        assert not spark.catalog.tableExists(f"{name}_codes")
+        # READER path: resolves the staged side, new-consistent (the
+        # meta flip committed before compaction began), no DDL issued
+        cents = ann_index_centroids(spark, name)
+        assert len(cents) == 8
+        got = sorted(
+            map(tuple, query_ann_index(queries, name, k=3, nprobe=2).collect())
+        )
+        want = int8_ivf_topk(
+            queries, seed.unionByName(wave), DIM, k=3, nprobe=2, centroids=cents
+        )
+        assert got == sorted(
+            map(
+                tuple,
+                want.select("query_id", "neighbor_id", "cos_sim").collect(),
+            )
+        )
+        assert not spark.catalog.tableExists(f"{name}_codes")
+
+        # WRITER path: the next refit's recovery sweep repairs the
+        # catalog and the index converges to the clean compacted state
+        n_cents, n_rows = refit_ann_index(spark, name, n_centroids=8)
+        assert (n_cents, n_rows) == (8, seed.count() + wave.count())
+        assert spark.catalog.tableExists(f"{name}_codes")
+        assert spark.table(f"{name}_codes").count() == n_rows
+        got2 = sorted(
+            map(tuple, query_ann_index(queries, name, k=3, nprobe=2).collect())
+        )
+        want2 = int8_ivf_topk(
+            queries, seed.unionByName(wave), DIM, k=3, nprobe=2,
+            centroids=ann_index_centroids(spark, name),
+        )
+        assert got2 == sorted(
+            map(
+                tuple,
+                want2.select("query_id", "neighbor_id", "cos_sim").collect(),
+            )
+        )
+    finally:
+        drop_ann_index(spark, name)
