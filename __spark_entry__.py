@@ -2273,15 +2273,59 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF(-flat) ANN through the hard gate: deterministic md5-sampled
-    centroids, nearest-list assignment, nprobe=4 of 16 lists probed per
-    query — the cluster-routing scale path next to lsh_topk's
-    hyperplane banding."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5,
-        n_centroids=16, nprobe=4,
+    """IVF(-flat) ANN through the hard gate (section='ivf'):
+    deterministic md5-sampled centroids, nearest-list assignment,
+    nprobe=4 of 16 lists probed per query — the cluster-routing scale
+    path next to lsh_topk's hyperplane banding.
+
+    r13 rode-alongs (VERDICT r12 next #4 — PQ/IVFPQ were the only
+    shipped ANN operators without an oracle row; the 50-row driver cap
+    means they ride this gate as sections rather than a new key):
+    section='pq' is brute-force asymmetric-distance (ADC) top-k over
+    the m-byte PQ codes (``similarity.pq_topk``); section='ivfpq'
+    composes IVF inverted-list routing with the same ADC scoring
+    (``similarity.ivfpq_topk``, the FAISS-IVFPQ shape). Codebooks are
+    the SEED sample (``pq_train_codebooks(iters=0)`` — deterministic
+    md5-rank subvectors) so the DuckDB twin replays them closed-form;
+    the Lloyd refinement iterations stay pinned in pytest
+    (test_training_ops), where cross-engine float-mean bit-stability
+    is not available. Every compared quantity folds in element order
+    and rounds (9 for subspace distances, 6 for scores) identically in
+    both engines — the hash match is exact. ``cos_sim`` is null for
+    the ADC sections and ``adist`` for the ivf section (different
+    metrics: cosine DESC vs approximate-L2² ASC)."""
+    from dw_etl_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
     )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    nul = F.lit(None).cast("double")
+    ivf = ivf_topk(
+        queries, emb, dim=64, k=5, n_centroids=16, nprobe=4,
+    ).select(
+        F.lit("ivf").alias("section"), "query_id", "neighbor_id",
+        "cos_sim", nul.alias("adist"),
+    )
+    books = pq_train_codebooks(emb, 64, m=8, k=16, iters=0)
+    encoded = pq_encode(emb, books, 64)
+    pq = pq_topk(queries, encoded, books, 64, k=5).select(
+        F.lit("pq").alias("section"), "query_id", "neighbor_id",
+        nul.alias("cos_sim"), "adist",
+    )
+    cents = ivf_centroids(emb, "embedding", "vec_id", 16)
+    ivfpq = ivfpq_topk(
+        queries, emb, 64, k=5, n_centroids=16, nprobe=4, m=8, pq_k=16,
+        centroids=cents, books=books,
+    ).select(
+        F.lit("ivfpq").alias("section"), "query_id", "neighbor_id",
+        nul.alias("cos_sim"), "adist",
+    )
+    return ivf.unionByName(pq).unionByName(ivfpq)
 
 
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4697,7 +4741,14 @@ FROM ({oracles.retrieve_rerank_sql()})
         # with zero per-SF constant edits, mirroring how the Spark
         # queries size from count()
         "lsh_topk": oracles.lsh_topk_sql(),
-        "ivf_topk": oracles.ivf_topk_sql(),
+        "ivf_topk": f"""
+SELECT 'ivf' AS section, query_id, neighbor_id, cos_sim,
+       CAST(NULL AS DOUBLE) AS adist
+FROM ({oracles.ivf_topk_sql()})
+UNION ALL
+SELECT section, query_id, neighbor_id, CAST(NULL AS DOUBLE) AS cos_sim, adist
+FROM ({oracles.pq_topk_sql()})
+""",
         "embedding_dup_pairs": (
             "SELECT id_a, id_b, cos_sim, 'lsh' AS method FROM ("
             + oracles.embedding_dup_pairs_sql()

@@ -800,6 +800,129 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
+def pq_topk_sql(
+    k: int = 5,
+    query_max_id: int = 10,
+    m: int = 8,
+    pq_k: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> str:
+    """SQL twin of ``similarity.pq_topk`` (section='pq') and
+    ``similarity.ivfpq_topk`` (section='ivfpq') under SEED codebooks
+    (``pq_train_codebooks(iters=0)`` — the deterministic md5-rank
+    sample, no Lloyd refinement, so the replay is closed-form; the
+    refinement iterations are pinned separately in pytest where a
+    cross-engine float-mean would not be bit-stable).
+
+    Bit-parity shape: every subspace distance is an IN-ORDER fold of
+    ``dim/m`` double terms (list_transform over an ordered range →
+    list_sum, matching Spark's ``aggregate(zip_with(...))`` element
+    order), rounded to 9 before the argmin/lookup; the ADC score is an
+    in-order fold over the m rounded table entries, rounded to 6 —
+    identical operand values and order in both engines, so the gate
+    hash is exact, not approximately-equal. IVF routing for the
+    ivfpq section replays ``ivf_topk_sql``'s float-space centroid
+    sample and (rounded cos DESC, cid ASC) ranking."""
+    sub_d = dim // m
+    rcos = (
+        f"round({_dot64('e.embedding', 'c.embedding')} / "
+        f"({_norm64('e.embedding')} * {_norm64('c.embedding')}), 6)"
+    )
+    sq = (
+        f"(CAST(e.embedding[b.sub * {sub_d} + i] AS DOUBLE) - b.bvec[i])"
+    )
+    adc = (
+        f"round(list_sum(list_transform(range(1, {m} + 1), "
+        f"s -> q.tbl[s][c.codes[s] + 1])), 6)"
+    )
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {pq_k}
+),
+books AS (
+  SELECT sb.sub, seeds.cid,
+         list_transform(range(1, {sub_d} + 1),
+                        i -> seeds.v[sb.sub * {sub_d} + i]) AS bvec
+  FROM seeds CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) sb
+),
+dists AS (
+  SELECT e.vec_id AS id, b.sub, b.cid,
+         round(list_sum(list_transform(range(1, {sub_d} + 1),
+               i -> {sq} * {sq})), 9) AS d2
+  FROM embeddings e CROSS JOIN books b
+),
+enc AS (
+  SELECT id, list(cid ORDER BY sub) AS codes FROM (
+    SELECT id, sub, cid,
+           row_number() OVER (PARTITION BY id, sub
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dists) WHERE rn = 1
+  GROUP BY id
+),
+qtbl AS (
+  SELECT id AS query_id, list(sub_tbl ORDER BY sub) AS tbl FROM (
+    SELECT id, sub, list(d2 ORDER BY cid) AS sub_tbl
+    FROM dists WHERE id < {query_max_id} GROUP BY id, sub)
+  GROUP BY id
+),
+pq_scored AS (
+  SELECT q.query_id, c.id AS neighbor_id, {adc} AS adist
+  FROM qtbl q CROSS JOIN enc c
+  WHERE q.query_id <> c.id
+),
+pq_top AS (
+  SELECT 'pq' AS section, query_id, neighbor_id, adist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, neighbor_id ASC) AS rn
+    FROM pq_scored) WHERE rn <= {k}
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         embedding
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_centroids}
+),
+ranked AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {rcos} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id AS id, cid FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid
+  FROM ranked WHERE rn <= {nprobe} AND vec_id < {query_max_id}
+),
+ivfpq_scored AS (
+  SELECT p.query_id, a.id AS neighbor_id, {adc} AS adist
+  FROM probes p JOIN assigned a USING (cid)
+  JOIN enc c ON c.id = a.id
+  JOIN qtbl q ON q.query_id = p.query_id
+  WHERE p.query_id <> a.id
+),
+ivfpq_top AS (
+  SELECT 'ivfpq' AS section, query_id, neighbor_id, adist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, neighbor_id ASC) AS rn
+    FROM ivfpq_scored) WHERE rn <= {k}
+)
+SELECT section, query_id, neighbor_id, adist FROM pq_top
+UNION ALL
+SELECT section, query_id, neighbor_id, adist FROM ivfpq_top
+"""
+
+
 def lsh_topk_sql(
     k: int = 5, query_max_id: int = 10, n_planes: int | None = None
 ) -> str:

@@ -92,6 +92,11 @@ _REQUIRED_SECTIONS = {
         ("section", "eq", "q8ivf"),
         ("section", "eq", "rr"),
     ],
+    "ivf_topk": [
+        ("section", "eq", "ivf"),
+        ("section", "eq", "pq"),
+        ("section", "eq", "ivfpq"),
+    ],
     "profile_metrics": [
         ("metric", "prefix", "skew:"),
         ("metric", "prefix", "qsketch:"),

@@ -1661,6 +1661,65 @@ def test_ivfpq_routes_and_scores_within_clusters(spark):
     assert all(q % 3 == n % 3 for q, n in pairs)
 
 
+def test_pq_recall_floor_vs_exact(spark):
+    """PQ recall floor on the real embeddings fixture (r13, VERDICT r12
+    next #4's done-criterion companion to the pq/ivfpq gate sections).
+    PQ is an L2² quantizer, so the reference ranking is EXACT L2² —
+    cosine top-k disagrees legitimately on unnormalized vectors (and
+    this fixture is near-random, ANN's worst case: at m=8 recall is
+    genuinely ~0.1 for everyone, which is data, not a bug). At m=32
+    subspaces (sub_d=2): direct recall@5 must clear a conservative
+    floor, and the PRODUCTION framing — ADC shortlist of 4k then exact
+    rerank — must retain nearly all true neighbors in the shortlist."""
+    from pyspark.sql import Window
+
+    from dw_etl_spark.operators.similarity import (
+        ann_recall,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+    from dw_etl_spark.sources.files import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    qq = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").cast("array<double>").alias("qv"))
+    cc = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").cast("array<double>").alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    exact = (
+        qq.crossJoin(cc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(d2, 6).alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    books = pq_train_codebooks(emb, dim=64, m=32, k=16, iters=2)
+    enc = pq_encode(emb, books, dim=64)
+
+    def mean_recall(approx):
+        return float(
+            ann_recall(approx, exact).agg(F.avg("recall")).collect()[0][0]
+        )
+
+    direct = mean_recall(pq_topk(q, enc, books, dim=64, k=5))
+    shortlist = mean_recall(pq_topk(q, enc, books, dim=64, k=20))
+    # measured 0.56 / 0.98 on the fixture; floors leave headroom for
+    # the suite's parallelism sweeps (Lloyd means are deterministic
+    # only up to float summation order)
+    assert direct >= 0.35, f"PQ direct recall@5 {direct:.3f} < 0.35"
+    assert shortlist >= 0.8, (
+        f"exact top-5 coverage in the 4k ADC shortlist {shortlist:.3f} < 0.8 "
+        "— the shortlist-then-rerank production path would lose neighbors"
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style, round 5)
 # ---------------------------------------------------------------------------
