@@ -147,6 +147,14 @@ def main() -> None:
             gc.collect()
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist(False)
+            # NOT here: a forced System.gc() per reset was A/B'd in
+            # r13 (full suite, idle machine) and made the suite WORSE
+            # (sum-of-min 97.3 vs 91.4, wall +53 s, pricing_summary
+            # unchanged) — big-heap full GCs disturb more than the
+            # settled heap buys. The r12 pricing_summary in-suite
+            # jitter was machine load during the driver run, not a
+            # reset/heap mechanism (isolated 0.60 s, suite-position
+            # 0.72/0.82, idle full-suite 0.78/0.79 ≈ r11's 0.79).
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.setdefault(name, []).append(time.perf_counter() - t0)
