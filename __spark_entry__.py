@@ -1312,13 +1312,29 @@ FROM p
 
 # ---- dedup family ---------------------------------------------------------
 
+def _id_offset(df: DataFrame, id_col: str) -> int:
+    """1 + max(id): the planted-copy id offset DERIVED from the live
+    corpus, so copy ids can never collide with original ids at any
+    scale factor. r13: the previous fixed +100000 collided at sf10
+    (500k docs / 200k vectors — copy ids landed on other originals'
+    ids), silently violating the unique-id contract every dedup
+    operator documents; duplicate ids multiply the shingle-verify
+    joins and corrupt pair semantics. Caught by the sf10 rung of the
+    standing scale ladder; the oracle twin derives the identical
+    offset in SQL (``SELECT 1 + max(id) FROM …``), so parity holds at
+    every SF with zero per-SF constants. One column-pruned max() job —
+    the same cost class as the lsh_topk count()-based sizing."""
+    return 1 + int(df.agg(F.max(id_col).alias("m")).collect()[0]["m"])
+
+
 def _docs_with_copies(spark, sf_dir: str, perturb: str | None) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     text = (
         F.concat(F.col("text"), F.lit(perturb)) if perturb else F.col("text")
     )
     copies = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"), text.alias("text")
+        (F.col("doc_id") + F.lit(_id_offset(docs, "doc_id"))).alias("doc_id"),
+        text.alias("text"),
     )
     return docs.unionByName(copies)
 
@@ -1345,7 +1361,9 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint("text").alias("fp")
     )
     batch = docs.select(
-        (F.col("doc_id") + 500000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(2 * _id_offset(docs, "doc_id"))).alias(
+            "doc_id"
+        ),
         fingerprint("text").alias("fp"),
     )
     fresh = bloom_prefilter_anti_join(batch, seen, "fp", num_bits=1 << 17).select(
@@ -1357,7 +1375,8 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, plus (r7, previously pytest-only)
     the ``text_dedup.dedup_eval`` precision/recall harness scored
-    against the PLANTED truth (doc, doc+100000) right inside the gate
+    against the PLANTED truth (doc, doc+offset; offset = 1+max id,
+    derived — see _id_offset) right inside the gate
     row: section='pair' rows are the detector output, 'eval:…' rows
     carry found/truth/hit counts and precision/recall/F1 (the
     detector also finds the fixture's organic near-dups, so precision
@@ -1373,9 +1392,10 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_rows = pairs.select(
         F.lit("pair").alias("section"), "id_a", "id_b", "jaccard"
     )
-    truth = read_table(spark, sf_dir, "documents").select(
+    docs_t = read_table(spark, sf_dir, "documents")
+    truth = docs_t.select(
         F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + 100000).alias("id_b"),
+        (F.col("doc_id") + F.lit(_id_offset(docs_t, "doc_id"))).alias("id_b"),
     )
     ev_rows = (
         dedup_eval(pairs, truth)
@@ -1616,7 +1636,9 @@ def _minhash_eval_sql() -> str:
 WITH pairs AS ({oracles.minhash_lsh_pairs_sql()}),
 f AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
       FROM pairs),
-t AS (SELECT DISTINCT doc_id AS a, doc_id + 100000 AS b FROM documents),
+t AS (SELECT DISTINCT doc_id AS a,
+             doc_id + (SELECT 1 + max(doc_id) FROM documents) AS b
+      FROM documents),
 hit AS (SELECT f.a, f.b FROM f JOIN t USING (a, b)),
 c AS (SELECT (SELECT count(*) FROM f) AS n_found,
              (SELECT count(*) FROM t) AS n_truth,
@@ -1728,7 +1750,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9 rode-along: LEAKAGE-SAFE SPLITS — train/val/test assigned per
     # near-dup CLUSTER (``sampling.cluster_safe_split``), so the
     # planted copy pairs provably land in the same split (doc and
-    # doc+100000 share a component, hence a bucket, hence a split);
+    # doc+offset share a component, hence a bucket, hence a split);
     # the oracle replays the same md5-bucket rule over the same
     # recursive-CTE components. Shares the cached CC labeling.
     from dw_etl_spark.operators.sampling import cluster_safe_split
@@ -2097,7 +2119,7 @@ comp AS (SELECT id, min(m) AS component FROM reach GROUP BY id),
 corpus AS (
   SELECT doc_id FROM documents
   UNION ALL
-  SELECT doc_id + 100000 FROM documents
+  SELECT doc_id + (SELECT 1 + max(doc_id) FROM documents) FROM documents
 )
 SELECT 'label' AS algo, c.doc_id,
        coalesce(p.component, c.doc_id) AS component
@@ -2116,7 +2138,8 @@ SELECT 'best' AS algo, doc_id, component FROM (
     FROM (
       SELECT doc_id, length(text) AS len FROM documents
       UNION ALL
-      SELECT doc_id + 100000, length(text || ' qq') FROM documents
+      SELECT doc_id + (SELECT 1 + max(doc_id) FROM documents),
+             length(text || ' qq') FROM documents
     ) c2 LEFT JOIN comp p ON c2.doc_id = p.id
   ) l
 ) WHERE rn = 1
@@ -2343,7 +2366,8 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.select(
-        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
+        (F.col("vec_id") + F.lit(_id_offset(emb, "vec_id"))).alias("vec_id"),
+        F.col("embedding"),
     )
     corpus = emb.unionByName(copies)
     planes = suggest_lsh_params(2 * emb.count())["n_planes"]
@@ -4700,7 +4724,8 @@ FROM base LEFT JOIN edges USING (lang_pred)
             "SELECT 'groupby' AS via, doc_id FROM ("
             + oracles.exact_dedup_sql()
             + ") UNION ALL SELECT 'bloom' AS via, b.doc_id FROM "
-            "(SELECT doc_id + 500000 AS doc_id, "
+            "(SELECT doc_id + 2 * (SELECT 1 + max(doc_id) FROM documents)"
+            " AS doc_id, "
             + oracles.h64(
                 "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
             )
@@ -4764,7 +4789,8 @@ FROM ({oracles.pq_topk_sql()})
                 ),
                 source=(
                     "(SELECT vec_id, embedding FROM embeddings UNION ALL "
-                    "SELECT vec_id + 100000 AS vec_id, embedding "
+                    "SELECT vec_id + (SELECT 1 + max(vec_id) FROM embeddings)"
+                    " AS vec_id, embedding "
                     "FROM embeddings)"
                 ),
             )

@@ -342,13 +342,19 @@ FROM documents LEFT JOIN ppl ON documents.doc_id = ppl.id
 
 
 def corpus_with_copies_sql(perturb: str | None) -> str:
-    """documents ∪ copies at doc_id+100000; ``perturb`` appends a
-    suffix to the copy text (None = exact copies)."""
+    """documents ∪ copies at doc_id + (1 + max(doc_id)) — the offset is
+    DERIVED from the live table exactly like the engine's
+    ``_id_offset`` (r13: a fixed +100000 collided with original ids at
+    sf10's 500k docs, violating the dedup operators' unique-id
+    contract); ``perturb`` appends a suffix to the copy text (None =
+    exact copies)."""
     suffix = f" || '{perturb}'" if perturb else ""
     return f"""
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text{suffix} AS text FROM documents
+  SELECT doc_id + (SELECT 1 + max(doc_id) FROM documents) AS doc_id,
+         text{suffix} AS text
+  FROM documents
 """
 
 
@@ -741,7 +747,9 @@ WITH np AS (SELECT {np_sql} AS v),
 corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  SELECT vec_id + (SELECT 1 + max(vec_id) FROM embeddings) AS vec_id,
+         embedding
+  FROM embeddings
 ),
 bucketed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM corpus, np)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
