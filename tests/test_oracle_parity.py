@@ -55,6 +55,34 @@ def test_query_matches_oracle(spark, oracle, name):
     assert_matches_oracle(df, oracle, sql)
 
 
+def test_copy_offsets_are_derived_not_fixed(spark):
+    """r13 (caught by the sf10 scale rung): planted-copy ids must be
+    DERIVED from the corpus (1 + max id), never a fixed constant — the
+    old +100000 landed copy ids on other originals' ids once the
+    fixture passed 100k documents (sf10: 500k docs, 200k vectors),
+    silently violating the dedup operators' unique-id contract and
+    collapsing planted-pair recall to 0.31 at bench scale. The fixture
+    ids are contiguous 0..n-1, so the copies must occupy exactly
+    [n, 2n) — a fixed offset fails this at every SF."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from dw_etl_spark.sources.files import read_table
+
+    n = read_table(spark, SF_DIR, "documents").count()
+    corpus = e._docs_with_copies(spark, SF_DIR, " qq")
+    assert corpus.count() == 2 * n
+    assert corpus.select("doc_id").distinct().count() == 2 * n
+    lo, hi = corpus.agg(
+        F.min("doc_id"), F.max("doc_id")
+    ).collect()[0]
+    assert (lo, hi) == (0, 2 * n - 1)
+    # embeddings-side twin (embedding_dup_pairs uses the same rule)
+    emb = read_table(spark, SF_DIR, "embeddings")
+    m = emb.count()
+    assert e._id_offset(emb, "vec_id") == m  # contiguous fixture ids
+
+
 def test_query_count_fits_driver_sweep_cap():
     """The external correctness sweep records at most 50 rows (r4
     declared 57 and the last 7 dict entries silently got no row).
