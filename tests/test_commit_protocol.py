@@ -295,3 +295,103 @@ def test_compaction_mid_rename_crash_recovers(spark, monkeypatch):
         )
     finally:
         drop_ann_index(spark, name)
+
+
+def _foreign_lease(path: str) -> None:
+    Path(path).write_text(
+        json.dumps({"pid": 1, "host": "another-host",
+                    "ts": time.time(), "token": "foreign"})
+    )
+
+
+def test_all_writer_entry_points_take_the_lease(spark, tmp_path):
+    """Wiring pin: every mutating entry point of every persisted-state
+    family goes through the on-disk writer lease — with a live foreign
+    holder in place, each must fail loud (``ConcurrentWriterError``)
+    and leave readers working. The real two-process mechanics are
+    proven once by ``test_second_process_writer_fails_loud...``; this
+    test pins that bm25/neardup/dsir writers share that gate (the r13
+    port's whole point was landing the lease ONCE, in
+    ``_commit_protocol``, for all four families)."""
+    from dw_etl_spark.operators._commit_protocol import catalog_lease_path
+    from dw_etl_spark.operators.bm25_index import (
+        build_bm25_index,
+        compact_bm25_index,
+        drop_bm25_index,
+        merge_into_bm25_index,
+        query_bm25_index,
+    )
+    from dw_etl_spark.operators.dsir import (
+        build_dsir_state,
+        compact_dsir_state,
+        dsir_weights_from_state,
+        merge_into_dsir_state,
+    )
+    from dw_etl_spark.operators.neardup_index import (
+        build_neardup_index,
+        compact_neardup_index,
+        drop_neardup_index,
+        merge_into_neardup_index,
+        query_neardup_index,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") < 60)
+    wave = docs.filter(F.col("doc_id").between(60, 79))
+    probe = docs.filter(F.col("doc_id").between(80, 89)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+
+    # --- bm25 ---
+    drop_bm25_index(spark, "cp_bm25")
+    build_bm25_index(seed, "text", "doc_id", "cp_bm25", n_buckets=4)
+    try:
+        lease = catalog_lease_path(spark, "cp_bm25")
+        _foreign_lease(lease)
+        with pytest.raises(ConcurrentWriterError):
+            merge_into_bm25_index(wave, "text", "doc_id", "cp_bm25",
+                                  batch_id="w1")
+        with pytest.raises(ConcurrentWriterError):
+            compact_bm25_index(spark, "cp_bm25")
+        # readers never need the lease
+        assert query_bm25_index(probe, "cp_bm25", k=3).count() >= 0
+        os.unlink(lease)
+        assert merge_into_bm25_index(
+            wave, "text", "doc_id", "cp_bm25", batch_id="w1"
+        ) is True
+    finally:
+        drop_bm25_index(spark, "cp_bm25")
+
+    # --- neardup (build also gated) ---
+    drop_neardup_index(spark, "cp_nd")
+    lease = catalog_lease_path(spark, "cp_nd")
+    _foreign_lease(lease)
+    with pytest.raises(ConcurrentWriterError):
+        build_neardup_index(seed, "text", "doc_id", "cp_nd", n_buckets=4)
+    os.unlink(lease)
+    build_neardup_index(seed, "text", "doc_id", "cp_nd", n_buckets=4)
+    try:
+        _foreign_lease(lease)
+        with pytest.raises(ConcurrentWriterError):
+            merge_into_neardup_index(wave, "text", "doc_id", "cp_nd")
+        with pytest.raises(ConcurrentWriterError):
+            compact_neardup_index(spark, "cp_nd")
+        assert query_neardup_index(probe.withColumnRenamed(
+            "query_id", "doc_id"), "text", "doc_id", "cp_nd").count() >= 0
+        os.unlink(lease)
+        merge_into_neardup_index(wave, "text", "doc_id", "cp_nd")
+    finally:
+        drop_neardup_index(spark, "cp_nd")
+
+    # --- dsir state (directory flavor) ---
+    state = str(tmp_path / "dsir_state")
+    build_dsir_state(seed, wave, "text", state, buckets=64)
+    _foreign_lease(f"{state}__lease")
+    with pytest.raises(ConcurrentWriterError):
+        merge_into_dsir_state(state, raw_batch=wave, text_col="text")
+    with pytest.raises(ConcurrentWriterError):
+        compact_dsir_state(spark, state)
+    assert dsir_weights_from_state(probe, "text", "query_id", state).count() > 0
+    os.unlink(f"{state}__lease")
+    merge_into_dsir_state(state, raw_batch=wave, text_col="text")
+    compact_dsir_state(spark, state)
