@@ -395,3 +395,34 @@ def test_all_writer_entry_points_take_the_lease(spark, tmp_path):
     os.unlink(f"{state}__lease")
     merge_into_dsir_state(state, raw_batch=wave, text_col="text")
     compact_dsir_state(spark, state)
+
+
+def test_pinned_probe_survives_subsequent_refit_compaction(spark):
+    """ADVICE r12 medium #2's lazy-tail leg: the DataFrame a probe
+    returns is eagerly pinned (localCheckpoint) by default, so a refit
+    whose compaction physically drops the old epoch's code rows AFTER
+    the probe returned cannot hollow the result out to zero rows — the
+    caller still collects the consistent pre-refit snapshot. (With
+    pin=False the caller owns that hazard; documented in the
+    query_ann_index docstring.)"""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    seed = emb.filter(F.col("vec_id") < 100)
+    queries = emb.filter(F.col("vec_id").between(150, 159))
+    name = "annix_pin"
+    drop_ann_index(spark, name)
+    build_ann_index(seed, name, n_centroids=4, n_buckets=4)
+    try:
+        probe = query_ann_index(queries, name, k=3, nprobe=2)  # pinned
+        expected = sorted(map(tuple, probe.collect()))
+        assert expected, "probe found no neighbors — fixture broke"
+        # refit retrains + compacts: every pre-refit batch_tag's rows
+        # are physically rewritten/dropped
+        merge_into_ann_index(
+            emb.filter(F.col("vec_id").between(100, 129)), name,
+            batch_id="w1",
+        )
+        refit_ann_index(spark, name, n_centroids=8)
+        # the pinned frame still collects the pre-refit snapshot
+        assert sorted(map(tuple, probe.collect())) == expected
+    finally:
+        drop_ann_index(spark, name)
