@@ -296,14 +296,16 @@ def merge_into_dsir_state(
     both) under the stored params. Appends are row-level (cells sum at
     read time), so increments never rewrite history and a crashed
     append re-runs cleanly — parquet append of a deterministic frame.
-    Holds the state's on-disk writer lease (r13, ``_commit_protocol``):
-    an increment racing another process's compaction swap fails loud
+    Holds the state's writer guard (``_commit_protocol.dir_state_writer``,
+    r14): threads of ONE process (two streaming queries on one driver)
+    BLOCK on the in-process per-path lock, and an increment racing
+    ANOTHER process's compaction swap fails loud on the on-disk lease
     instead of appending into a directory mid-rename."""
-    from dw_etl_spark.operators._commit_protocol import writer_lease
+    from dw_etl_spark.operators._commit_protocol import dir_state_writer
 
     assert raw_batch is not None or target_batch is not None
     spark = (raw_batch or target_batch).sparkSession
-    with writer_lease(f"{path}__lease", what=f"dsir state {path}"):
+    with dir_state_writer(path, what=f"dsir state {path}"):
         p = spark.read.parquet(f"{path}/params").collect()[0]
         parts = []
         if raw_batch is not None:
@@ -398,12 +400,12 @@ def compact_dsir_state(spark, path: str) -> tuple[int, int]:
     rows_after)."""
     from dw_etl_spark.operators._commit_protocol import (
         commit_swap_dir,
+        dir_state_writer,
         recover_swap_dir,
-        writer_lease,
     )
 
     cells_path = f"{path}/cells"
-    with writer_lease(f"{path}__lease", what=f"dsir state {path}"):
+    with dir_state_writer(path, what=f"dsir state {path}"):
         recover_swap_dir(cells_path)
         stored = spark.read.parquet(cells_path)
         before = stored.count()

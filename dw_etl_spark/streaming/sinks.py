@@ -43,6 +43,7 @@ from dw_etl_spark.operators.scd import scd2_apply
 # state, and the streaming state writers all grew up on them.
 from dw_etl_spark.operators._commit_protocol import (  # noqa: E402
     commit_swap_dir as _commit_swap,
+    dir_state_writer as _dir_state_writer,
     recover_swap_dir as _recover_swap,
 )
 
@@ -72,6 +73,15 @@ def scd2_stream_writer(
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        # The checkpoint lock only serializes epochs of THIS query;
+        # a second query (different checkpoint) or a backfill job
+        # pointed at the same dim_path would interleave its swap with
+        # ours — the shared writer guard (r14, VERDICT r13 next #3)
+        # blocks same-process threads and fails loud cross-process.
+        with _dir_state_writer(dim_path, what=f"scd2 dim {dim_path}"):
+            _apply_scd2_batch(batch, epoch_id)
+
+    def _apply_scd2_batch(batch: DataFrame, epoch_id: int) -> None:
         if effective_col is not None:
             from pyspark.sql import Window
 
@@ -462,6 +472,10 @@ def cms_batch_applier(
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        with _dir_state_writer(state_dir, what=f"cms state {state_dir}"):
+            _apply_cms_batch(batch, epoch_id)
+
+    def _apply_cms_batch(batch: DataFrame, epoch_id: int) -> None:
         bs = batch.sparkSession
         _recover_swap(state_dir)
         from pathlib import Path
@@ -633,7 +647,11 @@ def kmins_batch_applier(
         keyed = batch.filter(F.col(key_col).isNotNull())
         if keyed.isEmpty():
             return
-        bs = batch.sparkSession
+        with _dir_state_writer(state_dir, what=f"kmins state {state_dir}"):
+            _apply_kmins_batch(keyed, epoch_id)
+
+    def _apply_kmins_batch(keyed: DataFrame, epoch_id: int) -> None:
+        bs = keyed.sparkSession
         _recover_swap(state_dir)
         from pathlib import Path
 
