@@ -395,10 +395,33 @@ def query_ann_index(
             last_err = e
         except Exception as e:
             # a cross-process compaction swapping tables mid-collect
-            # surfaces as missing-table/missing-file — retry resolves
-            # against the new committed state
+            # surfaces as missing-table/missing-file — ONLY those retry
+            # (resolving against the new committed state); genuine
+            # failures (index never built AND no swap in flight, wrong
+            # column, analysis errors) re-raise immediately instead of
+            # paying three refresh+collect+probe rounds (r14, ADVICE)
+            if not _is_transient_probe_error(e):
+                raise
             last_err = e
     raise last_err
+
+
+def _is_transient_probe_error(e: Exception) -> bool:
+    """True iff the failure is the kind a concurrent refit/compaction
+    swap produces mid-probe: a table or its files vanishing between
+    plan and collect. Everything else — analysis errors on columns,
+    schema mismatches, arithmetic — is deterministic and must surface
+    on the first attempt."""
+    markers = (
+        "TABLE_OR_VIEW_NOT_FOUND",
+        "FileNotFoundException",
+        "PATH_NOT_FOUND",
+        "FILE_NOT_FOUND",
+        "LOCATION_ALREADY_EXISTS",  # stage dir of a racing writer
+        "does not exist",  # Hadoop FS listing of a swapped-away dir
+    )
+    text = str(e)
+    return any(m in text for m in markers)
 
 
 def _probe_at_version(

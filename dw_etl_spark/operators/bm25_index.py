@@ -75,6 +75,32 @@ _SWAP_SUFFIXES = tuple(
     f"{s}{t}" for s in ("_postings", "_df", "_stats") for t in ("__stage", "__old")
 )
 
+# The tag compaction rewrites every surviving row under. It is ALWAYS
+# visible — not gated on appearing in ``_stats`` like per-batch tags —
+# because rows carrying it can only reach a LIVE table through a
+# completed, leased ``swap_in`` whose staged table was built from the
+# then-committed corpus. That closes the r13 cross-table crash window
+# (ADVICE r14): a crash between the postings swap and the stats swap
+# used to leave postings holding only compacted rows while ``_stats``
+# still named the old per-batch tags, so the committed-tags filter
+# returned empty forever and no per-table recovery could repair it
+# (both renames had completed). With the OR-visibility rule every
+# crash point reads a complete corpus exactly once: before the
+# postings swap the old tags are visible; after it the compacted rows
+# are; df/stats follow the same rule table by table, and totals agree
+# because each swap's staged content is row-equivalent to the visible
+# rows it replaces.
+COMPACTED_TAG = "compacted@0"
+
+
+def _visible(committed_tags: list[str]):
+    """Visibility predicate for postings/df rows: committed per-batch
+    tags (named by a ``_stats`` row) OR the always-visible compacted
+    tag — see ``COMPACTED_TAG``."""
+    return F.col("batch_tag").isin(committed_tags) | (
+        F.col("batch_tag") == COMPACTED_TAG
+    )
+
 
 def _refresh(spark: SparkSession, name: str) -> None:
     """Invalidate this session's cached file listings for the index
@@ -318,10 +344,7 @@ def query_bm25_index(
     )
     dft = (
         read_table_any(spark, f"{name}_df")
-        .filter(
-            F.col("term").isin(term_list)
-            & F.col("batch_tag").isin(committed_tags)
-        )
+        .filter(F.col("term").isin(term_list) & _visible(committed_tags))
         .groupBy("term")
         .agg(F.sum("df_t").alias("df_t"))
     )
@@ -336,8 +359,7 @@ def query_bm25_index(
     )
     qdf = qdf.select("term", "query_id", idf.alias("idf"))
     postings = read_table_any(spark, f"{name}_postings").filter(
-        F.col("term").isin(term_list)
-        & F.col("batch_tag").isin(committed_tags)
+        F.col("term").isin(term_list) & _visible(committed_tags)
     )
     tf_norm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
@@ -365,16 +387,19 @@ def compact_bm25_index(spark: SparkSession, name: str) -> tuple[int, int]:
     merge-on-read cost returns to zero), the stats log to one row.
     Orphan rows of crashed merges (attempt tags no stats row names —
     invisible to queries, see the module commit protocol) are DROPPED
-    here for good; the rewritten rows carry the single tag
-    ``compacted@0``. Uses the shared crash-safe rename-aside
-    ``_commit_protocol.swap_in`` (stage → live via ``__old``) under the
-    writer lock+lease: no step destroys state before its replacement
-    exists, a crashed swap is readable through ``read_table_any`` and
-    repaired by the next leased writer, and a SECOND process attempting
-    maintenance fails loud. A probe running in another process exactly
-    concurrent with the tag rewrite may transiently miss rows and
-    should retry — compaction is a rare, leased maintenance window.
-    Returns (files_before, files_after) over the two bucketed tables.
+    here for good; the rewritten rows carry the ALWAYS-VISIBLE
+    ``COMPACTED_TAG`` (r14 — see its comment: per-table swaps can't do
+    a three-table transaction, so visibility must not depend on the
+    ``_stats`` swap landing; a crash between the postings swap and the
+    stats swap used to blank the index permanently). Uses the shared
+    crash-safe rename-aside ``_commit_protocol.swap_in`` (stage → live
+    via ``__old``) under the writer lock+lease: no step destroys state
+    before its replacement exists, a crashed swap is readable through
+    ``read_table_any`` and repaired by the next leased writer, a crash
+    BETWEEN the three swaps reads complete (pytest-pinned for both
+    inter-swap windows), and a SECOND process attempting maintenance
+    fails loud. Returns (files_before, files_after) over the two
+    bucketed tables.
     """
     _check_name(name)
     with index_writer(spark, name):
@@ -388,7 +413,7 @@ def compact_bm25_index(spark: SparkSession, name: str) -> tuple[int, int]:
         ]
         bucketed = [f"{name}_postings", f"{name}_df"]
         before = sum(count_data_files(spark, t) for t in bucketed)
-        tag = F.lit("compacted@0").alias("batch_tag")
+        tag = F.lit(COMPACTED_TAG).alias("batch_tag")
 
         def bucketed_writer(staged_df, sort: bool):
             def write(t):
@@ -406,7 +431,7 @@ def compact_bm25_index(spark: SparkSession, name: str) -> tuple[int, int]:
             f"{name}_postings",
             bucketed_writer(
                 spark.table(f"{name}_postings")
-                .filter(F.col("batch_tag").isin(committed_tags))
+                .filter(_visible(committed_tags))
                 .select("id", "term", "tf", "dl", tag),
                 sort=True,
             ),
@@ -416,7 +441,7 @@ def compact_bm25_index(spark: SparkSession, name: str) -> tuple[int, int]:
             f"{name}_df",
             bucketed_writer(
                 spark.table(f"{name}_df")
-                .filter(F.col("batch_tag").isin(committed_tags))
+                .filter(_visible(committed_tags))
                 .groupBy("term")
                 .agg(F.sum("df_t").alias("df_t"))
                 .select("term", "df_t", tag),

