@@ -2310,9 +2310,12 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``similarity.ivfpq_topk``, the FAISS-IVFPQ shape). Codebooks are
     the SEED sample (``pq_train_codebooks(iters=0)`` — deterministic
     md5-rank subvectors) so the DuckDB twin replays them closed-form;
-    the Lloyd refinement iterations stay pinned in pytest
-    (test_training_ops), where cross-engine float-mean bit-stability
-    is not available. Every compared quantity folds in element order
+    section='pq1' (r14) additionally gates ONE Lloyd refinement with
+    quantized-cents means (``mean_mode='cents'`` — integer sums are
+    order-free, hence cross-engine bit-exact; see
+    ``oracles.pq_topk_sql``); float-mean Lloyd iterations stay pinned
+    in pytest (test_training_ops), where summation order is
+    engine-dependent. Every compared quantity folds in element order
     and rounds (9 for subspace distances, 6 for scores) identically in
     both engines — the hash match is exact. ``cos_sim`` is null for
     the ADC sections and ``adist`` for the ivf section (different
@@ -2340,6 +2343,20 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pq").alias("section"), "query_id", "neighbor_id",
         nul.alias("cos_sim"), "adist",
     )
+    # r14 (VERDICT r13 next #7): Lloyd-REFINED codebooks under the
+    # hash gate — one refinement step with quantized-cents means
+    # (integer sums are order-free, so the oracle replays the update
+    # bit-exactly; float-mean Lloyd stays pytest-only). Recall measured
+    # identical to float Lloyd at iters 1-2 on this fixture (0.180 vs
+    # 0.180 @5, seeds 0.080).
+    books1 = pq_train_codebooks(
+        emb, 64, m=8, k=16, iters=1, mean_mode="cents"
+    )
+    enc1 = pq_encode(emb, books1, 64)
+    pq1 = pq_topk(queries, enc1, books1, 64, k=5).select(
+        F.lit("pq1").alias("section"), "query_id", "neighbor_id",
+        nul.alias("cos_sim"), "adist",
+    )
     cents = ivf_centroids(emb, "embedding", "vec_id", 16)
     ivfpq = ivfpq_topk(
         queries, emb, 64, k=5, n_centroids=16, nprobe=4, m=8, pq_k=16,
@@ -2348,7 +2365,7 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivfpq").alias("section"), "query_id", "neighbor_id",
         nul.alias("cos_sim"), "adist",
     )
-    return ivf.unionByName(pq).unionByName(ivfpq)
+    return ivf.unionByName(pq).unionByName(pq1).unionByName(ivfpq)
 
 
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,6 +46,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    # machine-state stamps (r14, VERDICT r13 next #5): BENCH_r13.json
+    # showed a uniform ~1.3-1.45× inflation from unrelated load during
+    # the driver session, identifiable only by cross-referencing the
+    # idle closing runs. Stamping 1/5/15-min loadavg before and after
+    # (plus the cpu count the averages are relative to) makes a
+    # load-skewed artifact self-evident from the artifact alone:
+    # loadavg_before substantially above ~0 on a machine that should be
+    # idle means every number in the file carries scheduler noise.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark(app_name="dw_etl_spark_bench")
 
     import __spark_entry__ as entrymod
@@ -181,6 +191,12 @@ def main() -> None:
             # heavy regression visible in the artifact itself — the
             # first run carries one-time codegen/JIT cost by design
             "pipeline_runs": [round(t, 3) for t in pipeline_runs],
+            # self-diagnosis (r14): OS 1/5/15-min load averages before
+            # and after, and the cpu count they're relative to — a
+            # skewed artifact identifies itself
+            "loadavg_before": load_before,
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            "cpu_count": os.cpu_count(),
         }
     )
     print(payload)

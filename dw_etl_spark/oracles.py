@@ -817,12 +817,20 @@ def pq_topk_sql(
     nprobe: int = 4,
     dim: int = 64,
 ) -> str:
-    """SQL twin of ``similarity.pq_topk`` (section='pq') and
+    """SQL twin of ``similarity.pq_topk`` (section='pq'),
     ``similarity.ivfpq_topk`` (section='ivfpq') under SEED codebooks
     (``pq_train_codebooks(iters=0)`` — the deterministic md5-rank
-    sample, no Lloyd refinement, so the replay is closed-form; the
-    refinement iterations are pinned separately in pytest where a
-    cross-engine float-mean would not be bit-stable).
+    sample, closed-form replay), and — r14, VERDICT r13 next #7 —
+    section='pq1': ADC top-k under ONE Lloyd refinement with
+    QUANTIZED-CENTS means (``pq_train_codebooks(iters=1,
+    mean_mode='cents')``). The cents update replays exactly because
+    the sum is integer (order-free commutative addition; both engines
+    round(x·100) half-away-from-zero, cast to BIGINT, SUM exactly) and
+    the mean is one double division ``sum/(100·n)`` — so Lloyd-REFINED
+    codebooks are now hash-gated, not pytest-only (float-mean Lloyd
+    iterations remain pytest-pinned: their summation order is
+    engine-dependent; recall is measured identical to cents at iters
+    1-2 on the fixture).
 
     Bit-parity shape: every subspace distance is an IN-ORDER fold of
     ``dim/m`` double terms (list_transform over an ordered range →
@@ -891,6 +899,68 @@ pq_top AS (
               ORDER BY adist ASC, neighbor_id ASC) AS rn
     FROM pq_scored) WHERE rn <= {k}
 ),
+-- section='pq1': one Lloyd step with quantized-cents means. assign1
+-- is the seed-book argmin (same ranking as enc); the mean replays
+-- EXACTLY because round(x*100)→BIGINT sums are order-free and the
+-- mean is one double division sum/(100*n); empty cells keep their
+-- seed centroid (COALESCE), matching the engine's got-or-keep rule.
+assign1 AS (
+  SELECT id, sub, cid FROM (
+    SELECT id, sub, cid,
+           row_number() OVER (PARTITION BY id, sub
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+b1means AS (
+  SELECT a.sub, a.cid, i.pos,
+         CAST(SUM(CAST(round(CAST(e.embedding[a.sub * {sub_d} + i.pos]
+                   AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * COUNT(*)) AS mn
+  FROM assign1 a
+  JOIN embeddings e ON e.vec_id = a.id
+  CROSS JOIN (SELECT unnest(range(1, {sub_d} + 1)) AS pos) i
+  GROUP BY a.sub, a.cid, i.pos
+),
+books1 AS (
+  SELECT b.sub, b.cid,
+         list_transform(range(1, {sub_d} + 1),
+                        i -> COALESCE(m.mvec[i], b.bvec[i])) AS bvec
+  FROM books b LEFT JOIN (
+    SELECT sub, cid, list(mn ORDER BY pos) AS mvec
+    FROM b1means GROUP BY sub, cid) m
+  ON m.sub = b.sub AND m.cid = b.cid
+),
+dists1 AS (
+  SELECT e.vec_id AS id, b.sub, b.cid,
+         round(list_sum(list_transform(range(1, {sub_d} + 1),
+               i -> {sq} * {sq})), 9) AS d2
+  FROM embeddings e CROSS JOIN books1 b
+),
+enc1 AS (
+  SELECT id, list(cid ORDER BY sub) AS codes FROM (
+    SELECT id, sub, cid,
+           row_number() OVER (PARTITION BY id, sub
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dists1) WHERE rn = 1
+  GROUP BY id
+),
+qtbl1 AS (
+  SELECT id AS query_id, list(sub_tbl ORDER BY sub) AS tbl FROM (
+    SELECT id, sub, list(d2 ORDER BY cid) AS sub_tbl
+    FROM dists1 WHERE id < {query_max_id} GROUP BY id, sub)
+  GROUP BY id
+),
+pq1_scored AS (
+  SELECT q.query_id, c.id AS neighbor_id, {adc} AS adist
+  FROM qtbl1 q CROSS JOIN enc1 c
+  WHERE q.query_id <> c.id
+),
+pq1_top AS (
+  SELECT 'pq1' AS section, query_id, neighbor_id, adist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, neighbor_id ASC) AS rn
+    FROM pq1_scored) WHERE rn <= {k}
+),
 cents AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cid,
@@ -926,6 +996,8 @@ ivfpq_top AS (
     FROM ivfpq_scored) WHERE rn <= {k}
 )
 SELECT section, query_id, neighbor_id, adist FROM pq_top
+UNION ALL
+SELECT section, query_id, neighbor_id, adist FROM pq1_top
 UNION ALL
 SELECT section, query_id, neighbor_id, adist FROM ivfpq_top
 """

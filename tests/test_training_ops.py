@@ -5408,3 +5408,49 @@ def test_crawl_graph_story_end_to_end(spark):
     assert ("hub.com", "hub") in terms
     # the blocked page's anchor text never reaches the profile
     assert ("spam.com", "link") not in terms
+
+
+def test_pq_cents_lloyd_is_partition_independent_and_matches_float_recall(spark):
+    """r14 (VERDICT r13 next #7): mean_mode='cents' makes the Lloyd
+    UPDATE itself order-free — the trained codebooks are bit-identical
+    under any input partitioning (integer-cent sums commute; a float
+    mean is only identical up to summation order), which is what lets
+    Lloyd-refined codebooks run under the DuckDB hash gate (ivf_topk
+    section='pq1'). And the quantization must not cost recall: on the
+    fixture, cents-Lloyd top-k equals float-Lloyd top-k recall."""
+    from dw_etl_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+    from dw_etl_spark.sources.files import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    books_a = pq_train_codebooks(emb, dim=64, m=8, k=16, iters=2,
+                                 mean_mode="cents")
+    books_b = pq_train_codebooks(emb.repartition(7), dim=64, m=8, k=16,
+                                 iters=2, mean_mode="cents")
+    assert books_a == books_b  # bit-identical, not approximately
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+
+    def recall(books):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(
+                queries, pq_encode(emb, books, dim=64), books, dim=64, k=5
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    books_f = pq_train_codebooks(emb, dim=64, m=8, k=16, iters=2,
+                                 mean_mode="float")
+    r_cents, r_float = recall(books_a), recall(books_f)
+    assert r_cents >= r_float - 0.02  # quantized means don't cost recall
+    with pytest.raises(ValueError, match="mean_mode"):
+        pq_train_codebooks(emb, dim=64, m=8, k=16, mean_mode="median")
