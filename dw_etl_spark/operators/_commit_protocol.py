@@ -287,7 +287,6 @@ def index_lock(name: str) -> threading.RLock:
 # threads that should BLOCK instead of failing acquire ``index_lock`` /
 # ``dir_state_writer`` first, as every shipped writer entry point does.
 _LEASE_DEPTH: dict[tuple[int, str], int] = {}
-_LEASE_TOKEN: dict[str, str] = {}
 _LEASE_GUARD = threading.Lock()
 
 
@@ -514,7 +513,6 @@ def writer_lease(lease_path: str, *, what: str = "index",
         hb_thread.start()
     with _LEASE_GUARD:
         _LEASE_DEPTH[(tid, lease_path)] = 1
-        _LEASE_TOKEN[lease_path] = token
     try:
         yield
     finally:
@@ -523,7 +521,6 @@ def writer_lease(lease_path: str, *, what: str = "index",
             hb_thread.join(timeout=5.0)
         with _LEASE_GUARD:
             _LEASE_DEPTH.pop((tid, lease_path), None)
-            _LEASE_TOKEN.pop(lease_path, None)
         try:
             current = Path(lease_path).read_text()
             holder_token = json.loads(current).get("token")
