@@ -309,11 +309,23 @@ def _q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one parquet scan materializes the shared slice and the two
     # phase-1 passes plus the two verification scans (the exactness
     # proof — one per family, irreducible) all read the pinned blocks.
+    # Pinned to DISK, not the unified memory pool: at sf30 the slice
+    # is 180M rows (~8 GB deserialized) and an in-memory pin starves
+    # execution — each of the 32 concurrent scan tasks locks its
+    # ~220 MB block while hash-aggregating over it, and the TPUT
+    # stages die with UNABLE_TO_ACQUIRE_MEMORY. A shared slice read
+    # by four independent passes is a spill artifact: DISK_ONLY
+    # streams from local disk on read (no storage-memory acquisition),
+    # costs nothing measurable at sf0.1 (~30 MB), and leaves the whole
+    # execution pool to the aggregations at every scale factor.
+    from pyspark import StorageLevel
+
     tput_slice = li.select(
         "l_suppkey",
         "l_returnflag",
         F.pmod(F.col("l_partkey"), F.lit(97)).alias("pkb"),
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.DISK_ONLY)
+    tput_slice.write.format("noop").mode("overwrite").save()
     # m sized ABOVE the supplier vocabulary (derived from the live
     # supplier rowcount — metadata-only parquet count — so the proof
     # lands in one round at ANY scale factor on this uniform key
@@ -3830,9 +3842,13 @@ def _q_dim_indicator_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay hash-checked, now distinguished by QcutMode.
 
     The pivot→seed→interpolate→Id prefix is bucket-independent:
-    materialize it ONCE (localCheckpoint — dim-sized, MBs) and bucket
-    twice, instead of paying the window chain per variant (it is the
-    dominant cost; the r9 merge initially doubled it)."""
+    materialize it ONCE (localCheckpoint) and bucket twice, instead of
+    paying the window chain per variant (it is the dominant cost; the
+    r9 merge initially doubled it). NOT dim-sized: the (UserId, Day)
+    pivot index scales with the event corpus (400k rows at sf1, 12M at
+    sf30, ~1 GB checkpointed) — which is why the base's id assignment
+    uses the range-partitioned add_unique_id path, never a global
+    window (see interpolated_indicator_base)."""
     from dw_etl_spark.plans.star_schema import interpolated_indicator_base
 
     base = interpolated_indicator_base(spark, sf_dir).localCheckpoint()

@@ -26,6 +26,7 @@ import json
 import os
 import re
 import statistics
+import sys
 import time
 
 from pyspark.sql import functions as F
@@ -115,8 +116,38 @@ def main() -> None:
         load_star_schema,
     )
 
+    def _reset_cached_state() -> None:
+        """Drop every pinned block between timed units (untimed).
+
+        ``clearCache`` misses localCheckpoint blocks and the lazy
+        ``persist()`` handles operators pin internally (add_unique_id's
+        range-partitioned snapshot): drop Python refs, then unpersist
+        every surviving RDD. Needed after PIPELINE runs too, not just
+        between queries — at sf30 two back-to-back pipeline runs (K=2)
+        left two 180M-row fact id snapshots pinned in the storage-
+        protected half of the unified pool, and the first query's
+        32-task stage OOM'd on an empty execution pool
+        (UNABLE_TO_ACQUIRE_MEMORY ... got 0).
+        """
+        spark.catalog.clearCache()
+        gc.collect()
+        # blocking=True: the async form marks blocks for removal but
+        # returns immediately, so at sf30 the next query's timed work
+        # raced ~5 GB of doomed-but-present blocks for the storage-
+        # protected half of the unified pool and OOM'd
+        # (UNABLE_TO_ACQUIRE_MEMORY, topk_values after dim_indicator).
+        # Waiting is untimed and makes the freed pool deterministic.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)
+
+    # pipeline repeat count, defaults to k. Separate knob because the
+    # scale rungs run queries at K=1 (each is minutes at sf30) but the
+    # pipeline-repeat path is exactly where the sf30 K=2 OOM lived —
+    # two back-to-back runs must stay green without costing a second
+    # pass over all eight queries.
+    pk = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_K", str(k))))
     pipeline_runs: list[float] = []
-    for _ in range(k):
+    for _ in range(pk):
         wh_dir = tempfile.mkdtemp(prefix="dw_bench_wh_")
         t0 = time.perf_counter()
         star = build_star_schema(spark, sf_dir)
@@ -130,7 +161,11 @@ def main() -> None:
             ParquetWarehouse(spark, wh_dir), star, specs, fact_name="FACT_LineItem"
         )
         pipeline_runs.append(time.perf_counter() - t0)
+        print(
+            f"[bench] pipeline {pipeline_runs[-1]:.3f}s", file=sys.stderr, flush=True
+        )
         shutil.rmtree(wh_dir, ignore_errors=True)
+        _reset_cached_state()
 
     runs: dict[str, list[float]] = {}
     t_all = time.perf_counter()
@@ -146,17 +181,12 @@ def main() -> None:
             # the cache manager dedupes by canonicalized plan, so a
             # repeat run would silently reuse the previous run's cache
             # — clear (untimed) so every timed run pays its own
-            # materializations and only WITHIN-query reuse counts
-            spark.catalog.clearCache()
-            # clearCache misses localCheckpoint blocks: those RDDs
-            # stay persisted until their (Python-side) DataFrames are
-            # GC'd, so 3×50 queries of checkpoint blocks pile up in
-            # the block manager and tax later queries' GC (the r11
-            # in-suite vs targeted cosine_topk gap). Drop Python refs,
-            # then unpersist every surviving pinned RDD — untimed.
-            gc.collect()
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist(False)
+            # materializations and only WITHIN-query reuse counts.
+            # (Without the ref-drop+unpersist, 3×50 queries of
+            # localCheckpoint blocks pile up in the block manager and
+            # tax later queries' GC — the r11 in-suite vs targeted
+            # cosine_topk gap.)
+            _reset_cached_state()
             # NOT here: a forced System.gc() per reset was A/B'd in
             # r13 (full suite, idle machine) and made the suite WORSE
             # (sum-of-min 97.3 vs 91.4, wall +53 s, pricing_summary
@@ -165,9 +195,15 @@ def main() -> None:
             # jitter was machine load during the driver run, not a
             # reset/heap mechanism (isolated 0.60 s, suite-position
             # 0.72/0.82, idle full-suite 0.78/0.79 ≈ r11's 0.79).
+            # progress to stderr (stdout stays the single JSON line):
+            # a crash mid-suite names its query from the log alone —
+            # the sf30 OOM cost a rerun just to learn which query died
+            print(f"[bench] {name} ...", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.setdefault(name, []).append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            print(f"[bench] {name} {dt:.3f}s", file=sys.stderr, flush=True)
+            runs.setdefault(name, []).append(dt)
     wall_clock = round(time.perf_counter() - t_all, 3)
     timings = {name: round(min(ts), 3) for name, ts in runs.items()}
     medians = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}

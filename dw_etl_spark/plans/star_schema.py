@@ -123,7 +123,17 @@ def interpolated_indicator_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = interpolate_by_group(
         seeded, group_by=["UserId"], order_by="Day", cols=EVENT_TYPES
     )
-    return add_sequential_id(filled, order_by=["UserId", "Day"])
+    # The indicator dim scales with the event corpus ((UserId, Day) is
+    # the pivot index: 12M rows at sf30), so ids must come from the
+    # scalable range-partitioned path — the global-window
+    # ``add_sequential_id`` is reserved for genuinely dimension-sized
+    # inputs (dim_date). Ids are identical either way ((UserId, Day) is
+    # unique here, so the total order is the same), and the pinned
+    # partitioning doubles as the shared materialization for callers
+    # that bucket this base twice. The sf30 rung caught the old path:
+    # two concurrently-planned 12M-row single-partition sorts exhausted
+    # the 16g-driver execution pool (UNABLE_TO_ACQUIRE_MEMORY).
+    return add_unique_id(filled, order_by=["UserId", "Day"])
 
 
 def build_dim_indicator(

@@ -131,6 +131,34 @@ def test_fact_id_window_is_partitioned(spark):
             )
 
 
+def test_indicator_base_id_window_is_partitioned(spark):
+    """The indicator dim's id assignment must also never be a global
+    window: its input is the (UserId, Day) pivot index, which scales
+    with the event corpus (12M rows at sf30 — the sf30 ladder rung
+    OOM'd the 16g driver on two concurrently-planned single-partition
+    sorts of it before the switch to add_unique_id). Allowed
+    unpartitioned windows are only add_unique_id's one-row-per-
+    partition offsets sum — anything ordering the scaled rows
+    themselves (by Day) must carry a partition spec.
+    """
+    from dw_etl_spark.plans.star_schema import interpolated_indicator_base
+
+    plan = (
+        interpolated_indicator_base(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert windows, "expected WindowExec nodes in the indicator base plan"
+    for ln in windows:
+        unpartitioned = ln.count("], [") < 2
+        if unpartitioned:
+            assert "Day" not in ln, (
+                "indicator rows flow through a single-partition window:\n" + ln
+            )
+
+
 def test_salted_join_rejects_outer_joins(spark):
     import pytest as _pytest
 
