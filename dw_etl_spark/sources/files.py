@@ -82,6 +82,70 @@ def read_parquet(
     return df
 
 
+#: below this the table is broadcast-dimension-sized (nation/region/
+#: supplier tier) and spreading it would only add scheduling overhead
+_SPREAD_MIN_BYTES = 100 * 1024
+
+
+def _estimated_scan_splits(sizes: list[int], parallelism: int) -> int:
+    """Replicate Spark's file-split arithmetic (FilePartition):
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/defaultParallelism)) with the 4 MB open cost charged per
+    file — the planned scan-partition count without building a plan."""
+    open_cost = 4 * 1024 * 1024
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(128 * 1024 * 1024, max(open_cost, total // max(parallelism, 1)))
+    return max(1, sum(-(-s // max_split) for s in sizes if s > 0))
+
+
+def spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive parallelism floor for small scans (r14, guide
+    §2.2/§2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    A bench-scale table is ONE parquet file under the 4 MB open-cost
+    floor, so the scan — and every narrow map stage fused onto it
+    (tokenization, regex chains, per-row feature extraction, the
+    expensive part of most corpus queries) — runs as a SINGLE task
+    while the other 31 cores idle; profiling showed 4-8 s single-task
+    CPU-bound stages inside token_freq at sf0.1. Round-robin
+    ``repartition(defaultParallelism)`` immediately after the read
+    spreads that work; filter pushdown and column pruning still reach
+    the scan THROUGH the exchange (verified in the r14 plan dumps:
+    PushedFilters/ReadSchema unchanged).
+
+    Scale-adaptive by construction: the decision replays Spark's own
+    split arithmetic from the file sizes — at warehouse scale the scan
+    splits to >= cores by itself, the condition is false, and no
+    exchange is added (a blanket repartition would be a full shuffle of
+    the table — exactly wrong at 100 TB). Sub-100 KB dimension tables
+    (nation/region tier: broadcast sides, often <1 row/task after a
+    spread) are left alone."""
+    try:
+        sizes = _parquet_file_sizes(path)
+    except OSError:
+        return df
+    total = sum(sizes)
+    par = spark.sparkContext.defaultParallelism
+    if total < _SPREAD_MIN_BYTES:
+        return df
+    if _estimated_scan_splits(sizes, par) >= par:
+        return df
+    return df.repartition(par)
+
+
+def _parquet_file_sizes(path: str) -> list[int]:
+    import os
+
+    if os.path.isdir(path):
+        return [
+            e.stat().st_size
+            for e in os.scandir(path)
+            if e.is_file() and not e.name.startswith(("_", "."))
+        ]
+    return [os.stat(path).st_size]
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table: ``{sf_dir}/{name}.parquet``.
 
@@ -97,16 +161,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       streaming watermarks reject ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE])
       → cast.
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        df = read_parquet(spark, path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(ts_type, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        return spread_small_scan(spark, df, path)
+    return spread_small_scan(spark, read_parquet(spark, path), path)
 
 
 def _corrupt_schema(

@@ -23,6 +23,33 @@ from dw_etl_spark.operators.qcut import _exact_ntile, ntile_buckets, qcut_by_gro
 from dw_etl_spark.sources.files import SchemaValidationError, validate_required_columns
 
 
+# ------------------------------------------------------------- scan spreading
+
+def test_spread_small_scan_parallelism_floor(spark):
+    """r14 optimization pin (guide §2.2/§2.5): a bench-scale table is a
+    single sub-4MB parquet file = ONE scan split, so every narrow map
+    stage on it runs single-task. read_table must spread such scans to
+    the session's default parallelism; sub-100KB broadcast-tier tables
+    and at-scale tables (splits >= cores) must pass through untouched."""
+    from tests.conftest import SF_SMOKE
+    from dw_etl_spark.sources.files import (
+        _estimated_scan_splits,
+        read_table,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    # 117 KB lineitem: above the floor, one split -> spread to par
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    assert li.rdd.getNumPartitions() == par
+    # 2.7 KB nation: broadcast-tier, left alone (single scan split)
+    nation = read_table(spark, SF_SMOKE, "nation")
+    assert nation.rdd.getNumPartitions() == 1
+    # at-scale shapes never trigger: many big files split past cores
+    assert _estimated_scan_splits([256 * 1024**2] * 64, par) >= par
+    # one huge splittable file splits by itself too
+    assert _estimated_scan_splits([64 * 1024**3], par) >= par
+
+
 # ---------------------------------------------------------------- scalar fns
 
 def test_decade(spark):
@@ -94,6 +121,31 @@ def test_add_sequential_id_contiguous(spark):
     assert [(r["Id"], r["v"]) for r in sorted(got, key=lambda r: r["Id"])] == [
         (1, "a"), (2, "b"), (3, "c"), (4, "d"),
     ]
+
+
+def test_add_unique_id_single_data_exchange(spark):
+    """r14 optimization pin: the id assignment must move the data
+    through exactly ONE exchange (the range partitioner). The previous
+    form re-shuffled the full snapshot a second time for a
+    ``row_number`` window partitioned by __pid; the mid-bit form is a
+    narrow projection on the pinned blocks. Broadcast exchanges (the
+    per-partition offsets, ≤ num_partitions rows) are exempt."""
+    df = spark.range(0, 5000).withColumn("v", F.col("id") * 13 % 4999).drop("id")
+    plan = (
+        add_unique_id(df, ["v"], num_partitions=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the data still flows through the range partitioner...
+    assert "rangepartitioning" in plan, plan
+    # ...but never through the old second full-data shuffle (an
+    # Exchange hash-partitioned on __pid feeding a row_number window).
+    # The offsets side may aggregate/broadcast tiny per-partition rows;
+    # the snapshot side must go straight from the cached blocks into
+    # the broadcast join.
+    assert "hashpartitioning(__pid" not in plan, plan
+    assert "row_number" not in plan, plan
 
 
 def test_add_unique_id_matches_sequential(spark):
