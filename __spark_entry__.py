@@ -248,7 +248,8 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges = spark.createDataFrame(
         [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 51.0, "high")],
         ["low", "high", "qty_band"],
-    )
+    ).coalesce(1)  # r14: local fixtures parallelize to defaultParallelism
+    # slices - 32 near-empty tasks per downstream stage; one is right
     li = read_table(spark, sf_dir, "lineitem")
     return (
         range_join(li, ranges, "l_quantity")
@@ -879,7 +880,8 @@ def _q_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pr_edges = spark.createDataFrame(
         oracles.PR_GATE_EDGES, "id_a long, id_b long"
-    )
+    ).coalesce(1)  # r14: 7-row fixture, not 32 near-empty tasks/stage
+    # across 3 unrolled PageRank rounds
     pr = pagerank_fixed(
         pr_edges,
         damping=oracles.PR_GATE_DAMPING,
@@ -1012,7 +1014,7 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     uni_words = spark.createDataFrame(
         [(w,) for w in oracles.UNI_GATE_WORDS], "word string"
-    )
+    ).coalesce(1)  # r14: fixture-sized, one task per stage is right
     enc = unigram_encode(
         uni_words, "word", oracles.UNI_GATE_VOCAB,
         id_col="word", out_col="pieces",
@@ -1161,23 +1163,34 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_logppl,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    from dw_etl_spark.functions.text import tokens
+
+    # r14 (guide §1.2/§2.3 — don't recompute, shuffle fewer bytes): ONE
+    # tokenization feeds the word-count feature and all three LM
+    # scorers via the pretokenized ``tokens_of`` fast path (the r9
+    # token_freq/contamination precedent). Previously each scorer (and
+    # bigram_logppl twice — pair AND unigram sides) re-ran the regex
+    # split over the full text: 56 scans of the corpus in the plan, 4+
+    # full re-tokenizations at 100 TB. Pin ownership: PLANS.md #43.
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens("text").alias("toks")
+    ).persist()
     feats = docs.select(
         "doc_id",
         clean_whitespace("text").alias("cleaned"),
-        token_count("text").alias("n_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
         subword_count("text").alias("n_subwords"),
         lang_id("text").alias("lang_pred"),
         quality_score("text").cast("double").alias("quality"),
         fingerprint("text").alias("fp"),
     )
-    ppl = unigram_logppl(docs, "text", "doc_id").withColumnRenamed(
+    ppl = unigram_logppl(docs, "toks", "doc_id").withColumnRenamed(
         "id", "doc_id"
     )
-    ppl2 = bigram_logppl(docs, "text", "doc_id").withColumnRenamed(
+    ppl2 = bigram_logppl(docs, "toks", "doc_id").withColumnRenamed(
         "id", "doc_id"
     )
-    pplkn = kn_bigram_logppl(docs, "text", "doc_id").withColumnRenamed(
+    pplkn = kn_bigram_logppl(docs, "toks", "doc_id").withColumnRenamed(
         "id", "doc_id"
     )
     joined = (
@@ -2769,7 +2782,9 @@ def _q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("n_nationkey") % 4 == 0, F.lit(10)).otherwise(F.lit(0))
         ).cast("int").alias("region"),
     ).unionByName(
-        spark.createDataFrame([("ATLANTIS", 99)], "country string, region int")
+        spark.createDataFrame(
+            [("ATLANTIS", 99)], "country string, region int"
+        ).coalesce(1)  # r14: 1-row fixture
     )
     out = scd2_apply(
         dim, updates, key=["country"], attrs=["region"], effective="2024-06-01"
@@ -2782,7 +2797,9 @@ def _q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").cast("int").alias("region"),
     )
     updates1 = updates.unionByName(
-        spark.createDataFrame([("ATLANTIS", 50)], "country string, region int")
+        spark.createDataFrame(
+            [("ATLANTIS", 50)], "country string, region int"
+        ).coalesce(1)  # r14: 1-row fixture
     )
     s1 = scd1_apply(dim1, updates1, key=["country"], attrs=["region"])
     # dates → timestamps at the contract edge: Spark DATE collects as

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dw_etl_spark.functions.text import tokens
+from dw_etl_spark.functions.text import tokens_of
 
 
 def unigram_logppl(
@@ -35,7 +35,8 @@ def unigram_logppl(
     doubles — far inside cross-engine float-summation tolerance).
     """
     toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+        F.col(id_col).alias("id"),
+        F.explode(tokens_of(df, text_col)).alias("t"),
     )
     counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("s"))
@@ -76,7 +77,9 @@ def bigram_logppl(
     territory) and a doc-keyed mean. Rounded to 4 like the unigram
     path.
     """
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts"))
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_of(df, text_col).alias("ts")
+    )
     bi = toks.select(
         "id",
         F.explode(
@@ -90,7 +93,7 @@ def bigram_logppl(
     c2 = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
     ctx = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
     uni = (
-        df.select(F.explode(tokens(text_col)).alias("t"))
+        df.select(F.explode(tokens_of(df, text_col)).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
@@ -140,7 +143,9 @@ def kn_bigram_logppl(
     corpus pass — then token-keyed joins back onto the exploded pairs
     and a doc-keyed mean, rounded to 4.
     """
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts"))
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_of(df, text_col).alias("ts")
+    )
     bi = toks.select(
         "id",
         F.explode(
