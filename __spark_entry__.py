@@ -248,8 +248,7 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges = spark.createDataFrame(
         [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 51.0, "high")],
         ["low", "high", "qty_band"],
-    ).coalesce(1)  # r14: local fixtures parallelize to defaultParallelism
-    # slices - 32 near-empty tasks per downstream stage; one is right
+    )
     li = read_table(spark, sf_dir, "lineitem")
     return (
         range_join(li, ranges, "l_quantity")
@@ -880,8 +879,7 @@ def _q_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pr_edges = spark.createDataFrame(
         oracles.PR_GATE_EDGES, "id_a long, id_b long"
-    ).coalesce(1)  # r14: 7-row fixture, not 32 near-empty tasks/stage
-    # across 3 unrolled PageRank rounds
+    )
     pr = pagerank_fixed(
         pr_edges,
         damping=oracles.PR_GATE_DAMPING,
@@ -1014,7 +1012,7 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     uni_words = spark.createDataFrame(
         [(w,) for w in oracles.UNI_GATE_WORDS], "word string"
-    ).coalesce(1)  # r14: fixture-sized, one task per stage is right
+    )
     enc = unigram_encode(
         uni_words, "word", oracles.UNI_GATE_VOCAB,
         id_col="word", out_col="pieces",
@@ -2782,9 +2780,7 @@ def _q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("n_nationkey") % 4 == 0, F.lit(10)).otherwise(F.lit(0))
         ).cast("int").alias("region"),
     ).unionByName(
-        spark.createDataFrame(
-            [("ATLANTIS", 99)], "country string, region int"
-        ).coalesce(1)  # r14: 1-row fixture
+        spark.createDataFrame([("ATLANTIS", 99)], "country string, region int")
     )
     out = scd2_apply(
         dim, updates, key=["country"], attrs=["region"], effective="2024-06-01"
@@ -2797,9 +2793,7 @@ def _q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").cast("int").alias("region"),
     )
     updates1 = updates.unionByName(
-        spark.createDataFrame(
-            [("ATLANTIS", 50)], "country string, region int"
-        ).coalesce(1)  # r14: 1-row fixture
+        spark.createDataFrame([("ATLANTIS", 50)], "country string, region int")
     )
     s1 = scd1_apply(dim1, updates1, key=["country"], attrs=["region"])
     # dates → timestamps at the contract edge: Spark DATE collects as
