@@ -20,6 +20,8 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     name = sys.argv[1]
@@ -34,6 +36,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     import __spark_entry__ as entrymod
@@ -62,8 +66,22 @@ def main() -> None:
     # parse the event log: map job->group, stage->timing
     path = os.path.join(evdir, app_id)
     if not os.path.exists(path):
-        cands = [p for p in os.listdir(evdir) if p.startswith(app_id)]
-        path = os.path.join(evdir, cands[0])
+        # Spark 4 writes rolling event-log DIRS (eventlog_v2_<appid>/)
+        # or appends .inprogress/compression suffixes — take whatever
+        # the session left, newest first, and descend one level if dir.
+        cands = sorted(
+            (os.path.join(evdir, p) for p in os.listdir(evdir)),
+            key=os.path.getmtime,
+            reverse=True,
+        )
+        path = cands[0]
+        if os.path.isdir(path):
+            inner = [
+                os.path.join(path, p)
+                for p in os.listdir(path)
+                if p.startswith("events_")
+            ]
+            path = sorted(inner)[0]
     jobs = {}  # job id -> (group, submission t, [stage ids])
     stages = {}  # stage id -> dict
     with open(path) as f:
