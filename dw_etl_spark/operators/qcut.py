@@ -186,17 +186,30 @@ def _group_quantile_edges(
         F.col(c).cast("string").alias(c) if c in integral else F.col(c)
         for c in group_by
     ]
-    pdf = (
+    hist_df = (
         df.select(*sel_groups, melt.alias("m"))
         .select(*group_by, "m.__col", "m.__val")
         .filter(F.col("__val").isNotNull())
         .groupBy(*group_by, "__col", "__val")
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .limit(_HIST_EDGE_CAP + 1)
-        .toPandas()
     )
-    if len(pdf) > _HIST_EDGE_CAP:
-        return None
+    # cap check via count-over-cache, NOT ``.limit(cap+1).toPandas()``
+    # (r14, guide §1.1): a large-limit collect executes as Spark's
+    # incremental CollectLimit — partition batches of 1, 4, 16, … with
+    # the final aggregate stage re-run per batch. Profiled on
+    # text_features (ccnet edge fit): ~20 toPandas jobs per fit, ~2/3
+    # of the query's wall. The lazy pin makes this exactly two jobs —
+    # the count materializes the histogram into the block cache (the
+    # real aggregation work, paid once), the Arrow collect drains it —
+    # and the over-cap bail-out still never collects an unbounded
+    # histogram to the driver (it unpersists and falls back instead).
+    hist_df = hist_df.persist()
+    try:
+        if hist_df.count() > _HIST_EDGE_CAP:
+            return None
+        pdf = hist_df.toPandas()
+    finally:
+        hist_df.unpersist()
 
     for c in integral:
         pdf[c] = pdf[c].map(lambda s: None if pd.isna(s) else int(s))
