@@ -1154,12 +1154,7 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/lm.ccnet_ppl_buckets`` — exact-rank edges,
     right-closed bins, duplicates-drop collapse), replayed in DuckDB
     as per-lang quantile_cont edges + the same CASE chain."""
-    from dw_etl_spark.operators.lm import (
-        bigram_logppl,
-        ccnet_ppl_buckets,
-        kn_bigram_logppl,
-        unigram_logppl,
-    )
+    from dw_etl_spark.operators.lm import ccnet_ppl_buckets, lm_scores
 
     from dw_etl_spark.functions.text import tokens
 
@@ -1182,17 +1177,17 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").cast("double").alias("quality"),
         fingerprint("text").alias("fp"),
     )
-    ppl = unigram_logppl(docs, "toks", "doc_id").withColumnRenamed(
-        "id", "doc_id"
-    )
-    ppl2 = bigram_logppl(docs, "toks", "doc_id").withColumnRenamed(
-        "id", "doc_id"
-    )
-    pplkn = kn_bigram_logppl(docs, "toks", "doc_id").withColumnRenamed(
+    # r14 (guide §1.2 step 1): the three scorers run as ONE fused
+    # lineage (``lm_scores``) — one (t, c) count table, one (a, b, c2)
+    # pair shuffle, one pair-keyed scoring join carrying both bigram
+    # formulas — instead of three independent scorer pipelines that
+    # recompute the pair table and token counts (plan had the bigram
+    # groupBy-(a,b) shuffle twice and the token-count shuffle twice).
+    ppl = lm_scores(docs, "toks", "doc_id").withColumnRenamed(
         "id", "doc_id"
     )
     joined = (
-        feats.join(ppl, "doc_id").join(ppl2, "doc_id").join(pplkn, "doc_id")
+        feats.join(ppl, "doc_id")
     ).persist()  # consumed by the bucketer's eager edge fit AND the
     # final plan (lazy cache, drift.py pin rule) — one LM-scoring pass
     return ccnet_ppl_buckets(joined, "logppl_kn", ["lang_pred"])

@@ -179,6 +179,95 @@ def kn_bigram_logppl(
     return df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
 
 
+def lm_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.75,
+    discount: float = 0.75,
+) -> DataFrame:
+    """(id, logppl, logppl2, logppl_kn): all three scorers of this
+    module in ONE fused lineage (r14, guide §1.2 step 1 / §2.3 —
+    don't recompute shared statistics, shuffle fewer bytes).
+
+    Calling ``unigram_logppl`` + ``bigram_logppl`` + ``kn_bigram_logppl``
+    separately pays the shared statistics repeatedly: the (a, b) pair
+    explode and its groupBy-(a,b) count shuffle run twice (bigram + KN),
+    the token-frequency table twice (unigram counts + bigram back-off),
+    and the pair-keyed join chain + doc-keyed mean three times. Here
+    every statistic is computed once — one token explode feeding one
+    (t, c) count table, one pair explode feeding one (a, b, c2) table
+    (both lazily pinned for their two consumers), ONE pair-keyed join
+    chain carrying both bigram formulas, and two doc-keyed means
+    instead of three. Formulas, rounding (4) and null semantics are
+    exactly the single-scorer ones (pinned by
+    ``test_lm_scores_fused_equals_separate_scorers``); only partial-
+    aggregation order can differ, which the per-doc round(4) already
+    absorbs by the module's documented tolerance.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_of(df, text_col).alias("ts")
+    )
+    tok = toks.select("id", F.explode("ts").alias("t"))
+    counts = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    ).localCheckpoint(eager=False)  # unigram probs + bigram back-off
+    total = counts.agg(F.sum("cu").alias("s"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "t", F.log(F.col("cu").cast("double") / F.col("s")).alias("lp")
+    )
+    per_doc1 = (
+        tok.join(probs, "t")
+        .groupBy("id")
+        .agg(F.round(-F.avg("lp"), 4).alias("logppl"))
+    )
+    bi = toks.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    c2 = (
+        bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    ).localCheckpoint(eager=False)  # 4 statistics + the scoring join
+    ctx = c2.groupBy("a").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1a")
+    )
+    cont = c2.groupBy("b").agg(F.count(F.lit(1)).alias("n1b"))
+    types = c2.agg(F.count(F.lit(1)).alias("tt"))
+    d = F.lit(float(discount))
+    lp2 = F.log(
+        F.lit(lam) * F.col("c2").cast("double") / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("cu").cast("double") / F.col("s")
+    )
+    lp_kn = F.log(
+        F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("c1")
+        + d * F.col("n1a") / F.col("c1") * F.col("n1b") / F.col("tt")
+    )
+    per_doc2 = (
+        bi.join(c2, ["a", "b"])
+        .join(ctx, "a")
+        .join(cont, "b")
+        .join(counts, F.col("b") == F.col("t"))
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(types))
+        .groupBy("id")
+        .agg(
+            F.round(-F.avg(lp2), 4).alias("logppl2"),
+            F.round(-F.avg(lp_kn), 4).alias("logppl_kn"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc1, "id", "left")
+        .join(per_doc2, "id", "left")
+    )
+
+
 def ccnet_ppl_buckets(
     scored: DataFrame,
     score_col: str = "logppl_kn",

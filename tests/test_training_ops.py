@@ -5454,3 +5454,40 @@ def test_pq_cents_lloyd_is_partition_independent_and_matches_float_recall(spark)
     assert r_cents >= r_float - 0.02  # quantized means don't cost recall
     with pytest.raises(ValueError, match="mean_mode"):
         pq_train_codebooks(emb, dim=64, m=8, k=16, mean_mode="median")
+
+
+def test_lm_scores_fused_equals_separate_scorers(spark):
+    """r14 optimization pin: the fused ``lm_scores`` lineage (one pair
+    table, one token-count table, one scoring join) returns exactly the
+    three single-scorer columns — same formulas, rounding and null
+    semantics (short docs NULL out the bigram columns, empty docs all
+    three)."""
+    from dw_etl_spark.operators.lm import (
+        bigram_logppl,
+        kn_bigram_logppl,
+        lm_scores,
+        unigram_logppl,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran"),
+            (3, "dogs chase the cat and the dog"),
+            (4, "one"),          # < 2 tokens: NULL bigram scores
+            (5, ""),             # empty: all three NULL
+            (6, "the cat sat on the mat"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    fused = {r["id"]: r for r in lm_scores(df, "text", "doc_id").collect()}
+    uni = {r["id"]: r for r in unigram_logppl(df, "text", "doc_id").collect()}
+    bi = {r["id"]: r for r in bigram_logppl(df, "text", "doc_id").collect()}
+    kn = {r["id"]: r for r in kn_bigram_logppl(df, "text", "doc_id").collect()}
+    assert set(fused) == {1, 2, 3, 4, 5, 6}
+    for i in fused:
+        assert fused[i]["logppl"] == uni[i]["logppl"], i
+        assert fused[i]["logppl2"] == bi[i]["logppl2"], i
+        assert fused[i]["logppl_kn"] == kn[i]["logppl_kn"], i
+    assert fused[4]["logppl2"] is None and fused[4]["logppl_kn"] is None
+    assert fused[5]["logppl"] is None
