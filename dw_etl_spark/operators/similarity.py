@@ -548,6 +548,7 @@ def pq_train_codebooks(
     k: int = 16,
     iters: int = 2,
     mean_mode: str = "float",
+    seed_books: list[list[list[float]]] | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split each vector into ``m`` contiguous
     subvectors of dim/m and fit ``k`` L2 centroids per subspace
@@ -595,20 +596,33 @@ def pq_train_codebooks(
             )
         ).alias("sub", "sv"),
     )
-    # deterministic seeds: per subspace, the k subvectors with the
-    # lowest md5(id) rank (same rule as ivf_centroids)
-    w = Window.partitionBy("sub").orderBy(
-        F.md5(F.col("id").cast("string")), F.col("id")
-    )
-    seed_rows = (
-        subs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("sub", (F.col("__rn") - 1).alias("cid"), "sv")
-        .collect()
-    )
-    books: list[list[list[float]]] = [[None] * k for _ in range(m)]
-    for r in seed_rows:
-        books[r["sub"]][r["cid"]] = [float(x) for x in r["sv"]]
+    if seed_books is not None:
+        # r14 (guide §1.2 step 1): the seed sample is a pure function
+        # of (corpus, m, k) — independent of iters/mean_mode — so a
+        # caller training several refinement variants passes the
+        # iters=0 result back in and skips the seed window job (a full
+        # m×-exploded pass over the corpus). Deep-copied: the Lloyd
+        # loop below mutates its working list.
+        if len(seed_books) != m or any(len(b) != k for b in seed_books):
+            raise ValueError("seed_books shape must be m x k")
+        books: list[list[list[float]]] = [
+            [list(c) for c in book] for book in seed_books
+        ]
+    else:
+        # deterministic seeds: per subspace, the k subvectors with the
+        # lowest md5(id) rank (same rule as ivf_centroids)
+        w = Window.partitionBy("sub").orderBy(
+            F.md5(F.col("id").cast("string")), F.col("id")
+        )
+        seed_rows = (
+            subs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("sub", (F.col("__rn") - 1).alias("cid"), "sv")
+            .collect()
+        )
+        books = [[None] * k for _ in range(m)]
+        for r in seed_rows:
+            books[r["sub"]][r["cid"]] = [float(x) for x in r["sv"]]
     subs = subs.persist()  # reused every iteration
     for _ in range(iters):
         book_df = corpus.sparkSession.createDataFrame(
@@ -836,6 +850,7 @@ def ivfpq_topk(
     pq_k: int = 16,
     centroids: list[tuple[int, list[float], float]] | None = None,
     books: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF routing composed with PQ scoring (the FAISS-IVFPQ shape):
     corpus rows carry (inverted-list id, m-byte code); a query probes
@@ -861,7 +876,12 @@ def ivfpq_topk(
         else pq_train_codebooks(corpus, dim, vec_col, id_col, m, pq_k)
     )
     cent_df = _centroid_frame(spark, cents)
-    encoded = pq_encode(corpus, books, dim, vec_col, id_col)
+    if encoded is None:
+        encoded = pq_encode(corpus, books, dim, vec_col, id_col)
+    # else: caller supplies the (id, codes) frame it already computed
+    # with the SAME books (e.g. a stored code column, or one shared
+    # lazily-pinned encode feeding both a pq_topk section and this) —
+    # the encode pass then runs once, not once per consumer (r14)
     listed = (
         corpus.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
