@@ -717,11 +717,24 @@ def _q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `percentile` agg (PLANS.md §6), and mixing exact countDistinct
     # into the HLL agg forced an Expand that multiplied every sketch
     # buffer ×3 (18s for a 4s job at sf0.1).
-    exact_q = bracketed_exact_percentiles(
-        li, ["l_extendedprice"], [0.25, 0.5, 0.75]
-    )["l_extendedprice"]
-    e_pk = li.select("l_partkey").distinct().count()
-    e_sk = li.select("l_suppkey").distinct().count()
+    # r14 (guide §2.6): the three exact-reference fits are independent
+    # eager job chains (the bracketed two-pass percentiles and the two
+    # distinct counts) — submit them from concurrent driver threads so
+    # their fixed job latencies overlap instead of summing (the
+    # describe_stats/TPUT pattern). ~1.4 s of serial fit latency at
+    # sf0.1 becomes the max of the three chains.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        q_fut = ex.submit(
+            bracketed_exact_percentiles,
+            li, ["l_extendedprice"], [0.25, 0.5, 0.75],
+        )
+        pk_fut = ex.submit(lambda: li.select("l_partkey").distinct().count())
+        sk_fut = ex.submit(lambda: li.select("l_suppkey").distinct().count())
+        exact_q = q_fut.result()["l_extendedprice"]
+        e_pk = pk_fut.result()
+        e_sk = sk_fut.result()
     q = F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
     agg = li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("a_pk"),
@@ -972,11 +985,19 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens("text").alias("toks")
     ).persist()
     novalue = F.lit(None).cast("double").alias("v")
-    freq = (
+    # r14 (guide §1.2 step 1): ONE corpus token-frequency aggregation
+    # feeds both the freq top-20 section and the vocab-coverage curve
+    # (vocab_coverage used to rebuild the identical explode+groupBy;
+    # now it takes ``counts=``). Lazily pinned: the curve's eager fits
+    # materialize it, the freq section reads the pin in the final job.
+    counts = (
         tok_docs.select(F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("token"))
+        .persist()
+    )
+    freq = (
+        counts.orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
         .select(F.lit("freq").alias("kind"), "token", "n", novalue)
     )
@@ -988,7 +1009,7 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.lit("tfidf_top1").alias("kind"), "token", "n", novalue)
     )
-    vc = vocab_coverage(tok_docs, "toks", ks=[10, 100, 1_000_000])
+    vc = vocab_coverage(tok_docs, "toks", ks=[10, 100, 1_000_000], counts=counts)
     vocab_rows = vc.select(
         F.concat(F.lit("vocab:"), F.col("k").cast("string")).alias("kind"),
         F.lit("").alias("token"),

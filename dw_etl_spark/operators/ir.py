@@ -279,6 +279,7 @@ def vocab_coverage(
     df: DataFrame,
     text_col: str,
     ks: list[int] = (1_000, 10_000, 50_000),
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Vocabulary coverage curve: for each k, the fraction of all token
     OCCURRENCES covered by the k most frequent token types — the
@@ -296,14 +297,21 @@ def vocab_coverage(
     ks = sorted(set(int(k) for k in ks))
     if not ks or ks[0] <= 0:
         raise ValueError("ks must be positive ints")
-    counts = (
-        df.select(F.explode(tokens_of(df, text_col)).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # totals + top-k both read it; released below —
-        # both consumers collect eagerly inside this function, so the
-        # pin never escapes (no net cached frames after return)
-    )
+    # ``counts`` (r14, guide §1.2 step 1): a caller that already holds
+    # the corpus (token, n) frequency table — e.g. a top-k frequency
+    # report sharing one aggregation with this curve — passes it in
+    # and the corpus explode+groupBy here is skipped entirely; the
+    # caller owns that frame's pinning/lifecycle. Columns: token, n.
+    caller_counts = counts is not None
+    if not caller_counts:
+        counts = (
+            df.select(F.explode(tokens_of(df, text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist()  # totals + top-k both read it; released below —
+            # both consumers collect eagerly inside this function, so the
+            # pin never escapes (no net cached frames after return)
+        )
     try:
         tot = counts.agg(
             F.sum("n").alias("total"), F.count(F.lit(1)).alias("types")
@@ -322,7 +330,8 @@ def vocab_coverage(
             .collect()
         ]
     finally:
-        counts.unpersist()
+        if not caller_counts:
+            counts.unpersist()
     cum, run = [], 0
     for n in top:
         run += n
