@@ -160,11 +160,12 @@ def bracketed_exact_percentiles(
             in_bracket = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
             cond = in_bracket if cond is None else cond | in_bracket
         bracket_conds[c] = cond
-    pass2 = df.agg(*aggs).first() if aggs else None
 
     # pass 2b: in-bracket value histogram for all columns in one job
-    hist: dict[str, list[tuple[float, int]]] = {c: [] for c in columns}
-    if bracket_conds:
+    def run_pass2b() -> dict[str, list[tuple[float, int]]]:
+        out: dict[str, list[tuple[float, int]]] = {c: [] for c in columns}
+        if not bracket_conds:
+            return out
         melt = F.explode(
             F.array(
                 *[
@@ -186,9 +187,21 @@ def bracketed_exact_percentiles(
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .collect()
         ):
-            hist[r["__col"]].append((r["__val"], r["__cnt"]))
-        for c in hist:
-            hist[c].sort()
+            out[r["__col"]].append((r["__val"], r["__cnt"]))
+        for c in out:
+            out[c].sort()
+        return out
+
+    # 2a and 2b both depend only on pass 1's brackets — two independent
+    # jobs, submitted concurrently so their fixed latencies overlap
+    # (r14, guide §2.6; this fit sits under describe_stats,
+    # profile_metrics, approx_profile AND winsorize)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        p2b_fut = _ex.submit(run_pass2b)
+        pass2 = df.agg(*aggs).first() if aggs else None
+        hist = p2b_fut.result()
 
     out: dict[str, list[float | None]] = {}
     for c in columns:
