@@ -100,11 +100,22 @@ def quantile_sketch(
     at k=1024), carried in ONE array column so increments persist as
     ordinary parquet rows. ``n_rows`` rides along (exact, summable).
 
-    Memory shape: the bottom-k filter is a ``row_number`` WINDOW over
-    the group (Spark's sort-based window spills to disk), NOT a
-    ``collect_list`` of the whole group — a billion-row group never
-    materializes in one aggregation buffer; only the ≤ k survivors
-    reach the packing agg.
+    Memory shape AND parallelism (r14, guide §2.5): the bottom-k filter
+    is TWO-LEVEL. A single ``row_number`` window partitioned by ``by``
+    alone puts each whole group in one task — with 3 groups, 3 tasks
+    sort the entire table while the rest of the cluster idles (the
+    classic low-cardinality window skew; at 100 TB each task would
+    sort tens of TB). Instead, level 1 buckets every group by a
+    deterministic row-hash salt (``pmod(xxhash64(id), nb)`` — never
+    ``rand()``, which re-draws under task retry, SPARK-38388) and
+    keeps each bucket's bottom-k with balanced parallel sorts; level 2
+    re-ranks the ≤ k·nb survivors per group — microscopic. Bottom-k of
+    a union == bottom-k of the parts' bottom-ks, so the kept set is
+    IDENTICAL for any bucket count (pinned by the merge-invariance
+    test); ``nb`` only shapes parallelism. The exact group count rides
+    along as the sum of per-bucket counts over one representative row
+    per bucket (``__rn1 == 1``) — no second pass, no count join. Both
+    windows sort-spill to disk; only survivors reach the packing agg.
     """
     from pyspark.sql import Window
 
@@ -114,7 +125,12 @@ def quantile_sketch(
     rank = stable_hash64(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
     )
-    w = Window.partitionBy(*gb).orderBy(
+    # scale-adaptive salt width: one bucket per shuffle partition is
+    # enough to spread the level-1 sorts; the result is nb-invariant
+    nb = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    w1 = Window.partitionBy(*gb, "__b").orderBy(
         F.col("__r").asc(), F.col(id_col).asc()
     )
     tagged = (
@@ -124,19 +140,39 @@ def quantile_sketch(
             F.col(value_col).cast("double").alias("__v"),
         )
         .withColumn("__r", rank)
-        .withColumn("__n", F.count(F.lit(1)).over(
-            Window.partitionBy(*gb)
-        ))
-        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)))
+        .withColumn(
+            "__nb",
+            F.count(F.lit(1)).over(Window.partitionBy(*gb, "__b")),
+        )
+        .withColumn("__rn1", F.row_number().over(w1))
     )
-    kept = tagged.filter(F.col("__rn") <= k)
-    return kept.groupBy(*gb).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(F.col("__r").alias("r"), F.col("__v").alias("v"))
-            )
+    pre = tagged.filter(F.col("__rn1") <= k)
+    # level 2 lives INSIDE the packing agg (sort + slice over ≤ k·nb
+    # survivors — the merge_quantile_sketches shape) instead of a
+    # second row_number window: no second exchange, no full re-sort.
+    # The id rides the sort struct so rank ties keep the exact
+    # (rank, id) order of the one-window form, then is projected away.
+    return pre.groupBy(*gb).agg(
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__r").alias("r"),
+                            F.col(id_col).alias("i"),
+                            F.col("__v").alias("v"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ),
+            lambda x: F.struct(x["r"].alias("r"), x["v"].alias("v")),
         ).alias("qsketch"),
-        F.max("__n").alias("n_rows"),
+        F.sum(
+            F.when(F.col("__rn1") == 1, F.col("__nb"))
+        ).alias("n_rows"),
     )
 
 
