@@ -109,30 +109,50 @@ def main() -> None:
                 sid = si["Stage ID"]
                 sub = si.get("Submission Time")
                 comp = si.get("Completion Time")
-                stages[sid] = {
-                    "name": si.get("Stage Name", ""),
-                    "details": (si.get("Details") or "").split("\n")[0],
-                    "wall_ms": (comp - sub) if sub and comp else 0,
-                    "tasks": si.get("Number of Tasks", 0),
-                }
+                # merge, don't replace: TaskEnd events for this stage
+                # have already accumulated task_ms/shuffle sums here
+                st = stages.setdefault(sid, {})
+                st.update(
+                    {
+                        "name": si.get("Stage Name", ""),
+                        "details": (si.get("Details") or "").split("\n")[0],
+                        "wall_ms": (comp - sub) if sub and comp else 0,
+                        "tasks": si.get("Number of Tasks", 0),
+                    }
+                )
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 st = stages.setdefault(sid, {})
-                m = ev.get("Task Metrics") or {}
-                st["task_ms"] = st.get("task_ms", 0) + m.get(
-                    "Executor Run Time", 0
+                # Spark 4 event logs carry task metrics as
+                # internal.metrics.* accumulables on Task Info, not a
+                # "Task Metrics" object
+                acc = {
+                    a.get("Name"): a.get("Update", 0)
+                    for a in (ev.get("Task Info") or {}).get(
+                        "Accumulables", []
+                    )
+                    if str(a.get("Name", "")).startswith("internal.metrics")
+                }
+
+                def g(name: str) -> int:
+                    try:
+                        return int(acc.get(f"internal.metrics.{name}", 0))
+                    except (TypeError, ValueError):
+                        return 0
+
+                st["task_ms"] = st.get("task_ms", 0) + g("executorRunTime")
+                st["sh_read"] = (
+                    st.get("sh_read", 0)
+                    + g("shuffle.read.remoteBytesRead")
+                    + g("shuffle.read.localBytesRead")
                 )
-                srm = m.get("Shuffle Read Metrics") or {}
-                swm = m.get("Shuffle Write Metrics") or {}
-                st["sh_read"] = st.get("sh_read", 0) + srm.get(
-                    "Remote Bytes Read", 0
-                ) + srm.get("Local Bytes Read", 0)
-                st["sh_write"] = st.get("sh_write", 0) + swm.get(
-                    "Shuffle Bytes Written", 0
+                st["sh_write"] = st.get("sh_write", 0) + g(
+                    "shuffle.write.bytesWritten"
                 )
-                st["fetch_wait_ms"] = st.get("fetch_wait_ms", 0) + srm.get(
-                    "Fetch Wait Time", 0
+                st["fetch_wait_ms"] = st.get("fetch_wait_ms", 0) + g(
+                    "shuffle.read.fetchWaitTime"
                 )
+                st["spill"] = st.get("spill", 0) + g("diskBytesSpilled")
 
     # per run-group: job wall times and top stages
     for i in range(k):
