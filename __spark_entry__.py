@@ -1735,7 +1735,26 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         corpus, "text", "doc_id", n=2, num_hashes=32, bands=8, min_jaccard=0.5
     )
-    comp = connected_components(pairs)
+    # r14 (guide §2.6): the two CC loops are independent eager job
+    # chains — the minhash-graph label propagation and the cc2 chain
+    # fixture's two-phase rounds (each round ~0.55 s of fixed stage
+    # overhead at gate sizes, PLANS.md #34) — so they run from
+    # concurrent driver threads instead of serializing their
+    # per-round convergence-check latencies.
+    chain = (
+        read_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 63) & (F.col("doc_id") % 4 != 3))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _cc2_fut = _ex.submit(connected_components_two_phase, chain)
+        comp = connected_components(pairs)
+        cc2 = _cc2_fut.result()
     label_rows = (
         corpus.select("doc_id")
         .join(comp, corpus["doc_id"] == comp["id"], "left")
@@ -1772,16 +1791,9 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path blocks of FOUR ids (diameter 3): same two-phase coverage as
     # the r6 blocks-of-8 fixture at about half the log-diameter rounds
     # — each round is a fixed ~0.55 s of stage overhead at gate sizes
-    # (PLANS.md #34); depth is pinned by the 300-node pytest instead
-    chain = (
-        read_table(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") < 63) & (F.col("doc_id") % 4 != 3))
-        .select(
-            F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + 1).alias("id_b"),
-        )
-    )
-    cc2_rows = connected_components_two_phase(chain).select(
+    # (PLANS.md #34); depth is pinned by the 300-node pytest instead.
+    # (``cc2`` computed above, overlapped with the label-prop loop.)
+    cc2_rows = cc2.select(
         F.lit("cc2").alias("algo"),
         F.col("id").alias("doc_id"),
         "component",

@@ -39,6 +39,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 (guide §2.2): with parallelismFirst (default), AQE
+        # coalesces a post-shuffle stage to
+        # max(bytes/defaultParallelism, minPartitionSize) — the 1 MB
+        # default floor collapses small-but-fanning-out intermediates
+        # (e.g. BM25 postings feeding a candidate explode-join: ~4 MB
+        # → 2 partitions → a 3-core-s join ran on 2 of 32 cores).
+        # 64k keeps such frames at ~defaultParallelism partitions.
+        # Scale-adaptive by construction: anything larger than
+        # parallelism×1 MB is untouched at any cluster size, and the
+        # value is env-overridable rather than tuned to this host.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(DEFAULT_CPUS)),
