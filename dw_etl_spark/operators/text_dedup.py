@@ -172,11 +172,13 @@ def minhash_signatures(
         F.explode(_shingles(df, text_col, n, shingle)).alias("s"),
     )
     hashed = exploded.select("id", stable_hash28(F.col("s")).alias("h"))
+    # SQL-string assembly, parsed once per aggregate (r14; the qcut r10
+    # precedent): the Column form paid ~5 py4j round-trips per hash
+    # function on every call. Integer literals/ops type identically in
+    # the parser (int * bigint → bigint), so results are unchanged.
     return hashed.groupBy("id").agg(
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
-                f"m{j}"
-            )
+            F.expr(f"min(({a} * h + {b}) % {MINHASH_P}) AS m{j}")
             for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
         ]
     )
@@ -191,25 +193,19 @@ def band_keys(
     (``operators/neardup_index.py``). key = the band's r signature
     values comma-joined; one narrow map, bands rows per doc."""
     r = num_hashes // bands
+    # one parsed expression instead of bands×(r+2) py4j Column ops
+    # (r14; same-typed SQL: concat_ws over STRING casts, int literals)
+    structs = ", ".join(
+        "named_struct('band', {b}, 'key', concat_ws(',', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(m{b * r + i} AS STRING)" for i in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
     return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"m{b * r + i}").cast("string")
-                                for i in range(r)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "id", F.expr(f"explode(array({structs}))").alias("bk")
     ).select("id", "bk.band", "bk.key")
 
 
@@ -537,26 +533,42 @@ def simhash_values(
         stable_hash32b(F.col("s")).alias("h2"),
     )
 
-    def vote(b: int) -> Column:
-        lane = F.col("h1") if b < 32 else F.col("h2")
-        return F.sum(
-            F.when(
-                lane.isNotNull(),
-                F.shiftright(lane, b % 32).bitwiseAND(F.lit(1)).cast("long") * 2
-                - 1,
-            ).otherwise(F.lit(0))
-        ).alias(f"v{b}")
+    # The 64 vote aggregates and the 64-term bit assembly are built as
+    # SQL strings parsed ONCE (r14; the qcut r10 precedent): the
+    # Column-by-Column form cost ~1.3 s of driver py4j round-trips per
+    # call — more than this query's entire execution at sf0.1. The
+    # parsed expressions are the same operators (shiftright, &, CAST,
+    # CASE) with identical typing, so results are bit-identical.
+    def vote(b: int) -> str:
+        lane = "h1" if b < 32 else "h2"
+        return (
+            f"sum(CASE WHEN {lane} IS NOT NULL THEN "
+            f"CAST(shiftright({lane}, {b % 32}) & 1 AS BIGINT) * 2 - 1 "
+            f"ELSE 0 END) AS v{b}"
+        )
 
-    votes = hashed.groupBy("id").agg(*[vote(b) for b in range(64)])
-    bits = None
+    votes = hashed.groupBy("id").agg(
+        *[F.expr(vote(b)) for b in range(64)]
+    )
+    terms = []
     for b in range(64):
         # Bit 63 is the sign bit: adding long-min gives the correct
         # two's-complement value (partial sums never overflow: bits
-        # 0..62 sum to at most 2^63-1, then + (-2^63) >= -1).
-        on = F.lit(-(1 << 63) if b == 63 else 1 << b).cast("long")
-        term = F.when(F.col(f"v{b}") > 0, on).otherwise(F.lit(0).cast("long"))
-        bits = term if bits is None else bits + term
-    return votes.select("id", bits.alias("sh"))
+        # 0..62 sum to at most 2^63-1, then + (-2^63) >= -1). The
+        # min-long literal goes through a string cast — a bare
+        # -9223372036854775808 parses as unary minus of an
+        # out-of-range long.
+        on = (
+            "CAST('-9223372036854775808' AS BIGINT)"
+            if b == 63
+            else f"CAST({1 << b} AS BIGINT)"
+        )
+        terms.append(
+            f"CASE WHEN v{b} > 0 THEN {on} ELSE CAST(0 AS BIGINT) END"
+        )
+    return votes.select(
+        "id", F.expr(" + ".join(terms)).alias("sh")
+    )
 
 
 def simhash_pairs(
