@@ -130,7 +130,13 @@ def lsh_bucket(
     dvec = _as_double(vec)
     out = F.lit(0).cast("long")
     for p in range(plane_offset, plane_offset + n_planes):
-        plane = F.array(*[F.lit(w) for w in hyperplane(p, dim)])
+        # one parsed array literal per plane (r14): the F.lit-per-weight
+        # form paid dim py4j round trips per plane (512 Column builds at
+        # dim=64, n_planes=8 — pure driver latency). `repr(w)}D` parses
+        # to the identical DOUBLE literal.
+        plane = F.expr(
+            "array(" + ", ".join(f"{w!r}D" for w in hyperplane(p, dim)) + ")"
+        )
         proj = F.aggregate(
             F.zip_with(dvec, plane, lambda x, w: x * w),
             F.lit(0.0),
