@@ -323,7 +323,11 @@ def top_k_values(df: DataFrame, column: str, k: int = 10) -> DataFrame:
 
 
 def iqr_outlier_count(
-    df: DataFrame, column: str, factor: float = 1.5, exact: bool = True
+    df: DataFrame,
+    column: str,
+    factor: float = 1.5,
+    exact: bool = True,
+    fit_df: DataFrame | None = None,
 ) -> DataFrame:
     """A11: count values outside [q1 - f*IQR, q3 + f*IQR] (reference
     raw_analysis/main.py:84-93).
@@ -333,9 +337,17 @@ def iqr_outlier_count(
     maps — the 100 TB-safe exact path); ``exact=False`` uses the
     one-pass ``approx_percentile`` sketch when approximate is fine.
     Either way the outlier count itself is one narrow pass + reduce.
+
+    ``fit_df``: an alternative frame holding the SAME rows for the
+    eager percentile fit (r14) — e.g. an unspread scan whose narrow
+    aggregates skip the small-scan fan-out exchange that ``df``'s
+    consumers want; the exact fit is partitioning-independent, so the
+    counted result is identical.
     """
     if exact:
-        q1, q3 = bracketed_exact_percentiles(df, [column], [0.25, 0.75])[column]
+        q1, q3 = bracketed_exact_percentiles(
+            fit_df if fit_df is not None else df, [column], [0.25, 0.75]
+        )[column]
         if q1 is None:
             return df.limit(0).agg(F.lit(0).cast("long").alias("n_outliers"))
         fence_lo = q1 - factor * (q3 - q1)

@@ -146,8 +146,18 @@ def _parquet_file_sizes(path: str) -> list[int]:
     return [os.stat(path).st_size]
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     """Read one driver testdata table: ``{sf_dir}/{name}.parquet``.
+
+    ``spread=False`` skips the small-scan parallelism floor (r14): an
+    eager FIT that only runs narrow aggregates (count/sketch/sum) gains
+    nothing from 32-way fan-out but pays the round-robin exchange per
+    pass — measured 1.47 s vs 0.53 s for the bracketed percentile fit
+    at sf0.1. At warehouse scale the floor is a no-op either way (the
+    scan splits past core count by itself), so the flag only affects
+    bench-scale latency, never results or the 100 TB plan shape.
 
     The ``events`` table's timestamp encoding has varied across driver
     generations; both are normalized to session-zoned TIMESTAMP (the
@@ -170,8 +180,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(ts_type, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return spread_small_scan(spark, df, path)
-    return spread_small_scan(spark, read_parquet(spark, path), path)
+        return spread_small_scan(spark, df, path) if spread else df
+    df = read_parquet(spark, path)
+    return spread_small_scan(spark, df, path) if spread else df
 
 
 def _corrupt_schema(
