@@ -421,7 +421,7 @@ def _q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one cached lineitem projection feeds the describe fits (3 passes)
     # AND the winsor/z slice below — one parquet scan total
     li_full = (
-        read_table(spark, sf_dir, "lineitem")
+        read_table(spark, sf_dir, "lineitem", spread=False)
         .select("l_orderkey", *_DESCRIBE_COLS)
         .persist()
     )
@@ -1003,6 +1003,9 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vocab_coverage used to rebuild the identical explode+groupBy;
     # now it takes ``counts=``). Lazily pinned: the curve's eager fits
     # materialize it, the freq section reads the pin in the final job.
+    # (Deriving counts from the tfidf (doc, term) tf table was tried
+    # and REVERTED — it moved the bigger tf materialization into the
+    # eager fit phase, losing the final-job overlap: 5.8 → 6.8 s.)
     counts = (
         tok_docs.select(F.explode("toks").alias("token"))
         .groupBy("token")

@@ -36,6 +36,7 @@ def tfidf_top_terms(
     text_col: str,
     id_col: str,
     k: int = 5,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF.
 
@@ -43,15 +44,23 @@ def tfidf_top_terms(
     idf, positive even for a term present in every doc. Output
     (id, term, tf, score, rank), rank 1..k by (score DESC, term ASC);
     ties broken lexically so the result is total-order deterministic.
+
+    ``tf`` (r14, guide §1.2 step 1): a caller that already holds the
+    per-document term-frequency table — (id, term, tf) — passes it in
+    and the corpus explode+aggregate here is skipped; e.g. a corpus
+    token-frequency report can derive its totals from the same table
+    (sum(tf) by term ≡ the explode count), sharing ONE corpus pass.
+    The caller owns that frame's pinning/lifecycle.
     """
-    tf = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(tokens_of(df, text_col)).alias("term"),
+    if tf is None:
+        tf = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(tokens_of(df, text_col)).alias("term"),
+            )
+            .groupBy("id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
         )
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.select(F.count(F.lit(1)).alias("n"))
     scored = (
