@@ -3931,6 +3931,10 @@ def _q_dim_indicator_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dw_etl_spark.plans.star_schema import interpolated_indicator_base
 
     base = interpolated_indicator_base(spark, sf_dir).localCheckpoint()
+    # (r14: eagerly materializing the count-mode rows from a second
+    # thread while the value-mode edge fit runs was A/B'd and kept
+    # NEITHER — paired runs showed no win; the extra checkpoint
+    # materialization cancels the overlap at this size.)
     count_rows = build_dim_indicator(spark, sf_dir, base=base).select(
         F.lit("count").alias("QcutMode"), "*"
     )
