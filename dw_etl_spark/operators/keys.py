@@ -117,7 +117,7 @@ def add_unique_id(
         )
         .select("__pid", "__offset")
     )
-    return (
+    out = (
         snap.withColumn("__pid", pid_of)
         .join(F.broadcast(offsets), "__pid")
         .withColumn(
@@ -131,3 +131,12 @@ def add_unique_id(
         .drop("__pid", "__mid", "__offset")
         .select(id_col, *df.columns)
     )
+    # r15 (guide §2.6): expose the pinned snapshot so an orchestrator
+    # that must WAIT before consuming this frame (load_star_schema's
+    # fact write queues behind its FK-parent dims) can materialize the
+    # expensive part — the range exchange + sort + cache write — from a
+    # concurrent thread while it waits. Plain Python attribute on the
+    # DataFrame wrapper: callers that transform the frame further
+    # simply lose the handle (getattr default), nothing depends on it.
+    out._dw_id_pin = snap
+    return out

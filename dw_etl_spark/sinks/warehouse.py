@@ -620,6 +620,35 @@ def load_star_schema(
                 warehouse.drop_foreign_key(spec.name, fk.name)
     dim_names = [n for n in tables if n != fact_name]
     parents: dict[str, DataFrame] = {}
+    # Fact-pin prewarm (r15, guide §2.6): the fact's STAGED WRITE must
+    # queue behind its FK-parent dims (the parent key sets ride the
+    # write as broadcast markers built from the WRITTEN dim parquet),
+    # but the fact lineage's expensive prefix — add_unique_id's range
+    # exchange + sort + cache write, exposed as ``_dw_id_pin`` — depends
+    # on nothing the dims produce. Materialize it from a side thread
+    # while the dims load, so the fact write that follows reads the
+    # cached snapshot instead of paying the full-data exchange serially
+    # after the slowest parent. Best-effort: any error here is swallowed
+    # (the write recomputes and surfaces it properly); parquet backend
+    # only (JDBC stays serial by design). No extra pass at any scale —
+    # the pin is computed exactly once either way.
+    warm_thread = None
+    if isinstance(warehouse, ParquetWarehouse):
+        pin = getattr(tables[fact_name], "_dw_id_pin", None)
+        if pin is not None:
+            import threading
+
+            def _warm(p=pin) -> None:
+                try:
+                    p.sparkSession.sparkContext.setJobDescription(
+                        f"prewarm {fact_name} id pin"
+                    )
+                    p.count()
+                except Exception:
+                    pass
+
+            warm_thread = threading.Thread(target=_warm, daemon=True)
+            warm_thread.start()
     if isinstance(warehouse, ParquetWarehouse) and len(dim_names) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -638,6 +667,15 @@ def load_star_schema(
             parents = {
                 n: warehouse.read_table(n) for n in fk_parents
             }
+            # surface an ALREADY-FAILED non-parent dim before paying for
+            # the fact's staged write (r15, ADVICE r14): the pre_commit
+            # gate below still catches late failures, but a dim that
+            # died while the parents loaded should not be masked by a
+            # subsequent fact-side validation error, nor cost a full
+            # staged fact write to discover.
+            for n in dim_names:
+                if futures[n].done():
+                    futures[n].result()
 
             def _all_dims_committed() -> None:
                 for n in dim_names:  # surface the first failure, in order
@@ -649,11 +687,17 @@ def load_star_schema(
                 parents=parents or None,
                 pre_commit=_all_dims_committed,
             )
+        if warm_thread is not None:
+            warm_thread.join()  # no stray job outlives the load
         return
-    for name in dim_names:
-        warehouse.write_table(tables[name], specs[name])
-    if isinstance(warehouse, ParquetWarehouse):
-        parents = {n: warehouse.read_table(n) for n in dim_names}
-    warehouse.write_table(
-        tables[fact_name], specs[fact_name], parents=parents or None
-    )
+    try:
+        for name in dim_names:
+            warehouse.write_table(tables[name], specs[name])
+        if isinstance(warehouse, ParquetWarehouse):
+            parents = {n: warehouse.read_table(n) for n in dim_names}
+        warehouse.write_table(
+            tables[fact_name], specs[fact_name], parents=parents or None
+        )
+    finally:
+        if warm_thread is not None:
+            warm_thread.join()

@@ -661,6 +661,24 @@ def test_qcut_expr_plan_stays_bounded_at_high_group_count(spark):
     assert plans[5000] < 100_000, plans
 
 
+def test_qcut_fit_gate_bails_before_collecting_histogram(spark):
+    """r15 (guide §5): the group-cardinality gate rides the fit's cap
+    job, so an over-``max_groups`` input returns None from the edge fit
+    — the histogram is never drained to the driver — while an
+    in-bounds input still yields the edge map. The gate is a routing
+    threshold only: both routes are result-identical (see the
+    fast/fallback agreement test below)."""
+    from dw_etl_spark.operators.qcut import _group_quantile_edges
+
+    df = spark.range(400).select(
+        (F.col("id") % 50).alias("g"),
+        (F.col("id") * 13 % 97).cast("double").alias("v"),
+    )
+    assert _group_quantile_edges(df, ["g"], ["v"], 3, max_groups=8) is None
+    edges = _group_quantile_edges(df, ["g"], ["v"], 3, max_groups=1024)
+    assert edges is not None and len(edges) == 50
+
+
 def test_qcut_expr_fast_and_fallback_paths_agree(spark):
     """Both edge paths use exact-rank arithmetic, so forcing the
     fallback (max_literal_groups=0) must reproduce the fast path
