@@ -1415,8 +1415,12 @@ def _id_offset(df: DataFrame, id_col: str) -> int:
     return 1 + int(df.agg(F.max(id_col).alias("m")).collect()[0]["m"])
 
 
-def _docs_with_copies(spark, sf_dir: str, perturb: str | None) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _docs_with_copies(
+    spark, sf_dir: str, perturb: str | None, spread: bool = True
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents", spread=spread).select(
+        "doc_id", "text"
+    )
     text = (
         F.concat(F.col("text"), F.lit(perturb)) if perturb else F.col("text")
     )
@@ -1440,11 +1444,18 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dw_etl_spark.functions.text import fingerprint
     from dw_etl_spark.operators.scale import bloom_prefilter_anti_join
 
-    corpus = _docs_with_copies(spark, sf_dir, None)
+    # spread=False (r15, VERDICT r14 #3 A/B): exact_dedup's per-row work
+    # is ONE md5 + a map-side-combined groupBy — cheaper than the
+    # small-scan round-robin exchange, which shuffles the full text
+    # column just to spread that hash. Measured 2.05 → 1.01 s min
+    # (interleaved 4× A/B, same session); the tokenization-heavy corpus
+    # queries keep the spread. At scale the floor is inert either way
+    # (the scan splits past core count by itself).
+    corpus = _docs_with_copies(spark, sf_dir, None, spread=False)
     base = exact_dedup(corpus, "text", "doc_id").select(
         F.lit("groupby").alias("via"), "doc_id"
     )
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=False)
     seen = docs.filter(F.col("doc_id") % 3 != 0).select(
         fingerprint("text").alias("fp")
     )

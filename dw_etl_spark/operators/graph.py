@@ -493,16 +493,21 @@ def pagerank_fixed(
     references the previous round's frame THREE times (dangling mass,
     contributions, rank carry-through), so an unpinned plan triples
     per round — measured ~12 s for a 5-node, 3-round gate fixture in
-    stage overhead alone. Each round's output therefore carries a
-    LAZY ``persist()``: downstream references resolve to one
-    InMemoryRelation, plan growth is linear in rounds, every round
-    computes once inside the caller's single action (nothing
-    materializes early — the persist is a cache marker, not a job).
-    The pins stay session-cached after the action; call
-    ``spark.catalog.clearCache()`` (or unpersist the result lineage)
-    in long-lived sessions, same contract as the other multi-consumer
-    pins. For convergence runs use ``pagerank`` — its per-round
-    localCheckpoint bounds lineage and reads the L1 delta. The
+    stage overhead alone. Each round's output is therefore pinned with
+    a LAZY ``localCheckpoint`` (r15; was a lazy ``persist``): the
+    LOGICAL plan truncates to a LogicalRDD leaf at construction — the
+    same idiom as ``connected_components_two_phase``, and for the same
+    measured reason: with ``persist`` the 3× self-reference still
+    inlines the previous round's full ANALYZED tree, so driver-side
+    construction + planning grew ~3^rounds (profiled at 0.5 s
+    construction + ~1.8 s action-side planning for the 5-node gate
+    fixture; the lazy checkpoint form is ~1.7 s construction + ~0.04 s
+    action, a net −0.6 s and LINEAR in rounds). Nothing materializes
+    early — each round's RDD computes once, inside the caller's single
+    action. Blocks are executor-local (lineage truncated: a lost
+    executor loses the job — acceptable for the gate-fixture consumer;
+    convergence runs at scale should use ``pagerank``, which reads the
+    L1 delta and takes ``checkpoint_dir`` for durable truncation). The
     literal-keyed 1-row zips constant-fold into
     BroadcastNestedLoopJoins with SINGLE-ROW build sides — the
     documented tiny-build-side plan convention, not a scan-cross-scan
@@ -527,7 +532,7 @@ def pagerank_fixed(
         F.broadcast(stats), "__k"
     ).select(
         "id", "deg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
-    ).persist()
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         dm = ranks.agg(
             F.coalesce(
@@ -558,5 +563,5 @@ def pagerank_fixed(
                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
             )
-        ).persist()
+        ).localCheckpoint(eager=False)
     return ranks.select("id", "rank")

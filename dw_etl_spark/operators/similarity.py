@@ -611,6 +611,15 @@ def pq_train_codebooks(
         # loop below mutates its working list.
         if len(seed_books) != m or any(len(b) != k for b in seed_books):
             raise ValueError("seed_books shape must be m x k")
+        if any(c is None for book in seed_books for c in book):
+            # an iters=0 run over a corpus with < k vectors per
+            # subspace leaves None seed slots — reject with a clear
+            # error instead of an opaque TypeError from list(None)
+            raise ValueError(
+                "seed_books contains empty centroid slots (corpus had "
+                "fewer than k vectors per subspace) — train with a "
+                "larger corpus or smaller k"
+            )
         books: list[list[list[float]]] = [
             [list(c) for c in book] for book in seed_books
         ]

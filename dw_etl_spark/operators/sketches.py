@@ -126,10 +126,18 @@ def quantile_sketch(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
     )
     # scale-adaptive salt width: one bucket per shuffle partition is
-    # enough to spread the level-1 sorts; the result is nb-invariant
-    nb = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    # enough to spread the level-1 sorts; the result is nb-invariant.
+    # Parsed defensively (r15, ADVICE r14): deployments can set the
+    # conf non-numerically (e.g. "auto"), and a 0/negative value would
+    # make the pmod salt degenerate — fall back to defaultParallelism.
+    try:
+        nb = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        nb = 0
+    if nb < 1:
+        nb = max(1, df.sparkSession.sparkContext.defaultParallelism)
     w1 = Window.partitionBy(*gb, "__b").orderBy(
         F.col("__r").asc(), F.col(id_col).asc()
     )
@@ -154,21 +162,30 @@ def quantile_sketch(
     # The id rides the sort struct so rank ties keep the exact
     # (rank, id) order of the one-window form, then is projected away.
     return pre.groupBy(*gb).agg(
-        F.transform(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("__r").alias("r"),
-                            F.col(id_col).alias("i"),
-                            F.col("__v").alias("v"),
+        # outer array_sort (r15, ADVICE r14): the inner sort orders by
+        # (r, id) with the id then projected away — on a rank tie
+        # (64-bit hash collision) the emitted (r, v) layout could
+        # diverge from merge_quantile_sketches' (r, v) comparator;
+        # re-sorting the projected pairs pins the byte-identical
+        # merge-invariance contract in the collision case too (k-sized
+        # array, negligible cost)
+        F.array_sort(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__r").alias("r"),
+                                F.col(id_col).alias("i"),
+                                F.col("__v").alias("v"),
+                            )
                         )
-                    )
+                    ),
+                    1,
+                    k,
                 ),
-                1,
-                k,
-            ),
-            lambda x: F.struct(x["r"].alias("r"), x["v"].alias("v")),
+                lambda x: F.struct(x["r"].alias("r"), x["v"].alias("v")),
+            )
         ).alias("qsketch"),
         F.sum(
             F.when(F.col("__rn1") == 1, F.col("__nb"))

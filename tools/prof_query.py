@@ -76,14 +76,75 @@ def main() -> None:
         )
         path = cands[0]
         if os.path.isdir(path):
+            # a rolling event-log dir can hold several events_ files —
+            # read ALL of them in order (r15, ADVICE r14): taking only
+            # the first silently dropped later jobs/stages when rolling
+            # occurred despite the disable conf
             inner = [
                 os.path.join(path, p)
                 for p in os.listdir(path)
                 if p.startswith("events_")
             ]
-            path = sorted(inner)[0]
+            paths = sorted(inner)
+        else:
+            paths = [path]
+    else:
+        paths = [path]
     jobs = {}  # job id -> (group, submission t, [stage ids])
     stages = {}  # stage id -> dict
+    for path in paths:
+        _parse_event_file(path, jobs, stages)
+
+    # per run-group: job wall times and top stages
+    for i in range(k):
+        grp = f"run{i}"
+        gjobs = {jid: j for jid, j in jobs.items() if j.get("group") == grp}
+        tot = sum((j.get("t1", j["t0"]) - j["t0"]) for j in gjobs.values())
+        print(f"\n== {name} run{i}: wall {times[i]:.3f}s, "
+              f"{len(gjobs)} jobs, sum job wall {tot/1000:.3f}s")
+        rows = []
+        for jid, j in sorted(gjobs.items()):
+            for sid in j["stages"]:
+                st = stages.get(sid)
+                if st and st.get("wall_ms") is not None and "name" in st:
+                    rows.append((jid, sid, st))
+        seen = set()
+        rows2 = []
+        for jid, sid, st in rows:
+            if sid in seen:
+                continue
+            seen.add(sid)
+            rows2.append((jid, sid, st))
+        rows2.sort(key=lambda r: -(r[2].get("wall_ms") or 0))
+        print(f"{'job':>4} {'stage':>5} {'wall_s':>7} {'task_s':>7} "
+              f"{'fetchw':>6} {'tasks':>5} {'shR_MB':>7} {'shW_MB':>7}  name")
+        for jid, sid, st in rows2[:25]:
+            print(
+                f"{jid:>4} {sid:>5} {st.get('wall_ms',0)/1000:>7.2f} "
+                f"{st.get('task_ms',0)/1000:>7.2f} "
+                f"{st.get('fetch_wait_ms',0)/1000:>6.2f} "
+                f"{st.get('tasks',0):>5} "
+                f"{st.get('sh_read',0)/1e6:>7.1f} "
+                f"{st.get('sh_write',0)/1e6:>7.1f}  "
+                f"{st.get('name','')[:60]}"
+            )
+        # job-level gaps: time not covered by any stage (driver-side)
+        jw = []
+        for jid, j in sorted(gjobs.items()):
+            w = (j.get("t1", j["t0"]) - j["t0"]) / 1000
+            sw = sum(
+                (stages.get(s, {}).get("wall_ms") or 0) / 1000
+                for s in j["stages"] if s in seen
+            )
+            jw.append((jid, w, j.get("desc", "")))
+        jw.sort(key=lambda r: -r[1])
+        print("  top jobs by wall:")
+        for jid, w, desc in jw[:8]:
+            print(f"    job {jid}: {w:.2f}s  {desc[:70]}")
+    print(f"\nevent logs: {paths}")
+
+
+def _parse_event_file(path: str, jobs: dict, stages: dict) -> None:
     with open(path) as f:
         for line in f:
             try:
@@ -153,54 +214,6 @@ def main() -> None:
                     "shuffle.read.fetchWaitTime"
                 )
                 st["spill"] = st.get("spill", 0) + g("diskBytesSpilled")
-
-    # per run-group: job wall times and top stages
-    for i in range(k):
-        grp = f"run{i}"
-        gjobs = {jid: j for jid, j in jobs.items() if j.get("group") == grp}
-        tot = sum((j.get("t1", j["t0"]) - j["t0"]) for j in gjobs.values())
-        print(f"\n== {name} run{i}: wall {times[i]:.3f}s, "
-              f"{len(gjobs)} jobs, sum job wall {tot/1000:.3f}s")
-        rows = []
-        for jid, j in sorted(gjobs.items()):
-            for sid in j["stages"]:
-                st = stages.get(sid)
-                if st and st.get("wall_ms") is not None and "name" in st:
-                    rows.append((jid, sid, st))
-        seen = set()
-        rows2 = []
-        for jid, sid, st in rows:
-            if sid in seen:
-                continue
-            seen.add(sid)
-            rows2.append((jid, sid, st))
-        rows2.sort(key=lambda r: -(r[2].get("wall_ms") or 0))
-        print(f"{'job':>4} {'stage':>5} {'wall_s':>7} {'task_s':>7} "
-              f"{'fetchw':>6} {'tasks':>5} {'shR_MB':>7} {'shW_MB':>7}  name")
-        for jid, sid, st in rows2[:25]:
-            print(
-                f"{jid:>4} {sid:>5} {st.get('wall_ms',0)/1000:>7.2f} "
-                f"{st.get('task_ms',0)/1000:>7.2f} "
-                f"{st.get('fetch_wait_ms',0)/1000:>6.2f} "
-                f"{st.get('tasks',0):>5} "
-                f"{st.get('sh_read',0)/1e6:>7.1f} "
-                f"{st.get('sh_write',0)/1e6:>7.1f}  "
-                f"{st.get('name','')[:60]}"
-            )
-        # job-level gaps: time not covered by any stage (driver-side)
-        jw = []
-        for jid, j in sorted(gjobs.items()):
-            w = (j.get("t1", j["t0"]) - j["t0"]) / 1000
-            sw = sum(
-                (stages.get(s, {}).get("wall_ms") or 0) / 1000
-                for s in j["stages"] if s in seen
-            )
-            jw.append((jid, w, j.get("desc", "")))
-        jw.sort(key=lambda r: -r[1])
-        print("  top jobs by wall:")
-        for jid, w, desc in jw[:8]:
-            print(f"    job {jid}: {w:.2f}s  {desc[:70]}")
-    print(f"\nevent log: {path}")
 
 
 if __name__ == "__main__":
