@@ -2436,6 +2436,7 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_topk,
         pq_encode,
         pq_topk,
+        pq_topk_arrow,
         pq_train_codebooks,
     )
 
@@ -2483,13 +2484,29 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("section"), "query_id", "neighbor_id",
         "cos_sim", nul.alias("adist"),
     )
+    # r15 (guide §4.2, VERDICT r14 next #7): the ADC scoring scan runs
+    # in Arrow+numpy (pq_topk_arrow) instead of interpreted
+    # higher-order JVM expressions — BIT-identical by construction
+    # (driver-side tables use exact round-half-up-via-shortest-repr,
+    # the per-row sum replays the fold's IEEE addition order; pinned by
+    # test_pq_topk_arrow_bit_identical on the real sf0.01 fixture) and
+    # measured 2.6× on the pq section at sf0.1 (paired interleaved
+    # mins 2.21 → 0.85 s; scoring-only 1.20 → 0.77 s).
+    # SPARK_GRAFT_PQ_ARROW=0 reverts to the JVM expression path (A/B).
+    import os as _os
+
+    _pq_scorer = (
+        pq_topk
+        if _os.environ.get("SPARK_GRAFT_PQ_ARROW", "1") == "0"
+        else pq_topk_arrow
+    )
     encoded = pq_encode(emb, books, 64).localCheckpoint(eager=False)
-    pq = pq_topk(queries, encoded, books, 64, k=5).select(
+    pq = _pq_scorer(queries, encoded, books, 64, k=5).select(
         F.lit("pq").alias("section"), "query_id", "neighbor_id",
         nul.alias("cos_sim"), "adist",
     )
     enc1 = pq_encode(emb, books1, 64)
-    pq1 = pq_topk(queries, enc1, books1, 64, k=5).select(
+    pq1 = _pq_scorer(queries, enc1, books1, 64, k=5).select(
         F.lit("pq1").alias("section"), "query_id", "neighbor_id",
         nul.alias("cos_sim"), "adist",
     )
@@ -3974,11 +3991,21 @@ def _q_dim_indicator_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (see interpolated_indicator_base)."""
     from dw_etl_spark.plans.star_schema import interpolated_indicator_base
 
-    base = interpolated_indicator_base(spark, sf_dir).localCheckpoint()
+    # r15 (guide §1.2 — remove a pass): LAZY checkpoint. The eager form
+    # ran the heavy pivot→seed→interpolate→id chain as its OWN serial
+    # job, and the value-mode edge fit's first job then re-read the
+    # checkpointed blocks. eager=False folds the chain into the fit's
+    # histogram-cap job (the first action on the frame), removing one
+    # full serial job round; every later consumer (the Arrow drain, the
+    # final union job's two branches) reads the same pinned blocks, so
+    # the id-stability contract is unchanged.
     # (r14: eagerly materializing the count-mode rows from a second
     # thread while the value-mode edge fit runs was A/B'd and kept
     # NEITHER — paired runs showed no win; the extra checkpoint
     # materialization cancels the overlap at this size.)
+    base = interpolated_indicator_base(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     count_rows = build_dim_indicator(spark, sf_dir, base=base).select(
         F.lit("count").alias("QcutMode"), "*"
     )

@@ -852,6 +852,128 @@ def pq_topk(
     )
 
 
+def _round_half_up(x: float, scale: int) -> float:
+    """Replicate Spark's ``round(double, n)`` exactly: Java does
+    ``BigDecimal.valueOf(x)`` (the SHORTEST decimal string that
+    round-trips — the same contract as Python ``repr(float)``), then
+    ``setScale(n, HALF_UP)``, then back to the nearest double. Both
+    languages' shortest-repr algorithms produce the identical decimal
+    value, quantize identically, and the final conversion is correctly
+    rounded — so this is bit-identical to the JVM expression."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def pq_adc_table(
+    qvec: list[float], books: list[list[list[float]]], dim: int
+) -> list[list[float]]:
+    """One query's ADC distance table, computed DRIVER-SIDE in pure
+    Python with the exact arithmetic of the ``pq_topk`` JVM expression:
+    per (subspace, cid), a left-to-right fold of squared coordinate
+    differences (Python floats ARE IEEE float64 — identical adds), then
+    Spark-``round(·, 9)`` via ``_round_half_up``. m × k doubles — the
+    table is index-sized, never data-sized."""
+    m = len(books)
+    sub_d = dim // m
+    table: list[list[float]] = []
+    for s, book in enumerate(books):
+        sv = qvec[s * sub_d : (s + 1) * sub_d]
+        row = []
+        for cvec in book:
+            acc = 0.0
+            for x, y in zip(sv, cvec):
+                acc = acc + (x - y) * (x - y)
+            row.append(_round_half_up(acc, 9))
+        table.append(row)
+    return table
+
+
+def pq_topk_arrow(
+    queries: DataFrame,
+    encoded: DataFrame,
+    books: list[list[list[float]]],
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k with the scoring scan in Arrow+numpy (guide §4.2)
+    instead of interpreted higher-order JVM expressions — bit-identical
+    to ``pq_topk`` by construction (pinned by
+    ``test_pq_topk_arrow_bit_identical``):
+
+    - the per-query distance tables come from ``pq_adc_table`` (exact
+      JVM round-half-up semantics, driver-side — |Q|·m·k doubles);
+    - the per-row ADC sum is an elementwise numpy left fold over the m
+      code positions (acc starts at 0.0 and adds one looked-up table
+      cell per position, in position order — the identical IEEE
+      addition sequence as the ``zip_with``+``aggregate`` fold);
+    - the final ``round(·, 6)``, self-filter and window top-k stay in
+      the JVM on the returned (query_id, neighbor_id, adist_raw) rows.
+
+    Scale shape unchanged: |Q| tables ship inside the function closure
+    (index-sized), the encoded corpus streams through one narrow Arrow
+    pass emitting |Q| rows per code row. The win is per-row CPU: the
+    interpreted HOF fold allocates per element; numpy does one fused
+    gather+add per subspace per batch.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    m = len(books)
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    tables = np.array(
+        [pq_adc_table([float(x) for x in r["qv"]], books, dim) for r in qrows],
+        dtype=np.float64,
+    )  # (Q, m, k)
+    n_q = len(qids)
+
+    def score(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            codes = np.stack(
+                batch.column("codes").to_numpy(zero_copy_only=False)
+            ).astype(np.int64, copy=False)  # (n, m)
+            n = len(ids)
+            # acc[q, i] = fold over positions j of tables[q, j, codes[i, j]]
+            acc = np.zeros((n_q, n), dtype=np.float64)
+            for j in range(m):
+                acc += tables[:, j, codes[:, j]]
+            out = pa.record_batch(
+                [
+                    pa.array(np.repeat(qids, n), type=pa.int64()),
+                    pa.array(np.tile(ids, n_q), type=pa.int64()),
+                    pa.array(acc.reshape(-1), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "__raw"],
+            )
+            yield out
+
+    scored = encoded.select("id", "codes").mapInArrow(
+        score, "query_id long, neighbor_id long, __raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(F.col("__raw"), 6).alias("adist")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -178,8 +178,10 @@ def build_dim_indicator(
         # qcut_by_group_expr reads the frame twice (histogram pass +
         # bucket assembly); pin the dim-sized interpolated frame so the
         # pivot/window chain runs once, not twice (dedup_clusters
-        # precedent — blocks are ~MBs and die with the frame)
-        with_id = with_id.localCheckpoint()
+        # precedent — blocks are ~MBs and die with the frame). Lazy
+        # (r15): the edge fit's first job materializes the pin as part
+        # of its own pass instead of after a dedicated serial job.
+        with_id = with_id.localCheckpoint(eager=False)
         bucketed = qcut_by_group_expr(
             with_id,
             group_by=["Day"],

@@ -8,7 +8,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 from dw_etl_spark.functions.text import (
     char_ngrams,
@@ -5491,3 +5491,58 @@ def test_lm_scores_fused_equals_separate_scorers(spark):
         assert fused[i]["logppl_kn"] == kn[i]["logppl_kn"], i
     assert fused[4]["logppl2"] is None and fused[4]["logppl_kn"] is None
     assert fused[5]["logppl"] is None
+
+
+def test_pq_topk_arrow_bit_identical(spark):
+    """The Arrow+numpy ADC scan (guide §4.2 experiment, r15) must be
+    BIT-identical to the interpreted-HOF JVM expression path on the
+    real embeddings fixture: same table rounding (round-half-up via
+    shortest-repr decimal), same left-fold addition order, same final
+    round(·, 6) + (adist, neighbor_id) ranking."""
+    from dw_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_topk_arrow,
+        pq_train_codebooks,
+    )
+    from dw_etl_spark.sources.files import read_table
+
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = pq_train_codebooks(emb, 64, m=8, k=16, iters=0)
+    enc = pq_encode(emb, books, 64)
+    jvm = sorted(
+        (r["query_id"], r["neighbor_id"], r["adist"])
+        for r in pq_topk(q, enc, books, 64, k=5).collect()
+    )
+    arrow = sorted(
+        (r["query_id"], r["neighbor_id"], r["adist"])
+        for r in pq_topk_arrow(q, enc, books, 64, k=5).collect()
+    )
+    assert jvm == arrow
+    # the doubles must be IDENTICAL, not approximately equal
+    assert all(a[2] == b[2] for a, b in zip(jvm, arrow))
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """_round_half_up (the driver-side ADC-table rounding) replays
+    Spark's round(double, n) on adversarial values: halfway points,
+    shortest-repr edge cases, subnormal-ish tails."""
+    from dw_etl_spark.operators.similarity import _round_half_up
+
+    vals = [
+        0.0000000005,          # halfway at scale 9
+        1.0000000015,
+        0.1 + 0.2,             # classic repr tail
+        2.675,                 # repr vs binary mismatch classic
+        123456.0000000004999,
+        7.4505805969238281e-09,
+        1e-12,
+        0.9999999995,
+    ]
+    rows = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.round(F.col("x"), 9).alias("r9"), F.round(F.col("x"), 6).alias("r6")
+    ).collect()
+    for v, r in zip(vals, rows):
+        assert _round_half_up(v, 9) == r["r9"], v
+        assert _round_half_up(v, 6) == r["r6"], v

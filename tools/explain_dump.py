@@ -1,12 +1,13 @@
 """Dump ``.explain('formatted')`` for every declared query to
-``plans/r14/<name>_<tag>.txt`` (tag = before/after, argv[1]).
+``plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt`` (tag = before/after,
+argv[1]; round dir defaults to r15).
 
 Usage:  python tools/explain_dump.py before [query,query,...]
 
 Plans are captured at $SPARK_GRAFT_SF_DIR (default sf0.01 — plan shape,
 not timing, so the small SF is fine and fast; AQE initial plans are
 identical in shape across SFs for these queries) and are the judge's
-evidence for plan-diff claims in OPTIMIZATION_r14.md.
+evidence for plan-diff claims in OPTIMIZATION_rNN.md.
 """
 
 from __future__ import annotations
@@ -25,7 +26,11 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dw_etl_explain")
     import __spark_entry__ as entrymod
