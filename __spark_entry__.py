@@ -40,6 +40,7 @@ from dw_etl_spark.operators.profile import (
 )
 from dw_etl_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_arrow,
     embedding_dup_pairs,
     ivf_topk,
     lsh_topk,
@@ -2299,6 +2300,15 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dw_etl_spark.operators.ir import retrieve_rerank
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # r15 (guide §4.2): an Arrow+numpy twin of this brute-force scan
+    # exists (cosine_topk_arrow, bit-identical — pinned by
+    # test_cosine_topk_arrow_bit_identical) but was measured SLOWER
+    # here (paired interleaved mins 0.52 JVM vs 0.92 Arrow at sf0.1):
+    # the plain dot/norm fold is cheap enough that the extra
+    # query-collect job + Python worker spin-up dominates — unlike the
+    # pq sections, whose per-row nested-table HOF lookups the Arrow
+    # path beats 2.6×. The JVM path stays; the twin is the documented
+    # alternative for corpora where per-row CPU dominates.
     cos = cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).select(
         F.lit("cos").alias("section"),
         "query_id",

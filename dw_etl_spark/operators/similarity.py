@@ -96,6 +96,97 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """``cosine_topk`` with the |Q|·|N| scoring pass in Arrow+numpy
+    (guide §4.2) — bit-identical by construction, pinned by
+    ``test_cosine_topk_arrow_bit_identical``:
+
+    - query vectors collect driver-side (|Q| is the small broadcast
+      side by contract) and their norms fold left-to-right in Python
+      floats (IEEE float64 — the same adds as the JVM fold);
+    - per corpus row, dot and norm are elementwise numpy folds in
+      coordinate order (acc starts 0.0, one add per coordinate —
+      the identical addition sequence as ``zip_with``+``aggregate``);
+    - cos = dot / (qnorm · cnorm) in that exact operation order, the
+      final ``round(·, 6)``, self-filter and window top-k stay JVM.
+
+    Scale shape unchanged (one narrow pass over the corpus, |Q| rows
+    out per corpus row); the win is per-row CPU — the interpreted HOF
+    fold allocates per element, numpy fuses per coordinate per batch.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([[float(x) for x in r["qv"]] for r in qrows], dtype=np.float64)
+    qnorm = np.array(
+        [_fold_l2_norm([float(x) for x in r["qv"]]) for r in qrows],
+        dtype=np.float64,
+    )
+    n_q, dim = qmat.shape
+
+    def score(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            cv = np.stack(
+                batch.column("v").to_numpy(zero_copy_only=False)
+            ).astype(np.float64, copy=False)  # (n, dim)
+            n = len(ids)
+            dot = np.zeros((n_q, n), dtype=np.float64)
+            cn2 = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                dot += qmat[:, j : j + 1] * cv[:, j]
+                cn2 += cv[:, j] * cv[:, j]
+            cn = np.sqrt(cn2)
+            cos = dot / (qnorm[:, None] * cn)
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(qids, n), type=pa.int64()),
+                    pa.array(np.tile(ids, n_q), type=pa.int64()),
+                    pa.array(cos.reshape(-1), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "__raw"],
+            )
+
+    scored = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).mapInArrow(score, "query_id long, neighbor_id long, __raw double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__raw"), 6).alias("cos_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _fold_l2_norm(vec: list[float]) -> float:
+    """sqrt of the left-to-right fold of squares — the exact arithmetic
+    of ``l2_norm`` (Python floats are IEEE float64)."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def hyperplane(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane as plain floats:
     component d of plane p = (md5_60bit(f"{p}|{d}") mod 2001 - 1000)/1000.

@@ -5546,3 +5546,28 @@ def test_round_half_up_matches_spark_round(spark):
     for v, r in zip(vals, rows):
         assert _round_half_up(v, 9) == r["r9"], v
         assert _round_half_up(v, 6) == r["r6"], v
+
+
+def test_cosine_topk_arrow_bit_identical(spark):
+    """The Arrow+numpy brute-force cosine scan (r15) must be
+    BIT-identical to the interpreted-HOF JVM path on the real
+    embeddings fixture: same left-fold dot/norm addition order, same
+    dot/(qn*cn) operation order, same round(·, 6) + ranking."""
+    from dw_etl_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+    from dw_etl_spark.sources.files import read_table
+
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    jvm = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in cosine_topk(q, emb, k=5).collect()
+    )
+    arrow = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in cosine_topk_arrow(q, emb, k=5).collect()
+    )
+    assert jvm == arrow
+    assert all(a[2] == b[2] for a, b in zip(jvm, arrow))
