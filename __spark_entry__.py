@@ -861,7 +861,7 @@ def _q_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unchanged.
     from concurrent.futures import ThreadPoolExecutor
 
-    _fit_pool = ThreadPoolExecutor(max_workers=1)
+    _fit_pool = ThreadPoolExecutor(max_workers=2)
     _iqr_fut = _fit_pool.submit(
         lambda: iqr_outlier_count(
             li,
@@ -928,8 +928,18 @@ def _q_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("pr:"), F.col("id").cast("string")).alias("metric"),
         F.round("rank", 6).alias("value"),
     )
+    # r15 (guide §2.6, profiled): the pagerank rounds' lazy
+    # localCheckpoints materialized SERIALLY in the final action's
+    # planning phase (~0.6 s/round of job latency on a 5-row fixture,
+    # after the fit had already finished). They depend on nothing else
+    # — materialize the chain from the side pool while the IQR fit's
+    # cluster jobs run; the final union job then reads the pinned
+    # round blocks instead of paying the serial round jobs. Rows
+    # unchanged (checkpoints pin the identical computed blocks).
+    _pr_fut = _fit_pool.submit(lambda: pr.count())
     try:
         iqr = _iqr_fut.result()
+        _pr_fut.result()
     finally:
         _fit_pool.shutdown(wait=False)
     return (
@@ -2482,11 +2492,25 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return books, books1
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    from dw_etl_spark.operators.similarity import collect_query_vectors
+
+    import os as _os
+
+    _use_arrow_adc = _os.environ.get("SPARK_GRAFT_PQ_ARROW", "1") != "0"
+    with ThreadPoolExecutor(max_workers=3) as ex:
         cents_fut = ex.submit(ivf_centroids, emb, "embedding", "vec_id", 16)
         books_fut = ex.submit(_fit_books)
+        # the Arrow ADC scorers need the query vectors driver-side;
+        # collect them ONCE here (shared by pq and pq1, overlapped
+        # with the fits) instead of one tiny serial job per section
+        qrows_fut = (
+            ex.submit(collect_query_vectors, queries)
+            if _use_arrow_adc
+            else None
+        )
         cents = cents_fut.result()
         books, books1 = books_fut.result()
+        _qrows = qrows_fut.result() if qrows_fut is not None else None
     ivf = ivf_topk(
         queries, emb, dim=64, k=5, n_centroids=16, nprobe=4,
         centroids=cents,
@@ -2503,20 +2527,15 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 2.6× on the pq section at sf0.1 (paired interleaved
     # mins 2.21 → 0.85 s; scoring-only 1.20 → 0.77 s).
     # SPARK_GRAFT_PQ_ARROW=0 reverts to the JVM expression path (A/B).
-    import os as _os
-
-    _pq_scorer = (
-        pq_topk
-        if _os.environ.get("SPARK_GRAFT_PQ_ARROW", "1") == "0"
-        else pq_topk_arrow
-    )
+    _pq_scorer = pq_topk_arrow if _use_arrow_adc else pq_topk
+    _kw = {"qrows": _qrows} if _use_arrow_adc else {}
     encoded = pq_encode(emb, books, 64).localCheckpoint(eager=False)
-    pq = _pq_scorer(queries, encoded, books, 64, k=5).select(
+    pq = _pq_scorer(queries, encoded, books, 64, k=5, **_kw).select(
         F.lit("pq").alias("section"), "query_id", "neighbor_id",
         nul.alias("cos_sim"), "adist",
     )
     enc1 = pq_encode(emb, books1, 64)
-    pq1 = _pq_scorer(queries, enc1, books1, 64, k=5).select(
+    pq1 = _pq_scorer(queries, enc1, books1, 64, k=5, **_kw).select(
         F.lit("pq1").alias("section"), "query_id", "neighbor_id",
         nul.alias("cos_sim"), "adist",
     )

@@ -943,6 +943,18 @@ def pq_topk(
     )
 
 
+def collect_query_vectors(
+    queries: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+):
+    """Driver-side (id, double-vector) rows for the Arrow scorers —
+    |Q| is the small broadcast side by contract, so this is one tiny
+    job; shareable across sections and submittable from a side thread
+    (guide §2.6)."""
+    return queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+
+
 def _round_half_up(x: float, scale: int) -> float:
     """Replicate Spark's ``round(double, n)`` exactly: Java does
     ``BigDecimal.valueOf(x)`` (the SHORTEST decimal string that
@@ -992,6 +1004,7 @@ def pq_topk_arrow(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    qrows: "list | None" = None,
 ) -> DataFrame:
     """ADC top-k with the scoring scan in Arrow+numpy (guide §4.2)
     instead of interpreted higher-order JVM expressions — bit-identical
@@ -1017,9 +1030,11 @@ def pq_topk_arrow(
     import pyarrow as pa
 
     m = len(books)
-    qrows = queries.select(
-        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
-    ).collect()
+    if qrows is None:
+        # (id, vec-as-double) rows; callers scoring several code sets
+        # against the SAME queries pass the collected rows in so the
+        # tiny collect job runs once, not once per section
+        qrows = collect_query_vectors(queries, vec_col, id_col)
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     tables = np.array(
         [pq_adc_table([float(x) for x in r["qv"]], books, dim) for r in qrows],
