@@ -3367,14 +3367,25 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_substr_dedup,
         exact_substr_stats,
     )
+    from dw_etl_spark.functions.text import tokens
     from dw_etl_spark.operators.text_dedup import (
         dup_ngram_char_fraction,
         duplicated_span_stats,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    frac = dup_ngram_char_fraction(docs, "text", "doc_id", n=2)
-    spans = duplicated_span_stats(docs, "text", "doc_id", window=5, min_count=2)
+    # r15 (guide §1.2 — one tokenization, the token_freq r9 pattern):
+    # the frac explode, the span window digests AND the span n_tokens
+    # join each re-ran the regex split over the full corpus (three
+    # tokenize passes per run). Tokenize ONCE into a lazily-pinned
+    # (doc_id, toks) projection; both operators take the pretokenized
+    # array via ``tokens_of``. The sam/xdoc sections keep raw text
+    # (they substring it). Pin ownership: PLANS.md #43.
+    tok_docs = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).persist()
+    frac = dup_ngram_char_fraction(tok_docs, "toks", "doc_id", n=2)
+    spans = duplicated_span_stats(tok_docs, "toks", "doc_id", window=5, min_count=2)
     hist = (
         frac.join(spans, "id")
         .groupBy(

@@ -35,7 +35,6 @@ from dw_etl_spark.functions.text import (
     stable_hash32a,
     stable_hash32b,
     stable_hash64,
-    tokens,
     tokens_of,
     word_ngrams_from_tokens,
 )
@@ -284,9 +283,7 @@ def dup_ngram_char_fraction(
 
     Returns (id, dup_ngram_frac) — join back to the corpus as needed.
     """
-    from dw_etl_spark.functions.text import tokens
-
-    toks = tokens(text_col)
+    toks = tokens_of(df, text_col)
     cnt = F.size(toks)
     m = cnt - (n - 1)
     grams = F.slice(toks, 1, F.greatest(m, F.lit(0)))
@@ -709,7 +706,7 @@ def _dup_window_positions(
     without the pin the tokenize→window→digest map runs twice
     (measured 2.5→1.9 s at sf0.1 in the repetition_stats gate row)."""
     if unit == "word":
-        seq, sep = tokens(text_col), " "
+        seq, sep = tokens_of(df, text_col), " "
     elif unit == "char":
         # split('') → one array element per character
         c = F.col(text_col)
