@@ -332,13 +332,22 @@ def contamination_flags(
     ``n_shared_grams`` counts the doc's distinct shingles that occur
     anywhere in the eval set.
 
-    Scale shape: corpus shingles explode into (id, gram) rows and
-    equi-join the DISTINCT eval gram set — an inverted-index semi-join
-    keyed on the gram, never doc×doc. The eval side of the join is the
-    distinct gram set of the *eval corpus* (benchmarks are ~10⁴-10⁶
-    docs — broadcastable in practice; Catalyst/AQE picks broadcast vs
-    shuffle from its size). One shuffle over corpus grams at 100 TB,
-    with the count aggregation keyed on doc id.
+    Scale shape (r15, guide §3.1/§2.3): corpus shingles explode into
+    (id, gram) rows and BROADCAST-join the DISTINCT eval gram set — an
+    inverted-index semi-join keyed on the gram, never doc×doc. The
+    eval side is the distinct gram set of the *eval corpus*, and a
+    benchmark/eval set is a BOUNDED artifact by contract (the same
+    argument as the BM25 query cap): 10⁴-10⁶ docs → an eval gram set
+    in the tens-to-hundreds of MB, far under the broadcast caps at any
+    corpus scale. The hint is explicit because Catalyst cannot
+    estimate the exploded-distinct subquery (it planned a sort-merge
+    join), and AQE's runtime conversion is TOO LATE — both map stages
+    materialize first, so the full corpus gram set (payload strings ×
+    every occurrence) was already written to shuffle before the
+    broadcast kicked in: 1,082 MB of shuffle write at sf1, 63 s of the
+    query's 105 s. With the explicit hint the corpus grams never
+    shuffle; the only exchange left is the map-side-combined per-doc
+    count (KBs). False-positive risk: none — the join is exact.
     """
     corpus_grams = df.select(
         F.col(id_col).alias("id"),
@@ -348,7 +357,7 @@ def contamination_flags(
         F.explode(_shingles(eval_df, text_col, n, shingle)).alias("g")
     ).distinct()
     hits = (
-        corpus_grams.join(eval_grams, "g")
+        corpus_grams.join(F.broadcast(eval_grams), "g")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("__n_shared"))
     )
