@@ -4046,12 +4046,25 @@ def _q_dim_indicator_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = interpolated_indicator_base(spark, sf_dir).localCheckpoint(
         eager=False
     )
-    count_rows = build_dim_indicator(spark, sf_dir, base=base).select(
-        F.lit("count").alias("QcutMode"), "*"
-    )
-    value_rows = build_dim_indicator(
-        spark, sf_dir, qcut="value", base=base
-    ).select(F.lit("value").alias("QcutMode"), "*")
+    # r15 (guide §2.6, construction-only — distinct from the r14
+    # materialization experiment above): value-mode CONSTRUCTION runs
+    # the qcut edge fit's cluster jobs; count-mode construction is
+    # ~0.5-1 s of pure py4j window building that previously queued
+    # behind them. Build the value branch from a side thread and the
+    # count branch on the main thread meanwhile; both consume the same
+    # lazily-pinned base, and the assembled union is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        _value_fut = _ex.submit(
+            lambda: build_dim_indicator(
+                spark, sf_dir, qcut="value", base=base
+            ).select(F.lit("value").alias("QcutMode"), "*")
+        )
+        count_rows = build_dim_indicator(spark, sf_dir, base=base).select(
+            F.lit("count").alias("QcutMode"), "*"
+        )
+        value_rows = _value_fut.result()
     return count_rows.unionByName(value_rows)
 
 
